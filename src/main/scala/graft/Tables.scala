@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Central loader for the driver-generated testdata tables (TESTDATA.md).
+  * One parquet file per table under the scale-factor dir passed by the
+  * driver to every `SparkEntry.queries` entry.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Load one testdata table.
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS) (FIXTURES.md §B), which Spark 4
+    * rejects outright (PARQUET_TYPE_ILLEGAL). We read nanos as a long via
+    * the legacy conf and convert to a µs TimestampType column ourselves —
+    * same truncation DuckDB's µs arithmetic applies, so oracle-comparable
+    * at second/hour/month granularity (never output raw ts, SURVEY §7.4).
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else df
+  }
+}

@@ -1,0 +1,68 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The reference's source/sink surface (SURVEY.md §2.1), modeled as
+  * parquet/CSV in this env (no Postgres/BigQuery network): write
+  * dispositions append/overwrite (S7/S8/S10), single-file CSV handoff
+  * (S5→S3/S4), partitioned parquet (S6).
+  */
+object Sinks {
+
+  /** Scratch root for sink round-trip queries. Absolute (driver may invoke
+    * from any cwd) and inside the repo per the env contract.
+    */
+  val scratchRoot = "/root/repo/target/scratch"
+
+  /** S5 — single-file CSV sink with header, overwrite.
+    * Ref: spark-apps/clean_nyc_taxi_pipeline.py:19
+    * (`coalesce(1).write...csv`). `coalesce(1)` narrows only the final
+    * write task (README.md:112-113 rationale: one exchange file for the
+    * downstream pandas loader); upstream stages keep full parallelism.
+    * Timestamp format pinned so the S3 re-read is lossless to the second.
+    */
+  def writeSingleCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1)
+      .write.mode("overwrite")
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .csv(path)
+
+  /** S3/S4 — CSV scan with declared schema; unparseable timestamps coerce
+    * to NULL, matching `pd.to_datetime(errors="coerce")`
+    * (dags/nyc_taxi_pipeline_dag.py:91-92). Spark reads the whole part-file
+    * directory natively (the reference globs, :16,66-68), and partitioned
+    * reading subsumes the 100k-row chunking (:70-75).
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .option("mode", "PERMISSIVE") // bad cells → null, not error
+      .schema(schema)
+      .csv(path)
+
+  /** S6 — partitioned parquet sink (hive-style month dirs).
+    * Ref: spark-apps/clean_nyc_taxi_pipeline.py:16 (design intent) +
+    * README.md:116-119 (`repartition("year","month")`). Partition-by-month
+    * is the reference's substitute for the Postgres B-tree indexes (S9):
+    * at 100 TB a month predicate prunes ~97% of files before any IO.
+    */
+  def writePartitioned(df: DataFrame, partCol: String, path: String): Unit =
+    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+
+  /** S7/S10/S14 — append disposition (`if_exists="append"` /
+    * `WRITE_APPEND`, dags/nyc_taxi_pipeline_dag.py:99,120,157): the
+    * "Incremental Loading Mechanism" of README.md:220-222.
+    */
+  def appendLoad(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+
+  /** S8 — replace disposition (`if_exists="replace"`,
+    * extract_dag.cpython-311.pyc decompiled): full-refresh load.
+    */
+  def replaceLoad(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+}

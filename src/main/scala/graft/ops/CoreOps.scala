@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's relational operator surface, re-expressed as pure
+  * `DataFrame => DataFrame` combinators (SURVEY.md §2). Each operator is a
+  * declarative transformation so Catalyst keeps pushdown / pruning /
+  * whole-stage-codegen working; none of them materialize or collect.
+  *
+  * Reference citations point into /root/reference (read-only snapshot).
+  */
+object CoreOps {
+
+  /** P1 — drop a row if ANY column is null.
+    * Ref: spark-apps/clean_nyc_taxi_pipeline.py:10 (`df.dropna()`).
+    * Compiles to `Filter(AND(IsNotNull(c)))` which Catalyst pushes into the
+    * parquet scan — at 100 TB the nulls never leave the data source.
+    */
+  def dropNulls(df: DataFrame): DataFrame = df.na.drop("any")
+
+  /** P1 variant — drop rows where any of the given key columns is null. */
+  def dropNulls(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.na.drop("any", cols)
+
+  /** D1 — full-row deduplication.
+    * Ref: spark-apps/clean_nyc_taxi_pipeline.py:10 (`df.dropDuplicates()`).
+    * Keys = all columns, so the result is set-equal to DISTINCT (safe for a
+    * SQL oracle). Plans as partial+final HashAggregate around one shuffle on
+    * all columns — the same shape the reference's 2-worker cluster showed as
+    * its "high shuffle" stage (README.md:218).
+    */
+  def dedupFullRow(df: DataFrame): DataFrame = df.dropDuplicates()
+
+  /** P2 — derived month column from a timestamp.
+    * Ref: spark-apps/clean_nyc_taxi_pipeline.py:13
+    * (`withColumn("pickup_month", month(col("tpep_pickup_datetime")))`).
+    */
+  def deriveMonth(df: DataFrame, tsCol: String,
+                  out: String = "pickup_month"): DataFrame =
+    df.withColumn(out, month(col(tsCol)))
+
+  /** C1/P9 — the reference's 3-arm CASE WHEN rush-hour enrichment.
+    * Ref: dags/nyc_taxi_pipeline_dag.py:253-261. Bounds are the EXECUTED
+    * SQL's 7-9 / 17-19 inclusive (code wins over README 7-10/16-19, SURVEY
+    * §2.2 note). The reference does this as ALTER TABLE + UPDATE in
+    * Postgres; declaratively it is a single projection — no second pass
+    * over the table.
+    */
+  def timeBucket(df: DataFrame, tsCol: String,
+                 out: String = "time_bucket"): DataFrame =
+    df.withColumn(out, timeBucketExpr(col(tsCol)))
+
+  /** The CASE expression itself, reusable inside SQL-oracle-matched plans. */
+  def timeBucketExpr(ts: Column): Column =
+    when(hour(ts).between(7, 9), "Morning Rush")
+      .when(hour(ts).between(17, 19), "Evening Rush")
+      .otherwise("Other")
+
+  /** P5 — column rename.
+    * Ref: elt_dag.cpython-311.pyc (decompiled), orig line 15
+    * (`rename({'Sponsoring Organization': 'Sponsoring_Organization'})`).
+    */
+  def renameColumn(df: DataFrame, from: String, to: String): DataFrame =
+    df.withColumnRenamed(from, to)
+
+  /** P3/P10 — equality filter on a string column.
+    * Ref: elt_dag…pyc orig 16 (`df['Type'] == 'generic'`);
+    * dags/nyc_taxi_pipeline_dag.py:145 (`WHERE time_bucket='Morning Rush'`).
+    */
+  def filterEq(df: DataFrame, column: String, value: String): DataFrame =
+    df.filter(col(column) === value)
+
+  /** P4 — constant-literal column append.
+    * Ref: elt_dag…pyc orig 17 (`df['date'] = today.strftime('%Y-%m-%d')`).
+    * The value is injected (not `current_date()`) so runs are reproducible
+    * and oracle-comparable.
+    */
+  def constantColumn(df: DataFrame, name: String, value: String): DataFrame =
+    df.withColumn(name, lit(value))
+
+  /** P6 — drop columns if present (reference drops the staging surrogate
+    * `id`). Ref: dags/nyc_taxi_pipeline_dag.py:87-88.
+    */
+  def dropColumns(df: DataFrame, cols: String*): DataFrame =
+    df.drop(cols: _*)
+
+  /** P7 — header/name normalization (`col.strip()` over all columns).
+    * Ref: dags/nyc_taxi_pipeline_dag.py:84. Metadata-only — no data pass.
+    */
+  def trimHeaders(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(_.trim): _*)
+
+  /** P8/A2 — count of rows violating a null-free contract on key columns.
+    * Ref: dags/nyc_taxi_pipeline_dag.py:195-201
+    * (`WHERE a IS NULL OR b IS NULL`, fail if count > 0).
+    * Returns a 1-row DataFrame so it composes with the driver contract.
+    */
+  def nullViolationCount(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val anyNull = cols.map(c => col(c).isNull).reduce(_ || _)
+    df.filter(anyNull).agg(count(lit(1)).as("null_violations"))
+  }
+
+  /** A1 — scalar row count as a 1-row DataFrame.
+    * Ref: dags/nyc_taxi_pipeline_dag.py:188-192.
+    */
+  def rowCount(df: DataFrame): DataFrame =
+    df.agg(count(lit(1)).as("n"))
+
+  /** A3 — per-column null-count matrix (single aggregation pass, one row).
+    * Ref: dags/nyc_taxi_pipeline_dag.py:95-96
+    * (`chunk.isnull().sum().sum()` per 100k chunk — here one distributed
+    * partial+final aggregate instead of a driver-side loop).
+    */
+  def nullMatrix(df: DataFrame): DataFrame = {
+    val exprs = df.columns.map { c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c")
+    }
+    df.agg(exprs.head, exprs.tail: _*)
+  }
+}
