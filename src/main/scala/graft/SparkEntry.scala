@@ -5,9 +5,15 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.dedup.DedupOps
+import graft.functions.TextExpressions
 import graft.io.Sinks
+import graft.multimodal.MultimodalOps
 import graft.ops.CoreOps
 import graft.pipeline.TaxiPipeline
+import graft.similarity.SimilarityOps
+import graft.streaming.StreamingOps
+import graft.text.TextOps
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the LLM-pipeline extension ops), each with an ANSI/DuckDB
@@ -40,7 +46,10 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    parityQueries ++ extensionQueries
+
+  private def parityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // §3.1 — the whole reference DAG as one plan (see TaxiPipeline).
     "q_flagship_pipeline" -> ((s, dir) => TaxiPipeline.flagship(s, dir)),
@@ -188,6 +197,132 @@ object SparkEntry {
                 col("n"), col("v")))
   )
 
+  // ------------------------------------------- extension (north-star) ops
+
+  private def extensionQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Text analysis: char/token/punct/stopword census + md5 fingerprint,
+    // one codegen'd projection pass.
+    "q_text_stats" -> ((s, dir) =>
+      TextOps.withTextStats(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_chars_calc"), col("n_tokens"),
+                col("n_punct"), col("n_stopwords"), col("fingerprint"))),
+
+    // Language-ID heuristic (stopword-hit argmax, deterministic ties)
+    "q_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+                TextOps.langId(col("text")).as("lang_guess"))),
+
+    // Composite quality score
+    "q_quality_score" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+                TextOps.qualityScore(col("text")).as("quality_score"))),
+
+    // Exact dedup, keyed (deterministic min-id survivor)
+    "q_dedup_keyed" -> ((s, dir) =>
+      DedupOps.dedupKeyed(t(s, dir, "documents"),
+                          Seq("lang", "source"), "doc_id")),
+
+    // Exact-content dedup census via md5 fingerprint
+    "q_exact_dedup" -> ((s, dir) =>
+      DedupOps.exactStats(t(s, dir, "documents"), "text")),
+
+    // Exact n-gram Jaccard near-dup join (prefix-filtered). n=12: char
+    // 5-grams over a small vocabulary are near-universal (df≈docs/20 →
+    // candidates≈all pairs); 12-grams span ~2 words and stay selective —
+    // the same reason production text-dedup shingles at ~10-13 chars.
+    "q_ngram_jaccard" -> ((s, dir) =>
+      DedupOps.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+                                 n = 12, tau = 0.7)),
+
+    // MinHash+LSH near-dup join, exact-verified — must equal the Jaccard
+    // oracle wherever LSH recall holds (k=64,b=16,r=4: P(miss)@s=0.75 ≈
+    // 2e-3, and the planted pairs sit at ≥0.75 with a gap below)
+    "q_minhash_lsh" -> ((s, dir) =>
+      DedupOps.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+                               n = 12, k = 64, bands = 16, tau = 0.7)),
+
+    // SimHash near-dup pairs: 16-bit band candidates, hamming ≤ 6 verify
+    // (native simhash64 expression; no SQL oracle — hash internals)
+    "q_simhash_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+                TextExpressions.simhash64(TextOps.tokens(col("text")))
+                  .as("sh"))
+      val bands = array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+               shiftrightunsigned(col("sh"), b * 16)
+                 .bitwiseAND(lit(0xffffL)).as("key"))): _*)
+      val bucketed = docs.select(col("doc_id"), col("sh"),
+                                 explode(bands).as("bb"))
+        .select(col("doc_id"), col("sh"), col("bb.band").as("band"),
+                col("bb.key").as("key"))
+      bucketed.as("a")
+        .join(bucketed.as("b"),
+              col("a.band") === col("b.band") &&
+                col("a.key") === col("b.key") &&
+                col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+                bit_count(col("a.sh").bitwiseXOR(col("b.sh")))
+                  .as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 6)
+    }),
+
+    // Document fingerprints: simhash + rolling hash (native expressions,
+    // deterministic; no SQL oracle)
+    "q_fingerprints" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+                TextExpressions.simhash64(TextOps.tokens(col("text")))
+                  .as("simhash"),
+                TextExpressions.rollingHash(col("text")).as("rhash"))),
+
+    // Brute-force cosine top-k (exact ANN baseline)
+    "q_cosine_topk" -> ((s, dir) =>
+      SimilarityOps.topKNeighbors(t(s, dir, "embeddings"),
+                                  "vec_id", "embedding",
+                                  probeId = 0L, k = 10)),
+
+    // All-pairs cosine ≥ τ (embedding near-dup contract)
+    "q_cosine_pairs" -> ((s, dir) =>
+      SimilarityOps.cosinePairs(t(s, dir, "embeddings"),
+                                "vec_id", "embedding", tau = 0.45)),
+
+    // LSH-bucketed ANN (scale path; recall measured in spec, no oracle)
+    "q_ann_topk" -> ((s, dir) =>
+      SimilarityOps.annTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+                            probeId = 0L, k = 10, bits = 4)),
+
+    // IVF assign + probe (scale path, no oracle)
+    "q_ivf_topk" -> ((s, dir) => {
+      val assigned = SimilarityOps.ivfAssign(
+        t(s, dir, "embeddings"), "vec_id", "embedding", nlist = 8)
+      SimilarityOps.ivfTopK(assigned, "vec_id", "embedding",
+                            probeId = 0L, k = 10, nprobe = 3)
+    }),
+
+    // HLL sketch distinct (mergeable at 100 TB; no exact-SQL oracle)
+    "q_approx_users" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))),
+
+    // Multimodal: binary media column → per-partition batched stub decode
+    "q_multimodal_features" -> ((s, dir) =>
+      MultimodalOps.extractFeatures(
+          s, MultimodalOps.toMediaTable(t(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("format"), col("n_bytes"),
+                round(element_at(col("features"), 1), 6).as("f0"))),
+
+    // Streaming-shaped windowed rollup applied to the batch frame
+    "q_stream_rollup" -> ((s, dir) =>
+      StreamingOps.windowedRollup(t(s, dir, "events")))
+  )
+
   // -------------------------------------------------------------- oracles
 
   /** DuckDB twins over the same parquet tables (driver resolves bare table
@@ -306,6 +441,129 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
         |         AS hour_start,
         |       count(*) AS n, round(sum(value), 4) AS v
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(text) AS BIGINT) AS n_chars_calc,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
+        |    AS n_punct,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |       x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT)
+        |    AS n_stopwords,
+        |  md5(text) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH sc AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split_regex(trim(text),'\s+'),
+        |        x -> x IN ('the','a','of','and','to','in','is'))) AS s_en,
+        |    len(list_filter(string_split_regex(trim(text),'\s+'),
+        |        x -> x IN ('el','la','de','los','y','que','un'))) AS s_es,
+        |    len(list_filter(string_split_regex(trim(text),'\s+'),
+        |        x -> x IN ('der','die','das','und','ist','von','mit'))) AS s_de,
+        |    len(list_filter(string_split_regex(trim(text),'\s+'),
+        |        x -> x IN ('le','les','et','des','une','dans','pour'))) AS s_fr,
+        |    len(list_filter(string_split_regex(trim(text),'\s+'),
+        |        x -> x IN ('的','是','了','在','我','有'))) AS s_zh
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE
+        |    WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+        |         AND s_en >= s_zh THEN 'en'
+        |    WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de AND s_es >= s_fr
+        |         AND s_es >= s_zh THEN 'es'
+        |    WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+        |         AND s_de >= s_zh THEN 'de'
+        |    WHEN s_fr > 0 AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de
+        |         AND s_fr >= s_zh THEN 'fr'
+        |    WHEN s_zh > 0 AND s_zh >= s_en AND s_zh >= s_es AND s_zh >= s_de
+        |         AND s_zh >= s_fr THEN 'zh'
+        |    ELSE 'und' END AS lang_guess
+        |FROM sc""".stripMargin,
+
+    "q_quality_score" ->
+      """SELECT doc_id, round(
+        |  least(CAST(len(string_split_regex(trim(text),'\s+')) AS DOUBLE)
+        |        / 100.0, 1.0) * 0.5
+        |  + (CAST(len(list_filter(string_split_regex(trim(text),'\s+'),
+        |          x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |     / CAST(greatest(len(string_split_regex(trim(text),'\s+')), 1)
+        |            AS DOUBLE)) * 0.3
+        |  + (1.0 - least(CAST(len(regexp_extract_all(text,'[.,!?;:]'))
+        |                      AS DOUBLE)
+        |                 / CAST(greatest(len(text),1) AS DOUBLE) * 10.0,
+        |                 1.0)) * 0.2, 6) AS quality_score
+        |FROM documents""".stripMargin,
+
+    "q_dedup_keyed" ->
+      """SELECT lang, source, min(doc_id) AS doc_id
+        |FROM documents GROUP BY lang, source""".stripMargin,
+
+    "q_exact_dedup" ->
+      """SELECT count(*) AS total_docs,
+        |       count(DISTINCT md5(text)) AS distinct_docs
+        |FROM documents""".stripMargin,
+
+    "q_ngram_jaccard" -> jaccardOracle,
+    "q_minhash_lsh" -> jaccardOracle,
+
+    "q_cosine_topk" ->
+      """WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |                     generate_subscripts(embedding,1) AS i
+        |              FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM flat GROUP BY 1),
+        |probe AS (SELECT i, v FROM flat WHERE vec_id = 0),
+        |pnorm AS (SELECT nrm FROM norms WHERE vec_id = 0),
+        |dots AS (SELECT f.vec_id, sum(f.v*p.v) AS dot
+        |         FROM flat f JOIN probe p ON f.i = p.i
+        |         WHERE f.vec_id <> 0 GROUP BY 1)
+        |SELECT d.vec_id,
+        |       round(d.dot/(n.nrm*(SELECT nrm FROM pnorm)), 6) AS sim
+        |FROM dots d JOIN norms n ON n.vec_id = d.vec_id
+        |ORDER BY d.dot/(n.nrm*(SELECT nrm FROM pnorm)) DESC, d.vec_id ASC
+        |LIMIT 10""".stripMargin,
+
+    "q_cosine_pairs" ->
+      """WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |                     generate_subscripts(embedding,1) AS i
+        |              FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM flat GROUP BY 1),
+        |dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v*b.v) AS dot
+        |         FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+        |         GROUP BY 1,2)
+        |SELECT id_a, id_b, round(dot/(na.nrm*nb.nrm), 6) AS sim
+        |FROM dots JOIN norms na ON na.vec_id = id_a
+        |          JOIN norms nb ON nb.vec_id = id_b
+        |WHERE dot/(na.nrm*nb.nrm) >= 0.45""".stripMargin,
+
+    "q_stream_rollup" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |         AS hour_start,
+        |       event_type, count(*) AS n, round(sum(value), 4) AS v
+        |FROM events GROUP BY 1, 2""".stripMargin
   )
+
+  /** Shared truth for both near-dup joins: exact 12-gram Jaccard ≥ 0.7.
+    * q_ngram_jaccard reaches it by prefix filtering, q_minhash_lsh by
+    * LSH banding + exact verification — different physical strategies,
+    * identical result contract.
+    */
+  private val jaccardOracle: String =
+    """WITH idx AS (SELECT unnest(range(1,
+      |    (SELECT CAST(max(len(text)) AS BIGINT) FROM documents))) AS i),
+      |sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 12) AS s
+      |       FROM documents JOIN idx ON i <= len(text)-11),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |           GROUP BY 1,2)
+      |SELECT id_a, id_b, round(CAST(c AS DOUBLE)/(sa.n + sb.n - c), 6)
+      |         AS jaccard
+      |FROM common JOIN sizes sa ON sa.doc_id = id_a
+      |            JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.7""".stripMargin
 }

@@ -1,0 +1,149 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** Deduplication operators for training-data curation (north-star scope):
+  * exact, keyed, n-gram-Jaccard (exact set-similarity join), MinHash+LSH.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - exact dedup = hash-groupBy — one shuffle on the content hash, never
+  *    on the full document;
+  *  - the n-gram Jaccard join uses PREFIX FILTERING (order shingles by
+  *    global document-frequency, join only on each doc's rarest
+  *    ⌊(1−τ)·|S|⌋+1 shingles). The naive postings self-join is Θ(Σ df²)
+  *    and melts on hot shingles; the prefix join is provably lossless for
+  *    J ≥ τ (prefix length ≥ |S|−⌈τ|S|⌉+1, the classic probing-prefix
+  *    bound) while cutting candidates by orders of magnitude;
+  *  - MinHash+LSH replaces the exact prefix join when even that is too
+  *    big: signature k hashes, b bands → candidates only for pairs sharing
+  *    a band, P(miss) = (1−s^r)^b, then exact-Jaccard verification so the
+  *    output is still exact for pairs LSH surfaces.
+  */
+object DedupOps {
+
+  /** Keyed dedup, deterministic survivor = min id per key group. */
+  def dedupKeyed(df: DataFrame, keys: Seq[String], idCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(min(col(idCol)).as(idCol))
+
+  /** Keyed dedup keeping the whole first row per key (ordered by
+    * `orderCols` — deterministic, unlike dropDuplicates(keys)).
+    */
+  def dedupKeyedFirstRow(df: DataFrame, keys: Seq[String],
+                         orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(c => col(c).asc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact-content dedup census: total vs surviving distinct fingerprints.
+    * At scale this is the first pass of any corpus clean: one shuffle on a
+    * 16-byte hash instead of the document bytes.
+    */
+  def exactStats(df: DataFrame, textCol: String): DataFrame =
+    df.agg(count(lit(1)).as("total_docs"),
+           countDistinct(TextOps.fingerprint(col(textCol)))
+             .as("distinct_docs"))
+
+  /** Character n-gram shingle set (distinct, sorted for stable arrays).
+    * Texts shorter than n collapse to the whole text as one shingle.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), length(text) - (n - 1)),
+      i => text.substr(i, lit(n)))
+    array_sort(array_distinct(
+      when(length(text) >= n, grams).otherwise(array(text))))
+  }
+
+  /** Internal: (id, sh_set, sz) frame. */
+  private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+                shingles(col(textCol), n).as("sh_set"))
+      .withColumn("sz", size(col("sh_set")))
+
+  private def verifyPairs(cand: DataFrame, sets: DataFrame,
+                          tau: Double): DataFrame =
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh_set").as("set_a"),
+                        col("sz").as("sz_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh_set").as("set_b"),
+                        col("sz").as("sz_b")), "id_b")
+      .withColumn("common",
+        size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("sz_a") + col("sz_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"),
+              round(col("jaccard"), 6).as("jaccard"))
+
+  /** Exact n-gram-Jaccard similarity self-join via prefix filtering.
+    * Output: (id_a < id_b, jaccard ≥ tau), jaccard rounded to 6.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 5, tau: Double = 0.8): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, n)
+    val postings = sets.select(col("id"), col("sz"),
+                               explode(col("sh_set")).as("sh"))
+    // global shingle document-frequency = the prefix ordering key
+    val freq = postings.groupBy("sh").agg(count(lit(1)).as("df"))
+    val prefix = postings.join(freq, "sh")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("df").asc, col("sh").asc)))
+      .filter(col("rn") <=
+        floor(lit(1.0 - tau) * col("sz")).cast("int") + 1)
+      .select("id", "sh", "sz")
+    // length filter: J(A,B) ≥ τ forces τ·|B| ≤ |A| ≤ |B|/τ — prunes
+    // size-mismatched candidates before the expensive verify.
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+            col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
+              col("a.sz") >= lit(tau) * col("b.sz") &&
+              col("b.sz") >= lit(tau) * col("a.sz"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyPairs(cand, sets, tau)
+  }
+
+  /** MinHash signature: k independent hash slots, slot i = min over the
+    * shingle set of xxhash64(shingle, i). Expressed with higher-order
+    * functions so it stays inside codegen; one scan pass, no shuffle.
+    */
+  def minhashSignature(shingleSet: Column, k: Int): Column =
+    array((0 until k).map(i =>
+      array_min(transform(shingleSet, s => xxhash64(s, lit(i))))): _*)
+
+  /** MinHash+LSH near-dup pairs: band the signature (b bands × r rows),
+    * bucket-join on (band, hash(band slice)), then exact-Jaccard verify.
+    * Same output contract as ngramJaccardPairs; at τ=0.8, k=32, b=8 the
+    * per-pair miss probability is (1−s⁴)⁸ < 2% at s=0.8 and < 10⁻⁴ at
+    * s≥0.93.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 5, k: Int = 32, bands: Int = 8,
+                      tau: Double = 0.8): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    val sets = shingleSets(docs, idCol, textCol, n)
+    val sig = sets.withColumn("sig", minhashSignature(col("sh_set"), k))
+    val bandStructs = array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+             xxhash64(slice(col("sig"), b * r + 1, r)).as("bh"))): _*)
+    val bucketed = sig.select(col("id"),
+                              explode(bandStructs).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = bucketed.as("a")
+      .join(bucketed.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyPairs(cand, sets, tau)
+  }
+}

@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Native cosine-similarity expression over embedding arrays.
+  *
+  * The higher-order-function formulation
+  * (`aggregate(zip_with(a,b,multiply),…)`) allocates an intermediate array
+  * per row and walks it three times; this expression is one fused loop,
+  * codegen'd, no allocation — the difference between scan-bound and
+  * compute-bound on a 100 TB embedding table. Accumulates in double
+  * regardless of element type (float embeddings upcast per element), which
+  * also makes it bit-comparable with the DuckDB double oracle at
+  * round(·,6).
+  */
+object VectorExpressions {
+  def cosineSim(a: Column, b: Column): Column =
+    Bridge.toColumn(CosineSimilarity(
+      Bridge.toExpression(a), Bridge.toExpression(b)))
+
+  def dotProduct(a: Column, b: Column): Column =
+    Bridge.toColumn(DotProduct(
+      Bridge.toExpression(a), Bridge.toExpression(b)))
+}
+
+trait VectorBinaryOp extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  protected def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  protected def getElem(e: Expression, arr: ArrayData, i: Int): Double =
+    if (elemIsFloat(e)) arr.getFloat(i).toDouble else arr.getDouble(i)
+
+  protected def genGet(e: Expression, arr: String, i: String): String =
+    if (elemIsFloat(e)) s"(double) $arr.getFloat($i)"
+    else s"$arr.getDouble($i)"
+}
+
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends VectorBinaryOp {
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements() || n == 0) null
+    else {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = getElem(left, a, i); val y = getElem(right, b, i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) null
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements() || $n == 0) { ${ev.isNull} = true; }
+         |else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = ${genGet(left, a, i)};
+         |    double $y = ${genGet(right, b, i)};
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  if ($na == 0.0 || $nb == 0.0) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb)); }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CosineSimilarity = copy(l, r)
+}
+
+case class DotProduct(left: Expression, right: Expression)
+    extends VectorBinaryOp {
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) null
+    else {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        dot += getElem(left, a, i) * getElem(right, b, i); i += 1
+      }
+      dot
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += (${genGet(left, a, i)}) * (${genGet(right, b, i)});
+         |  }
+         |  ${ev.value} = $dot;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DotProduct = copy(l, r)
+}

@@ -1,0 +1,97 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (BASELINE.json north-star scope, beyond the reference's own surface):
+  * tokenization, quality scoring, language-ID heuristic, fingerprinting.
+  *
+  * All are single-pass narrow projections built from codegen'd
+  * `functions._` — no UDFs, no shuffles — so they stream through a 100 TB
+  * corpus at scan speed and stack inside one WholeStageCodegen span.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer (the reference's pandas-era ETL had no text ops;
+    * this is the extension-scope surface).
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Punctuation census over a fixed ASCII class (identical semantics in
+    * Java regex and the DuckDB oracle's RE2).
+    */
+  def punctCount(text: Column): Column = regexp_count(text, lit("[.,!?;:]"))
+
+  /** BPE-ish subword count: alternation of letter-runs, digit-runs, and
+    * single non-space symbols — a deterministic proxy for a real tokenizer's
+    * segment count.
+    */
+  def subwordCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Stopword lists for the language-ID heuristic. Deliberately small and
+    * public-knowledge; order of `langs` is the deterministic tie-break.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "los", "y", "que", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit"),
+    "fr" -> Seq("le", "les", "et", "des", "une", "dans", "pour"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"))
+  val langs: Seq[String] = Seq("en", "es", "de", "fr", "zh")
+
+  /** Count of tokens that appear in `words` (a stopword hit count). */
+  def stopwordCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(_.asInstanceOf[Any]): _*)))
+
+  def stopwordRatio(text: Column, words: Seq[String]): Column =
+    stopwordCount(text, words).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
+  /** N-gram-heuristic language ID: argmax of per-language stopword hit
+    * counts, ties broken by `langs` order (en first). Pure expression —
+    * resolves per-row with no dictionary broadcast needed at this list size.
+    */
+  def langId(text: Column): Column = {
+    val scores = langs.map(l => l -> stopwordCount(text, stopwords(l)))
+    scores.foldRight(lit("und")) { case ((l, s), els) =>
+      val isMax = scores.collect { case (o, os) if o != l => s >= os }
+        .reduce(_ && _)
+      when(s > 0 && isMax, l).otherwise(els)
+    }
+  }
+
+  /** Composite quality score in [0,1]: token-volume saturation, stopword
+    * naturalness, punctuation restraint. Fixed weights; arithmetic order
+    * identical to the SQL oracle so round(·,6) compares exactly.
+    */
+  def qualityScore(text: Column): Column = {
+    val tokSat = least(tokenCount(text).cast("double") / lit(100.0), lit(1.0))
+    val stopR = stopwordRatio(text, stopwords("en"))
+    val punctR = punctCount(text).cast("double") /
+      greatest(charCount(text), lit(1)).cast("double")
+    round(tokSat * lit(0.5) + stopR * lit(0.3) +
+      (lit(1.0) - least(punctR * lit(10.0), lit(1.0))) * lit(0.2), 6)
+  }
+
+  /** Content fingerprint (md5 — byte-identical across engines, so exact
+    * dedup on it is oracle-checkable; see DedupOps.exactStats).
+    */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** All text stats in one projection (one scan pass). */
+  def withTextStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val c = col(textCol)
+    df.withColumn("n_chars_calc", charCount(c).cast("long"))
+      .withColumn("n_tokens", tokenCount(c).cast("long"))
+      .withColumn("n_punct", punctCount(c).cast("long"))
+      .withColumn("n_stopwords",
+        stopwordCount(c, stopwords("en")).cast("long"))
+      .withColumn("fingerprint", fingerprint(c))
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.CoreOps
+import graft.quality.Quality
+
+class CoreOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("dropNulls drops rows with any null (P1)") {
+    val df = Seq(
+      (Some(1), Some("a")), (None, Some("b")), (Some(3), None)
+    ).toDF("x", "y")
+    assert(CoreOps.dropNulls(df).count() === 1)
+    assert(CoreOps.dropNulls(df, Seq("x")).count() === 2)
+  }
+
+  test("dedupFullRow is idempotent and equals distinct (D1)") {
+    val df = Seq(("a", 1), ("a", 1), ("b", 2), ("a", 1)).toDF("k", "v")
+    val d1 = CoreOps.dedupFullRow(df)
+    assert(d1.count() === 2)
+    assert(CoreOps.dedupFullRow(d1).count() === 2)
+    assert(d1.except(df.distinct()).isEmpty)
+  }
+
+  test("deriveMonth extracts calendar month (P2)") {
+    val df = Seq(ts("2024-03-15 10:00:00"), ts("2024-12-01 00:00:00"))
+      .toDF("t")
+    val got = CoreOps.deriveMonth(df, "t").select("pickup_month")
+      .as[Int].collect().sorted
+    assert(got.toSeq === Seq(3, 12))
+  }
+
+  test("timeBucket boundaries are 7-9 and 17-19 inclusive (C1, code wins)") {
+    val hours = Seq(6, 7, 9, 10, 16, 17, 19, 20)
+    val df = hours.map(h => ts(f"2024-01-01 $h%02d:30:00")).toDF("t")
+    val got = CoreOps.timeBucket(df, "t")
+      .select(hour($"t"), $"time_bucket").as[(Int, String)]
+      .collect().toMap
+    assert(got(6) === "Other"); assert(got(7) === "Morning Rush")
+    assert(got(9) === "Morning Rush"); assert(got(10) === "Other")
+    assert(got(16) === "Other"); assert(got(17) === "Evening Rush")
+    assert(got(19) === "Evening Rush"); assert(got(20) === "Other")
+  }
+
+  test("rename / constant / drop / trim (P4-P7)") {
+    val df = Seq(("x", 1)).toDF(" Sponsoring Organization ", "v")
+    val trimmed = CoreOps.trimHeaders(df)
+    assert(trimmed.columns.toSeq === Seq("Sponsoring Organization", "v"))
+    val renamed = CoreOps.renameColumn(trimmed,
+      "Sponsoring Organization", "sponsoring_organization")
+    assert(renamed.columns.contains("sponsoring_organization"))
+    val withConst = CoreOps.constantColumn(renamed, "date", "2025-08-29")
+    assert(withConst.select("date").as[String].head() === "2025-08-29")
+    assert(!CoreOps.dropColumns(withConst, "v").columns.contains("v"))
+  }
+
+  test("filterEq keeps only matching rows (P3)") {
+    val df = Seq(("generic", 1), ("country-code", 2), ("generic", 3))
+      .toDF("type", "v")
+    assert(CoreOps.filterEq(df, "type", "generic").count() === 2)
+  }
+
+  test("nullViolationCount and nullMatrix (P8/A2/A3)") {
+    val df = Seq(
+      (Some(1), Some("a")), (None, Some("b")), (None, None)
+    ).toDF("x", "y")
+    val v = CoreOps.nullViolationCount(df, Seq("x", "y")).as[Long].head()
+    assert(v === 2L)
+    val m = CoreOps.nullMatrix(df).head()
+    assert(m.getLong(0) === 2L) // nulls_x
+    assert(m.getLong(1) === 1L) // nulls_y
+  }
+
+  test("quality gates return Left on violation (§5)") {
+    val ok = Seq((1, "a")).toDF("x", "y")
+    val empty = ok.filter(lit(false))
+    assert(Quality.requireNonEmpty(ok).isRight)
+    assert(Quality.requireNonEmpty(empty).isLeft)
+    val withNull = Seq((Some(1), "a"), (None, "b")).toDF("x", "y")
+    assert(Quality.requireNoNulls(withNull, Seq("x")).isLeft)
+    assert(Quality.requireNoNulls(withNull, Seq("y")).isRight)
+    assert(Quality.nullCensus(withNull) === Map("x" -> 1L, "y" -> 0L))
+  }
+}

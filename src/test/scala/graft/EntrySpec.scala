@@ -1,0 +1,31 @@
+package graft
+
+class EntrySpec extends SparkSpec {
+
+  test("entry smoke: rows > 0 (driver contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs at sf0.001 and is non-degenerate") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      val n = df.count()
+      assert(n >= 0, s"$name failed")
+      assert(df.columns.nonEmpty, s"$name has no columns")
+    }
+  }
+
+  test("oracleSql keys all exist in queries") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle for unknown queries: $missing")
+  }
+
+  test("oracle coverage: SQL-expressible ops all have oracles") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // intentionally rows-only (hash-internal or stub-backed outputs)
+    val expected = Set("q_simhash_pairs", "q_fingerprints", "q_ann_topk",
+                       "q_ivf_topk", "q_approx_users",
+                       "q_multimodal_features")
+    assert(noOracle === expected)
+  }
+}

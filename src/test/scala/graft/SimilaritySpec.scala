@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
+import graft.similarity.SimilarityOps
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val emb = Tables.load(spark, sfDir, "embeddings")
+
+  test("native cosine expression equals higher-order-function cosine") {
+    val diff = emb.limit(50)
+      .select(abs(
+        VectorExpressions.cosineSim($"embedding", $"embedding") -
+          SimilarityOps.cosineHof($"embedding", $"embedding")).as("d"))
+      .agg(max($"d")).as[Double].head()
+    assert(diff < 1e-12)
+    // self-cosine is 1
+    val self = emb.limit(5)
+      .select(VectorExpressions.cosineSim($"embedding", $"embedding"))
+      .as[Double].collect()
+    assert(self.forall(v => math.abs(v - 1.0) < 1e-12))
+  }
+
+  test("dotProduct: orthogonal and aligned vectors") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    val got = df.select(VectorExpressions.dotProduct($"a", $"b"))
+      .as[Double].collect()
+    assert(got(0) === 0.0)
+    assert(got(1) === 11.0)
+  }
+
+  test("cosine null semantics: length mismatch → null") {
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+    val got = df.select(VectorExpressions.cosineSim($"a", $"b"))
+      .collect()(0)
+    assert(got.isNullAt(0))
+  }
+
+  test("brute-force topK is exact vs an independent computation") {
+    val local = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect()
+    val probe = local.find(_._1 == 0L).get._2.map(_.toDouble)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = local.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(v.map(_.toDouble), probe)) }
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSeq
+    val got = SimilarityOps.topKNeighbors(emb, "vec_id", "embedding", 0L, 10)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(got.toSet === expected.toSet)
+  }
+
+  test("ann/ivf return k well-formed results with sims <= brute-force max") {
+    val brute = SimilarityOps.topKNeighbors(emb, "vec_id", "embedding", 0L, 1)
+      .select($"sim").as[Double].head()
+    val ann = SimilarityOps.annTopK(emb, "vec_id", "embedding", 0L, 5, bits = 3)
+      .select($"sim").as[Double].collect()
+    assert(ann.nonEmpty && ann.forall(_ <= brute + 1e-9))
+    val assigned = SimilarityOps.ivfAssign(emb, "vec_id", "embedding", nlist = 4)
+    assert(assigned.select($"list_id").distinct().count() <= 4)
+    val ivf = SimilarityOps.ivfTopK(assigned, "vec_id", "embedding", 0L,
+                                    k = 5, nprobe = 2)
+      .select($"sim").as[Double].collect()
+    assert(ivf.length === 5 && ivf.forall(_ <= brute + 1e-9))
+  }
+
+  test("ivf probe of all lists recovers exact brute-force top-k") {
+    val assigned = SimilarityOps.ivfAssign(emb, "vec_id", "embedding", nlist = 4)
+    val full = SimilarityOps.ivfTopK(assigned, "vec_id", "embedding", 0L,
+                                     k = 10, nprobe = 4)
+      .select($"vec_id").as[Long].collect().toSet
+    val brute = SimilarityOps.topKNeighbors(emb, "vec_id", "embedding", 0L, 10)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(full === brute)
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.DedupOps
+import graft.functions.TextExpressions
+import graft.text.TextOps
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token / punct / stopword counts") {
+    val df = Seq("the quick, brown fox; is in a box!").toDF("text")
+    val r = df.select(
+      TextOps.tokenCount($"text"),
+      TextOps.punctCount($"text"),
+      TextOps.stopwordCount($"text", TextOps.stopwords("en")))
+      .as[(Int, Int, Int)].head()
+    assert(r._1 === 8)
+    assert(r._2 === 3) // , ; !
+    // the, is, in, a  ("box!" has trailing punct so not a stopword token)
+    assert(r._3 === 4)
+  }
+
+  test("langId picks argmax with en-first tie-break") {
+    val df = Seq(
+      "the cat and the dog of a house", // en
+      "el perro y la casa de los gatos", // es
+      "xyzzy plugh").toDF("text") // no stopwords → und
+    val got = df.select(TextOps.langId($"text")).as[String].collect()
+    assert(got.toSeq === Seq("en", "es", "und"))
+  }
+
+  test("shingles: distinct sorted n-grams, short-text fallback") {
+    val df = Seq("abcab", "ab").toDF("text")
+    val got = df.select(DedupOps.shingles($"text", 3)).as[Seq[String]]
+      .collect()
+    assert(got(0) === Seq("abc", "bca", "cab"))
+    assert(got(1) === Seq("ab"))
+  }
+
+  test("prefix-filtered jaccard join equals brute force on crafted dups") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again!"), // ~dup of 1
+      (3L, "completely different content with nothing shared here"),
+      (4L, "the quick brown fox jumps over the lazy dog again"), // exact dup
+      (5L, "short text")
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+                                           n = 5, tau = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    val lsh = DedupOps.minhashLshPairs(docs, "doc_id", "text",
+                                       n = 5, k = 64, bands = 16, tau = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(lsh === pairs)
+  }
+
+  test("jaccard value is exact: identical docs → 1.0") {
+    val docs = Seq((1L, "aaaaabbbbb"), (2L, "aaaaabbbbb"))
+      .toDF("doc_id", "text")
+    val j = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.5)
+      .select($"jaccard").as[Double].head()
+    assert(j === 1.0)
+  }
+
+  test("dedupKeyedFirstRow keeps deterministic survivor") {
+    val df = Seq(("k1", 3, "c"), ("k1", 1, "a"), ("k1", 2, "b"),
+                 ("k2", 9, "z")).toDF("k", "ord", "v")
+    val got = DedupOps.dedupKeyedFirstRow(df, Seq("k"), Seq("ord"))
+      .select($"k", $"v").as[(String, String)].collect().toMap
+    assert(got === Map("k1" -> "a", "k2" -> "z"))
+  }
+
+  test("simhash64: near-identical token sets are hamming-close") {
+    val df = Seq(
+      ("a b c d e f g h i j k l m n o p", "a b c d e f g h i j k l m n o q"),
+      ("a b c d e f g h i j k l m n o p", "z y x w v u t s r q p o n m l k")
+    ).toDF("t1", "t2")
+    val hams = df.select(bit_count(
+      TextExpressions.simhash64(TextOps.tokens($"t1")).bitwiseXOR(
+        TextExpressions.simhash64(TextOps.tokens($"t2"))))).as[Int].collect()
+    assert(hams(0) < hams(1))
+    assert(hams(0) <= 16)
+  }
+
+  test("rollingHash matches the reference polynomial") {
+    def poly(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => 31L * h + b)
+    val inputs = Seq("", "a", "hello world", "ü-umlaut")
+    val got = inputs.toDF("t")
+      .select(TextExpressions.rollingHash($"t")).as[Long].collect()
+    assert(got.toSeq === inputs.map(poly))
+  }
+
+  test("expressions agree between codegen and interpreted eval") {
+    val df = Seq("the quick brown fox", "lorem ipsum dolor").toDF("text")
+    val viaCodegen = df
+      .select(TextExpressions.simhash64(TextOps.tokens($"text")),
+              TextExpressions.rollingHash($"text"))
+      .as[(Long, Long)].collect().toSeq
+    // force interpreted path
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df
+        .select(TextExpressions.simhash64(TextOps.tokens($"text")),
+                TextExpressions.rollingHash($"text"))
+        .as[(Long, Long)].collect().toSeq
+      assert(interp === viaCodegen)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("exactStats counts distinct fingerprints") {
+    val df = Seq((1L, "same"), (2L, "same"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val r = DedupOps.exactStats(df, "text").as[(Long, Long)].head()
+    assert(r === ((3L, 2L)))
+  }
+}
