@@ -150,10 +150,14 @@ object SparkEntry {
 
     // S6 — partitioned parquet sink + partition-pruned re-read (the
     // at-scale replacement for the reference's B-tree indexes, S9).
+    // repartition on the partition column first: every writer task owns
+    // whole partition values, so the sink emits one file per month instead
+    // of numShufflePartitions × 12 small files.
     "q_partitioned_write" -> ((s, dir) => {
       val path = scratch(dir, "part_parquet")
       val li = t(s, dir, "lineitem")
         .withColumn("ship_month", month(col("l_shipdate")))
+        .repartition(col("ship_month"))
       Sinks.writePartitioned(li, "ship_month", path)
       s.read.parquet(path)
         .filter(col("ship_month") === 3) // prunes to 1/12 of files

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.{SetExpressions, ShingleExpressions}
 import graft.text.TextOps
 
 /** Deduplication operators for training-data curation (north-star scope):
@@ -60,22 +61,31 @@ object DedupOps {
       when(length(text) >= n, grams).otherwise(array(text))))
   }
 
-  /** Internal: (id, sh_set, sz) frame. */
-  private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
-                          n: Int): DataFrame =
+  /** Internal: (id, hs, sz) frame — SORTED DISTINCT 64-bit shingle hashes
+    * per doc (graft.functions.ShingleHashes: in-place window hashing, no
+    * string materialization), computed once and pinned.
+    * Both pair joins reference this subtree three times (postings, verify
+    * left, verify right); without a materialization barrier Spark
+    * re-shingles the corpus per reference. `localCheckpoint` pins the
+    * computed partitions in the block manager — on a cluster the same role
+    * is played by `persist(MEMORY_AND_DISK)` or a reliable checkpoint.
+    */
+  private def hashedSets(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int): DataFrame =
     docs.select(col(idCol).as("id"),
-                shingles(col(textCol), n).as("sh_set"))
-      .withColumn("sz", size(col("sh_set")))
+                ShingleExpressions.shingleHashes(col(textCol), n).as("hs"))
+      .withColumn("sz", size(col("hs")))
+      .localCheckpoint()
 
   private def verifyPairs(cand: DataFrame, sets: DataFrame,
                           tau: Double): DataFrame =
     cand
-      .join(sets.select(col("id").as("id_a"), col("sh_set").as("set_a"),
+      .join(sets.select(col("id").as("id_a"), col("hs").as("set_a"),
                         col("sz").as("sz_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh_set").as("set_b"),
+      .join(sets.select(col("id").as("id_b"), col("hs").as("set_b"),
                         col("sz").as("sz_b")), "id_b")
-      .withColumn("common",
-        size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("common", ShingleExpressions.sortedLongIntersectCount(
+        col("set_a"), col("set_b")))
       .withColumn("jaccard", col("common").cast("double") /
         (col("sz_a") + col("sz_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= tau)
@@ -87,10 +97,12 @@ object DedupOps {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 5, tau: Double = 0.8): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, n)
+    val sets = hashedSets(docs, idCol, textCol, n)
     val postings = sets.select(col("id"), col("sz"),
-                               explode(col("sh_set")).as("sh"))
-    // global shingle document-frequency = the prefix ordering key
+                               explode(col("hs")).as("sh"))
+    // global shingle document-frequency = the prefix ordering key (any
+    // consistent total order is lossless; (df, hash) shuffles 8-byte keys
+    // instead of strings)
     val freq = postings.groupBy("sh").agg(count(lit(1)).as("df"))
     val prefix = postings.join(freq, "sh")
       .withColumn("rn", row_number().over(
@@ -99,6 +111,7 @@ object DedupOps {
       .filter(col("rn") <=
         floor(lit(1.0 - tau) * col("sz")).cast("int") + 1)
       .select("id", "sh", "sz")
+      .localCheckpoint() // self-joined below: compute the window once
     // length filter: J(A,B) ≥ τ forces τ·|B| ≤ |A| ≤ |B|/τ — prunes
     // size-mismatched candidates before the expensive verify.
     val cand = prefix.as("a")
@@ -111,13 +124,12 @@ object DedupOps {
     verifyPairs(cand, sets, tau)
   }
 
-  /** MinHash signature: k independent hash slots, slot i = min over the
-    * shingle set of xxhash64(shingle, i). Expressed with higher-order
-    * functions so it stays inside codegen; one scan pass, no shuffle.
+  /** MinHash signature over STRING shingles: k hash slots from one base
+    * xxhash64 per shingle, slot i = min over the set of (h·A_i + B_i) —
+    * see graft.functions.MinHashSig (native, codegen'd, single pass).
     */
   def minhashSignature(shingleSet: Column, k: Int): Column =
-    array((0 until k).map(i =>
-      array_min(transform(shingleSet, s => xxhash64(s, lit(i))))): _*)
+    SetExpressions.minhashSig(shingleSet, k)
 
   /** MinHash+LSH near-dup pairs: band the signature (b bands × r rows),
     * bucket-join on (band, hash(band slice)), then exact-Jaccard verify.
@@ -130,8 +142,9 @@ object DedupOps {
                       tau: Double = 0.8): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
-    val sets = shingleSets(docs, idCol, textCol, n)
-    val sig = sets.withColumn("sig", minhashSignature(col("sh_set"), k))
+    val sets = hashedSets(docs, idCol, textCol, n)
+    val sig = sets.withColumn("sig",
+      ShingleExpressions.minhashSigFromHashes(col("hs"), k))
     val bandStructs = array((0 until bands).map(b =>
       struct(lit(b).as("band"),
              xxhash64(slice(col("sig"), b * r + 1, r)).as("bh"))): _*)

@@ -1,0 +1,192 @@
+package graft.functions
+
+import java.util.Arrays
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hashed-shingle primitives — the scan-speed path for text dedup.
+  *
+  * Building n-gram shingles as strings materializes ~|text| short strings
+  * per document (500+ allocations, then sorts/compares/shuffles of 12-byte
+  * payloads). At 100 TB that dominates everything downstream. These
+  * expressions keep shingles as 64-bit xxhash values from the first
+  * moment: `ShingleHashes` slides over the document's UTF-8 bytes hashing
+  * each n-char window in place (zero allocation per window), returning the
+  * SORTED DISTINCT hash set; set intersection and MinHash then run on
+  * primitive longs.
+  *
+  * Correctness note: Jaccard on hash sets equals Jaccard on shingle sets
+  * up to 64-bit collisions inside a single comparison (P < 10^-13 for
+  * thousand-shingle docs) — the standard trade every production shingle
+  * pipeline makes.
+  */
+object ShingleExpressions {
+  def shingleHashes(text: Column, n: Int): Column =
+    Bridge.toColumn(ShingleHashes(Bridge.toExpression(text), n))
+
+  def sortedLongIntersectCount(a: Column, b: Column): Column =
+    Bridge.toColumn(SortedLongIntersectCount(
+      Bridge.toExpression(a), Bridge.toExpression(b)))
+
+  def minhashSigFromHashes(hashes: Column, k: Int): Column =
+    Bridge.toColumn(MinHashSigFromHashes(Bridge.toExpression(hashes), k))
+}
+
+/** text → sorted distinct xxhash64 values of all n-CHAR windows.
+  * ASCII fast path hashes byte windows in place; multi-byte text falls
+  * back to per-window substring (chars ≠ bytes). Texts shorter than n
+  * collapse to one whole-text hash (mirrors DedupOps.shingles fallback).
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  def compute(s: UTF8String): GenericArrayData = {
+    val numBytes = s.numBytes
+    val numChars = s.numChars()
+    if (numChars < n) {
+      return new GenericArrayData(Array(XXH64.hashUnsafeBytes(
+        s.getBaseObject, s.getBaseOffset, numBytes, TextExpressions.Seed)))
+    }
+    val m = numChars - n + 1
+    val out = new Array[Long](m)
+    if (numChars == numBytes) {
+      // ASCII: char windows are byte windows — hash in place
+      var i = 0
+      while (i < m) {
+        out(i) = XXH64.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset + i, n, TextExpressions.Seed)
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < m) {
+        val w = s.substringSQL(i + 1, n)
+        out(i) = XXH64.hashUnsafeBytes(
+          w.getBaseObject, w.getBaseOffset, w.numBytes, TextExpressions.Seed)
+        i += 1
+      }
+    }
+    Arrays.sort(out)
+    // in-place dedup of the sorted array
+    var w = 0
+    var r = 1
+    while (r < m) {
+      if (out(r) != out(w)) { w += 1; out(w) = out(r) }
+      r += 1
+    }
+    val len = w + 1
+    new GenericArrayData(
+      if (len == m) out else Arrays.copyOf(out, len))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingler", this,
+      classOf[ShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.compute($s);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+}
+
+/** Merge-count of common elements between two sorted long arrays. */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_long_intersect_count"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0
+    val na = a.numElements(); val nb = b.numElements()
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $i = 0, $j = 0, $c = 0;
+         |int $na = $a.numElements(), $nb = $b.numElements();
+         |while ($i < $na && $j < $nb) {
+         |  long $x = $a.getLong($i); long $y = $b.getLong($j);
+         |  if ($x == $y) { $c++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SortedLongIntersectCount = copy(l, r)
+}
+
+/** MinHash signature from pre-hashed shingles: slot i = min of
+  * (h·A_i + B_i) over the hash set — no byte hashing at all.
+  */
+case class MinHashSigFromHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig_hashes"
+
+  private lazy val as: Array[Long] =
+    Array.tabulate(k)(i => SetExpressions.splitmix64(2L * i + 1) | 1L)
+  private lazy val bs: Array[Long] =
+    Array.tabulate(k)(i => SetExpressions.splitmix64(2L * i + 2))
+
+  def compute(arr: ArrayData): GenericArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    var e = 0
+    val ne = arr.numElements()
+    while (e < ne) {
+      val h = arr.getLong(e)
+      var i = 0
+      while (i < k) {
+        val v = h * as(i) + bs(i)
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      e += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhasher", this,
+      classOf[MinHashSigFromHashes].getName)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $ref.compute($arr);")
+  }
+
+  override protected def withNewChildInternal(
+      c: Expression): MinHashSigFromHashes = copy(child = c)
+}
