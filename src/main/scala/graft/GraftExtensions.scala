@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions in the SQL function registry, so SQL-surface users get the
+  * same codegen'd fast path as the Column API:
+  *
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)          // or
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  *
+  *   spark.sql("SELECT simhash64(split(text,' ')), rolling_hash(text),
+  *              cosine_sim(a, b), dot_product(a, b),
+  *              shingle_hashes(text, 12) ... ")
+  *
+  * No custom optimizer rules or strategies are injected — SURVEY §4.1:
+  * every rewrite the reference relies on (pushdown, pruning, partition
+  * pruning, constant folding) is already Catalyst's, and hand-rolling a
+  * planner path we don't need would only hide those.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
+
+  private def register(
+      e: SparkSessionExtensions, name: String, usage: String, arity: Int)(
+      build: Seq[Expression] => Expression): Unit =
+    e.injectFunction((FunctionIdentifier(name), info(name, usage),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == arity,
+          s"$name expects $arity arguments, got ${exprs.length}")
+        build(exprs)
+      }))
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    register(e, "simhash64",
+      "simhash64(tokens) - 64-bit SimHash of a string array", 1) {
+      exprs => SimHash64(exprs.head, TextExpressions.Seed)
+    }
+    register(e, "rolling_hash",
+      "rolling_hash(str) - base-31 polynomial hash of UTF-8 bytes", 1) {
+      exprs => RollingHash(exprs.head)
+    }
+    register(e, "cosine_sim",
+      "cosine_sim(a, b) - cosine similarity of two float/double arrays", 2) {
+      exprs => CosineSimilarity(exprs(0), exprs(1))
+    }
+    register(e, "dot_product",
+      "dot_product(a, b) - dot product of two float/double arrays", 2) {
+      exprs => DotProduct(exprs(0), exprs(1))
+    }
+    register(e, "sorted_intersect_count",
+      "sorted_intersect_count(a, b) - |a ∩ b| for sorted string arrays", 2) {
+      exprs => SortedIntersectCount(exprs(0), exprs(1))
+    }
+    register(e, "shingle_hashes",
+      "shingle_hashes(text, n) - sorted distinct xxhash64 of n-char windows",
+      2) { exprs =>
+        ShingleHashes(exprs(0), GraftExtensions.intLiteral(exprs(1),
+          "shingle_hashes n"))
+    }
+    register(e, "minhash_sig",
+      "minhash_sig(hashes, k) - k-slot MinHash signature of a long array",
+      2) { exprs =>
+        MinHashSigFromHashes(exprs(0), GraftExtensions.intLiteral(exprs(1),
+          "minhash_sig k"))
+    }
+  }
+}
+
+object GraftExtensions {
+  private def intLiteral(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** Register the same functions on an already-built session (useful when
+    * the session comes from a harness that doesn't pass extensions —
+    * e.g. the driver-owned sessions running SparkEntry.queries).
+    */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions()(ext)
+    org.apache.spark.sql.graftbridge.Bridge.registerInjectedFunctions(ext, spark)
+  }
+}

@@ -12,4 +12,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Replay the function builders injected into `ext` onto a live
+    * session's registry (`sessionState` / `registerFunctions` are
+    * `private[sql]`).
+    */
+  def registerInjectedFunctions(ext: org.apache.spark.sql.SparkSessionExtensions,
+                                spark: org.apache.spark.sql.SparkSession): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    ext.registerFunctions(classic.sessionState.functionRegistry)
+  }
 }

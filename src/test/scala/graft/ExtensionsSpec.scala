@@ -1,0 +1,48 @@
+package graft
+
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SQL surface: graft functions usable from spark.sql") {
+    GraftExtensions.registerAll(spark)
+    Tables.load(spark, sfDir, "documents").createOrReplaceTempView("docs")
+    Tables.load(spark, sfDir, "embeddings").createOrReplaceTempView("emb")
+
+    val viaSql = spark.sql(
+      """SELECT simhash64(split(text, '\\s+')) AS sh,
+        |       rolling_hash(text) AS rh,
+        |       size(shingle_hashes(text, 12)) AS nsh
+        |FROM docs ORDER BY doc_id LIMIT 5""".stripMargin)
+      .as[(Long, Long, Int)].collect().toSeq
+
+    val viaApi = {
+      import org.apache.spark.sql.functions._
+      import graft.functions.{ShingleExpressions, TextExpressions}
+      Tables.load(spark, sfDir, "documents")
+        .orderBy($"doc_id").limit(5)
+        .select(
+          TextExpressions.simhash64(split($"text", "\\s+")),
+          TextExpressions.rollingHash($"text"),
+          size(ShingleExpressions.shingleHashes($"text", 12)))
+        .as[(Long, Long, Int)].collect().toSeq
+    }
+    assert(viaSql === viaApi)
+
+    val sims = spark.sql(
+      """SELECT cosine_sim(a.embedding, b.embedding) AS sim,
+        |       dot_product(a.embedding, a.embedding) AS selfdot
+        |FROM emb a JOIN emb b ON b.vec_id = a.vec_id + 1
+        |WHERE a.vec_id < 3""".stripMargin)
+      .as[(Double, Double)].collect()
+    assert(sims.length === 3)
+    assert(sims.forall { case (s, d) => s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9 && d > 0 })
+  }
+
+  test("SQL functions reject bad arity with a clear error") {
+    GraftExtensions.registerAll(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT rolling_hash('a', 'b')").collect()
+    }
+    assert(e.getMessage.contains("rolling_hash"))
+  }
+}
