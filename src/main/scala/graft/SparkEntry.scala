@@ -324,7 +324,19 @@ object SparkEntry {
 
     // Streaming-shaped windowed rollup applied to the batch frame
     "q_stream_rollup" -> ((s, dir) =>
-      StreamingOps.windowedRollup(t(s, dir, "events")))
+      StreamingOps.windowedRollup(t(s, dir, "events"))),
+
+    // The corpus-curation flagship: exact dedup → near-dup removal →
+    // lang filter → quality gate, one dataflow (CorpusPipeline).
+    "q_corpus_pipeline" -> ((s, dir) =>
+      graft.pipeline.CorpusPipeline.flagship(s, dir)),
+
+    // Embedding near-dup pairs via LSH buckets (scale path for
+    // q_cosine_pairs; recall vs brute force measured in spec — no oracle)
+    "q_lsh_cosine_pairs" -> ((s, dir) =>
+      SimilarityOps.lshCosinePairs(t(s, dir, "embeddings"),
+                                   "vec_id", "embedding",
+                                   tau = 0.45, bits = 4))
   )
 
   // -------------------------------------------------------------- oracles
@@ -548,7 +560,47 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
         |         AS hour_start,
         |       event_type, count(*) AS n, round(sum(value), 4) AS v
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_corpus_pipeline" ->
+      """WITH dedup1 AS (
+        |  SELECT * FROM (SELECT d.*, row_number() OVER (
+        |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM documents d) WHERE rn = 1),
+        |idx AS (SELECT unnest(range(1,
+        |    (SELECT CAST(max(len(text)) AS BIGINT) FROM dedup1))) AS i),
+        |sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 12)
+        |         AS s
+        |       FROM dedup1 JOIN idx ON i <= len(text)-11),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |           GROUP BY 1,2),
+        |drops AS (SELECT DISTINCT id_b
+        |          FROM common JOIN sizes sa ON sa.doc_id = id_a
+        |                      JOIN sizes sb ON sb.doc_id = id_b
+        |          WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.7),
+        |kept AS (SELECT * FROM dedup1
+        |         WHERE doc_id NOT IN (SELECT id_b FROM drops))
+        |SELECT doc_id, lang,
+        |  CAST(len(string_split_regex(trim(text),'\s+')) AS BIGINT)
+        |    AS n_tokens,
+        |  round(
+        |    least(CAST(len(string_split_regex(trim(text),'\s+')) AS DOUBLE)
+        |          / 100.0, 1.0) * 0.5
+        |    + (CAST(len(list_filter(string_split_regex(trim(text),'\s+'),
+        |            x -> x IN ('the','a','of','and','to','in','is')))
+        |            AS DOUBLE)
+        |       / CAST(greatest(len(string_split_regex(trim(text),'\s+')), 1)
+        |              AS DOUBLE)) * 0.3
+        |    + (1.0 - least(CAST(len(regexp_extract_all(text,'[.,!?;:]'))
+        |                        AS DOUBLE)
+        |                   / CAST(greatest(len(text),1) AS DOUBLE) * 10.0,
+        |                   1.0)) * 0.2, 6) AS quality_score,
+        |  md5(text) AS fingerprint
+        |FROM kept
+        |WHERE lang = 'en'
+        |  AND len(string_split_regex(trim(text),'\s+')) >= 20""".stripMargin
   )
 
   /** Shared truth for both near-dup joins: exact 12-gram Jaccard ≥ 0.7.

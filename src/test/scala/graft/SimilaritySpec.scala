@@ -73,6 +73,18 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.length === 5 && ivf.forall(_ <= brute + 1e-9))
   }
 
+  test("lsh cosine pairs ⊆ brute-force pairs (no false positives)") {
+    val brute = SimilarityOps.cosinePairs(emb, "vec_id", "embedding", 0.4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val lsh = SimilarityOps.lshCosinePairs(emb, "vec_id", "embedding",
+                                           0.4, bits = 4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute))
+    // 4-bit random-hyperplane LSH at cos≥0.4: per-pair survival
+    // (1−θ/π)^4 ≈ 0.2 — just assert it finds something when brute does
+    if (brute.nonEmpty) assert(lsh.nonEmpty || brute.size < 5)
+  }
+
   test("ivf probe of all lists recovers exact brute-force top-k") {
     val assigned = SimilarityOps.ivfAssign(emb, "vec_id", "embedding", nlist = 4)
     val full = SimilarityOps.ivfTopK(assigned, "vec_id", "embedding", 0L,
