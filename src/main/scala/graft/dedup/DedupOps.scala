@@ -77,13 +77,23 @@ object DedupOps {
       .withColumn("sz", size(col("hs")))
       .localCheckpoint()
 
+  /** Exact-Jaccard verification of candidate pairs. The shingle-set
+    * payloads are first semi-join-reduced to ids that actually appear in
+    * a candidate (at corpus scale candidates ≪ corpus, so this turns two
+    * full-corpus array shuffles into small ones — and once reduced under
+    * the broadcast threshold, AQE turns the payload joins into broadcasts
+    * with no array sort at all).
+    */
   private def verifyPairs(cand: DataFrame, sets: DataFrame,
-                          tau: Double): DataFrame =
+                          tau: Double): DataFrame = {
+    val candIds = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
+    val needed = sets.join(candIds, Seq("id"), "left_semi")
     cand
-      .join(sets.select(col("id").as("id_a"), col("hs").as("set_a"),
-                        col("sz").as("sz_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("hs").as("set_b"),
-                        col("sz").as("sz_b")), "id_b")
+      .join(needed.select(col("id").as("id_a"), col("hs").as("set_a"),
+                          col("sz").as("sz_a")), "id_a")
+      .join(needed.select(col("id").as("id_b"), col("hs").as("set_b"),
+                          col("sz").as("sz_b")), "id_b")
       .withColumn("common", ShingleExpressions.sortedLongIntersectCount(
         col("set_a"), col("set_b")))
       .withColumn("jaccard", col("common").cast("double") /
@@ -91,6 +101,7 @@ object DedupOps {
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"),
               round(col("jaccard"), 6).as("jaccard"))
+  }
 
   /** Exact n-gram-Jaccard similarity self-join via prefix filtering.
     * Output: (id_a < id_b, jaccard ≥ tau), jaccard rounded to 6.

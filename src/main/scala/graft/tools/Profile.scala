@@ -23,15 +23,37 @@ object Profile {
       r
     }
     val docs = Tables.load(spark, dir, "documents")
-    val n = 12; val tau = 0.7
+    val n = 12
+    val tau = 0.7
+    // variant: aggregate-based prefix (no window sort)
+    locally {
+      val sets0 = docs.select(col("doc_id").as("id"),
+        graft.functions.ShingleExpressions.shingleHashes(col("text"), n).as("hs"))
+        .withColumn("sz", size(col("hs"))).localCheckpoint()
+      val postings0 = sets0.select(col("id"), col("sz"),
+                                   explode(col("hs")).as("sh"))
+      val freq0 = postings0.groupBy("sh").agg(count(lit(1)).as("df"))
+      val prefixAgg = postings0.join(freq0, "sh")
+        .groupBy(col("id"), col("sz"))
+        .agg(slice(array_sort(collect_list(
+                     struct(col("df").as("df"), col("sh").as("sh")))),
+                   lit(1),
+                   (floor(lit(1.0 - tau) * col("sz")) + 1).cast("int"))
+               .as("pref"))
+        .select(col("id"), col("sz"), explode(col("pref")).as("e"))
+        .select(col("id"), col("sz"), col("e.sh").as("sh"))
+      time("prefixAgg count")(
+        println("agg prefix rows: " + prefixAgg.count()))
+    }
     val sets = time("shingleSets+checkpoint") {
       docs.select(col("doc_id").as("id"),
-                  DedupOps.shingles(col("text"), n).as("sh_set"))
-        .withColumn("sz", size(col("sh_set")))
+                  graft.functions.ShingleExpressions
+                    .shingleHashes(col("text"), n).as("hs"))
+        .withColumn("sz", size(col("hs")))
         .localCheckpoint()
     }
     val postings = sets.select(col("id"), col("sz"),
-                               explode(col("sh_set")).as("sh"))
+                               explode(col("hs")).as("sh"))
     val freq = postings.groupBy("sh").agg(count(lit(1)).as("df"))
     val prefix = postings.join(freq, "sh")
       .withColumn("rn", row_number().over(
@@ -50,25 +72,46 @@ object Profile {
     time("cand count")(println("cand pairs: " + cand.count()))
     val candM = cand.localCheckpoint()
     val joined = candM
-      .join(sets.select(col("id").as("id_a"), col("sh_set").as("set_a"),
+      .join(sets.select(col("id").as("id_a"), col("hs").as("set_a"),
                         col("sz").as("sz_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh_set").as("set_b"),
+      .join(sets.select(col("id").as("id_b"), col("hs").as("set_b"),
                         col("sz").as("sz_b")), "id_b")
     time("joins only")(println("joined: " + joined.count()))
     time("joins+intersect") {
       println("sum common: " + joined
-        .select(graft.functions.SetExpressions
-          .sortedIntersectCount(col("set_a"), col("set_b")).as("c"))
+        .select(graft.functions.ShingleExpressions
+          .sortedLongIntersectCount(col("set_a"), col("set_b")).as("c"))
         .agg(sum(col("c"))).head())
     }
-    time("joins+arrayintersect") {
-      println("sum common: " + joined
-        .select(size(array_intersect(col("set_a"), col("set_b"))).as("c"))
+    val joinedHash = candM
+      .join(sets.hint("shuffle_hash")
+        .select(col("id").as("id_a"), col("hs").as("set_a"),
+                col("sz").as("sz_a")), "id_a")
+      .join(sets.hint("shuffle_hash")
+        .select(col("id").as("id_b"), col("hs").as("set_b"),
+                col("sz").as("sz_b")), "id_b")
+    time("hashjoin+intersect") {
+      println("sum common: " + joinedHash
+        .select(graft.functions.ShingleExpressions
+          .sortedLongIntersectCount(col("set_a"), col("set_b")).as("c"))
+        .agg(sum(col("c"))).head())
+    }
+    val joinedBc = candM
+      .join(broadcast(sets)
+        .select(col("id").as("id_a"), col("hs").as("set_a"),
+                col("sz").as("sz_a")), "id_a")
+      .join(broadcast(sets)
+        .select(col("id").as("id_b"), col("hs").as("set_b"),
+                col("sz").as("sz_b")), "id_b")
+    time("bcjoin+intersect") {
+      println("sum common: " + joinedBc
+        .select(graft.functions.ShingleExpressions
+          .sortedLongIntersectCount(col("set_a"), col("set_b")).as("c"))
         .agg(sum(col("c"))).head())
     }
     val verified = joined
-      .withColumn("common", graft.functions.SetExpressions
-        .sortedIntersectCount(col("set_a"), col("set_b")))
+      .withColumn("common", graft.functions.ShingleExpressions
+        .sortedLongIntersectCount(col("set_a"), col("set_b")))
       .withColumn("jaccard", col("common").cast("double") /
         (col("sz_a") + col("sz_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= tau)
