@@ -336,7 +336,29 @@ object SparkEntry {
     "q_lsh_cosine_pairs" -> ((s, dir) =>
       SimilarityOps.lshCosinePairs(t(s, dir, "embeddings"),
                                    "vec_id", "embedding",
-                                   tau = 0.45, bits = 4))
+                                   tau = 0.45, bits = 4)),
+
+    // Fact-to-fact shuffle join (the biggest-table join in the schema;
+    // Catalyst/AQE pick SMJ with both sides exchanged on the key)
+    "q_fact_join" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+              col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+             round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+                   2).as("revenue"))),
+
+    // Exact distinct (the precise twin of q_approx_users' HLL sketch)
+    "q_distinct_users" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))),
+
+    // Gap-based sessionization (batch form; streaming twin in
+    // graft.streaming.Sessionize, spec-verified)
+    "q_sessionize" -> ((s, dir) =>
+      graft.streaming.Sessionize.batch(t(s, dir, "events"), 30))
   )
 
   // -------------------------------------------------------------- oracles
@@ -561,6 +583,39 @@ object SparkEntry {
         |         AS hour_start,
         |       event_type, count(*) AS n, round(sum(value), 4) AS v
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_fact_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+        |         AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, date_trunc('milliseconds', ts) AS tsm
+        |           FROM events),
+        |l AS (SELECT user_id, tsm,
+        |        lag(tsm) OVER (PARTITION BY user_id ORDER BY tsm) AS prev
+        |      FROM e),
+        |m AS (SELECT user_id, tsm,
+        |        CASE WHEN prev IS NULL
+        |               OR epoch_ms(tsm) - epoch_ms(prev) > 1800000
+        |             THEN 1 ELSE 0 END AS new_session
+        |      FROM l),
+        |s AS (SELECT user_id, tsm,
+        |        CAST(sum(new_session) OVER (PARTITION BY user_id
+        |          ORDER BY tsm ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |          AS session_seq
+        |      FROM m)
+        |SELECT user_id, session_seq,
+        |       epoch_ms(min(tsm)) AS session_start_ms,
+        |       epoch_ms(max(tsm)) AS session_end_ms,
+        |       count(*) AS n_events
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     "q_corpus_pipeline" ->
       """WITH dedup1 AS (

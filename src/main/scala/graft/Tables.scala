@@ -25,7 +25,10 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // `div` = integral division: ns/1000 through a double would round
+      // (ns epoch values exceed the 53-bit mantissa) and can cross a
+      // µs/ms boundary; floor-truncation matches DuckDB's behavior.
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 }
