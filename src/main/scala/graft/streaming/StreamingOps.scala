@@ -28,4 +28,17 @@ object StreamingOps {
                 .as("hour_start"),
               col("event_type"), col("n"), col("v"))
   }
+
+  /** Streaming dedup on key columns. On a stream, state is bounded by the
+    * watermark (`dropDuplicatesWithinWatermark`): a duplicate arriving
+    * within `lateness` of the original is dropped, and state for expired
+    * event-times is evicted — the only dedup that survives an unbounded
+    * ingest. On a batch frame it degrades to plain dropDuplicates.
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  lateness: String = "30 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", lateness)
+        .dropDuplicatesWithinWatermark(keys)
+    else events.dropDuplicates(keys)
 }
