@@ -358,7 +358,22 @@ object SparkEntry {
     // Gap-based sessionization (batch form; streaming twin in
     // graft.streaming.Sessionize, spec-verified)
     "q_sessionize" -> ((s, dir) =>
-      graft.streaming.Sessionize.batch(t(s, dir, "events"), 30))
+      graft.streaming.Sessionize.batch(t(s, dir, "events"), 30)),
+
+    // ROLLUP subtotal lattice (grouping-set aggregates come free from
+    // Catalyst once exposed; partial aggregation still applies)
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+             round(sum(col("l_quantity")), 2).as("qty"))),
+
+    // Exact interpolated median per group (ordered-set aggregate)
+    "q_median" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(median(col("l_quantity")), 6).as("med_qty"),
+             round(median(col("l_extendedprice")), 6).as("med_price")))
   )
 
   // -------------------------------------------------------------- oracles
@@ -583,6 +598,18 @@ object SparkEntry {
         |         AS hour_start,
         |       event_type, count(*) AS n, round(sum(value), 4) AS v
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_median" ->
+      """SELECT l_returnflag,
+        |       round(median(l_quantity), 6) AS med_qty,
+        |       round(median(l_extendedprice), 6) AS med_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_fact_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
