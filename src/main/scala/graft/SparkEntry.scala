@@ -248,8 +248,11 @@ object SparkEntry {
       DedupOps.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
                                n = 12, k = 64, bands = 16, tau = 0.7)),
 
-    // SimHash near-dup pairs: 16-bit band candidates, hamming ≤ 6 verify
-    // (native simhash64 expression; no SQL oracle — hash internals)
+    // SimHash near-dup pairs: 16-bit band candidates, hamming ≤ 3 verify.
+    // 4 bands × 16 bits guarantee a band collision for hamming ≤ 3
+    // (pigeonhole), so the ≤3 output is COMPLETE; a larger hamming bound
+    // would need more/narrower bands. (native simhash64 expression; no
+    // SQL oracle — hash internals)
     "q_simhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"),
@@ -272,7 +275,7 @@ object SparkEntry {
                 bit_count(col("a.sh").bitwiseXOR(col("b.sh")))
                   .as("hamming"))
         .distinct()
-        .filter(col("hamming") <= 6)
+        .filter(col("hamming") <= 3)
     }),
 
     // Document fingerprints: simhash + rolling hash (native expressions,
@@ -373,7 +376,14 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(round(median(col("l_quantity")), 6).as("med_qty"),
-             round(median(col("l_extendedprice")), 6).as("med_price")))
+             round(median(col("l_extendedprice")), 6).as("med_price"))),
+
+    // Semi-structured column: JSON path extraction from events.props
+    "q_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+                get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n")))
   )
 
   // -------------------------------------------------------------- oracles
@@ -598,6 +608,11 @@ object SparkEntry {
         |         AS hour_start,
         |       event_type, count(*) AS n, round(sum(value), 4) AS v
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |       count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

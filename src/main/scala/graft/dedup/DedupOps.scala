@@ -51,14 +51,16 @@ object DedupOps {
              .as("distinct_docs"))
 
   /** Character n-gram shingle set (distinct, sorted for stable arrays).
-    * Texts shorter than n collapse to the whole text as one shingle.
+    * Texts shorter than n yield an empty set (no window exists) — same
+    * semantics as the hashed path (ShingleHashes) and the SQL oracle.
     */
   def shingles(text: Column, n: Int): Column = {
     val grams = transform(
       sequence(lit(1), length(text) - (n - 1)),
       i => text.substr(i, lit(n)))
     array_sort(array_distinct(
-      when(length(text) >= n, grams).otherwise(array(text))))
+      when(length(text) >= n, grams)
+        .otherwise(array().cast("array<string>"))))
   }
 
   /** Internal: (id, hs, sz) frame — SORTED DISTINCT 64-bit shingle hashes

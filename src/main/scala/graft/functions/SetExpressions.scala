@@ -49,6 +49,15 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_count"
+  override def checkInputDataTypes() = {
+    val bad = Seq(left, right).find(_.dataType match {
+      case ArrayType(StringType, _) => false; case _ => true
+    })
+    bad.map(e => TextExpressions.requireType(e, prettyName,
+        "array<string>")(_ => false))
+      .getOrElse(org.apache.spark.sql.catalyst.analysis
+        .TypeCheckResult.TypeCheckSuccess)
+  }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -92,6 +101,10 @@ case class MinHashSig(child: Expression, k: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
+  override def checkInputDataTypes() =
+    TextExpressions.requireType(child, prettyName, "array<string>") {
+      case ArrayType(StringType, _) => true; case _ => false
+    }
 
   // Affine mix constants per slot, fixed by the seed. A_i forced odd so the
   // multiply is a bijection on Z/2^64.

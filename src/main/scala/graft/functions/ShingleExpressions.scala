@@ -41,21 +41,22 @@ object ShingleExpressions {
 /** text → sorted distinct xxhash64 values of all n-CHAR windows.
   * ASCII fast path hashes byte windows in place; multi-byte text falls
   * back to per-window substring (chars ≠ bytes). Texts shorter than n
-  * collapse to one whole-text hash (mirrors DedupOps.shingles fallback).
+  * yield an EMPTY set (no window exists — the same semantics as the SQL
+  * formulation `substr(text,i,n) for i ≤ len-n+1`; such docs simply never
+  * pair).
   */
 case class ShingleHashes(child: Expression, n: Int)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
+  override def checkInputDataTypes() =
+    TextExpressions.requireType(child, prettyName, "string")(_ == StringType)
 
   def compute(s: UTF8String): GenericArrayData = {
     val numBytes = s.numBytes
     val numChars = s.numChars()
-    if (numChars < n) {
-      return new GenericArrayData(Array(XXH64.hashUnsafeBytes(
-        s.getBaseObject, s.getBaseOffset, numBytes, TextExpressions.Seed)))
-    }
+    if (numChars < n) return new GenericArrayData(Array.emptyLongArray)
     val m = numChars - n + 1
     val out = new Array[Long](m)
     if (numChars == numBytes) {
@@ -108,6 +109,15 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_long_intersect_count"
+  override def checkInputDataTypes() = {
+    val bad = Seq(left, right).find(_.dataType match {
+      case ArrayType(LongType, _) => false; case _ => true
+    })
+    bad.map(e => TextExpressions.requireType(e, prettyName,
+        "array<bigint>")(_ => false))
+      .getOrElse(org.apache.spark.sql.catalyst.analysis
+        .TypeCheckResult.TypeCheckSuccess)
+  }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -154,6 +164,10 @@ case class MinHashSigFromHashes(child: Expression, k: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig_hashes"
+  override def checkInputDataTypes() =
+    TextExpressions.requireType(child, prettyName, "array<bigint>") {
+      case ArrayType(LongType, _) => true; case _ => false
+    }
 
   private lazy val as: Array[Long] =
     Array.tabulate(k)(i => SetExpressions.splitmix64(2L * i + 1) | 1L)

@@ -16,6 +16,16 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextExpressions {
   val Seed = 42L
 
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+
+  /** Shared input-type guard (ExpectsInputTypes is private[sql]). */
+  def requireType(e: Expression, name: String, what: String)(
+      ok: DataType => Boolean): TypeCheckResult =
+    if (ok(e.dataType)) TypeCheckSuccess
+    else TypeCheckFailure(
+      s"$name requires $what argument, got ${e.dataType.catalogString}")
+
   def hashBytes(s: UTF8String): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
 
@@ -41,6 +51,10 @@ case class SimHash64(child: Expression, seed: Long)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
+  override def checkInputDataTypes() =
+    TextExpressions.requireType(child, prettyName, "array<string>") {
+      case ArrayType(StringType, _) => true; case _ => false
+    }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -106,6 +120,8 @@ case class RollingHash(child: Expression)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash"
+  override def checkInputDataTypes() =
+    TextExpressions.requireType(child, prettyName, "string")(_ == StringType)
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes

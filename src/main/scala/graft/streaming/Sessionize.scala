@@ -53,10 +53,13 @@ object Sessionize {
 
   /** Streaming sessionization over a keyed stream. Each key holds one open
     * session; an event past the gap closes it (emitted with closed=true)
-    * and opens a new one. With `idleTimeout=true`, idle keys are closed by
-    * a processing-time timeout — note that an armed timeout keeps the
-    * micro-batch loop ticking, so `processAllAvailable()`-style synchronous
-    * demos should leave it off.
+    * and opens a new one — EVERY session closed within a micro-batch is
+    * emitted (flatMap, not map: a key can cross the gap several times in
+    * one batch), plus one closed=false update for the still-open session.
+    * With `idleTimeout=true`, idle keys are closed by a processing-time
+    * timeout — note that an armed timeout keeps the micro-batch loop
+    * ticking, so `processAllAvailable()`-style synchronous demos should
+    * leave it off.
     */
   def streaming(spark: SparkSession, events: Dataset[SessionEvent],
                 gapMinutes: Int = 30,
@@ -65,33 +68,35 @@ object Sessionize {
     val gapMs = gapMinutes * 60L * 1000L
 
     def update(userId: Long, rows: Iterator[SessionEvent],
-               state: GroupState[SessionState]): SessionUpdate = {
+               state: GroupState[SessionState]): Iterator[SessionUpdate] = {
       if (state.hasTimedOut) {
         val s = state.get
         state.remove()
-        return SessionUpdate(userId, s.start, s.end, s.n, closed = true)
+        return Iterator(SessionUpdate(userId, s.start, s.end, s.n,
+                                      closed = true))
       }
       val times = rows.map(_.ts.getTime).toSeq.sorted
+      if (times.isEmpty) return Iterator.empty
       var s = state.getOption.getOrElse(
         SessionState(times.head, times.head, 0L))
-      var closedOut: Option[SessionState] = None
+      val closed = Seq.newBuilder[SessionState]
       times.foreach { t =>
         s = if (t - s.end > gapMs) {
-          closedOut = Some(s); SessionState(t, t, 1L)
+          closed += s; SessionState(t, t, 1L)
         } else s.copy(end = math.max(s.end, t), n = s.n + 1)
       }
       state.update(s)
       if (idleTimeout) state.setTimeoutDuration(gapMs)
-      closedOut match {
-        case Some(c) => SessionUpdate(userId, c.start, c.end, c.n, closed = true)
-        case None    => SessionUpdate(userId, s.start, s.end, s.n, closed = false)
-      }
+      closed.result().iterator.map(c =>
+        SessionUpdate(userId, c.start, c.end, c.n, closed = true)) ++
+        Iterator(SessionUpdate(userId, s.start, s.end, s.n, closed = false))
     }
 
     val timeoutConf =
       if (idleTimeout) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
-    events.groupByKey(_.user_id).mapGroupsWithState(timeoutConf)(update)
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf)(update)
   }
 
   /** Convenience: run the streaming form against a stream and collect via

@@ -7,10 +7,14 @@ class EntrySpec extends SparkSpec {
   }
 
   test("every query runs at sf0.001 and is non-degenerate") {
+    // pair-finding queries may legitimately be empty at the tiny sf
+    val mayBeEmpty = Set("q_ngram_jaccard", "q_minhash_lsh",
+                         "q_simhash_pairs", "q_cosine_pairs",
+                         "q_lsh_cosine_pairs")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       val n = df.count()
-      assert(n >= 0, s"$name failed")
+      assert(n > 0 || mayBeEmpty(name), s"$name returned no rows")
       assert(df.columns.nonEmpty, s"$name has no columns")
     }
   }

@@ -22,12 +22,13 @@ class SessionizeSpec extends SparkSpec {
     assert(got === Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
 
-  test("streaming mapGroupsWithState matches batch on one batch") {
+  test("streaming flatMapGroupsWithState emits every closed session") {
     val dir = "/root/repo/target/scratch/session_stream"
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00")),
       (1L, ts("2024-01-01 10:05:00")),
-      (1L, ts("2024-01-01 10:50:00")),
+      (1L, ts("2024-01-01 10:50:00")), // gap 1 → closes session A
+      (1L, ts("2024-01-01 11:40:00")), // gap 2 → closes session B
       (2L, ts("2024-01-01 09:00:00"))
     ).toDF("user_id", "ts")
     events.write.mode("overwrite").parquet(dir)
@@ -36,8 +37,9 @@ class SessionizeSpec extends SparkSpec {
     val got = spark.table("sess_test")
       .select($"user_id", $"n_events", $"closed")
       .as[(Long, Long, Boolean)].collect().toSet
-    // user 1: first session (2 events) closed by the 45-min gap;
-    // the open session (1 event) stays in state. user 2: open single.
-    assert(got === Set((1L, 2L, true), (2L, 1L, false)))
+    // user 1 crosses the gap TWICE in one batch: both closed sessions
+    // must be emitted (2 events, then 1 event), plus the open tail.
+    assert(got === Set((1L, 2L, true), (1L, 1L, true), (1L, 1L, false),
+                       (2L, 1L, false)))
   }
 }

@@ -31,12 +31,17 @@ class TextDedupSpec extends SparkSpec {
     assert(got.toSeq === Seq("en", "es", "und"))
   }
 
-  test("shingles: distinct sorted n-grams, short-text fallback") {
+  test("shingles: distinct sorted n-grams, short text → empty set") {
     val df = Seq("abcab", "ab").toDF("text")
     val got = df.select(DedupOps.shingles($"text", 3)).as[Seq[String]]
       .collect()
     assert(got(0) === Seq("abc", "bca", "cab"))
-    assert(got(1) === Seq("ab"))
+    assert(got(1) === Seq.empty)
+    // hashed path agrees (and short docs never pair)
+    import graft.functions.ShingleExpressions
+    val hs = df.select(ShingleExpressions.shingleHashes($"text", 3))
+      .as[Seq[Long]].collect()
+    assert(hs(0).length === 3 && hs(1).isEmpty)
   }
 
   test("prefix-filtered jaccard join equals brute force on crafted dups") {
