@@ -28,8 +28,11 @@ object CorpusPipeline {
     // exact dedup on content fingerprint, deterministic survivor
     val w = Window.partitionBy(TextOps.fingerprint(col("text")))
       .orderBy(col("doc_id").asc)
+    // referenced twice below (near-dup input + final keep join):
+    // materialize so the md5 window runs once
     val exactKept = docs.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+      .localCheckpoint()
 
     // near-dup removal: any doc with a ≥τ neighbour of smaller id drops
     val dropIds = DedupOps
