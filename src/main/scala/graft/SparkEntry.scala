@@ -383,7 +383,41 @@ object SparkEntry {
       t(s, dir, "events")
         .select(col("event_id"),
                 get_json_object(col("props"), "$.k").cast("long").as("k"))
-        .groupBy(col("k")).agg(count(lit(1)).as("n")))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))),
+
+    // The flagship expressed through the pure-SQL surface (temp views +
+    // spark.sql) — same oracle as q_time_bucket-style enrichment + join
+    "q_sql_surface" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("g_events")
+      t(s, dir, "nation").createOrReplaceTempView("g_nation")
+      s.sql("""
+        SELECT CASE WHEN hour(ts) BETWEEN 7 AND 9 THEN 'Morning Rush'
+                    WHEN hour(ts) BETWEEN 17 AND 19 THEN 'Evening Rush'
+                    ELSE 'Other' END AS time_bucket,
+               n_name AS zone, count(*) AS trips
+        FROM g_events LEFT JOIN g_nation
+          ON CAST(user_id % 25 AS INT) = n_nationkey
+        GROUP BY 1, 2""")
+    }),
+
+    // Idempotent month-partition upsert: load month 3 twice via dynamic
+    // partition overwrite — the count must equal ONE load (the at-scale
+    // fix for the reference's duplicate-on-retry mode("append"))
+    "q_partition_upsert" -> ((s, dir) => {
+      val path = scratch(dir, "upsert")
+      val li = t(s, dir, "lineitem")
+        .withColumn("ship_month", month(col("l_shipdate")))
+        .repartition(col("ship_month"))
+      li.filter(col("ship_month") =!= 3)
+        .write.mode("overwrite").partitionBy("ship_month").parquet(path)
+      // load month 3 twice — idempotent
+      val m3 = li.filter(col("ship_month") === 3)
+      Sinks.upsertPartition(m3, "ship_month", path)
+      Sinks.upsertPartition(m3, "ship_month", path)
+      s.read.parquet(path)
+        .agg(count(lit(1)).as("n"),
+             countDistinct(col("ship_month")).as("n_months"))
+    })
   )
 
   // -------------------------------------------------------------- oracles
@@ -613,6 +647,23 @@ object SparkEntry {
       """SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |       count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q_sql_surface" ->
+      """SELECT CASE WHEN date_part('hour', ts) BETWEEN 7 AND 9
+        |              THEN 'Morning Rush'
+        |            WHEN date_part('hour', ts) BETWEEN 17 AND 19
+        |              THEN 'Evening Rush'
+        |            ELSE 'Other' END AS time_bucket,
+        |       n_name AS zone, count(*) AS trips
+        |FROM events LEFT JOIN nation
+        |  ON CAST(user_id % 25 AS INTEGER) = n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_partition_upsert" ->
+      """SELECT count(*) AS n,
+        |       count(DISTINCT CAST(date_part('month', l_shipdate)
+        |                           AS INTEGER)) AS n_months
+        |FROM lineitem""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

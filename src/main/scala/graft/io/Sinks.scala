@@ -82,4 +82,20 @@ object Sinks {
 
   /** S13 — console sink (`df.show()`, spark-apps/test_spark.py:13). */
   def console(df: DataFrame, rows: Int = 20): Unit = df.show(rows, false)
+
+  /** The reference's "Incremental Loading Mechanism" (README.md:220-222)
+    * done right at scale: idempotent month loads via DYNAMIC partition
+    * overwrite — re-running a month replaces exactly that month's
+    * partition directory and touches nothing else, so retries and
+    * backfills cannot duplicate rows (plain `mode("append")`, the
+    * reference's actual disposition, duplicates on retry).
+    */
+  def upsertPartition(df: DataFrame, partCol: String, path: String): Unit = {
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = conf.getOption(key)
+    conf.set(key, "dynamic")
+    try df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+    finally prev.fold(conf.unset(key))(conf.set(key, _))
+  }
 }
