@@ -400,6 +400,22 @@ object SparkEntry {
         GROUP BY 1, 2""")
     }),
 
+    // As-of join: latest order at-or-before each event's timestamp for
+    // the event's customer (union-sort-carry composition, linear in
+    // |L|+|R|; see graft.ops.AsOfJoin)
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"),
+                ((col("user_id") % 150) + 1).as("cust"),
+                date_trunc("millisecond", col("ts")).as("ets"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_custkey").as("cust"), col("o_orderdate"),
+                col("o_orderkey"))
+      graft.ops.AsOfJoin.asofJoin(ev, ord, "cust", "ets", "o_orderdate",
+                                  "o_orderkey")
+        .select(col("event_id"), col("o_orderkey"))
+    }),
+
     // Idempotent month-partition upsert: load month 3 twice via dynamic
     // partition overwrite — the count must equal ONE load (the at-scale
     // fix for the reference's duplicate-on-retry mode("append"))
@@ -658,6 +674,16 @@ object SparkEntry {
         |FROM events LEFT JOIN nation
         |  ON CAST(user_id % 25 AS INTEGER) = n_nationkey
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH ranked AS (
+        |  SELECT e.event_id, o.o_orderkey,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON o.o_custkey = (e.user_id % 150) + 1
+        |   AND o.o_orderdate <= date_trunc('milliseconds', e.ts))
+        |SELECT event_id, o_orderkey FROM ranked WHERE rn = 1""".stripMargin,
 
     "q_partition_upsert" ->
       """SELECT count(*) AS n,
