@@ -416,6 +416,14 @@ object SparkEntry {
         .select(col("event_id"), col("o_orderkey"))
     }),
 
+    // Range join: event pairs within 60s (binned interval join, linear
+    // in n·density vs the naive quadratic theta-join)
+    "q_range_join" -> ((s, dir) =>
+      graft.ops.RangeJoin.pairsWithin(t(s, dir, "events"), "event_id",
+                                      "ts", deltaMs = 60000L)
+        .agg(count(lit(1)).as("n_pairs"),
+             round(avg(col("gap_ms")), 6).as("avg_gap_ms"))),
+
     // Idempotent month-partition upsert: load month 3 twice via dynamic
     // partition overwrite — the count must equal ONE load (the at-scale
     // fix for the reference's duplicate-on-retry mode("append"))
@@ -684,6 +692,15 @@ object SparkEntry {
         |    ON o.o_custkey = (e.user_id % 150) + 1
         |   AND o.o_orderdate <= date_trunc('milliseconds', e.ts))
         |SELECT event_id, o_orderkey FROM ranked WHERE rn = 1""".stripMargin,
+
+    "q_range_join" ->
+      """WITH e AS (SELECT event_id,
+        |             epoch_ms(date_trunc('milliseconds', ts)) AS ms
+        |           FROM events)
+        |SELECT count(*) AS n_pairs, round(avg(b.ms - a.ms), 6) AS avg_gap_ms
+        |FROM e a JOIN e b
+        |  ON (a.ms < b.ms OR (a.ms = b.ms AND a.event_id < b.event_id))
+        | AND b.ms - a.ms <= 60000""".stripMargin,
 
     "q_partition_upsert" ->
       """SELECT count(*) AS n,
