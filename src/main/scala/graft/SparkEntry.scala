@@ -432,8 +432,8 @@ object SparkEntry {
       val li = t(s, dir, "lineitem")
         .withColumn("ship_month", month(col("l_shipdate")))
         .repartition(col("ship_month"))
-      li.filter(col("ship_month") =!= 3)
-        .write.mode("overwrite").partitionBy("ship_month").parquet(path)
+      Sinks.writePartitioned(li.filter(col("ship_month") =!= 3),
+                             "ship_month", path)
       // load month 3 twice — idempotent
       val m3 = li.filter(col("ship_month") === 3)
       Sinks.upsertPartition(m3, "ship_month", path)

@@ -77,7 +77,7 @@ object DedupOps {
     docs.select(col(idCol).as("id"),
                 ShingleExpressions.shingleHashes(col(textCol), n).as("hs"))
       .withColumn("sz", size(col("hs")))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: materializes at first action
 
   /** Exact-Jaccard verification of candidate pairs. The shingle-set
     * payloads are first semi-join-reduced to ids that actually appear in
@@ -124,7 +124,8 @@ object DedupOps {
       .filter(col("rn") <=
         floor(lit(1.0 - tau) * col("sz")).cast("int") + 1)
       .select("id", "sh", "sz")
-      .localCheckpoint() // self-joined below: compute the window once
+      // self-joined below: compute the window once (lazy checkpoint)
+      .localCheckpoint(false)
     // length filter: J(A,B) ≥ τ forces τ·|B| ≤ |A| ≤ |B|/τ — prunes
     // size-mismatched candidates before the expensive verify.
     val cand = prefix.as("a")

@@ -90,12 +90,11 @@ object Sinks {
     * backfills cannot duplicate rows (plain `mode("append")`, the
     * reference's actual disposition, duplicates on retry).
     */
-  def upsertPartition(df: DataFrame, partCol: String, path: String): Unit = {
-    val conf = df.sparkSession.conf
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = conf.getOption(key)
-    conf.set(key, "dynamic")
-    try df.write.mode("overwrite").partitionBy(partCol).parquet(path)
-    finally prev.fold(conf.unset(key))(conf.set(key, _))
-  }
+  def upsertPartition(df: DataFrame, partCol: String, path: String): Unit =
+    // writer-scoped option: no session-global conf mutation, so a
+    // concurrent plain overwrite on the same session keeps its semantics
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol)
+      .parquet(path)
 }

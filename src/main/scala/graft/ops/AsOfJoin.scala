@@ -29,19 +29,26 @@ object AsOfJoin {
                rightTiebreak: String): DataFrame = {
     val leftCols = left.columns.toSeq
     val rightCols = right.columns.toSeq
+    val leftStruct = org.apache.spark.sql.types.StructType(
+      leftCols.map(left.schema(_)))
+    val rightStruct = org.apache.spark.sql.types.StructType(
+      rightCols.map(right.schema(_)))
 
+    // SQL as-of semantics: a NULL key or NULL timestamp never matches —
+    // drop such right rows (a null-ts quote would otherwise sort
+    // nulls-first and be carried into early probes). Left rows with null
+    // key/ts fall out naturally: their partition holds no quotes / they
+    // sort before every quote, so the carried payload is null.
     val taggedLeft = left.select(
       col(key).as("__k"), col(leftTs).as("__ts"), lit(1).as("__side"),
-      lit(null).cast(right.select(rightCols.map(col): _*).schema
-        .fields.foldLeft(new org.apache.spark.sql.types.StructType())(
-          (s, f) => s.add(f))).as("__quote"),
+      lit(null).cast(rightStruct).as("__quote"),
       struct(leftCols.map(col): _*).as("__probe"))
-    val taggedRight = right.select(
-      col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
-      struct(rightCols.map(col): _*).as("__quote"),
-      lit(null).cast(left.select(leftCols.map(col): _*).schema
-        .fields.foldLeft(new org.apache.spark.sql.types.StructType())(
-          (s, f) => s.add(f))).as("__probe"))
+    val taggedRight = right
+      .filter(col(key).isNotNull && col(rightTs).isNotNull)
+      .select(
+        col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
+        struct(rightCols.map(col): _*).as("__quote"),
+        lit(null).cast(leftStruct).as("__probe"))
 
     // quotes (side 0) sort before probes (side 1) at equal ts → inclusive;
     // equal-ts quotes resolve by tiebreak ascending so `last` is the max

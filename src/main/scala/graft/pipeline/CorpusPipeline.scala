@@ -28,11 +28,12 @@ object CorpusPipeline {
     // exact dedup on content fingerprint, deterministic survivor
     val w = Window.partitionBy(TextOps.fingerprint(col("text")))
       .orderBy(col("doc_id").asc)
-    // referenced twice below (near-dup input + final keep join):
-    // materialize so the md5 window runs once
+    // referenced twice below (near-dup input + final keep join): lazy
+    // checkpoint so the md5 window runs once at first action while plan
+    // construction stays side-effect free
     val exactKept = docs.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     // near-dup removal: any doc with a ≥τ neighbour of smaller id drops
     val dropIds = DedupOps

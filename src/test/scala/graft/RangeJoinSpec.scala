@@ -26,7 +26,10 @@ class RangeJoinSpec extends SparkSpec {
   }
 
   test("range join equals brute force on the real events table") {
-    val events = Tables.load(spark, sfDir, "events").limit(300)
+    // deterministic subset: an unordered limit() can pick different rows
+    // across the two independent jobs below
+    val events = Tables.load(spark, sfDir, "events")
+      .orderBy("event_id").limit(300)
     val binned = RangeJoin.pairsWithin(events, "event_id", "ts", 60000L)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     import org.apache.spark.sql.functions._
