@@ -30,6 +30,20 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(a.forall(_.features.length === 8))
   }
 
+  test("metadata predicates do not read the media payload column") {
+    val dir = "/root/repo/target/scratch/media_parquet"
+    media.write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .filter($"format" === "fake/png" && $"width" > 100)
+      .select($"doc_id", $"width")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") &&
+      scan.contains("EqualTo(format,fake/png)"), s"filter not pushed:\n$scan")
+    assert(!scan.substring(scan.indexOf("ReadSchema")).contains("media"),
+      s"payload bytes read for a metadata-only query:\n$scan")
+    assert(q.count() > 0)
+  }
+
   test("resize shrinks payload, frame sampler strides") {
     val resized = MultimodalOps.resize(spark, media, 64, 64).collect()
     val orig = media.as[MultimodalOps.MediaRow].collect()
