@@ -115,9 +115,12 @@ object DedupOps {
                                explode(col("hs")).as("sh"))
     // global shingle document-frequency = the prefix ordering key (any
     // consistent total order is lossless; (df, hash) shuffles 8-byte keys
-    // instead of strings)
-    val freq = postings.groupBy("sh").agg(count(lit(1)).as("df"))
-    val prefix = postings.join(freq, "sh")
+    // instead of strings). A whole-partition window count attaches df in
+    // the same shuffle that would have fed a groupBy — no re-join of the
+    // postings against an aggregated frequency table.
+    val prefix = postings
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("sh"))))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("id"))
           .orderBy(col("df").asc, col("sh").asc)))
