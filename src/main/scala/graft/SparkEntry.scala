@@ -378,6 +378,31 @@ object SparkEntry {
         .agg(round(median(col("l_quantity")), 6).as("med_qty"),
              round(median(col("l_extendedprice")), 6).as("med_price"))),
 
+    // Pivot: event-type counts as columns per user bucket (explicit value
+    // list keeps the output schema deterministic; fill 0 to match the
+    // oracle's FILTER-count semantics for absent combos)
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("bucket", (col("user_id") % 10).cast("int"))
+        .groupBy(col("bucket"))
+        .pivot("event_type",
+               Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+
+    // Set operations: INTERSECT / EXCEPT over customer segments
+    "q_set_ops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def custs(prio: String) =
+        o.filter(col("o_orderpriority") === prio)
+          .select(col("o_custkey")).distinct()
+      val both = custs("1-URGENT").intersect(custs("2-HIGH"))
+        .withColumn("seg", lit("urgent_and_high"))
+      val onlyUrgent = custs("1-URGENT").except(custs("2-HIGH"))
+        .withColumn("seg", lit("urgent_only"))
+      both.unionByName(onlyUrgent)
+    }),
+
     // Semi-structured column: JSON path extraction from events.props
     "q_json_extract" -> ((s, dir) =>
       t(s, dir, "events")
@@ -666,6 +691,30 @@ object SparkEntry {
         |         AS hour_start,
         |       event_type, count(*) AS n, round(sum(value), 4) AS v
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT CAST(user_id % 10 AS INTEGER) AS bucket,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'view') AS view,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'error') AS error
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT o_custkey, 'urgent_and_high' AS seg FROM (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |  INTERSECT
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderpriority = '2-HIGH')
+        |UNION ALL
+        |SELECT o_custkey, 'urgent_only' AS seg FROM (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |  EXCEPT
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderpriority = '2-HIGH')""".stripMargin,
 
     "q_json_extract" ->
       """SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
