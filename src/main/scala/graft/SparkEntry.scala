@@ -388,7 +388,9 @@ object SparkEntry {
         .pivot("event_type",
                Seq("click", "view", "purchase", "signup", "error"))
         .agg(count(lit(1)))
-        .na.fill(0L)),
+        // scoped fill: an unscoped fill would also rewrite a NULL group
+        // key to 0, silently diverging from the oracle's GROUP BY
+        .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))),
 
     // Set operations: INTERSECT / EXCEPT over customer segments
     "q_set_ops" -> ((s, dir) => {

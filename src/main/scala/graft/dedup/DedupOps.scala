@@ -115,12 +115,15 @@ object DedupOps {
                                explode(col("hs")).as("sh"))
     // global shingle document-frequency = the prefix ordering key (any
     // consistent total order is lossless; (df, hash) shuffles 8-byte keys
-    // instead of strings). A whole-partition window count attaches df in
-    // the same shuffle that would have fed a groupBy — no re-join of the
-    // postings against an aggregated frequency table.
-    val prefix = postings
-      .withColumn("df",
-        count(lit(1)).over(Window.partitionBy(col("sh"))))
+    // instead of strings). Deliberately groupBy+join rather than
+    // count() OVER (PARTITION BY sh): the window form saves one exchange
+    // locally but must BUFFER each shingle's whole postings group in one
+    // task — a boilerplate shingle present in most of a 100 TB corpus
+    // would pin millions of rows in a single WindowExec with no map-side
+    // combine and no AQE skew splitting. The aggregate has partial
+    // combine and the join streams, so hot shingles stay safe.
+    val freq = postings.groupBy("sh").agg(count(lit(1)).as("df"))
+    val prefix = postings.join(freq, "sh")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("id"))
           .orderBy(col("df").asc, col("sh").asc)))

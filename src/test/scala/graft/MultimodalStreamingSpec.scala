@@ -39,7 +39,9 @@ class MultimodalStreamingSpec extends SparkSpec {
     val scan = q.queryExecution.executedPlan.toString
     assert(scan.contains("PushedFilters") &&
       scan.contains("EqualTo(format,fake/png)"), s"filter not pushed:\n$scan")
-    assert(!scan.substring(scan.indexOf("ReadSchema")).contains("media"),
+    val rsIdx = scan.indexOf("ReadSchema")
+    assert(rsIdx >= 0, s"no ReadSchema in plan:\n$scan")
+    assert(!scan.substring(rsIdx).contains("media"),
       s"payload bytes read for a metadata-only query:\n$scan")
     assert(q.count() > 0)
   }
