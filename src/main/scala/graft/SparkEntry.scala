@@ -405,6 +405,21 @@ object SparkEntry {
       both.unionByName(onlyUrgent)
     }),
 
+    // UNION-distinct (the set-operator dedup q_set_ops' UNION ALL skips)
+    "q_union_distinct" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def custs(prio: String) =
+        o.filter(col("o_orderpriority") === prio).select(col("o_custkey"))
+      custs("1-URGENT").union(custs("2-HIGH")).distinct()
+    }),
+
+    // Array aggregation: per-group sorted distinct value lists
+    "q_collect_arrays" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(array_sort(collect_set(col("l_linestatus"))).as("statuses"),
+             count(lit(1)).as("n"))),
+
     // Semi-structured column: JSON path extraction from events.props
     "q_json_extract" -> ((s, dir) =>
       t(s, dir, "events")
@@ -717,6 +732,18 @@ object SparkEntry {
         |  EXCEPT
         |  SELECT DISTINCT o_custkey FROM orders
         |  WHERE o_orderpriority = '2-HIGH')""".stripMargin,
+
+    "q_union_distinct" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |UNION
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+        |""".stripMargin,
+
+    "q_collect_arrays" ->
+      """SELECT l_returnflag,
+        |       list_sort(list(DISTINCT l_linestatus)) AS statuses,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_json_extract" ->
       """SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
