@@ -210,7 +210,8 @@ object SparkEntry {
     "q_text_stats" -> ((s, dir) =>
       TextOps.withTextStats(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_chars_calc"), col("n_tokens"),
-                col("n_punct"), col("n_stopwords"), col("fingerprint"))),
+                col("n_subwords"), col("n_punct"), col("n_stopwords"),
+                col("fingerprint"))),
 
     // Language-ID heuristic (stopword-hit argmax, deterministic ties)
     "q_lang_id" -> ((s, dir) =>
@@ -611,6 +612,9 @@ object SparkEntry {
         |  CAST(len(text) AS BIGINT) AS n_chars_calc,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
         |    AS n_tokens,
+        |  CAST(len(regexp_extract_all(text,
+        |       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+        |    AS n_subwords,
         |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
         |    AS n_punct,
         |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),

@@ -89,6 +89,7 @@ object TextOps {
     val c = col(textCol)
     df.withColumn("n_chars_calc", charCount(c).cast("long"))
       .withColumn("n_tokens", tokenCount(c).cast("long"))
+      .withColumn("n_subwords", subwordCount(c).cast("long"))
       .withColumn("n_punct", punctCount(c).cast("long"))
       .withColumn("n_stopwords",
         stopwordCount(c, stopwords("en")).cast("long"))

@@ -120,6 +120,26 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("subword count segments letter/digit/symbol runs") {
+    val got = Seq("abc123!x y", "hello").toDF("text")
+      .select(TextOps.subwordCount($"text")).as[Int].collect()
+    assert(got(0) === 5) // abc, 123, !, x, y
+    assert(got(1) === 1)
+  }
+
+  test("string-shingle minhash equals hashed-shingle minhash") {
+    import graft.functions.ShingleExpressions
+    val df = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    val viaStrings = df.select(
+      DedupOps.minhashSignature(DedupOps.shingles($"text", 5), 16))
+      .as[Seq[Long]].head()
+    val viaHashes = df.select(
+      ShingleExpressions.minhashSigFromHashes(
+        ShingleExpressions.shingleHashes($"text", 5), 16))
+      .as[Seq[Long]].head()
+    assert(viaStrings === viaHashes)
+  }
+
   test("exactStats counts distinct fingerprints") {
     val df = Seq((1L, "same"), (2L, "same"), (3L, "other"))
       .toDF("doc_id", "text")
