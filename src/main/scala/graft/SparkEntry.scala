@@ -406,6 +406,11 @@ object SparkEntry {
       both.unionByName(onlyUrgent)
     }),
 
+    // Context-window chunking: overlapping 50-token windows, 10 overlap
+    "q_chunk_docs" -> ((s, dir) =>
+      TextOps.chunkDocs(t(s, dir, "documents"), "text",
+                        chunkTokens = 50, overlap = 10)),
+
     // UNION-distinct (the set-operator dedup q_set_ops' UNION ALL skips)
     "q_union_distinct" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -736,6 +741,18 @@ object SparkEntry {
         |  EXCEPT
         |  SELECT DISTINCT o_custkey FROM orders
         |  WHERE o_orderpriority = '2-HIGH')""".stripMargin,
+
+    "q_chunk_docs" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+')
+        |              AS toks
+        |            FROM documents),
+        |idx AS (SELECT unnest(range(0,
+        |    (SELECT CAST(max(len(toks)) AS BIGINT) FROM tk), 40)) AS s)
+        |SELECT doc_id, CAST(s // 40 AS BIGINT) AS chunk_idx,
+        |       array_to_string(toks[CAST(s+1 AS INTEGER):
+        |                            CAST(s+50 AS INTEGER)], ' ') AS chunk,
+        |       CAST(least(len(toks) - s, 50) AS BIGINT) AS chunk_tokens
+        |FROM tk JOIN idx ON s < len(toks)""".stripMargin,
 
     "q_union_distinct" ->
       """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'

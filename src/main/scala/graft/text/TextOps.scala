@@ -84,6 +84,33 @@ object TextOps {
     */
   def fingerprint(text: Column): Column = md5(text)
 
+  /** Split documents into overlapping token windows (the context-length
+    * chunking step before tokenization in a training pipeline). One
+    * narrow explode — rows fan out ~|doc|/(chunk−overlap)× with no
+    * shuffle, so it streams at scan speed on any corpus size.
+    * Output: one row per (doc, chunk_idx) with the chunk's text
+    * (whitespace-normalized) and token count.
+    */
+  def chunkDocs(df: DataFrame, textCol: String, chunkTokens: Int,
+                overlap: Int, idCol: String = "doc_id"): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      "need 0 <= overlap < chunkTokens")
+    val step = chunkTokens - overlap
+    val toks = tokens(col(textCol))
+    df.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol), col("__toks"),
+              explode(sequence(lit(0), size(col("__toks")) - 1,
+                               lit(step))).as("__start"))
+      .select(
+        col(idCol),
+        (col("__start") / step).cast("long").as("chunk_idx"),
+        concat_ws(" ",
+          slice(col("__toks"), col("__start") + 1, lit(chunkTokens)))
+          .as("chunk"),
+        least(size(col("__toks")) - col("__start"), lit(chunkTokens))
+          .cast("long").as("chunk_tokens"))
+  }
+
   /** All text stats in one projection (one scan pass). */
   def withTextStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)

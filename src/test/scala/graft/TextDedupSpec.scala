@@ -140,6 +140,24 @@ class TextDedupSpec extends SparkSpec {
     assert(viaStrings === viaHashes)
   }
 
+  test("chunkDocs: overlapping windows cover every token") {
+    val doc = (1 to 95).map(i => s"t$i").mkString(" ")
+    val got = TextOps.chunkDocs(Seq((1L, doc)).toDF("doc_id", "text"),
+                                "text", chunkTokens = 50, overlap = 10)
+      .orderBy($"chunk_idx")
+      .select($"chunk_idx", $"chunk", $"chunk_tokens")
+      .as[(Long, String, Long)].collect()
+    assert(got.map(_._1).toSeq === Seq(0L, 1L, 2L))
+    assert(got(0)._3 === 50L) // tokens 1..50
+    assert(got(1)._3 === 50L) // tokens 41..90 (10-token overlap)
+    assert(got(2)._3 === 15L) // tokens 81..95 tail
+    assert(got(0)._2.startsWith("t1 ") && got(1)._2.startsWith("t41 "))
+    // short doc → single short chunk
+    val short = TextOps.chunkDocs(Seq((2L, "a b c")).toDF("doc_id", "text"),
+                                  "text", 50, 10).collect()
+    assert(short.length === 1)
+  }
+
   test("exactStats counts distinct fingerprints") {
     val df = Seq((1L, "same"), (2L, "same"), (3L, "other"))
       .toDF("doc_id", "text")
