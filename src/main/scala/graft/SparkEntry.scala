@@ -618,7 +618,7 @@ object SparkEntry {
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
         |    AS n_tokens,
         |  CAST(len(regexp_extract_all(text,
-        |       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+        |       '[A-Za-z]+|[0-9]+|[!-/:-@\[-`{-~]')) AS BIGINT)
         |    AS n_subwords,
         |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)
         |    AS n_punct,
@@ -752,7 +752,7 @@ object SparkEntry {
         |       array_to_string(toks[CAST(s+1 AS INTEGER):
         |                            CAST(s+50 AS INTEGER)], ' ') AS chunk,
         |       CAST(least(len(toks) - s, 50) AS BIGINT) AS chunk_tokens
-        |FROM tk JOIN idx ON s < len(toks)""".stripMargin,
+        |FROM tk JOIN idx ON (s = 0 OR s < len(toks) - 10)""".stripMargin,
 
     "q_union_distinct" ->
       """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'

@@ -28,11 +28,14 @@ object TextOps {
   def punctCount(text: Column): Column = regexp_count(text, lit("[.,!?;:]"))
 
   /** BPE-ish subword count: alternation of letter-runs, digit-runs, and
-    * single non-space symbols — a deterministic proxy for a real tokenizer's
-    * segment count.
+    * single ASCII symbols — a deterministic proxy for a real tokenizer's
+    * segment count. The symbol class is explicit ASCII punctuation (not
+    * `[^...\s]`): a negated class with \s counts surrogate pairs twice in
+    * Java regex vs once in RE2 and disagrees on \x0B, breaking the
+    * cross-engine identity the oracle relies on.
     */
   def subwordCount(text: Column): Column =
-    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[!-/:-@\\[-`{-~]"))
 
   /** Stopword lists for the language-ID heuristic. Deliberately small and
     * public-knowledge; order of `langs` is the deterministic tie-break.
@@ -97,17 +100,24 @@ object TextOps {
       "need 0 <= overlap < chunkTokens")
     val step = chunkTokens - overlap
     val toks = tokens(col(textCol))
+    // last start must bring NEW tokens beyond the previous chunk's span:
+    // starts run while start + overlap < |toks| (a start inside the
+    // previous window's tail would emit a chunk fully contained in it,
+    // silently duplicating corpus content). greatest(...,0) keeps the
+    // mandatory start=0 for docs shorter than overlap.
     df.select(col(idCol), toks.as("__toks"))
       .select(col(idCol), col("__toks"),
-              explode(sequence(lit(0), size(col("__toks")) - 1,
-                               lit(step))).as("__start"))
+              posexplode(sequence(
+                lit(0),
+                greatest(size(col("__toks")) - overlap - 1, lit(0)),
+                lit(step))))
       .select(
         col(idCol),
-        (col("__start") / step).cast("long").as("chunk_idx"),
+        col("pos").cast("long").as("chunk_idx"),
         concat_ws(" ",
-          slice(col("__toks"), col("__start") + 1, lit(chunkTokens)))
+          slice(col("__toks"), col("col") + 1, lit(chunkTokens)))
           .as("chunk"),
-        least(size(col("__toks")) - col("__start"), lit(chunkTokens))
+        least(size(col("__toks")) - col("col"), lit(chunkTokens))
           .cast("long").as("chunk_tokens"))
   }
 

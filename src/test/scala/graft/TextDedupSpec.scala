@@ -156,6 +156,12 @@ class TextDedupSpec extends SparkSpec {
     val short = TextOps.chunkDocs(Seq((2L, "a b c")).toDF("doc_id", "text"),
                                   "text", 50, 10).collect()
     assert(short.length === 1)
+    // 45 tokens: a second start at 40 would emit tokens 41-45, a pure
+    // subset of chunk 0 (tokens 1-45) — must NOT be emitted
+    val doc45 = (1 to 45).map(i => s"t$i").mkString(" ")
+    val c45 = TextOps.chunkDocs(Seq((3L, doc45)).toDF("doc_id", "text"),
+                                "text", 50, 10).collect()
+    assert(c45.length === 1)
   }
 
   test("exactStats counts distinct fingerprints") {
