@@ -406,6 +406,10 @@ object SparkEntry {
       both.unionByName(onlyUrgent)
     }),
 
+    // Vocabulary: corpus token frequencies + deterministic id assignment
+    "q_vocab" -> ((s, dir) =>
+      TextOps.buildVocab(t(s, dir, "documents"), minCount = 5L)),
+
     // Context-window chunking: overlapping 50-token windows, 10 overlap
     "q_chunk_docs" -> ((s, dir) =>
       TextOps.chunkDocs(t(s, dir, "documents"), "text",
@@ -741,6 +745,17 @@ object SparkEntry {
         |  EXCEPT
         |  SELECT DISTINCT o_custkey FROM orders
         |  WHERE o_orderpriority = '2-HIGH')""".stripMargin,
+
+    "q_vocab" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+'))
+        |             AS token
+        |           FROM documents),
+        |f AS (SELECT token, count(*) AS freq FROM t
+        |      WHERE token <> '' GROUP BY token HAVING count(*) >= 5)
+        |SELECT token, freq,
+        |       CAST(row_number() OVER (ORDER BY freq DESC, token ASC)
+        |            AS BIGINT) AS token_id
+        |FROM f""".stripMargin,
 
     "q_chunk_docs" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+')

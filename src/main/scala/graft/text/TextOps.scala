@@ -87,6 +87,24 @@ object TextOps {
     */
   def fingerprint(text: Column): Column = md5(text)
 
+  /** Vocabulary builder: distinct tokens ranked by corpus frequency with
+    * deterministic ids (freq desc, token asc). The corpus-wide count is a
+    * partial+final aggregate; the id assignment is a global window ONLY
+    * over the vocabulary (distinct tokens ≪ corpus — a few million rows
+    * even at 100 TB of text), so the single-partition sort is on the
+    * small output, never the data.
+    */
+  def buildVocab(df: DataFrame, textCol: String = "text",
+                 minCount: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minCount)
+      .withColumn("token_id", row_number().over(
+        Window.orderBy(col("freq").desc, col("token").asc)).cast("long"))
+  }
+
   /** Split documents into overlapping token windows (the context-length
     * chunking step before tokenization in a training pipeline). One
     * narrow explode — rows fan out ~|doc|/(chunk−overlap)× with no
