@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: one JSON line with per-query and total seconds
@@ -9,37 +11,57 @@ import org.apache.spark.sql.SparkSession
   * warm-up — local-mode stand-ins for a cluster's steady state) and then
   * timed. The timed run includes full plan construction and execution;
   * sink queries rewrite their output each run.
+  *
+  * Hygiene (r1 lesson): queries that persist intermediates would otherwise
+  * leak cached blocks into every later query's run (and let the timed run
+  * reuse the warm-up's cache, under-reporting). The cache is cleared after
+  * EVERY run, so each timed number is a cold-cache, warm-JIT measurement
+  * and block-manager pressure never accumulates across the suite.
+  *
+  * The JSON metric line is written to `target/bench.json` AND printed as
+  * the final stdout line after `spark.stop()` — sbt/Spark log noise made
+  * the stdout-only form unparseable in r1.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config(Tables.NanosConf, "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def dropCaches(): Unit = spark.catalog.clearCache()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         try { fn(spark, sfDir).count() } // warm-up, untimed
         catch { case _: Throwable => }
+        dropCaches()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             false
         }
+        val sec = (System.nanoTime() - t0) / 1e9
+        dropCaches()
         // a failed query must not masquerade as a fast one: -1 marker
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        name -> (if (ok) sec else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum +
       (if (results.exists(_._2 < 0)) 1e9 else 0.0) // poison total on failure
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    Files.createDirectories(Paths.get("target"))
+    Files.writeString(Paths.get("target/bench.json"), json + "\n")
     spark.stop()
+    // sole unprefixed line after shutdown: nothing can interleave with it
+    println(json)
   }
 }

@@ -72,6 +72,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSigFromHashes(exprs(0), GraftExtensions.intLiteral(exprs(1),
           "minhash_sig k"))
     }
+    register(e, "lsh_bucket",
+      "lsh_bucket(vec, bits) - random-hyperplane LSH bucket id in [0,2^bits)",
+      2) { exprs =>
+        LshBucket(exprs(0), GraftExtensions.intLiteral(exprs(1),
+          "lsh_bucket bits"))
+    }
   }
 }
 

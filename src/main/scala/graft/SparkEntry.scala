@@ -177,6 +177,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // S10 autodetect — inferred-schema CSV round trip: single-file CSV
+    // sink, then a header+inferSchema re-read (no declared StructType),
+    // aggregated against the parquet-direct oracle. Closes the
+    // `autodetect=True` fidelity gap left by the declared-schema S3 read.
+    "q_csv_infer" -> ((s, dir) => {
+      val path = scratch(dir, "csv_infer")
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      Sinks.writeSingleCsv(src, path)
+      Sinks.readCsvInferred(s, path)
+        .agg(count(lit(1)).as("n"),
+             sum(col("o_orderkey")).cast("long").as("key_sum"),
+             round(sum(col("o_totalprice")), 2).as("price_sum"),
+             countDistinct(col("o_orderstatus")).as("n_status"))
+    }),
+
     // Window function with deterministic total order (extension beyond
     // reference parity, oracle-checked as SURVEY §2.7 requires).
     "q_topk_per_group" -> ((s, dir) => {
@@ -326,6 +342,16 @@ object SparkEntry {
         .select(col("doc_id"), col("format"), col("n_bytes"),
                 round(element_at(col("features"), 1), 6).as("f0"))),
 
+    // Multimodal metadata slice — the SQL-expressible part of the media
+    // table (id-derived format tag, payload byte length) through the same
+    // mapPartitions decode plumbing; only the stub features stay
+    // rows-only (q_multimodal_features).
+    "q_multimodal_meta" -> ((s, dir) =>
+      MultimodalOps.extractFeatures(
+          s, MultimodalOps.toMediaTable(t(s, dir, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("format"), col("n_bytes"))),
+
     // Streaming-shaped windowed rollup applied to the batch frame
     "q_stream_rollup" -> ((s, dir) =>
       StreamingOps.windowedRollup(t(s, dir, "events"))),
@@ -423,11 +449,15 @@ object SparkEntry {
       custs("1-URGENT").union(custs("2-HIGH")).distinct()
     }),
 
-    // Array aggregation: per-group sorted distinct value lists
+    // Array aggregation: per-group sorted distinct value lists. The
+    // compare column is the ','-joined sorted set — a plain string the
+    // driver's pandas hash can sort (a raw array column is unhashable
+    // there), with identical semantics on both sides.
     "q_collect_arrays" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(array_sort(collect_set(col("l_linestatus"))).as("statuses"),
+        .agg(array_join(array_sort(collect_set(col("l_linestatus"))), ",")
+               .as("statuses"),
              count(lit(1)).as("n"))),
 
     // Semi-structured column: JSON path extraction from events.props
@@ -590,6 +620,20 @@ object SparkEntry {
       """SELECT count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum,
         |       count(DISTINCT event_type) AS n_types
         |FROM events""".stripMargin,
+
+    "q_csv_infer" ->
+      """SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |       round(sum(o_totalprice), 2) AS price_sum,
+        |       count(DISTINCT o_orderstatus) AS n_status
+        |FROM orders""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |       'fake/' || ['png','jpeg','wav','mp4'][CAST(doc_id % 4
+        |                                                  AS INTEGER) + 1]
+        |         AS format,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
 
     "q_partitioned_write" ->
       """SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
@@ -777,7 +821,8 @@ object SparkEntry {
 
     "q_collect_arrays" ->
       """SELECT l_returnflag,
-        |       list_sort(list(DISTINCT l_linestatus)) AS statuses,
+        |       array_to_string(list_sort(list(DISTINCT l_linestatus)), ',')
+        |         AS statuses,
         |       count(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 

@@ -21,8 +21,17 @@ object Tables {
     * same truncation DuckDB's µs arithmetic applies, so oracle-comparable
     * at second/hour/month granularity (never output raw ts, SURVEY §7.4).
     */
+  /** Conf key letting Spark 4 read TIMESTAMP(NANOS) parquet as long.
+    * Session builders (Bench/Verify) set it at construction; `load` only
+    * check-before-sets as a fallback for bare test sessions, so it stays
+    * effectively read-only (no repeated conf mutation, no race when
+    * queries share a session).
+    */
+  val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.getOption(NanosConf).forall(_ != "true"))
+      spark.conf.set(NanosConf, "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       // `div` = integral division: ns/1000 through a double would round

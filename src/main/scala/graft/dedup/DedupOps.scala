@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.{SetExpressions, ShingleExpressions}
 import graft.text.TextOps
@@ -63,21 +64,23 @@ object DedupOps {
         .otherwise(array().cast("array<string>"))))
   }
 
-  /** Internal: (id, hs, sz) frame — SORTED DISTINCT 64-bit shingle hashes
-    * per doc (graft.functions.ShingleHashes: in-place window hashing, no
-    * string materialization), computed once and pinned.
+  /** (id, hs, sz) frame — SORTED DISTINCT 64-bit shingle hashes per doc
+    * (graft.functions.ShingleHashes: in-place window hashing, no string
+    * materialization), computed once and pinned.
     * Both pair joins reference this subtree three times (postings, verify
     * left, verify right); without a materialization barrier Spark
-    * re-shingles the corpus per reference. `localCheckpoint` pins the
-    * computed partitions in the block manager — on a cluster the same role
-    * is played by `persist(MEMORY_AND_DISK)` or a reliable checkpoint.
+    * re-shingles the corpus per reference. `persist(MEMORY_AND_DISK)` goes
+    * through the CacheManager, so (unlike the r1 localCheckpoint, whose
+    * pinned blocks were unreclaimable and stalled the bench) the blocks
+    * are evictable under pressure and released by `clearCache`/unpersist
+    * after the consuming action.
     */
-  private def hashedSets(docs: DataFrame, idCol: String, textCol: String,
-                         n: Int): DataFrame =
+  def hashedSets(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int): DataFrame =
     docs.select(col(idCol).as("id"),
                 ShingleExpressions.shingleHashes(col(textCol), n).as("hs"))
       .withColumn("sz", size(col("hs")))
-      .localCheckpoint(false) // lazy: materializes at first action
+      .persist(StorageLevel.MEMORY_AND_DISK) // lazy: fills at first action
 
   /** Exact-Jaccard verification of candidate pairs. The shingle-set
     * payloads are first semi-join-reduced to ids that actually appear in
@@ -109,8 +112,15 @@ object DedupOps {
     * Output: (id_a < id_b, jaccard ≥ tau), jaccard rounded to 6.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int = 5, tau: Double = 0.8): DataFrame = {
-    val sets = hashedSets(docs, idCol, textCol, n)
+                        n: Int = 5, tau: Double = 0.8): DataFrame =
+    ngramJaccardPairsFromSets(hashedSets(docs, idCol, textCol, n), tau)
+
+  /** Same join over a pre-built (id, hs, sz) sets frame — lets a pipeline
+    * that already pinned hashed sets (CorpusPipeline) share one
+    * materialization instead of re-shingling. `sets` should be persisted
+    * by the caller.
+    */
+  def ngramJaccardPairsFromSets(sets: DataFrame, tau: Double): DataFrame = {
     val postings = sets.select(col("id"), col("sz"),
                                explode(col("hs")).as("sh"))
     // global shingle document-frequency = the prefix ordering key (any
@@ -130,8 +140,8 @@ object DedupOps {
       .filter(col("rn") <=
         floor(lit(1.0 - tau) * col("sz")).cast("int") + 1)
       .select("id", "sh", "sz")
-      // self-joined below: compute the window once (lazy checkpoint)
-      .localCheckpoint(false)
+      // self-joined below: compute the window once (evictable cache)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // length filter: J(A,B) ≥ τ forces τ·|B| ≤ |A| ≤ |B|/τ — prunes
     // size-mismatched candidates before the expensive verify.
     val cand = prefix.as("a")
@@ -163,7 +173,11 @@ object DedupOps {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
     val sets = hashedSets(docs, idCol, textCol, n)
-    val sig = sets.withColumn("sig",
+    // docs shorter than n chars have an EMPTY shingle set → a signature of
+    // k MaxValue slots that collides in EVERY band with every other empty
+    // doc (O(empties²) candidates, all dropped by verify anyway). They can
+    // never reach jaccard ≥ τ, so exclude them before banding.
+    val sig = sets.filter(col("sz") > 0).withColumn("sig",
       ShingleExpressions.minhashSigFromHashes(col("hs"), k))
     val bandStructs = array((0 until bands).map(b =>
       struct(lit(b).as("band"),

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
@@ -26,6 +26,9 @@ object VectorExpressions {
   def dotProduct(a: Column, b: Column): Column =
     Bridge.toColumn(DotProduct(
       Bridge.toExpression(a), Bridge.toExpression(b)))
+
+  def lshBucket(vec: Column, bits: Int): Column =
+    Bridge.toColumn(LshBucket(Bridge.toExpression(vec), bits))
 }
 
 trait VectorBinaryOp extends BinaryExpression {
@@ -148,4 +151,75 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): DotProduct = copy(l, r)
+}
+
+/** Random-hyperplane LSH bucket id: bit j = sign(v · h_j) with hyperplane
+  * components h_j[i] ∈ {±1} derived from xxhash64(j, i) — deterministic,
+  * no stored model, bit-identical to the higher-order-function
+  * formulation it replaces (`aggregate(zip_with(...))` per bit walked the
+  * whole vector `bits` times through three intermediate arrays; this is
+  * one fused pass with per-bit accumulators and zero allocation beyond
+  * one small double[]). Per-element hyperplane signs come from
+  * `XXH64.hashInt(i, seed_j)` parity, `seed_j = XXH64.hashInt(j, 42)` —
+  * exactly Spark's `xxhash64(lit(j), i)` fold, so bucket assignments match
+  * the r1 HOF semantics.
+  */
+case class LshBucket(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 63, s"lsh_bucket bits must be in [1,63], got $bits")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_bucket"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckSuccess
+      case other => TypeCheckFailure(
+        s"$prettyName requires array<float>/array<double>, got ${other.catalogString}")
+    }
+  }
+
+  // one hash fold per bit, shared across all rows/elements
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(bits)(j => XXH64.hashInt(j, 42L))
+  @transient private lazy val elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  def compute(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val acc = new Array[Double](bits)
+    var i = 0
+    while (i < n) {
+      val x = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      var j = 0
+      while (j < bits) {
+        // (h & 1) == pmod(h, 2) for two's-complement longs
+        if ((XXH64.hashInt(i, seeds(j)) & 1L) == 0L) acc(j) += x
+        else acc(j) -= x
+        j += 1
+      }
+      i += 1
+    }
+    var bucket = 0L
+    var j = 0
+    while (j < bits) {
+      if (acc(j) > 0) bucket |= 1L << j
+      j += 1
+    }
+    bucket
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshBucketer", this,
+      classOf[LshBucket].getName)
+    nullSafeCodeGen(ctx, ev, arr => s"${ev.value} = $ref.compute($arr);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): LshBucket =
+    copy(child = c)
 }

@@ -44,6 +44,19 @@ object Sinks {
       .schema(schema)
       .csv(path)
 
+  /** S10 — schema-inference CSV read (`autodetect=True`,
+    * dags/nyc_taxi_pipeline_dag.py:119,154): header names + inferred
+    * column types, no declared StructType. Inference costs one extra pass
+    * over the files at read time — the declared-schema `readCsv` is the
+    * production path; this is the ad-hoc/autodetect fidelity twin.
+    */
+  def readCsvInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .csv(path)
+
   /** S6 — partitioned parquet sink (hive-style month dirs).
     * Ref: spark-apps/clean_nyc_taxi_pipeline.py:16 (design intent) +
     * README.md:116-119 (`repartition("year","month")`). Partition-by-month

@@ -3,9 +3,11 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.Tables
 import graft.dedup.DedupOps
+import graft.functions.ShingleExpressions
 import graft.text.TextOps
 
 /** The training-data curation flagship (north-star scope): the standard
@@ -17,37 +19,54 @@ import graft.text.TextOps
   *   → language filter
   *   → quality gate (token floor) + quality scoring
   *
-  * Everything is one lazy dataflow: the only shuffles are the content-hash
-  * dedup and the near-dup join's hashed-shingle exchanges; the text bytes
-  * themselves move at most once.
+  * Scale shape: exact dedup runs FIRST so the expensive per-byte work
+  * (shingling, quality stats) only ever touches surviving documents, and
+  * that work happens in ONE enrichment pass whose output is pinned and
+  * shared by every later stage (near-dup postings, verify payloads, final
+  * projection). The document bytes themselves move through exactly one
+  * shuffle (the content-hash dedup) and are dropped the moment the
+  * enrichment pass has consumed them — the cached footprint is hashes and
+  * scalars, never the corpus.
+  *
+  * r1 lesson: this pipeline used three CHAINED lazy localCheckpoints
+  * (exact-kept docs → hashed sets → prefix), whose unreclaimable pinned
+  * blocks piled up across runs and stalled the local block manager. One
+  * evictable `persist` on the single shared frame replaces all three
+  * upstream of the join; Bench/Verify release it after each action.
   */
 object CorpusPipeline {
+
+  private val ShingleN = 12
 
   def curate(docs: DataFrame, lang: String = "en",
              tau: Double = 0.7, minTokens: Int = 20): DataFrame = {
     // exact dedup on content fingerprint, deterministic survivor
     val w = Window.partitionBy(TextOps.fingerprint(col("text")))
       .orderBy(col("doc_id").asc)
-    // referenced twice below (near-dup input + final keep join): lazy
-    // checkpoint so the md5 window runs once at first action while plan
-    // construction stays side-effect free
     val exactKept = docs.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-      .localCheckpoint(false)
+
+    // ONE pass over surviving text computes everything downstream needs;
+    // pinned (evictable) because the near-dup join references it three
+    // times and the final projection a fourth.
+    val enriched = exactKept.select(
+        col("doc_id"), col("lang"),
+        TextOps.fingerprint(col("text")).as("fingerprint"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.qualityScore(col("text")).as("quality_score"),
+        ShingleExpressions.shingleHashes(col("text"), ShingleN).as("hs"))
+      .withColumn("sz", size(col("hs")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // near-dup removal: any doc with a ≥τ neighbour of smaller id drops
-    val dropIds = DedupOps
-      .ngramJaccardPairs(exactKept, "doc_id", "text", n = 12, tau = tau)
+    val dropIds = DedupOps.ngramJaccardPairsFromSets(
+        enriched.select(col("doc_id").as("id"), col("hs"), col("sz")), tau)
       .select(col("id_b").as("doc_id")).distinct()
-    val kept = exactKept.join(dropIds, Seq("doc_id"), "left_anti")
 
-    kept
-      .filter(col("lang") === lang)
-      .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("long"))
-      .filter(col("n_tokens") >= minTokens)
+    enriched.join(dropIds, Seq("doc_id"), "left_anti")
+      .filter(col("lang") === lang && col("n_tokens") >= minTokens)
       .select(col("doc_id"), col("lang"), col("n_tokens"),
-              TextOps.qualityScore(col("text")).as("quality_score"),
-              TextOps.fingerprint(col("text")).as("fingerprint"))
+              col("quality_score"), col("fingerprint"))
   }
 
   def flagship(spark: SparkSession, dir: String): DataFrame =

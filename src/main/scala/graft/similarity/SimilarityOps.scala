@@ -68,9 +68,18 @@ object SimilarityOps {
   /** Random-hyperplane LSH signature: bit j = sign(v · h_j), with
     * hyperplane components h_j[i] ∈ {±1} derived from xxhash64(j, i) —
     * deterministic, no stored model. Returns an integer bucket id in
-    * [0, 2^bits).
+    * [0, 2^bits). One fused codegen'd pass over the vector
+    * (graft.functions.LshBucket); the HOF formulation below is kept as
+    * the cross-check twin.
     */
-  def lshBucket(vec: Column, bits: Int): Column = {
+  def lshBucket(vec: Column, bits: Int): Column =
+    graft.functions.VectorExpressions.lshBucket(vec, bits)
+
+  /** Portable higher-order-function formulation of `lshBucket` — walks the
+    * vector once per bit through intermediate arrays, so it's the slow
+    * path; used in tests to pin the native expression's semantics.
+    */
+  def lshBucketHof(vec: Column, bits: Int): Column = {
     val withIdx = zip_with(
       transform(vec, _.cast("double")),
       sequence(lit(0), size(vec) - 1),

@@ -24,6 +24,22 @@ class SimilaritySpec extends SparkSpec {
     assert(self.forall(v => math.abs(v - 1.0) < 1e-12))
   }
 
+  test("native lshBucket equals higher-order-function lshBucket") {
+    // the native expression must be a pure speedup: bucket ids identical
+    // to the HOF formulation for every vector, at two different widths
+    Seq(4, 7).foreach { bits =>
+      val mismatches = emb
+        .select(SimilarityOps.lshBucket($"embedding", bits).as("nat"),
+                SimilarityOps.lshBucketHof($"embedding", bits).as("hof"))
+        .filter($"nat" =!= $"hof").count()
+      assert(mismatches === 0L)
+    }
+    // bucket ids stay inside [0, 2^bits)
+    val range = emb.select(SimilarityOps.lshBucket($"embedding", 4).as("b"))
+      .agg(min($"b"), max($"b")).as[(Long, Long)].head()
+    assert(range._1 >= 0L && range._2 < 16L)
+  }
+
   test("dotProduct: orthogonal and aligned vectors") {
     val df = Seq(
       (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
