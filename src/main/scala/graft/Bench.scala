@@ -23,6 +23,20 @@ import org.apache.spark.sql.SparkSession
   * the stdout-only form unparseable in r1.
   */
 object Bench {
+
+  /** The one-line JSON metric (pure — spec'd so the driver-parseability
+    * contract can't silently regress). A query timed < 0 means FAILED; it
+    * is excluded from the sum and the total is poisoned past any
+    * plausible duration so a failing round can't look fast.
+    */
+  def renderJson(results: Seq[(String, Double)], sfDir: String): String = {
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum +
+      (if (results.exists(_._2 < 0)) 1e9 else 0.0)
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -52,12 +66,7 @@ object Bench {
         // a failed query must not masquerade as a fast one: -1 marker
         name -> (if (ok) sec else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum +
-      (if (results.exists(_._2 < 0)) 1e9 else 0.0) // poison total on failure
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = renderJson(results, sfDir)
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), json + "\n")
     spark.stop()

@@ -368,6 +368,19 @@ object SparkEntry {
                                    "vec_id", "embedding",
                                    tau = 0.45, bits = 4)),
 
+    // Salted skew join: fact side gets a deterministic salt, dim side is
+    // replicated per salt, join key becomes (key, salt). Row-identical to
+    // the plain join by construction — which is exactly what the oracle
+    // (the UNsalted SQL join) verifies; the salt must be invisible.
+    "q_salted_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("n_nationkey", (col("user_id") % 25).cast("int"))
+      graft.ops.SkewOps.saltedJoin(ev, t(s, dir, "nation"),
+                                   "n_nationkey", n = 8)
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("v"))
+    }),
+
     // Fact-to-fact shuffle join (the biggest-table join in the schema;
     // Catalyst/AQE pick SMJ with both sides exchanged on the key)
     "q_fact_join" -> ((s, dir) =>
@@ -378,6 +391,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"),
              round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
                    2).as("revenue"))),
+
+    // §2.6 bucketed co-located join: both fact tables written bucketed by
+    // the join key (write-time physical design, external tables under the
+    // scratch dir), so the join plans with no shuffle exchange on either
+    // side (BucketingSpec asserts the plan shape; this query oracle-checks
+    // the result). At 100 TB this is the difference between re-shuffling
+    // two fact tables on every join and reading co-located buckets.
+    "q_bucketed_join" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+        .write.mode("overwrite").option("path", scratch(dir, "bucket_li"))
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("g_bucketed_lineitem")
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").option("path", scratch(dir, "bucket_ord"))
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("g_bucketed_orders")
+      s.table("g_bucketed_lineitem")
+        .join(s.table("g_bucketed_orders"),
+              col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+             round(sum(col("l_quantity")), 2).as("qty"))
+    }),
 
     // Exact distinct (the precise twin of q_approx_users' HLL sketch)
     "q_distinct_users" -> ((s, dir) =>
@@ -404,6 +440,36 @@ object SparkEntry {
         .groupBy(col("l_returnflag"))
         .agg(round(median(col("l_quantity")), 6).as("med_qty"),
              round(median(col("l_extendedprice")), 6).as("med_price"))),
+
+    // CUBE subtotal lattice (every grouping set; q_rollup's hierarchy-only
+    // twin). Catalyst expands grouping sets before aggregation, so partial
+    // aggregation still applies per set.
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+             round(avg(col("l_discount")), 6).as("avg_disc"))),
+
+    // Exact interpolated quantiles per group (beyond the median; the exact
+    // twin of approx_percentile sketches a 100 TB pipeline would swap in)
+    "q_quantiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+             round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"),
+             round(expr("percentile(l_extendedprice, 0.9)"), 6)
+               .as("p90_price"))),
+
+    // Statistical aggregates: correlation / covariance / stddev in one
+    // partial+final co-moment pass (no per-group sort, unlike quantiles)
+    "q_stats_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+               .as("qp_corr"),
+             round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6)
+               .as("qp_covar"),
+             round(stddev_samp(col("l_discount")), 6).as("disc_sd"))),
 
     // Pivot: event-type counts as columns per user bucket (explicit value
     // list keeps the output schema deterministic; fill 0 to match the
@@ -879,10 +945,42 @@ object SparkEntry {
         |       round(median(l_extendedprice), 6) AS med_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       round(avg(l_discount), 6) AS avg_disc
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_quantiles" ->
+      """SELECT l_linestatus,
+        |       round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        |       round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+        |       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        |       round(corr(l_quantity, l_extendedprice), 6) AS qp_corr,
+        |       round(covar_samp(l_quantity, l_extendedprice), 6) AS qp_covar,
+        |       round(stddev_samp(l_discount), 6) AS disc_sd
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT n_name, count(*) AS n, round(sum(value), 4) AS v
+        |FROM events JOIN nation
+        |  ON CAST(user_id % 25 AS INTEGER) = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
     "q_fact_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         |       round(sum(l_extendedprice * (1.0 - l_discount)), 2)
         |         AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       round(sum(l_quantity), 2) AS qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
 

@@ -1,0 +1,38 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench metric line is a machine contract: the driver json-parses it.
+  * Round 1 shipped an unparseable bench (log noise around the only copy of
+  * the line); this pins the rendering itself so it cannot regress.
+  */
+class BenchJsonSpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper()
+
+  test("metric line is valid JSON with total = sum of query times") {
+    val json = Bench.renderJson(
+      Seq("q_a" -> 1.5, "q_b" -> 2.25), "/root/testdata/sf0.1")
+    val node = mapper.readTree(json)
+    assert(node.get("metric").asText() === "total")
+    assert(node.get("unit").asText() === "sec")
+    assert(math.abs(node.get("value").asDouble() - 3.75) < 1e-12)
+    assert(node.get("queries").get("q_a").asDouble() === 1.5)
+    assert(node.get("queries").get("q_b").asDouble() === 2.25)
+    assert(node.get("sf").asText() === "/root/testdata/sf0.1")
+  }
+
+  test("a failed query poisons the total instead of vanishing") {
+    val json = Bench.renderJson(Seq("q_ok" -> 2.0, "q_bad" -> -1.0), "sf")
+    val node = mapper.readTree(json)
+    assert(node.get("value").asDouble() >= 1e9)
+    assert(node.get("queries").get("q_bad").asDouble() === -1.0)
+  }
+
+  test("single line, no interior newlines") {
+    val json = Bench.renderJson(Seq("q" -> 0.1), "sf")
+    assert(!json.contains("\n"))
+    assert(json.startsWith("{") && json.endsWith("}"))
+  }
+}
