@@ -165,6 +165,20 @@ object SparkEntry {
              round(sum(col("l_extendedprice")), 2).as("revenue"))
     }),
 
+    // S9 — the B-tree-index analog round trip: day-partitioned parquet
+    // with sortWithinPartitions(ts), so a day predicate prunes partitions
+    // and a time predicate skips row groups via min/max stats (the
+    // skipping itself is asserted in BucketingSpec; this query
+    // oracle-checks the round-trip result).
+    "q_sorted_scan" -> ((s, dir) => {
+      val path = scratch(dir, "sorted_scan")
+      val ev = t(s, dir, "events").withColumn("day", dayofmonth(col("ts")))
+      Sinks.writeSortedPartitioned(ev, "day", "ts", path)
+      s.read.parquet(path)
+        .filter(col("day").between(5, 10))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("v"))
+    }),
+
     // S7/S8 — append vs overwrite write dispositions (incremental loading)
     "q_append_load" -> ((s, dir) => {
       val path = scratch(dir, "append_load")
@@ -708,6 +722,11 @@ object SparkEntry {
     "q_append_load" ->
       """SELECT o_orderstatus, CAST(count(*) * 2 AS BIGINT) AS n
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q_sorted_scan" ->
+      """SELECT count(*) AS n, round(sum(value), 4) AS v
+        |FROM events
+        |WHERE date_part('day', ts) BETWEEN 5 AND 10""".stripMargin,
 
     "q_topk_per_group" ->
       """SELECT l_returnflag, rn, l_orderkey, l_linenumber, l_extendedprice

@@ -140,7 +140,11 @@ object DedupOps {
       .filter(col("rn") <=
         floor(lit(1.0 - tau) * col("sz")).cast("int") + 1)
       .select("id", "sh", "sz")
-      // self-joined below: compute the window once (evictable cache)
+      // Self-joined below: compute the window once (evictable cache).
+      // Deliberately NOT pre-partitioned on the join key: at bench scale
+      // AQE broadcasts this frame for the self-join (an exchange here is
+      // pure overhead), and at SMJ scale the two sides' exchanges are
+      // identical so ReuseExchange already collapses them to one.
       .persist(StorageLevel.MEMORY_AND_DISK)
     // length filter: J(A,B) ≥ τ forces τ·|B| ≤ |A| ≤ |B|/τ — prunes
     // size-mismatched candidates before the expensive verify.

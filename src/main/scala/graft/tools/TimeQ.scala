@@ -37,8 +37,12 @@ object TimeQ {
       (1 to runs).foreach { i =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
+        val df = fn(spark, sfDir)
+        val n = df.count()
         println(f"[timeq] $name run$i ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+        // final ADAPTIVE plan (post-execution), not the static estimate
+        if (i == runs && sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+          println(df.queryExecution.executedPlan.toString)
       }
     }
     spark.stop()
