@@ -521,6 +521,32 @@ object SparkEntry {
       TextOps.chunkDocs(t(s, dir, "documents"), "text",
                         chunkTokens = 50, overlap = 10)),
 
+    // Anti + semi joins: customers with no orders vs with urgent orders
+    // (the existence-predicate family — planned as Broadcast/SMJ
+    // LeftAnti/LeftSemi, never a correlated subquery per row)
+    "q_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val noOrders = c.join(o, col("c_custkey") === col("o_custkey"),
+                            "left_anti")
+        .select(col("c_custkey")).withColumn("kind", lit("no_orders"))
+      val urgent = c.join(
+          o.filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey")).withColumn("kind", lit("has_urgent"))
+      noOrders.unionByName(urgent)
+    }),
+
+    // Text normalization: lowercase, strip punctuation, collapse
+    // whitespace — the canonical pre-tokenization cleanup pass, one
+    // codegen'd projection
+    "q_normalize_text" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+                regexp_replace(
+                  regexp_replace(lower(col("text")), "[.,!?;:]", ""),
+                  "\\s+", " ").as("norm_text"))),
+
     // UNION-distinct (the set-operator dedup q_set_ops' UNION ALL skips)
     "q_union_distinct" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -903,6 +929,23 @@ object SparkEntry {
         |UNION
         |SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
         |""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, 'no_orders' AS kind FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'has_urgent' AS kind FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey
+        |                AND o_orderpriority = '1-URGENT')""".stripMargin,
+
+    "q_normalize_text" ->
+      """SELECT doc_id,
+        |       regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '',
+        |                                     'g'),
+        |                      '\s+', ' ', 'g') AS norm_text
+        |FROM documents""".stripMargin,
 
     "q_collect_arrays" ->
       """SELECT l_returnflag,

@@ -41,4 +41,39 @@ object StreamingOps {
       events.withWatermark("ts", lateness)
         .dropDuplicatesWithinWatermark(keys)
     else events.dropDuplicates(keys)
+
+  /** Stream-stream interval self-join: ordered pairs of events whose
+    * (ms-truncated) timestamps are within `deltaMs`. Same δ-bin
+    * composition as the batch `ops.RangeJoin` — the bin equi-key plus an
+    * event-time range condition is ALSO exactly what makes the join legal
+    * and state-bounded on streams: with both sides watermarked, Spark's
+    * symmetric hash join evicts a buffered row once the opposite side's
+    * watermark passes its ts + δ. One definition serves `read` and
+    * `readStream` inputs unchanged (the batch plan is two equi-joins
+    * unioned, identical to RangeJoin's).
+    */
+  def intervalJoin(events: DataFrame, idCol: String, tsCol: String,
+                   deltaMs: Long, lateness: String = "1 minute"): DataFrame = {
+    // truncate FIRST, then watermark the truncated column — watermark
+    // metadata rides the exact column the join condition references
+    val trunc = events.select(col(idCol).as("id"),
+                              date_trunc("millisecond", col(tsCol)).as("ets"))
+    val wm = if (events.isStreaming) trunc.withWatermark("ets", lateness)
+             else trunc
+    val base = wm.withColumn("bin", expr(s"unix_millis(ets) div $deltaMs"))
+    val a = base.select(col("id").as("id_a"), col("ets").as("ts_a"),
+                        col("bin").as("bin_a"))
+    val b = base.select(col("id").as("id_b"), col("ets").as("ts_b"),
+                        col("bin").as("bin_b"))
+    val bound =
+      (col("ts_a") < col("ts_b") ||
+        (col("ts_a") === col("ts_b") && col("id_a") < col("id_b"))) &&
+        col("ts_b") <= col("ts_a") + expr(s"INTERVAL $deltaMs MILLISECOND")
+    val sameBin = a.join(b, col("bin_b") === col("bin_a") && bound)
+    val nextBin = a.join(b, col("bin_b") === col("bin_a") + 1 && bound)
+    sameBin.unionByName(nextBin)
+      .select(col("id_a"), col("id_b"),
+              (unix_millis(col("ts_b")) - unix_millis(col("ts_a")))
+                .as("gap_ms"))
+  }
 }
