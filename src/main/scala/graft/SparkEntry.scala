@@ -220,6 +220,44 @@ object SparkEntry {
                 col("l_linenumber"), col("l_extendedprice"))
     }),
 
+    // The SAME top-k contract through the bounded-buffer Aggregator (the
+    // scale path: ≤k rows per partial buffer, shuffle carries k rows per
+    // (map task, group) instead of whole groups). Shares the window
+    // query's oracle — two physical strategies, one result.
+    "q_topk_agg" -> ((s, dir) => {
+      import s.implicits._
+      val ds = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+                col("l_orderkey"), col("l_linenumber"))
+        .as[(String, Double, Long, Int)]
+      ds.groupByKey(_._1)
+        .mapValues { case (_, price, okey, ln) => (price, okey, ln) }
+        .agg(graft.ops.TopK.topKTriples(3).toColumn.name("top"))
+        .flatMap { case (flag, top) =>
+          top.zipWithIndex.map { case ((price, okey, ln), i) =>
+            (flag, i + 1, okey, ln, price)
+          }
+        }
+        .toDF("l_returnflag", "rn", "l_orderkey", "l_linenumber",
+              "l_extendedprice")
+    }),
+
+    // Analytic window functions: per-customer running total + lag/lead
+    // neighbours over a deterministic order (§2.7 breadth beyond
+    // row_number)
+    "q_window_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("run_total",
+          round(sum(col("o_totalprice")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+        .withColumn("prev_key", lag(col("o_orderkey"), 1).over(w))
+        .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+        .drop("o_totalprice")
+    }),
+
     // Tumbling-window hourly rollup over the events table (batch form of
     // the streaming demo, SURVEY §2.9).
     "q_hourly_rollup" -> ((s, dir) =>
@@ -334,12 +372,27 @@ object SparkEntry {
       SimilarityOps.annTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
                             probeId = 0L, k = 10, bits = 4)),
 
-    // IVF assign + probe (scale path, no oracle)
+    // IVF assign + probe against the seed codebook (scale path, no oracle)
     "q_ivf_topk" -> ((s, dir) => {
-      val assigned = SimilarityOps.ivfAssign(
-        t(s, dir, "embeddings"), "vec_id", "embedding", nlist = 8)
-      SimilarityOps.ivfTopK(assigned, "vec_id", "embedding",
+      val emb = t(s, dir, "embeddings")
+      val cents = SimilarityOps.seedCentroids(emb, "vec_id", "embedding", 8)
+      val assigned = SimilarityOps.ivfAssignTo(emb, "vec_id", "embedding",
+                                               cents)
+      SimilarityOps.ivfTopK(assigned, cents, "vec_id", "embedding",
                             probeId = 0L, k = 10, nprobe = 3)
+    }),
+
+    // IVF with a TRAINED codebook: two spherical k-means iterations
+    // (assign → per-dimension mean → repeat, all distributed), then the
+    // per-list census. Rows-only (k-means isn't reasonably
+    // SQL-expressible); the monotone-objective property is spec-asserted.
+    "q_ivf_trained" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = SimilarityOps.ivfTrain(emb, "vec_id", "embedding",
+                                         nlist = 8, iters = 2)
+      SimilarityOps.ivfAssignTo(emb, "vec_id", "embedding", cents)
+        .groupBy(col("list_id"))
+        .agg(count(lit(1)).as("n_vectors"))
     }),
 
     // HLL sketch distinct (mergeable at 100 TB; no exact-SQL oracle)
@@ -754,16 +807,20 @@ object SparkEntry {
         |FROM events
         |WHERE date_part('day', ts) BETWEEN 5 AND 10""".stripMargin,
 
-    "q_topk_per_group" ->
-      """SELECT l_returnflag, rn, l_orderkey, l_linenumber, l_extendedprice
-        |FROM (
-        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
-        |         CAST(row_number() OVER (
-        |           PARTITION BY l_returnflag
-        |           ORDER BY l_extendedprice DESC, l_orderkey ASC,
-        |                    l_linenumber ASC) AS INTEGER) AS rn
-        |  FROM lineitem)
-        |WHERE rn <= 3""".stripMargin,
+    "q_topk_per_group" -> topkOracle,
+    // the bounded-buffer Aggregator must land on the identical rows
+    "q_topk_agg" -> topkOracle,
+
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |       round(sum(o_totalprice) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderkey
+        |         ROWS UNBOUNDED PRECEDING), 2) AS run_total,
+        |       lag(o_orderkey) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_key,
+        |       lead(o_orderkey) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderkey) AS next_key
+        |FROM orders""".stripMargin,
 
     "q_hourly_rollup" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
@@ -1112,6 +1169,20 @@ object SparkEntry {
         |WHERE lang = 'en'
         |  AND len(string_split_regex(trim(text),'\s+')) >= 20""".stripMargin
   )
+
+  /** Shared truth for both top-k strategies (window row_number and the
+    * bounded-buffer Aggregator): identical rows, identical tie-breaks.
+    */
+  private val topkOracle: String =
+    """SELECT l_returnflag, rn, l_orderkey, l_linenumber, l_extendedprice
+      |FROM (
+      |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+      |         CAST(row_number() OVER (
+      |           PARTITION BY l_returnflag
+      |           ORDER BY l_extendedprice DESC, l_orderkey ASC,
+      |                    l_linenumber ASC) AS INTEGER) AS rn
+      |  FROM lineitem)
+      |WHERE rn <= 3""".stripMargin
 
   /** Shared truth for both near-dup joins: exact 12-gram Jaccard ≥ 0.7.
     * q_ngram_jaccard reaches it by prefix filtering, q_minhash_lsh by

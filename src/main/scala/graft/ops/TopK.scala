@@ -54,4 +54,19 @@ object TopK {
     new TopKAggregator[(Double, Long)](k, ord, tupleEnc,
       org.apache.spark.sql.Encoders.kryo[Seq[(Double, Long)]])
   }
+
+  /** Top-k of (score, key1, key2) rows: score descending, then key1/key2
+    * ascending — the exact tie discipline of the window top-k
+    * (q_topk_per_group), so both strategies share one oracle.
+    */
+  def topKTriples(k: Int): TopKAggregator[(Double, Long, Int)] = {
+    implicit val tripleEnc: Encoder[(Double, Long, Int)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong,
+                     Encoders.scalaInt)
+    val ord = Ordering.by[(Double, Long, Int), (Double, Long, Int)] {
+      case (s, k1, k2) => (s, -k1, -k2)
+    }
+    new TopKAggregator[(Double, Long, Int)](k, ord, tripleEnc,
+      org.apache.spark.sql.Encoders.kryo[Seq[(Double, Long, Int)]])
+  }
 }

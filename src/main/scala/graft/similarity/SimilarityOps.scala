@@ -130,44 +130,85 @@ object SimilarityOps {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
-  /** IVF index build: pick `nlist` deterministic seed centroids (the
-    * lowest-id vectors stand in for a k-means codebook — the plumbing, not
-    * the training, is the engine's job), broadcast them, and assign every
-    * vector to its nearest centroid. At scale this is the write-time pass
-    * that turns a flat 100 TB embedding table into `nlist` inverted lists.
+  /** Deterministic seed codebook: the `nlist` lowest-id vectors, ranked
+    * into list ids 0..nlist-1. The global window runs over nlist rows
+    * only, never the data.
     */
-  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
-                nlist: Int): DataFrame = {
-    val centroids = broadcast(
-      emb.orderBy(col(idCol).asc).limit(nlist)
-        .select(col(idCol).as("cid"), col(vecCol).as("cvec")))
+  def seedCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int): DataFrame =
+    emb.orderBy(col(idCol).asc).limit(nlist)
+      .withColumn("list_id",
+        row_number().over(Window.orderBy(col(idCol).asc)) - 1)
+      .select(col("list_id"), col(vecCol).as("cvec"))
+
+  /** Assign every vector to its nearest centroid in `cents`
+    * (list_id, cvec). One broadcast of the (tiny) codebook + one scan
+    * pass; ties break on the lower list_id. At scale this is the
+    * write-time pass that turns a flat 100 TB embedding table into
+    * `nlist` inverted lists.
+    */
+  def ivfAssignTo(emb: DataFrame, idCol: String, vecCol: String,
+                  cents: DataFrame): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(
-      col("csim").desc, col("cid").asc)
-    emb.crossJoin(centroids)
+      col("csim").desc, col("list_id").asc)
+    emb.crossJoin(broadcast(cents))
       .withColumn("csim", cosineSim(col(vecCol), col("cvec")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("cid").as("list_id"))
+      .select(col(idCol), col(vecCol), col("list_id"))
   }
 
-  /** IVF query: search the `nprobe` lists whose centroids are nearest the
-    * probe, brute-force within them.
+  /** IVF index build against the seed codebook (backwards-compatible
+    * shape: list_id values are 0..nlist-1 ranks of the seed ids).
     */
-  def ivfTopK(assigned: DataFrame, idCol: String, vecCol: String,
-              probeId: Long, k: Int, nprobe: Int): DataFrame = {
+  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
+                nlist: Int): DataFrame =
+    ivfAssignTo(emb, idCol, vecCol,
+                seedCentroids(emb, idCol, vecCol, nlist))
+
+  /** Spherical k-means training for the IVF codebook: assign to nearest
+    * centroid by cosine, recompute each list's centroid as the
+    * per-dimension mean (the mean direction maximizes the summed cosine,
+    * so the objective is monotone non-decreasing — the spec asserts it),
+    * repeat. Fully distributed: each iteration is one broadcast-join
+    * assignment pass plus a per-dimension partial aggregation
+    * (posexplode → avg → re-assemble via sorted struct collect); the only
+    * data ever collected anywhere is nothing — the codebook stays a
+    * (tiny) DataFrame, re-broadcast each round.
+    */
+  def ivfTrain(emb: DataFrame, idCol: String, vecCol: String,
+               nlist: Int, iters: Int): DataFrame = {
+    var cents = seedCentroids(emb, idCol, vecCol, nlist)
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssignTo(emb, idCol, vecCol, cents)
+      cents = assigned
+        .select(col("list_id"), posexplode(col(vecCol)))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .groupBy(col("list_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("cvec"))
+    }
+    cents
+  }
+
+  /** IVF query: search the `nprobe` lists whose centroids (from the
+    * `cents` codebook — seed or trained) are nearest the probe,
+    * brute-force within them.
+    */
+  def ivfTopK(assigned: DataFrame, cents: DataFrame, idCol: String,
+              vecCol: String, probeId: Long, k: Int,
+              nprobe: Int): DataFrame = {
     val probe = broadcast(
       assigned.filter(col(idCol) === probeId)
         .select(col(vecCol).as("__probe")))
-    val centroids = assigned
-      .join(assigned.select(col("list_id").as("lid")).distinct(),
-            col(idCol) === col("lid"))
-      .select(col("lid"), col(vecCol).as("cvec"))
     val targetLists = broadcast(
-      centroids.crossJoin(probe)
+      cents.crossJoin(probe)
         .withColumn("csim", cosineSim(col("cvec"), col("__probe")))
-        .orderBy(col("csim").desc, col("lid").asc)
+        .orderBy(col("csim").desc, col("list_id").asc)
         .limit(nprobe)
-        .select(col("lid")))
+        .select(col("list_id").as("lid")))
     assigned
       .join(targetLists, col("list_id") === col("lid"))
       .filter(col(idCol) =!= probeId)

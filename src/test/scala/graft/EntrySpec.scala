@@ -28,7 +28,7 @@ class EntrySpec extends SparkSpec {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // intentionally rows-only (hash-internal or stub-backed outputs)
     val expected = Set("q_simhash_pairs", "q_fingerprints", "q_ann_topk",
-                       "q_ivf_topk", "q_approx_users",
+                       "q_ivf_topk", "q_ivf_trained", "q_approx_users",
                        "q_multimodal_features", "q_lsh_cosine_pairs")
     assert(noOracle === expected)
   }

@@ -81,10 +81,11 @@ class SimilaritySpec extends SparkSpec {
     val ann = SimilarityOps.annTopK(emb, "vec_id", "embedding", 0L, 5, bits = 3)
       .select($"sim").as[Double].collect()
     assert(ann.nonEmpty && ann.forall(_ <= brute + 1e-9))
-    val assigned = SimilarityOps.ivfAssign(emb, "vec_id", "embedding", nlist = 4)
+    val cents = SimilarityOps.seedCentroids(emb, "vec_id", "embedding", 4)
+    val assigned = SimilarityOps.ivfAssignTo(emb, "vec_id", "embedding", cents)
     assert(assigned.select($"list_id").distinct().count() <= 4)
-    val ivf = SimilarityOps.ivfTopK(assigned, "vec_id", "embedding", 0L,
-                                    k = 5, nprobe = 2)
+    val ivf = SimilarityOps.ivfTopK(assigned, cents, "vec_id", "embedding",
+                                    0L, k = 5, nprobe = 2)
       .select($"sim").as[Double].collect()
     assert(ivf.length === 5 && ivf.forall(_ <= brute + 1e-9))
   }
@@ -102,9 +103,34 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("ivf probe of all lists recovers exact brute-force top-k") {
-    val assigned = SimilarityOps.ivfAssign(emb, "vec_id", "embedding", nlist = 4)
-    val full = SimilarityOps.ivfTopK(assigned, "vec_id", "embedding", 0L,
-                                     k = 10, nprobe = 4)
+    val cents = SimilarityOps.seedCentroids(emb, "vec_id", "embedding", 4)
+    val assigned = SimilarityOps.ivfAssignTo(emb, "vec_id", "embedding", cents)
+    val full = SimilarityOps.ivfTopK(assigned, cents, "vec_id", "embedding",
+                                     0L, k = 10, nprobe = 4)
+      .select($"vec_id").as[Long].collect().toSet
+    val brute = SimilarityOps.topKNeighbors(emb, "vec_id", "embedding", 0L, 10)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(full === brute)
+  }
+
+  test("ivfTrain: spherical k-means objective is monotone non-decreasing") {
+    // objective = mean cosine of each vector to its assigned centroid;
+    // assign(max-cosine) + update(mean direction) must not decrease it
+    def objective(cents: org.apache.spark.sql.DataFrame): Double =
+      SimilarityOps.ivfAssignTo(emb, "vec_id", "embedding", cents)
+        .join(cents, "list_id")
+        .select(VectorExpressions.cosineSim($"embedding", $"cvec").as("c"))
+        .agg(avg($"c")).as[Double].head()
+    val seeds = SimilarityOps.seedCentroids(emb, "vec_id", "embedding", 4)
+    val it1 = SimilarityOps.ivfTrain(emb, "vec_id", "embedding", 4, iters = 1)
+    val it2 = SimilarityOps.ivfTrain(emb, "vec_id", "embedding", 4, iters = 2)
+    val (o0, o1, o2) = (objective(seeds), objective(it1), objective(it2))
+    assert(o1 >= o0 - 1e-9)
+    assert(o2 >= o1 - 1e-9)
+    // trained probe with nprobe = all lists still recovers brute force
+    val assigned = SimilarityOps.ivfAssignTo(emb, "vec_id", "embedding", it2)
+    val full = SimilarityOps.ivfTopK(assigned, it2, "vec_id", "embedding",
+                                     0L, k = 10, nprobe = 4)
       .select($"vec_id").as[Long].collect().toSet
     val brute = SimilarityOps.topKNeighbors(emb, "vec_id", "embedding", 0L, 10)
       .select($"vec_id").as[Long].collect().toSet
