@@ -24,17 +24,32 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** JSON string escape for interpolated names/paths: backslash, quote,
+    * and all control chars — a quote in SPARK_GRAFT_SF_DIR must not break
+    * the machine-parsed contract line (same discipline as Verify's
+    * oracle_sql.json writer).
+    */
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   /** The one-line JSON metric (pure — spec'd so the driver-parseability
     * contract can't silently regress). A query timed < 0 means FAILED; it
     * is excluded from the sum and the total is poisoned past any
     * plausible duration so a failing round can't look fast.
     */
   def renderJson(results: Seq[(String, Double)], sfDir: String): String = {
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => q(k) + ":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum +
       (if (results.exists(_._2 < 0)) 1e9 else 0.0)
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${q(sfDir)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -67,8 +82,11 @@ object Bench {
         name -> (if (ok) sec else -1.0)
     }
     val json = renderJson(results, sfDir)
-    Files.createDirectories(Paths.get("target"))
-    Files.writeString(Paths.get("target/bench.json"), json + "\n")
+    // absolute path: the driver may invoke from any cwd (same rationale
+    // as Sinks.scratchRoot)
+    val outDir = Paths.get("/root/repo/target")
+    Files.createDirectories(outDir)
+    Files.writeString(outDir.resolve("bench.json"), json + "\n")
     spark.stop()
     // sole unprefixed line after shutdown: nothing can interleave with it
     println(json)

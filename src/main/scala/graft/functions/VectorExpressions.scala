@@ -191,6 +191,10 @@ case class LshBucket(child: Expression, bits: Int) extends UnaryExpression {
     val acc = new Array[Double](bits)
     var i = 0
     while (i < n) {
+      // a null element null-poisons every bit's aggregate in the HOF
+      // formulation, which `when(s > 0, ...)` turns into bucket 0 — match
+      // it exactly rather than reading garbage from the null slot
+      if (arr.isNullAt(i)) return 0L
       val x = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       var j = 0
       while (j < bits) {

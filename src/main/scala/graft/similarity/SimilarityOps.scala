@@ -178,17 +178,31 @@ object SimilarityOps {
     */
   def ivfTrain(emb: DataFrame, idCol: String, vecCol: String,
                nlist: Int, iters: Int): DataFrame = {
+    // doubles throughout: the per-dimension means are double, and
+    // coalesce (empty-cluster carry-over) needs both branches same-typed
     var cents = seedCentroids(emb, idCol, vecCol, nlist)
+      .select(col("list_id"),
+              transform(col("cvec"), _.cast("double")).as("cvec"))
     for (_ <- 1 to iters) {
       val assigned = ivfAssignTo(emb, idCol, vecCol, cents)
-      cents = assigned
+      val means = assigned
         .select(col("list_id"), posexplode(col(vecCol)))
         .groupBy(col("list_id"), col("pos"))
         .agg(avg(col("col").cast("double")).as("m"))
         .groupBy(col("list_id"))
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
-          e => e.getField("m")).as("cvec"))
+          e => e.getField("m")).as("mvec"))
+      // An empty cluster (no assignments this round) keeps its previous
+      // centroid instead of silently vanishing from the codebook — the
+      // codebook stays exactly nlist lists. Pin each round's (tiny)
+      // codebook so iteration i doesn't lazily re-execute every previous
+      // round's full assignment job (O(iters²) passes otherwise).
+      cents = cents
+        .join(means, Seq("list_id"), "left")
+        .select(col("list_id"),
+                coalesce(col("mvec"), col("cvec")).as("cvec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     cents
   }

@@ -65,9 +65,15 @@ object StreamingOps {
                         col("bin").as("bin_a"))
     val b = base.select(col("id").as("id_b"), col("ets").as("ts_b"),
                         col("bin").as("bin_b"))
+    // The ts_b >= ts_a conjunct is logically implied by the disjunction,
+    // but it must appear as an EXPLICIT top-level conjunct: Spark's
+    // stream-stream state cleanup only extracts conjunct-level time
+    // bounds, and without a lower bound on ts_b the b-side state store
+    // would never evict (unbounded growth on a real stream).
     val bound =
-      (col("ts_a") < col("ts_b") ||
-        (col("ts_a") === col("ts_b") && col("id_a") < col("id_b"))) &&
+      col("ts_b") >= col("ts_a") &&
+        (col("ts_a") < col("ts_b") ||
+          (col("ts_a") === col("ts_b") && col("id_a") < col("id_b"))) &&
         col("ts_b") <= col("ts_a") + expr(s"INTERVAL $deltaMs MILLISECOND")
     val sameBin = a.join(b, col("bin_b") === col("bin_a") && bound)
     val nextBin = a.join(b, col("bin_b") === col("bin_a") + 1 && bound)

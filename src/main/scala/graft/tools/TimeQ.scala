@@ -25,8 +25,11 @@ object TimeQ {
     // SPARK_GRAFT_EXTRA_CONF="spark.eventLog.enabled=true;spark.eventLog.dir=/tmp/spark-events"
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach {
       _.split(";").filter(_.nonEmpty).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        builder.config(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => builder.config(k, v)
+          case _ => sys.error(
+            s"SPARK_GRAFT_EXTRA_CONF entry needs key=value, got: '$kv'")
+        }
       }
     }
     val spark = builder.getOrCreate()

@@ -35,4 +35,10 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(!json.contains("\n"))
     assert(json.startsWith("{") && json.endsWith("}"))
   }
+
+  test("quotes/backslashes/control chars in sf dir stay valid JSON") {
+    val nasty = "/tmp/we\"ird\\dir\n"
+    val node = mapper.readTree(Bench.renderJson(Seq("q" -> 1.0), nasty))
+    assert(node.get("sf").asText() === nasty)
+  }
 }

@@ -38,6 +38,16 @@ class SimilaritySpec extends SparkSpec {
     val range = emb.select(SimilarityOps.lshBucket($"embedding", 4).as("b"))
       .agg(min($"b"), max($"b")).as[(Long, Long)].head()
     assert(range._1 >= 0L && range._2 < 16L)
+    // a null ELEMENT null-poisons the HOF per-bit aggregates → bucket 0;
+    // the native expression must match instead of reading the null slot
+    val withNull = Seq(Tuple1(Array[java.lang.Float](1.0f, null, 2.0f)))
+      .toDF("v")
+    val buckets = withNull.select(
+      SimilarityOps.lshBucket($"v", 4).as("nat"),
+      SimilarityOps.lshBucketHof($"v", 4).as("hof"))
+      .as[(Long, Long)].head()
+    assert(buckets._1 === buckets._2)
+    assert(buckets._1 === 0L)
   }
 
   test("dotProduct: orthogonal and aligned vectors") {
@@ -127,6 +137,9 @@ class SimilaritySpec extends SparkSpec {
     val (o0, o1, o2) = (objective(seeds), objective(it1), objective(it2))
     assert(o1 >= o0 - 1e-9)
     assert(o2 >= o1 - 1e-9)
+    // the codebook never shrinks: empty clusters carry their previous
+    // centroid instead of vanishing
+    assert(it2.count() === 4L)
     // trained probe with nprobe = all lists still recovers brute force
     val assigned = SimilarityOps.ivfAssignTo(emb, "vec_id", "embedding", it2)
     val full = SimilarityOps.ivfTopK(assigned, it2, "vec_id", "embedding",
