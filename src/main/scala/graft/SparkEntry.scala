@@ -565,6 +565,15 @@ object SparkEntry {
       both.unionByName(onlyUrgent)
     }),
 
+    // Deterministic hash-based train/val/test split (content-derived,
+    // RNG-free, reproducible across engines — the split assignment plus
+    // the per-split census)
+    "q_train_split" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.trainSplit(col("text")).as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"))),
+
     // Vocabulary: corpus token frequencies + deterministic id assignment
     "q_vocab" -> ((s, dir) =>
       TextOps.buildVocab(t(s, dir, "documents"), minCount = 5L)),
@@ -957,6 +966,13 @@ object SparkEntry {
         |  EXCEPT
         |  SELECT DISTINCT o_custkey FROM orders
         |  WHERE o_orderpriority = '2-HIGH')""".stripMargin,
+
+    "q_train_split" ->
+      """SELECT CASE WHEN substr(md5(text), 1, 1) < 'e' THEN 'train'
+        |            WHEN substr(md5(text), 1, 1) = 'e' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "q_vocab" ->
       """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+'))

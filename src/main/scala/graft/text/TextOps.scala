@@ -139,6 +139,19 @@ object TextOps {
           .cast("long").as("chunk_tokens"))
   }
 
+  /** Deterministic train/val/test assignment from the content hash: the
+    * first hex digit of md5(text) partitions the corpus 14:1:1
+    * (≈87.5%/6.25%/6.25%) with no RNG, no state, and full
+    * reproducibility across engines and runs — the split a training
+    * pipeline can re-derive at any time from the data alone. Hex-digit
+    * STRING comparison ('0'..'9' < 'a'..'f') is engine-portable, so the
+    * assignment is oracle-checkable.
+    */
+  def trainSplit(text: Column): Column = {
+    val h = substring(fingerprint(text), 1, 1)
+    when(h < "e", "train").when(h === "e", "val").otherwise("test")
+  }
+
   /** All text stats in one projection (one scan pass). */
   def withTextStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)
