@@ -24,12 +24,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** JSON string escape for interpolated names/paths: backslash, quote,
-    * and all control chars — a quote in SPARK_GRAFT_SF_DIR must not break
-    * the machine-parsed contract line (same discipline as Verify's
-    * oracle_sql.json writer).
+  /** JSON string escape for interpolated names/paths/SQL: backslash,
+    * quote, and all control chars. Shared by the bench metric line and
+    * Verify's oracle_sql.json — both are machine-parsed driver contracts
+    * that a stray quote/tab would silently zero out.
     */
-  private def q(s: String): String = "\"" + s.flatMap {
+  private[graft] def jsonQuote(s: String): String = "\"" + s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
     case '\n' => "\\n"
@@ -45,11 +45,11 @@ object Bench {
     * plausible duration so a failing round can't look fast.
     */
   def renderJson(results: Seq[(String, Double)], sfDir: String): String = {
-    val qs = results.map { case (k, v) => q(k) + ":" + v }
+    val qs = results.map { case (k, v) => jsonQuote(k) + ":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum +
       (if (results.exists(_._2 < 0)) 1e9 else 0.0)
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${q(sfDir)}}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jsonQuote(sfDir)}}"""
   }
 
   def main(args: Array[String]): Unit = {
