@@ -419,6 +419,26 @@ object SparkEntry {
         .toDF()
         .select(col("doc_id"), col("format"), col("n_bytes"))),
 
+    // Multimodal resize through the typed mapPartitions path: the stub
+    // truncates payload proportionally to the pixel-count ratio, so the
+    // byte accounting (min(len, max(1, trunc(len·scale)))) is exact and
+    // oracle-checked even though the pixel math is stubbed.
+    "q_media_resize" -> ((s, dir) =>
+      MultimodalOps.resize(
+          s, MultimodalOps.toMediaTable(t(s, dir, "documents")), 64, 64)
+        .toDF()
+        .select(col("doc_id"),
+                length(col("media")).cast("long").as("n_bytes_resized"))),
+
+    // Multimodal frame sampling (the one-to-many media transform): every
+    // 4th 1 KiB block of the payload; block indices and byte counts are
+    // exact, so the whole explode shape is oracle-checked.
+    "q_frame_sample" -> ((s, dir) =>
+      MultimodalOps.sampleFrames(
+          s, MultimodalOps.toMediaTable(t(s, dir, "documents")), stride = 4)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"), col("frame_bytes"))),
+
     // Streaming-shaped windowed rollup applied to the batch frame
     "q_stream_rollup" -> ((s, dir) =>
       StreamingOps.windowedRollup(t(s, dir, "events"))),
@@ -802,6 +822,28 @@ object SparkEntry {
         |         AS format,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
+
+    "q_media_resize" ->
+      """WITH m AS (SELECT doc_id,
+        |                  CAST(octet_length(encode(text)) AS BIGINT) AS len,
+        |                  (doc_id % 64) * 16 + 64 AS w,
+        |                  (doc_id % 32) * 16 + 64 AS h
+        |           FROM documents)
+        |SELECT doc_id,
+        |       LEAST(len, GREATEST(1, CAST(trunc(len * LEAST(1.0,
+        |         4096.0 / GREATEST(1.0, CAST(w * h AS DOUBLE))))
+        |         AS BIGINT))) AS n_bytes_resized
+        |FROM m""".stripMargin,
+
+    "q_frame_sample" ->
+      """WITH m AS (SELECT doc_id,
+        |                  CAST(octet_length(encode(text)) AS BIGINT) AS len
+        |           FROM documents),
+        |idx AS (SELECT unnest(range(0,
+        |          (SELECT CAST(max(len) AS BIGINT) FROM m) // 1024 + 1)) AS i)
+        |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |       LEAST(1024, len - i * 1024) AS frame_bytes
+        |FROM m JOIN idx ON i * 1024 < len AND i % 4 = 0""".stripMargin,
 
     "q_partitioned_write" ->
       """SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
