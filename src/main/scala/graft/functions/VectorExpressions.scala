@@ -156,13 +156,18 @@ case class DotProduct(left: Expression, right: Expression)
 /** Random-hyperplane LSH bucket id: bit j = sign(v · h_j) with hyperplane
   * components h_j[i] ∈ {±1} derived from xxhash64(j, i) — deterministic,
   * no stored model, bit-identical to the higher-order-function
-  * formulation it replaces (`aggregate(zip_with(...))` per bit walked the
-  * whole vector `bits` times through three intermediate arrays; this is
-  * one fused pass with per-bit accumulators and zero allocation beyond
-  * one small double[]). Per-element hyperplane signs come from
+  * formulation it replaces for every NON-NULL vector, null elements
+  * included (`aggregate(zip_with(...))` per bit walked the whole vector
+  * `bits` times through three intermediate arrays; this is one fused pass
+  * with per-bit accumulators and zero allocation beyond one small
+  * double[]). Per-element hyperplane signs come from
   * `XXH64.hashInt(i, seed_j)` parity, `seed_j = XXH64.hashInt(j, 42)` —
-  * exactly Spark's `xxhash64(lit(j), i)` fold, so bucket assignments match
-  * the r1 HOF semantics.
+  * exactly Spark's `xxhash64(lit(j), i)` fold.
+  *
+  * Deliberate divergence on a NULL vector INPUT: this expression is
+  * null-in/null-out (a missing embedding has no bucket, so joins drop the
+  * row), whereas the HOF twin's `when(s > 0,...).otherwise(0)` would
+  * claim bucket 0 for it — an artifact, not a semantic.
   */
 case class LshBucket(child: Expression, bits: Int) extends UnaryExpression {
   require(bits >= 1 && bits <= 63, s"lsh_bucket bits must be in [1,63], got $bits")

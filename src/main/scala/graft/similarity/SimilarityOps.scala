@@ -195,14 +195,21 @@ object SimilarityOps {
           e => e.getField("m")).as("mvec"))
       // An empty cluster (no assignments this round) keeps its previous
       // centroid instead of silently vanishing from the codebook — the
-      // codebook stays exactly nlist lists. Pin each round's (tiny)
-      // codebook so iteration i doesn't lazily re-execute every previous
-      // round's full assignment job (O(iters²) passes otherwise).
+      // codebook stays exactly nlist lists.
+      val prev = cents
       cents = cents
         .join(means, Seq("list_id"), "left")
         .select(col("list_id"),
                 coalesce(col("mvec"), col("cvec")).as("cvec"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Training is inherently iterative: round i's assignment job must
+      // run before round i+1 can improve on it, so materialize each
+      // round's (nlist-row) codebook EAGERLY — that truncates the lazy
+      // lineage (O(iters²) re-assignment passes otherwise) and makes it
+      // safe to release the previous round's cache immediately instead
+      // of leaking one cached frame per iteration.
+      cents.count()
+      prev.unpersist(false) // no-op for the (never-persisted) seed frame
     }
     cents
   }

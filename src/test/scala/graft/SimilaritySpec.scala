@@ -28,10 +28,12 @@ class SimilaritySpec extends SparkSpec {
     // the native expression must be a pure speedup: bucket ids identical
     // to the HOF formulation for every vector, at two different widths
     Seq(4, 7).foreach { bits =>
+      // null-SAFE inequality: a null on either side must count as a
+      // mismatch, not vanish from the filter
       val mismatches = emb
         .select(SimilarityOps.lshBucket($"embedding", bits).as("nat"),
                 SimilarityOps.lshBucketHof($"embedding", bits).as("hof"))
-        .filter($"nat" =!= $"hof").count()
+        .filter(!($"nat" <=> $"hof")).count()
       assert(mismatches === 0L)
     }
     // bucket ids stay inside [0, 2^bits)
@@ -48,6 +50,15 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long)].head()
     assert(buckets._1 === buckets._2)
     assert(buckets._1 === 0L)
+    // a NULL vector INPUT is the documented divergence: native is
+    // null-in/null-out (no bucket → joins drop the row); the HOF twin's
+    // otherwise(0) would claim bucket 0
+    val nullVec = Seq(Tuple1(null.asInstanceOf[Array[Float]])).toDF("v")
+    val row = nullVec.select(
+      SimilarityOps.lshBucket($"v", 4).as("nat"),
+      SimilarityOps.lshBucketHof($"v", 4).as("hof")).collect()(0)
+    assert(row.isNullAt(0))
+    assert(row.getLong(1) === 0L)
   }
 
   test("dotProduct: orthogonal and aligned vectors") {
