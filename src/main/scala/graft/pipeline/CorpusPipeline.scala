@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -40,11 +39,17 @@ object CorpusPipeline {
 
   def curate(docs: DataFrame, lang: String = "en",
              tau: Double = 0.7, minTokens: Int = 20): DataFrame = {
-    // exact dedup on content fingerprint, deterministic survivor
-    val w = Window.partitionBy(TextOps.fingerprint(col("text")))
-      .orderBy(col("doc_id").asc)
-    val exactKept = docs.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    // Exact dedup on content fingerprint, deterministic survivor = the
+    // whole row with the lowest doc_id. min_by-aggregate rather than a
+    // row_number window: identical semantics, but the aggregate gets
+    // map-side partial combine — on a duplicate-heavy 100 TB corpus the
+    // shuffle carries one candidate row per (map task, fingerprint)
+    // instead of every duplicate, and nothing buffers whole groups.
+    val exactKept = docs
+      .groupBy(TextOps.fingerprint(col("text")).as("__fp"))
+      .agg(min_by(struct(docs.columns.map(col): _*), col("doc_id"))
+             .as("__row"))
+      .select(col("__row.*"))
 
     // ONE pass over surviving text computes everything downstream needs;
     // pinned (evictable) because the near-dup join references it three
