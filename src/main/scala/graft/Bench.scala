@@ -9,8 +9,11 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query is executed once untimed (JIT + codegen cache + file-cache
   * warm-up — local-mode stand-ins for a cluster's steady state) and then
-  * timed. The timed run includes full plan construction and execution;
-  * sink queries rewrite their output each run.
+  * timed TWICE, reporting the min — a single timed run is hostage to
+  * whatever else the box is doing (r2's driver run recorded 2-10× spikes
+  * on queries that re-measured flat on an idle box). Each timed run
+  * includes full plan construction and execution; sink queries rewrite
+  * their output each run.
   *
   * Hygiene (r1 lesson): queries that persist intermediates would otherwise
   * leak cached blocks into every later query's run (and let the timed run
@@ -18,9 +21,12 @@ import org.apache.spark.sql.SparkSession
   * EVERY run, so each timed number is a cold-cache, warm-JIT measurement
   * and block-manager pressure never accumulates across the suite.
   *
-  * The JSON metric line is written to `target/bench.json` AND printed as
-  * the final stdout line after `spark.stop()` — sbt/Spark log noise made
-  * the stdout-only form unparseable in r1.
+  * The detailed JSON metric line is written to `<out>/bench.json` AND
+  * printed to stdout after `spark.stop()` — then a SHORT total-only JSON
+  * line is printed as the true final line. The driver reads a bounded
+  * tail of stdout; the ~2.6 KB detailed line got truncated mid-string in
+  * r1 AND r2 (`parsed: null` both rounds), so the last line must be small
+  * enough to survive any tail window.
   */
 object Bench {
 
@@ -52,9 +58,27 @@ object Bench {
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jsonQuote(sfDir)}}"""
   }
 
+  /** The short, total-only metric line (pure, spec'd). Printed LAST so the
+    * driver's stdout tail always contains one complete parseable object;
+    * carries the same poisoned-total semantics as the detailed line.
+    */
+  def renderShortJson(results: Seq[(String, Double)], sfDir: String): String = {
+    val total = results.map(_._2).filter(_ >= 0).sum +
+      (if (results.exists(_._2 < 0)) 1e9 else 0.0)
+    s"""{"metric":"total","value":$total,"unit":"sec","sf":${jsonQuote(sfDir)}}"""
+  }
+
+  /** local[N] width: env override, else the machine's core count — a
+    * hardcoded 32 oversubscribes smaller hosts and skews timings
+    * (shuffle.partitions tracks it too). Shared by Verify/TimeQ.
+    */
+  private[graft] def defaultCpus: String =
+    sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = defaultCpus
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -65,30 +89,41 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def dropCaches(): Unit = spark.catalog.clearCache()
+    def timedRun(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      dropCaches()
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      dropCaches()
+      // a failed query must not masquerade as a fast one: -1 marker
+      if (ok) sec else -1.0
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         try { fn(spark, sfDir).count() } // warm-up, untimed
         catch { case _: Throwable => }
-        dropCaches()
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
-        }
-        val sec = (System.nanoTime() - t0) / 1e9
-        dropCaches()
-        // a failed query must not masquerade as a fast one: -1 marker
-        name -> (if (ok) sec else -1.0)
+        // min-of-2 cold-cache runs: damps box contention without hiding a
+        // genuinely slow plan (both runs rebuild + re-execute from cold)
+        val a = timedRun(name, fn)
+        val b = timedRun(name, fn)
+        name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val json = renderJson(results, sfDir)
-    // absolute path: the driver may invoke from any cwd (same rationale
-    // as Sinks.scratchRoot)
-    val outDir = Paths.get("/root/repo/target")
+    // absolute fallback path: the driver may invoke from any cwd (same
+    // rationale as Sinks.scratchRoot)
+    val outDir = Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_OUT", "/root/repo/target"))
     Files.createDirectories(outDir)
     Files.writeString(outDir.resolve("bench.json"), json + "\n")
     spark.stop()
-    // sole unprefixed line after shutdown: nothing can interleave with it
+    // after shutdown nothing can interleave; detailed line first (for
+    // humans + bench.json parity), short total-only line LAST (for the
+    // driver's bounded stdout tail)
     println(json)
+    println(renderShortJson(results, sfDir))
   }
 }

@@ -12,7 +12,7 @@ import graft.{SparkEntry, Tables}
 object TimeQ {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = graft.Bench.defaultCpus
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -41,4 +41,20 @@ class BenchJsonSpec extends AnyFunSuite {
     val node = mapper.readTree(Bench.renderJson(Seq("q" -> 1.0), nasty))
     assert(node.get("sf").asText() === nasty)
   }
+
+  test("short line: total-only, same total, stays tiny at suite scale") {
+    val results = (1 to 80).map(i => f"q_query_number_$i%03d" -> 1.25)
+    val short = Bench.renderShortJson(results, "/root/testdata/sf0.1")
+    val node = mapper.readTree(short)
+    assert(node.get("metric").asText() === "total")
+    assert(math.abs(node.get("value").asDouble() - 100.0) < 1e-9)
+    assert(node.get("queries") == null)
+    assert(!short.contains("\n"))
+    // the whole point: survives any plausible stdout tail window even at
+    // several times today's query count
+    assert(short.length < 200)
+    // same poisoned-total semantics as the detailed line
+    val poisoned = Bench.renderShortJson(Seq("q" -> -1.0), "sf")
+    assert(mapper.readTree(poisoned).get("value").asDouble() >= 1e9)
+  }
 }
