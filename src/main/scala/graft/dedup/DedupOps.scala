@@ -77,8 +77,20 @@ object DedupOps {
     */
   def hashedSets(docs: DataFrame, idCol: String, textCol: String,
                  n: Int): DataFrame =
-    docs.select(col(idCol).as("id"),
-                ShingleExpressions.shingleHashes(col(textCol), n).as("hs"))
+    // spread the docs across the cluster FIRST: a small corpus often
+    // arrives as one parquet row-group → one partition, which would run
+    // the per-byte shingling (and everything the cached frame feeds,
+    // including the postings explode) on a single core. One tiny exchange
+    // of raw text buys full parallelism for the quadratic work downstream
+    // — the same shape at 100 TB, where a few large input splits would
+    // otherwise feed the pair join. Hash-partition on the id (NOT
+    // round-robin): round-robin repartition locally sorts every row for
+    // retry determinism — a full sort of document bytes; the hash
+    // exchange just routes rows.
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism,
+                     col(idCol))
+      .select(col(idCol).as("id"),
+              ShingleExpressions.shingleHashes(col(textCol), n).as("hs"))
       .withColumn("sz", size(col("hs")))
       .persist(StorageLevel.MEMORY_AND_DISK) // lazy: fills at first action
 
@@ -94,11 +106,18 @@ object DedupOps {
     val candIds = cand.select(col("id_a").as("id"))
       .union(cand.select(col("id_b").as("id"))).distinct()
     val needed = sets.join(candIds, Seq("id"), "left_semi")
+    // shuffle-hash, not sort-merge: SMJ would SORT the candidate stream
+    // with both 8 KB-ish set payloads attached; hashing builds on the
+    // (semi-join-reduced) sets side and streams candidates through —
+    // measurably faster here and the right asymmetry at corpus scale
+    // (candidates ≫ reduced sets).
     cand
-      .join(needed.select(col("id").as("id_a"), col("hs").as("set_a"),
-                          col("sz").as("sz_a")), "id_a")
-      .join(needed.select(col("id").as("id_b"), col("hs").as("set_b"),
-                          col("sz").as("sz_b")), "id_b")
+      .join(needed.hint("shuffle_hash")
+              .select(col("id").as("id_a"), col("hs").as("set_a"),
+                      col("sz").as("sz_a")), "id_a")
+      .join(needed.hint("shuffle_hash")
+              .select(col("id").as("id_b"), col("hs").as("set_b"),
+                      col("sz").as("sz_b")), "id_b")
       .withColumn("common", ShingleExpressions.sortedLongIntersectCount(
         col("set_a"), col("set_b")))
       .withColumn("jaccard", col("common").cast("double") /
@@ -139,7 +158,7 @@ object DedupOps {
           .orderBy(col("df").asc, col("sh").asc)))
       .filter(col("rn") <=
         floor(lit(1.0 - tau) * col("sz")).cast("int") + 1)
-      .select("id", "sh", "sz")
+      .select("id", "sh", "sz", "rn")
       // Self-joined below: compute the window once (evictable cache).
       // Deliberately NOT pre-partitioned on the join key: at bench scale
       // AQE broadcasts this frame for the self-join (an exchange here is
@@ -148,11 +167,28 @@ object DedupOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // length filter: J(A,B) ≥ τ forces τ·|B| ≤ |A| ≤ |B|/τ — prunes
     // size-mismatched candidates before the expensive verify.
+    //
+    // positional filter (PPJoin-style): both sets are ordered by the SAME
+    // global (df, sh) total order, and rn is the matching shingle's
+    // position in that order. Common elements strictly before the match ≤
+    // min(rn_a, rn_b) − 1, strictly after ≤ min(sz_a−rn_a, sz_b−rn_b), so
+    //   |A∩B| ≤ min(rn_a, rn_b) + min(sz_a−rn_a, sz_b−rn_b)
+    // while J ≥ τ needs |A∩B| ≥ τ/(1+τ)·(sz_a+sz_b). Candidates whose
+    // match position makes that impossible never reach the verify join —
+    // lossless, and it prunes where the length filter can't (same-size
+    // docs whose shared shingle sits deep in one prefix). The 1e-9 guard
+    // keeps FP rounding of τ/(1+τ) from pruning an exact-boundary pair.
+    val overlapBound =
+      least(col("a.rn"), col("b.rn")) +
+        least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn"))
+    val minOverlap =
+      lit(tau / (1.0 + tau)) * (col("a.sz") + col("b.sz")) - lit(1e-9)
     val cand = prefix.as("a")
       .join(prefix.as("b"),
             col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
               col("a.sz") >= lit(tau) * col("b.sz") &&
-              col("b.sz") >= lit(tau) * col("a.sz"))
+              col("b.sz") >= lit(tau) * col("a.sz") &&
+              overlapBound >= minOverlap)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     verifyPairs(cand, sets, tau)

@@ -49,14 +49,24 @@ object CorpusPipeline {
       .groupBy(TextOps.fingerprint(col("text")).as("__fp"))
       .agg(min_by(struct(docs.columns.map(col): _*), col("doc_id"))
              .as("__row"))
-      .select(col("__row.*"))
+      .select(col("__fp"), col("__row.*"))
 
     // ONE pass over surviving text computes everything downstream needs;
     // pinned (evictable) because the near-dup join references it three
-    // times and the final projection a fourth.
-    val enriched = exactKept.select(
+    // times and the final projection a fourth. The fingerprint rides
+    // through from the dedup group key (__fp) — re-hashing every
+    // surviving document here would be a second full md5 pass over the
+    // corpus. Re-spread first: AQE coalesces the small post-dedup
+    // shuffle toward one partition, which would run the per-byte
+    // enrichment (shingles, quality stats) single-core. Hash on doc_id,
+    // not round-robin — round-robin's retry-determinism sort would sort
+    // the document bytes.
+    val enriched = exactKept
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+                   col("doc_id"))
+      .select(
         col("doc_id"), col("lang"),
-        TextOps.fingerprint(col("text")).as("fingerprint"),
+        col("__fp").as("fingerprint"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextOps.qualityScore(col("text")).as("quality_score"),
         ShingleExpressions.shingleHashes(col("text"), ShingleN).as("hs"))

@@ -57,9 +57,16 @@ object SimilarityOps {
     */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
                   tau: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    // The O(n²) cosine work happens on the STREAMED side of the
+    // BroadcastNestedLoopJoin, which inherits the input's partitioning —
+    // a single-file embedding table is one partition, i.e. one core doing
+    // all n² comparisons. Round-robin the streamed side and pin the
+    // broadcast side explicitly so the plan is (n/p)·n per task.
+    val parts = emb.sparkSession.sparkContext.defaultParallelism
+    val a = emb.repartition(parts, col(idCol))
+      .select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
-    a.join(b, col("id_a") < col("id_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
       .withColumn("sim", cosineSim(col("va"), col("vb")))
       .filter(col("sim") >= tau)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
@@ -149,13 +156,31 @@ object SimilarityOps {
     */
   def ivfAssignTo(emb: DataFrame, idCol: String, vecCol: String,
                   cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(
-      col("csim").desc, col("list_id").asc)
-    emb.crossJoin(broadcast(cents))
-      .withColumn("csim", cosineSim(col(vecCol), col("cvec")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("list_id"))
+    // The codebook is tiny BY DEFINITION (nlist ≪ n), so fold it into ONE
+    // array-of-structs row (sorted by list_id) and broadcast that single
+    // row; the nearest-centroid argmax then runs per embedding row inside
+    // one projection. The embedding table is never shuffled AT ALL — not
+    // by a per-vector window (r2: full-table sort shuffle per k-means
+    // iteration, whole-group buffering) and not by a groupBy(id) argmax
+    // (still one-row-per-vector shuffle, i.e. the whole table at scale).
+    // Assignment cost: one scan pass, nlist cosines per row, zero
+    // exchanges — per training iteration.
+    val codebook = broadcast(cents.agg(
+      array_sort(collect_list(struct(
+        col("list_id").cast("int").as("l"),
+        transform(col("cvec"), _.cast("double")).as("c")))).as("__cb")))
+    // strict > keeps the FIRST maximum in list_id order — the same
+    // (csim desc, list_id asc) tie-break the window form had
+    emb.crossJoin(codebook)
+      .select(col(idCol), col(vecCol),
+        aggregate(col("__cb"),
+          struct(lit(-1).as("l"), lit(-2.0).as("s")),
+          (acc, e) => {
+            val s = cosineSim(col(vecCol), e.getField("c"))
+            when(s > acc.getField("s"),
+                 struct(e.getField("l").as("l"), s.as("s")))
+              .otherwise(acc)
+          }).getField("l").as("list_id"))
   }
 
   /** IVF index build against the seed codebook (backwards-compatible
