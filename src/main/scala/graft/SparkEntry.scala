@@ -401,7 +401,11 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))),
 
-    // Multimodal: binary media column → per-partition batched stub decode
+    // Multimodal: binary media column → per-partition batched decode
+    // (imageio for real image bytes, byte-bucket stub otherwise; the fake
+    // text payloads take the stub path, whose bucket-0 mean is an exact
+    // integer-sum/count/255 — SQL-derivable, so f0 is oracle-checked
+    // straight through the mapPartitions plumbing)
     "q_multimodal_features" -> ((s, dir) =>
       MultimodalOps.extractFeatures(
           s, MultimodalOps.toMediaTable(t(s, dir, "documents")))
@@ -411,8 +415,7 @@ object SparkEntry {
 
     // Multimodal metadata slice — the SQL-expressible part of the media
     // table (id-derived format tag, payload byte length) through the same
-    // mapPartitions decode plumbing; only the stub features stay
-    // rows-only (q_multimodal_features).
+    // mapPartitions decode plumbing.
     "q_multimodal_meta" -> ((s, dir) =>
       MultimodalOps.extractFeatures(
           s, MultimodalOps.toMediaTable(t(s, dir, "documents")))
@@ -814,6 +817,37 @@ object SparkEntry {
         |       round(sum(o_totalprice), 2) AS price_sum,
         |       count(DISTINCT o_orderstatus) AS n_status
         |FROM orders""".stripMargin,
+
+    // byte-level twin of the stub decode: bucket 0 = bytes at positions
+    // ≡ 0 (mod 8) of the UTF-8 payload, mean as integer-sum/count/255 —
+    // the identical division chain the stub evaluates, so the doubles
+    // (and their round-6) agree bit-for-bit. Byte extraction goes through
+    // hex() so multi-byte UTF-8 text stays position-exact.
+    "q_multimodal_features" ->
+      """WITH h AS (SELECT doc_id,
+        |                  lower(hex(encode(text))) AS hx,
+        |                  octet_length(encode(text)) AS len
+        |           FROM documents),
+        |pos AS (SELECT unnest(range(0,
+        |          (SELECT CAST(max(len) AS BIGINT) FROM h), 8)) AS i),
+        |b0 AS (SELECT doc_id,
+        |              CAST(sum(
+        |                (strpos('0123456789abcdef',
+        |                        substr(hx, CAST(2*i+1 AS INTEGER), 1))-1)*16 +
+        |                (strpos('0123456789abcdef',
+        |                        substr(hx, CAST(2*i+2 AS INTEGER), 1))-1))
+        |                AS BIGINT) AS s,
+        |              count(*) AS c
+        |       FROM h JOIN pos ON i < len
+        |       GROUP BY doc_id)
+        |SELECT h.doc_id,
+        |       'fake/' || ['png','jpeg','wav','mp4'][CAST(h.doc_id % 4
+        |                                                  AS INTEGER) + 1]
+        |         AS format,
+        |       CAST(h.len AS BIGINT) AS n_bytes,
+        |       round(coalesce(CAST(b0.s AS DOUBLE) / b0.c / 255.0, 0.0), 6)
+        |         AS f0
+        |FROM h LEFT JOIN b0 USING (doc_id)""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

@@ -1,5 +1,9 @@
 package graft.multimodal
 
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -9,11 +13,13 @@ import org.apache.spark.sql.functions._
   * transforms.
   *
   * The Spark-side plumbing — schema, partition-iterator batching,
-  * Dataset[T] signatures — is real and tested. The codec itself is STUBBED
-  * with a deterministic fake (this container has no image/audio libs): the
-  * stub reads the bytes it would hand to a decoder and emits fixed-shape
-  * features, so swapping in a real JNI/javacpp decoder changes one
-  * function body and nothing else.
+  * Dataset[T] signatures — is real and tested. Decode is tiered by what
+  * the payload actually is: real PNG/JPEG bytes (detected by magic, the
+  * ground truth — never the format tag) go through `javax.imageio`, a
+  * true JDK-native pixel decode; everything else (audio/video, and
+  * payloads that aren't decodable images) falls back to a deterministic
+  * byte-level stub, so a real audio/video codec swap changes one function
+  * body and nothing else.
   *
   * Scale notes: media rows are large, so the transforms use
   * `mapPartitions` (one setup per partition, the place a real decoder
@@ -26,7 +32,7 @@ object MultimodalOps {
   case class MediaRow(doc_id: Long, media: Array[Byte], format: String,
                       width: Int, height: Int)
   case class MediaFeatures(doc_id: Long, format: String, n_bytes: Long,
-                           features: Array[Float])
+                           features: Array[Double])
   case class FrameSample(doc_id: Long, frame_idx: Int, frame_bytes: Long)
 
   /** Build a media table from any (id, text) frame: the text bytes play
@@ -45,26 +51,87 @@ object MultimodalOps {
       (pmod(col(idCol), lit(64)) * 16 + 64).cast("int").as("width"),
       (pmod(col(idCol), lit(32)) * 16 + 64).cast("int").as("height"))
 
-  /** STUB decoder: a real implementation would hand `bytes` to an image
-    * codec. The fake is deterministic: 8 stride-averaged byte buckets,
-    * normalized — stable across runs and partitionings.
+  /** STUB decoder for non-image payloads: 8 stride-averaged byte buckets
+    * in [0,1]. Bucket b = sum of bytes at positions ≡ b (mod dim), as an
+    * EXACT integer, then one double division chain (sum/count/255) — the
+    * integer sum makes the value bit-reproducible in any engine that
+    * evaluates the same divisions, which is what lets the DuckDB oracle
+    * check f0 through the mapPartitions path.
     */
   private[multimodal] def decodeStub(bytes: Array[Byte],
-                                     dim: Int = 8): Array[Float] = {
-    val out = new Array[Float](dim)
+                                     dim: Int = 8): Array[Double] = {
+    val out = new Array[Double](dim)
     if (bytes.isEmpty) return out
+    val sums = new Array[Long](dim)
     val counts = new Array[Int](dim)
     var i = 0
     while (i < bytes.length) {
       val b = i % dim
-      out(b) += (bytes(i) & 0xff) / 255.0f
+      sums(b) += (bytes(i) & 0xff)
       counts(b) += 1
       i += 1
     }
     var j = 0
-    while (j < dim) { if (counts(j) > 0) out(j) /= counts(j); j += 1 }
+    while (j < dim) {
+      if (counts(j) > 0) out(j) = sums(j).toDouble / counts(j) / 255.0
+      j += 1
+    }
     out
   }
+
+  private val PngMagic = Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte)
+  private val JpegMagic = Array(0xff, 0xd8, 0xff).map(_.toByte)
+
+  private def hasMagic(bytes: Array[Byte], magic: Array[Byte]): Boolean =
+    bytes.length >= magic.length &&
+      magic.indices.forall(i => bytes(i) == magic(i))
+
+  /** Real image decode via `javax.imageio` (JDK-native, no external
+    * libs): pixels → 8 stride-bucketed mean luminances in [0,1]
+    * (bucket b = pixels at raster positions ≡ b (mod dim); luminance =
+    * (r+g+b)/(3·255), integer sums). Returns None when the payload isn't
+    * a decodable PNG/JPEG — magic-sniffed first so non-image bytes never
+    * pay a decoder attempt.
+    */
+  private[multimodal] def decodeImage(bytes: Array[Byte],
+                                      dim: Int = 8): Option[Array[Double]] = {
+    if (!hasMagic(bytes, PngMagic) && !hasMagic(bytes, JpegMagic)) None
+    else try {
+      Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+        val sums = new Array[Long](dim)
+        val counts = new Array[Int](dim)
+        val w = img.getWidth
+        var p = 0
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sums(p % dim) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+              (rgb & 0xff)
+            counts(p % dim) += 1
+            p += 1
+            x += 1
+          }
+          y += 1
+        }
+        val out = new Array[Double](dim)
+        var j = 0
+        while (j < dim) {
+          if (counts(j) > 0) out(j) = sums(j).toDouble / counts(j) / 765.0
+          j += 1
+        }
+        out
+      }
+    } catch { case _: Exception => None } // truncated/corrupt image → stub
+  }
+
+  /** Payload → feature vector: real imageio decode when the bytes ARE an
+    * image, byte-level stub otherwise.
+    */
+  private[multimodal] def decode(bytes: Array[Byte],
+                                 dim: Int = 8): Array[Double] =
+    decodeImage(bytes, dim).getOrElse(decodeStub(bytes, dim))
 
   /** Feature extraction over the media table: per-partition batch decode.
     * This is where a 1000-executor cluster spends its time, so the shape
@@ -74,10 +141,12 @@ object MultimodalOps {
                       media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      // real decoder context would be initialized here, once per partition
+      // per-partition decoder setup: keep imageio off its disk cache
+      // (scratch-file-per-image otherwise; everything here is in-memory)
+      ImageIO.setUseCache(false)
       rows.map { r =>
         MediaFeatures(r.doc_id, r.format, r.media.length.toLong,
-                      decodeStub(r.media))
+                      decode(r.media))
       }
     }
   }
