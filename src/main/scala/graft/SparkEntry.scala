@@ -489,6 +489,9 @@ object SparkEntry {
     // the result). At 100 TB this is the difference between re-shuffling
     // two fact tables on every join and reading co-located buckets.
     "q_bucketed_join" -> ((s, dir) => {
+      // fresh catalog state even if a previous overwrite died partway
+      s.sql("DROP TABLE IF EXISTS g_bucketed_lineitem")
+      s.sql("DROP TABLE IF EXISTS g_bucketed_orders")
       t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
         .write.mode("overwrite").option("path", scratch(dir, "bucket_li"))
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
@@ -497,12 +500,19 @@ object SparkEntry {
         .write.mode("overwrite").option("path", scratch(dir, "bucket_ord"))
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable("g_bucketed_orders")
-      s.table("g_bucketed_lineitem")
+      val agg = s.table("g_bucketed_lineitem")
         .join(s.table("g_bucketed_orders"),
               col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
              round(sum(col("l_quantity")), 2).as("qty"))
+      // analysis above already resolved and pinned the bucketed file
+      // relations, so the catalog entries can go NOW: nothing leaks into
+      // the shared session, and the EXTERNAL drop leaves the data files
+      // for the (still-lazy) bucketed-join plan to execute against.
+      s.sql("DROP TABLE IF EXISTS g_bucketed_lineitem")
+      s.sql("DROP TABLE IF EXISTS g_bucketed_orders")
+      agg
     }),
 
     // Exact distinct (the precise twin of q_approx_users' HLL sketch)

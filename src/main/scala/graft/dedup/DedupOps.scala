@@ -74,6 +74,13 @@ object DedupOps {
     * pinned blocks were unreclaimable and stalled the bench) the blocks
     * are evictable under pressure and released by `clearCache`/unpersist
     * after the consuming action.
+    *
+    * CACHE OWNERSHIP: the returned frame is persisted and the CALLER owns
+    * its release — `unpersist()` it (or `spark.catalog.clearCache()`, as
+    * Bench/Verify do per action) once the consuming job finishes, or a
+    * long-lived session accumulates block-manager bookkeeping. The same
+    * contract applies to the prefix frame `ngramJaccardPairs*` pins
+    * internally and to `CorpusPipeline.curate`'s enrichment frame.
     */
   def hashedSets(docs: DataFrame, idCol: String, textCol: String,
                  n: Int): DataFrame =

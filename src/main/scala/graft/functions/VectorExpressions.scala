@@ -170,15 +170,21 @@ case class DotProduct(left: Expression, right: Expression)
   * claim bucket 0 for it — an artifact, not a semantic.
   */
 case class LshBucket(child: Expression, bits: Int) extends UnaryExpression {
-  require(bits >= 1 && bits <= 63, s"lsh_bucket bits must be in [1,63], got $bits")
 
   override def dataType: DataType = LongType
   override def prettyName: String = "lsh_bucket"
 
+  // bits is validated here, NOT in a constructor require(): construction
+  // happens while the SQL function registry builds the expression, where
+  // a raw IllegalArgumentException surfaces as a planner-time failure —
+  // a TypeCheckFailure becomes a proper AnalysisException with the
+  // function name and query position for SQL callers.
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
-    child.dataType match {
+    if (bits < 1 || bits > 63)
+      TypeCheckFailure(s"$prettyName bits must be in [1,63], got $bits")
+    else child.dataType match {
       case ArrayType(FloatType | DoubleType, _) => TypeCheckSuccess
       case other => TypeCheckFailure(
         s"$prettyName requires array<float>/array<double>, got ${other.catalogString}")

@@ -32,6 +32,12 @@ import graft.text.TextOps
   * blocks piled up across runs and stalled the local block manager. One
   * evictable `persist` on the single shared frame replaces all three
   * upstream of the join; Bench/Verify release it after each action.
+  *
+  * CACHE OWNERSHIP: `curate`'s plan references internally persisted
+  * frames (the enrichment pass here, the prefix frame inside DedupOps).
+  * Callers embedding it in a long-lived session should release them
+  * after the consuming action — `spark.catalog.clearCache()` (what
+  * Bench/Verify do), since the pins are internal to the returned plan.
   */
 object CorpusPipeline {
 

@@ -195,11 +195,16 @@ object SimilarityOps {
     * centroid by cosine, recompute each list's centroid as the
     * per-dimension mean (the mean direction maximizes the summed cosine,
     * so the objective is monotone non-decreasing — the spec asserts it),
-    * repeat. Fully distributed: each iteration is one broadcast-join
-    * assignment pass plus a per-dimension partial aggregation
-    * (posexplode → avg → re-assemble via sorted struct collect); the only
-    * data ever collected anywhere is nothing — the codebook stays a
-    * (tiny) DataFrame, re-broadcast each round.
+    * repeat. Fully distributed: each iteration is one zero-shuffle
+    * assignment pass (see ivfAssignTo) plus a per-dimension partial
+    * aggregation (posexplode → avg → re-assemble via sorted struct
+    * collect); the only data ever collected anywhere is nothing — the
+    * codebook stays a (tiny) DataFrame, re-broadcast each round.
+    *
+    * CACHE OWNERSHIP: each iteration's codebook is persisted eagerly and
+    * the previous one released immediately; the FINAL returned codebook
+    * stays persisted (nlist rows) and the caller owns its `unpersist()`
+    * once the index build that consumes it has run.
     */
   def ivfTrain(emb: DataFrame, idCol: String, vecCol: String,
                nlist: Int, iters: Int): DataFrame = {

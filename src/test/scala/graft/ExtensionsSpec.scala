@@ -45,4 +45,13 @@ class ExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("rolling_hash"))
   }
+
+  test("lsh_bucket out-of-range bits fails at analysis, not planning") {
+    GraftExtensions.registerAll(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT lsh_bucket(array(1.0d, 2.0d), 99)").collect()
+    }
+    assert(e.getMessage.contains("lsh_bucket"))
+    assert(e.getMessage.contains("[1,63]"))
+  }
 }
