@@ -78,6 +78,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         LshBucket(exprs(0), GraftExtensions.intLiteral(exprs(1),
           "lsh_bucket bits"))
     }
+    // aggregate: the registry wraps a bare AggregateFunction in an
+    // AggregateExpression during resolution, same as the built-ins
+    register(e, "vector_sum",
+      "vector_sum(vec) - elementwise sum of float/double arrays per group",
+      1) { exprs => VectorSum(exprs.head) }
   }
 }
 

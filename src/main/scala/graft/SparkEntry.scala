@@ -642,6 +642,40 @@ object SparkEntry {
                   regexp_replace(lower(col("text")), "[.,!?;:]", ""),
                   "\\s+", " ").as("norm_text"))),
 
+    // Gopher-style repetition gates: most-repeated-token share +
+    // duplicate-line fraction, both narrow array projections (no explode)
+    "q_repetition" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+                round(TextOps.topTokenRatio(col("text")), 6)
+                  .as("rep_ratio"),
+                round(TextOps.dupLineFraction(col("text")), 6)
+                  .as("dup_line_frac"))),
+
+    // PII scrub (the pre-training redaction pass): match counts + the
+    // redacted text itself, engine-portable regexes
+    "q_pii_redact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+                TextOps.piiCount(col("text")).as("n_pii"),
+                TextOps.redactPii(col("text")).as("redacted"))),
+
+    // Grouped embedding mean through the native vector_sum aggregate
+    // (single double[d] buffer per group, map-side combined — the
+    // centroid / mean-pooling primitive; oracle checks first+last dims)
+    "q_vector_mean" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .withColumn("g", (col("vec_id") % 3).cast("int"))
+        .groupBy(col("g"))
+        .agg(graft.functions.VectorAggregates.vectorSum(col("embedding"))
+               .as("vsum"),
+             count(lit(1)).as("n_vecs"))
+        .select(col("g"), col("n_vecs"),
+                round(element_at(col("vsum"), 1) / col("n_vecs"), 6)
+                  .as("m0"),
+                round(element_at(col("vsum"), -1) / col("n_vecs"), 6)
+                  .as("mlast"))),
+
     // UNION-distinct (the set-operator dedup q_set_ops' UNION ALL skips)
     "q_union_distinct" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -1105,6 +1139,44 @@ object SparkEntry {
         |                                     'g'),
         |                      '\s+', ' ', 'g') AS norm_text
         |FROM documents""".stripMargin,
+
+    // list-level twin of the narrow array expressions (same int/int
+    // division chain, so the doubles agree bit-for-bit before round)
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |                  string_split_regex(trim(text), '\s+') AS toks,
+        |                  list_filter(string_split(text, chr(10)),
+        |                              l -> l <> '') AS lines
+        |           FROM documents)
+        |SELECT doc_id,
+        |       round(CAST(list_max(list_transform(list_distinct(toks),
+        |               t -> len(list_filter(toks, x -> x = t))))
+        |             AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6)
+        |         AS rep_ratio,
+        |       round(CASE WHEN len(lines) > 0
+        |               THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+        |                          / CAST(len(lines) AS DOUBLE)
+        |               ELSE 0.0 END, 6) AS dup_line_frac
+        |FROM t""".stripMargin,
+
+    "q_pii_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+        |       len(regexp_extract_all(text,
+        |         '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_pii,
+        |  regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>',
+        |      'g'),
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<phone>', 'g') AS redacted
+        |FROM documents""".stripMargin,
+
+    "q_vector_mean" ->
+      """SELECT CAST(vec_id % 3 AS INT) AS g,
+        |       count(*) AS n_vecs,
+        |       round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS m0,
+        |       round(avg(CAST(embedding[-1] AS DOUBLE)), 6) AS mlast
+        |FROM embeddings GROUP BY 1""".stripMargin,
 
     "q_collect_arrays" ->
       """SELECT l_returnflag,

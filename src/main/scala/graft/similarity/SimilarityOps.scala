@@ -196,10 +196,13 @@ object SimilarityOps {
     * per-dimension mean (the mean direction maximizes the summed cosine,
     * so the objective is monotone non-decreasing — the spec asserts it),
     * repeat. Fully distributed: each iteration is one zero-shuffle
-    * assignment pass (see ivfAssignTo) plus a per-dimension partial
-    * aggregation (posexplode → avg → re-assemble via sorted struct
-    * collect); the only data ever collected anywhere is nothing — the
-    * codebook stays a (tiny) DataFrame, re-broadcast each round.
+    * assignment pass (see ivfAssignTo) plus ONE partial aggregation for
+    * the new means — the native `vector_sum` aggregate's buffer is a
+    * single double[d] per group, so the map side combines n vectors down
+    * to nlist·d doubles per task (the posexplode formulation it replaces
+    * blew the table up to n×d rows and shuffled twice); the only data
+    * ever collected anywhere is nothing — the codebook stays a (tiny)
+    * DataFrame, re-broadcast each round.
     *
     * CACHE OWNERSHIP: each iteration's codebook is persisted eagerly and
     * the previous one released immediately; the FINAL returned codebook
@@ -216,13 +219,12 @@ object SimilarityOps {
     for (_ <- 1 to iters) {
       val assigned = ivfAssignTo(emb, idCol, vecCol, cents)
       val means = assigned
-        .select(col("list_id"), posexplode(col(vecCol)))
-        .groupBy(col("list_id"), col("pos"))
-        .agg(avg(col("col").cast("double")).as("m"))
         .groupBy(col("list_id"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("m")))),
-          e => e.getField("m")).as("mvec"))
+        .agg(graft.functions.VectorAggregates.vectorSum(col(vecCol))
+               .as("vsum"),
+             count(lit(1)).as("cnt"))
+        .select(col("list_id"),
+                transform(col("vsum"), x => x / col("cnt")).as("mvec"))
       // An empty cluster (no assignments this round) keeps its previous
       // centroid instead of silently vanishing from the codebook — the
       // codebook stays exactly nlist lists.

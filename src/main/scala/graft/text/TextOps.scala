@@ -87,6 +87,53 @@ object TextOps {
     */
   def fingerprint(text: Column): Column = md5(text)
 
+  /** Gopher-style repetition signal: frequency share of the most-repeated
+    * whitespace token. Entirely narrow array expressions — no explode, no
+    * shuffle — so gating a 100 TB corpus on repetitiveness stays a scan
+    * projection (the exploding formulation would 200× the row count
+    * before a double aggregate). Integer/integer division, so the double
+    * is bit-identical across engines.
+    */
+  def topTokenRatio(text: Column): Column = {
+    val toks = tokens(text)
+    array_max(transform(array_distinct(toks),
+        t => size(filter(toks, x => x === t)))).cast("double") /
+      size(toks).cast("double")
+  }
+
+  /** Duplicate-line fraction (the other classic repetition gate):
+    * 1 − distinct/total over non-empty lines; 0 for documents with no
+    * non-empty lines. Same narrow array-only shape as topTokenRatio.
+    */
+  def dupLineFraction(text: Column): Column = {
+    val lines = filter(split(text, "\n"), l => l =!= lit(""))
+    when(size(lines) > 0,
+         lit(1.0) - size(array_distinct(lines)).cast("double") /
+           size(lines).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** PII scrub patterns: deliberately plain character-class regexes with
+    * identical semantics in Java regex and RE2 (no lookaround, no \\p
+    * classes), so redaction is oracle-checkable cross-engine.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  def piiCount(text: Column): Column =
+    (regexp_count(text, lit(EmailRe)) +
+      regexp_count(text, lit(PhoneRe))).cast("long")
+
+  /** Redact emails then phone numbers — the pre-training scrub pass.
+    * Order is safe: the patterns cannot overlap (an email match cannot
+    * contain the phone pattern's word-bounded digit groups and vice
+    * versa after replacement).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "<email>"),
+      PhoneRe, "<phone>")
+
   /** Vocabulary builder: distinct tokens ranked by corpus frequency with
     * deterministic ids (freq desc, token asc). The corpus-wide count is a
     * partial+final aggregate; the id assignment is a global window ONLY
