@@ -26,10 +26,11 @@ class EntrySpec extends SparkSpec {
 
   test("oracle coverage: SQL-expressible ops all have oracles") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // intentionally rows-only (hash-internal or stub-backed outputs)
+    // intentionally rows-only — ONLY hash/sketch internals remain
+    // (q_multimodal_features gained its oracle in r3)
     val expected = Set("q_simhash_pairs", "q_fingerprints", "q_ann_topk",
                        "q_ivf_topk", "q_ivf_trained", "q_approx_users",
-                       "q_multimodal_features", "q_lsh_cosine_pairs")
+                       "q_lsh_cosine_pairs")
     assert(noOracle === expected)
   }
 }
