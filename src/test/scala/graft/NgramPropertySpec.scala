@@ -1,0 +1,76 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.DedupOps
+import graft.functions.ShingleExpressions
+
+/** Randomized completeness/soundness property for the prefix-filtered
+  * Jaccard join: on seeded corpora of templated documents with random
+  * mutations (the worst case for candidate filters — many near-misses
+  * straddling τ), the filtered join must equal the brute-force all-pairs
+  * truth EXACTLY, ids and jaccard values both. This is the guard for the
+  * hand-derived pruning bounds (prefix length, length-ratio, positional):
+  * an unsound bound silently drops a true pair; only brute-force
+  * comparison can catch it.
+  */
+class NgramPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Seeded corpus: `nTemplates` base strings; each doc mutates its
+    * template by token substitution with per-doc intensity, so pair
+    * similarities spread across [0,1] with many near-τ cases.
+    */
+  private def corpus(seed: Int, nDocs: Int, nTemplates: Int): Seq[(Long, String)] = {
+    val rnd = new Random(seed)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima")
+    val templates = Vector.fill(nTemplates)(
+      Vector.fill(14 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))))
+    (0 until nDocs).map { i =>
+      val base = templates(rnd.nextInt(nTemplates))
+      val intensity = rnd.nextDouble() * 0.5
+      val toks = base.map(t =>
+        if (rnd.nextDouble() < intensity) vocab(rnd.nextInt(vocab.size)) else t)
+      i.toLong -> toks.mkString(" ")
+    }
+  }
+
+  private def bruteForce(docs: Seq[(Long, String)], n: Int,
+                         tau: Double): Set[(Long, Long, Double)] = {
+    val df = docs.toDF("doc_id", "text")
+      .select($"doc_id", ShingleExpressions.shingleHashes($"text", n).as("hs"))
+    val sets = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      sa = sets(a); sb = sets(b)
+      if sa.nonEmpty || sb.nonEmpty
+      inter = (sa & sb).size
+      union = sa.size + sb.size - inter
+      j = if (union == 0) 0.0 else inter.toDouble / union
+      if j >= tau
+    } yield (a, b, math.rint(j * 1e6) / 1e6)).toSet
+  }
+
+  for ((seed, tau) <- Seq((42, 0.7), (7, 0.5), (2026, 0.8))) {
+    test(s"prefix join ≡ brute force on random corpus (seed=$seed, tau=$tau)") {
+      val docs = corpus(seed, nDocs = 120, nTemplates = 8)
+      val got = DedupOps.ngramJaccardPairs(
+          docs.toDF("doc_id", "text"), "doc_id", "text", n = 8, tau = tau)
+        .select($"id_a", $"id_b", $"jaccard")
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, b, j) => (a, b, j) }.toSet
+      val want = bruteForce(docs, n = 8, tau = tau)
+      val missed = want.map(t => (t._1, t._2)) -- got.map(t => (t._1, t._2))
+      val extra = got.map(t => (t._1, t._2)) -- want.map(t => (t._1, t._2))
+      assert(missed.isEmpty, s"filter dropped true pairs: $missed")
+      assert(extra.isEmpty, s"verify passed false pairs: $extra")
+      assert(got === want, "jaccard values differ")
+      // the corpus must actually exercise the join (not vacuous)
+      assert(want.nonEmpty, "degenerate corpus: no pairs above tau")
+    }
+  }
+}
