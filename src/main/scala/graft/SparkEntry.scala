@@ -611,6 +611,25 @@ object SparkEntry {
     "q_vocab" -> ((s, dir) =>
       TextOps.buildVocab(t(s, dir, "documents"), minCount = 5L)),
 
+    // Vocabulary APPLICATION — encode every document against the built
+    // vocab (the corpus → token-id step before training). The vocab side
+    // broadcasts (distinct tokens ≪ corpus); OOV tokens count but don't
+    // sum. Output is per-doc token accounting + an id checksum so the
+    // whole encoding is hash-verifiable without array-output compare.
+    "q_encode_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = TextOps.buildVocab(docs, minCount = 5L)
+      docs.select(col("doc_id"),
+                  explode(TextOps.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .join(broadcast(vocab.select(col("token"), col("token_id"))),
+              Seq("token"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+             count(col("token_id")).as("n_in_vocab"),
+             sum(col("token_id")).as("id_checksum"))
+    }),
+
     // Context-window chunking: overlapping 50-token windows, 10 overlap
     "q_chunk_docs" -> ((s, dir) =>
       TextOps.chunkDocs(t(s, dir, "documents"), "text",
@@ -1104,6 +1123,25 @@ object SparkEntry {
         |       CAST(row_number() OVER (ORDER BY freq DESC, token ASC)
         |            AS BIGINT) AS token_id
         |FROM f""".stripMargin,
+
+    "q_encode_docs" ->
+      """WITH toks AS (SELECT doc_id,
+        |                     unnest(string_split_regex(trim(text), '\s+'))
+        |                       AS token
+        |              FROM documents),
+        |f AS (SELECT token, count(*) AS freq FROM toks
+        |      WHERE token <> '' GROUP BY token HAVING count(*) >= 5),
+        |v AS (SELECT token,
+        |             CAST(row_number() OVER (ORDER BY freq DESC, token ASC)
+        |                  AS BIGINT) AS token_id
+        |      FROM f)
+        |SELECT t.doc_id,
+        |       count(*) AS n_tokens,
+        |       count(v.token_id) AS n_in_vocab,
+        |       CAST(sum(v.token_id) AS BIGINT) AS id_checksum
+        |FROM toks t LEFT JOIN v ON t.token = v.token
+        |WHERE t.token <> ''
+        |GROUP BY t.doc_id""".stripMargin,
 
     "q_chunk_docs" ->
       """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+')
