@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.dedup.DedupOps
+import graft.similarity.SimilarityOps
+
+/** Regression guards for the round-3 physical-plan fixes: the pair-join
+  * heads must stay parallelized (a one-row-group input otherwise runs
+  * quadratic work single-core) and the Jaccard verify joins must stay
+  * shuffle-hash (SMJ sorts candidate streams with both set payloads
+  * attached). These assert the FINAL adaptive plan after execution.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def finalPlan(df: DataFrame): String = {
+    df.count() // drive AQE to its final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("cosinePairs streams the BNLJ side from a repartitioned input") {
+    val df = SimilarityOps.cosinePairs(
+      Tables.load(spark, sfDir, "embeddings"), "vec_id", "embedding", 0.45)
+    val plan = finalPlan(df)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"exact baseline must stay the documented BNLJ:\n$plan")
+    assert(plan.contains("REPARTITION_BY_NUM"),
+      s"quadratic streamed side lost its repartitioned head:\n$plan")
+  }
+
+  test("ngram verify joins are shuffle-hash, head repartitioned, no text shuffled") {
+    val df = DedupOps.ngramJaccardPairs(
+      Tables.load(spark, sfDir, "documents"), "doc_id", "text", 12, 0.7)
+    val plan = finalPlan(df)
+    assert(plan.contains("REPARTITION_BY_NUM"),
+      s"hashedSets lost its repartitioned head:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"verify joins regressed off shuffle-hash:\n$plan")
+    // the only string column in the family is the doc text, and it must
+    // never appear in an exchange: every shuffle is hashes/ids/ranks
+    assert(!plan.contains("text#") ||
+      !plan.linesIterator.exists(l =>
+        l.contains("Exchange") && l.contains("text#")),
+      s"document text crossed an exchange:\n$plan")
+    spark.catalog.clearCache()
+  }
+
+  test("ivfAssignTo plans zero exchanges over the embedding table") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val cents = SimilarityOps.seedCentroids(emb, "vec_id", "embedding", 4)
+    val df = SimilarityOps.ivfAssignTo(emb, "vec_id", "embedding", cents)
+    val plan = finalPlan(df)
+    // the embedding-side subtree must be scan → project with only the
+    // codebook broadcast feeding it: no hashpartitioning exchange at all
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"assignment shuffled the embedding table:\n$plan")
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"codebook is not broadcast:\n$plan")
+  }
+}
