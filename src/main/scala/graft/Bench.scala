@@ -50,23 +50,25 @@ object Bench {
     * is excluded from the sum and the total is poisoned past any
     * plausible duration so a failing round can't look fast.
     */
+  /** Shared poisoned-total: failed queries (< 0) are excluded from the
+    * sum and push the total past any plausible duration. ONE definition
+    * so the short line can never drift from bench.json's detailed line.
+    */
+  private def totalOf(results: Seq[(String, Double)]): Double =
+    results.map(_._2).filter(_ >= 0).sum +
+      (if (results.exists(_._2 < 0)) 1e9 else 0.0)
+
   def renderJson(results: Seq[(String, Double)], sfDir: String): String = {
     val qs = results.map { case (k, v) => jsonQuote(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum +
-      (if (results.exists(_._2 < 0)) 1e9 else 0.0)
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jsonQuote(sfDir)}}"""
+    s"""{"metric":"total","value":${totalOf(results)},"unit":"sec","queries":$qs,"sf":${jsonQuote(sfDir)}}"""
   }
 
   /** The short, total-only metric line (pure, spec'd). Printed LAST so the
-    * driver's stdout tail always contains one complete parseable object;
-    * carries the same poisoned-total semantics as the detailed line.
+    * driver's stdout tail always contains one complete parseable object.
     */
-  def renderShortJson(results: Seq[(String, Double)], sfDir: String): String = {
-    val total = results.map(_._2).filter(_ >= 0).sum +
-      (if (results.exists(_._2 < 0)) 1e9 else 0.0)
-    s"""{"metric":"total","value":$total,"unit":"sec","sf":${jsonQuote(sfDir)}}"""
-  }
+  def renderShortJson(results: Seq[(String, Double)], sfDir: String): String =
+    s"""{"metric":"total","value":${totalOf(results)},"unit":"sec","sf":${jsonQuote(sfDir)}}"""
 
   /** local[N] width: env override, else the machine's core count — a
     * hardcoded 32 oversubscribes smaller hosts and skews timings

@@ -686,9 +686,11 @@ object SparkEntry {
       t(s, dir, "embeddings")
         .withColumn("g", (col("vec_id") % 3).cast("int"))
         .groupBy(col("g"))
+        // count(embedding), not count(*): vector_sum null-skips, and the
+        // DuckDB avg() oracle null-skips too — the denominators must agree
         .agg(graft.functions.VectorAggregates.vectorSum(col("embedding"))
                .as("vsum"),
-             count(lit(1)).as("n_vecs"))
+             count(col("embedding")).as("n_vecs"))
         .select(col("g"), col("n_vecs"),
                 round(element_at(col("vsum"), 1) / col("n_vecs"), 6)
                   .as("m0"),

@@ -57,19 +57,21 @@ case class VectorSum(
   @transient private lazy val elemIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  // empty array = "no input seen yet" sentinel (vectors of length 0 sum
-  // to an empty array anyway, which round-trips identically)
-  override def createAggregationBuffer(): Array[Double] = Array.emptyDoubleArray
+  // null buffer = "no non-null input seen yet" — deliberately DISTINCT
+  // from a zero-length input array, so a group of empty vectors sums to
+  // an empty array (SUM analogy: non-null inputs give a non-null result)
+  // and a length mismatch involving an empty vector fails identically
+  // regardless of row/partition order.
+  override def createAggregationBuffer(): Array[Double] = null
+
+  private def lengthError(a: Int, b: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"$prettyName: mismatched vector lengths in one group ($a vs $b)")
 
   private def add(buffer: Array[Double], arr: ArrayData): Array[Double] = {
     val n = arr.numElements()
-    val out =
-      if (buffer.length == 0 && n > 0) new Array[Double](n)
-      else buffer
-    if (n != out.length && !(buffer.length == 0 && n == 0))
-      throw new IllegalArgumentException(
-        s"$prettyName: mismatched vector lengths in one group " +
-          s"(${out.length} vs $n)")
+    val out = if (buffer == null) new Array[Double](n) else buffer
+    if (n != out.length) lengthError(out.length, n)
     var i = 0
     while (i < n) {
       // a null element poisons the whole vector? No: treat element-null
@@ -90,30 +92,31 @@ case class VectorSum(
   }
 
   override def merge(buffer: Array[Double], other: Array[Double]): Array[Double] = {
-    if (other.length == 0) return buffer
-    if (buffer.length == 0) return other
-    if (buffer.length != other.length)
-      throw new IllegalArgumentException(
-        s"$prettyName: mismatched vector lengths in one group " +
-          s"(${buffer.length} vs ${other.length})")
+    if (other == null) return buffer
+    if (buffer == null) return other
+    if (buffer.length != other.length) lengthError(buffer.length, other.length)
     var i = 0
     while (i < buffer.length) { buffer(i) += other(i); i += 1 }
     buffer
   }
 
   override def eval(buffer: Array[Double]): Any =
-    if (buffer.length == 0) null else new GenericArrayData(buffer)
+    if (buffer == null) null else new GenericArrayData(buffer)
 
+  // 1-byte header keeps the null sentinel distinct from a zero-length sum
   override def serialize(buffer: Array[Double]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(8 * buffer.length)
+    if (buffer == null) return Array[Byte](0)
+    val bb = ByteBuffer.allocate(1 + 8 * buffer.length)
+    bb.put(1: Byte)
     var i = 0
     while (i < buffer.length) { bb.putDouble(buffer(i)); i += 1 }
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Double] = {
-    val bb = ByteBuffer.wrap(bytes)
-    val out = new Array[Double](bytes.length / 8)
+    if (bytes.length == 0 || bytes(0) == 0) return null
+    val bb = ByteBuffer.wrap(bytes, 1, bytes.length - 1)
+    val out = new Array[Double]((bytes.length - 1) / 8)
     var i = 0
     while (i < out.length) { out(i) = bb.getDouble(); i += 1 }
     out

@@ -60,8 +60,10 @@ object SimilarityOps {
     // The O(n²) cosine work happens on the STREAMED side of the
     // BroadcastNestedLoopJoin, which inherits the input's partitioning —
     // a single-file embedding table is one partition, i.e. one core doing
-    // all n² comparisons. Round-robin the streamed side and pin the
-    // broadcast side explicitly so the plan is (n/p)·n per task.
+    // all n² comparisons. Hash-repartition the streamed side on the id
+    // (NOT round-robin, whose retry-determinism local sort costs a full
+    // row sort) and pin the broadcast side explicitly so the plan is
+    // (n/p)·n per task.
     val parts = emb.sparkSession.sparkContext.defaultParallelism
     val a = emb.repartition(parts, col(idCol))
       .select(col(idCol).as("id_a"), col(vecCol).as("va"))
@@ -169,18 +171,24 @@ object SimilarityOps {
       array_sort(collect_list(struct(
         col("list_id").cast("int").as("l"),
         transform(col("cvec"), _.cast("double")).as("c")))).as("__cb")))
-    // strict > keeps the FIRST maximum in list_id order — the same
-    // (csim desc, list_id asc) tie-break the window form had
+    // The transform evaluates each cosine exactly ONCE (folding cosineSim
+    // into the when() predicate would embed two copies per centroid);
+    // strict > then keeps the FIRST maximum in list_id order — the same
+    // (csim desc NULLS LAST, list_id asc) tie-break the window form had.
+    // The accumulator starts at (l = 0, s = -2.0): a degenerate vector
+    // whose cosine is null against EVERY centroid (zero-norm/empty) keeps
+    // the init and lands in list 0, matching the old NULLS-LAST ranking
+    // instead of inventing a phantom list.
     emb.crossJoin(codebook)
       .select(col(idCol), col(vecCol),
-        aggregate(col("__cb"),
-          struct(lit(-1).as("l"), lit(-2.0).as("s")),
-          (acc, e) => {
-            val s = cosineSim(col(vecCol), e.getField("c"))
-            when(s > acc.getField("s"),
-                 struct(e.getField("l").as("l"), s.as("s")))
-              .otherwise(acc)
-          }).getField("l").as("list_id"))
+        aggregate(
+          transform(col("__cb"), e =>
+            struct(e.getField("l").as("l"),
+                   cosineSim(col(vecCol), e.getField("c")).as("s"))),
+          struct(lit(0).as("l"), lit(-2.0).as("s")),
+          (acc, p) =>
+            when(p.getField("s") > acc.getField("s"), p).otherwise(acc))
+          .getField("l").as("list_id"))
   }
 
   /** IVF index build against the seed codebook (backwards-compatible
@@ -218,11 +226,13 @@ object SimilarityOps {
               transform(col("cvec"), _.cast("double")).as("cvec"))
     for (_ <- 1 to iters) {
       val assigned = ivfAssignTo(emb, idCol, vecCol, cents)
+      // count(vecCol), not count(*): vector_sum null-skips, so the mean's
+      // denominator must too, or null vectors dilute the centroid
       val means = assigned
         .groupBy(col("list_id"))
         .agg(graft.functions.VectorAggregates.vectorSum(col(vecCol))
                .as("vsum"),
-             count(lit(1)).as("cnt"))
+             count(col(vecCol)).as("cnt"))
         .select(col("list_id"),
                 transform(col("vsum"), x => x / col("cnt")).as("mvec"))
       // An empty cluster (no assignments this round) keeps its previous

@@ -36,12 +36,6 @@ class PlanShapeSpec extends SparkSpec {
       s"hashedSets lost its repartitioned head:\n$plan")
     assert(plan.contains("ShuffledHashJoin"),
       s"verify joins regressed off shuffle-hash:\n$plan")
-    // the only string column in the family is the doc text, and it must
-    // never appear in an exchange: every shuffle is hashes/ids/ranks
-    assert(!plan.contains("text#") ||
-      !plan.linesIterator.exists(l =>
-        l.contains("Exchange") && l.contains("text#")),
-      s"document text crossed an exchange:\n$plan")
     spark.catalog.clearCache()
   }
 

@@ -134,6 +134,19 @@ class SimilaritySpec extends SparkSpec {
     assert(full === brute)
   }
 
+  test("ivfAssignTo: a zero-norm vector lands in list 0, never a phantom list") {
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(0.0f, 0.0f)) // cosine null against every centroid
+    ).toDF("vec_id", "embedding")
+    val cents = SimilarityOps.seedCentroids(rows, "vec_id", "embedding", 2)
+    val got = SimilarityOps.ivfAssignTo(rows, "vec_id", "embedding", cents)
+      .select($"vec_id", $"list_id").as[(Long, Int)].collect().toMap
+    assert(got(0L) === 0 && got(1L) === 1)
+    assert(got(2L) === 0, "degenerate vector must fall back to list 0")
+    assert(got.values.forall(l => l == 0 || l == 1), s"phantom list: $got")
+  }
+
   test("ivfTrain: spherical k-means objective is monotone non-decreasing") {
     // objective = mean cosine of each vector to its assigned centroid;
     // assign(max-cosine) + update(mean direction) must not decrease it

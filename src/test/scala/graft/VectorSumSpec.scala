@@ -61,6 +61,28 @@ class VectorSumSpec extends SparkSpec {
     assert(got(1) === None)
   }
 
+  test("all-empty-array group sums to an empty array, not null") {
+    val row = Seq((0, Seq.empty[Double]), (0, Seq.empty[Double]))
+      .toDF("g", "v")
+      .groupBy($"g").agg(VectorAggregates.vectorSum($"v").as("s"))
+      .head()
+    assert(row.get(1) != null, "non-null inputs must give a non-null sum")
+    assert(row.getSeq[Double](1).isEmpty)
+  }
+
+  test("empty-vs-nonempty mismatch fails regardless of row order") {
+    for (rows <- Seq(
+      Seq((0, Seq.empty[Double]), (0, Seq(1.0, 2.0))),
+      Seq((0, Seq(1.0, 2.0)), (0, Seq.empty[Double])))) {
+      val e = intercept[Exception] {
+        rows.toDF("g", "v").coalesce(1)
+          .groupBy($"g").agg(VectorAggregates.vectorSum($"v")).collect()
+      }
+      assert(e.getMessage.contains("vector_sum") ||
+        Option(e.getCause).exists(_.getMessage.contains("vector_sum")))
+    }
+  }
+
   test("mismatched vector lengths in one group fail loudly") {
     val df = Seq((0, Seq(1.0, 2.0)), (0, Seq(1.0))).toDF("g", "v")
     val e = intercept[Exception] {
