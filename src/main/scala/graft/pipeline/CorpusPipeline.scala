@@ -92,4 +92,41 @@ object CorpusPipeline {
 
   def flagship(spark: SparkSession, dir: String): DataFrame =
     curate(Tables.load(spark, dir, "documents"))
+
+  /** Incremental (streaming) corpus curation: the streaming-safe prefix
+    * of `curate` — exact content dedup with WATERMARK-BOUNDED state, then
+    * the language/token-floor/repetition gates, which are all narrow
+    * projections and stream untouched. Near-dup removal deliberately
+    * stays a batch/backfill pass: a pairwise similarity join has no
+    * bounded-state streaming form, so at scale it runs periodically over
+    * the deduped store while THIS path keeps the ingest incremental.
+    *
+    * Output columns are all text-derived (fingerprint, stats) — identical
+    * for any exact duplicate — so the result SET is deterministic no
+    * matter which physical duplicate the stream sees first, and the
+    * batch twin (same code path, `isStreaming=false`) is set-equal.
+    */
+  def curateStream(docs: DataFrame, lang: String = "en",
+                   minTokens: Int = 20, maxRepetition: Double = 1.0,
+                   lateness: String = "10 minutes"): DataFrame = {
+    val withFp = docs
+      .withColumn("fingerprint", TextOps.fingerprint(col("text")))
+    val deduped =
+      if (withFp.isStreaming)
+        // ingest-time watermark: a duplicate arriving within `lateness`
+        // of the first copy is dropped; state for older fingerprints is
+        // evicted — the only dedup that survives an unbounded ingest
+        withFp.withColumn("__ingest_ts", current_timestamp())
+          .withWatermark("__ingest_ts", lateness)
+          .dropDuplicatesWithinWatermark("fingerprint")
+          .drop("__ingest_ts")
+      else withFp.dropDuplicates("fingerprint")
+    deduped
+      .select(col("fingerprint"), col("lang"),
+              TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+              TextOps.qualityScore(col("text")).as("quality_score"),
+              round(TextOps.topTokenRatio(col("text")), 6).as("rep_ratio"))
+      .filter(col("lang") === lang && col("n_tokens") >= minTokens &&
+                col("rep_ratio") <= maxRepetition)
+  }
 }

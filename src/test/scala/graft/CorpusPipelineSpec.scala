@@ -31,6 +31,33 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.filter($"lang" =!= "en").isEmpty)
   }
 
+  test("streaming curate ≡ batch curate (incremental ingest twin)") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val dir = "/root/repo/target/scratch/curate_stream_in"
+    docs.write.mode("overwrite").parquet(dir)
+
+    val batch = CorpusPipeline
+      .curateStream(docs, "en", minTokens = 20, maxRepetition = 0.6)
+      .collect().map(_.toSeq).toSet
+
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = CorpusPipeline
+      .curateStream(stream, "en", minTokens = 20, maxRepetition = 0.6)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curate_stream_test").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("curate_stream_test")
+      .collect().map(_.toSeq).toSet
+
+    assert(got === batch)
+    assert(batch.nonEmpty, "degenerate: curation gate passed nothing")
+    // the repetition gate must actually bite relative to the lenient run
+    val lenient = CorpusPipeline
+      .curateStream(docs, "en", minTokens = 20, maxRepetition = 1.0)
+      .count()
+    assert(lenient >= batch.size)
+  }
+
   test("sorted partitioned write produces pruned, sorted row groups (S9)") {
     val path = "/root/repo/target/scratch/test_sorted_write"
     val li = Tables.load(spark, sfDir, "lineitem")
