@@ -492,11 +492,18 @@ object SparkEntry {
       // fresh catalog state even if a previous overwrite died partway
       s.sql("DROP TABLE IF EXISTS g_bucketed_lineitem")
       s.sql("DROP TABLE IF EXISTS g_bucketed_orders")
+      // pre-partition on the bucket key with the bucket count: Spark's
+      // bucket id and repartition both use Murmur3 pmod, so each task
+      // holds exactly one bucket and the write emits 8 files instead of
+      // (tasks × buckets) small files — the same layout discipline that
+      // keeps a 100 TB bucketed table from fragmenting
       t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+        .repartition(8, col("l_orderkey"))
         .write.mode("overwrite").option("path", scratch(dir, "bucket_li"))
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .saveAsTable("g_bucketed_lineitem")
       t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+        .repartition(8, col("o_orderkey"))
         .write.mode("overwrite").option("path", scratch(dir, "bucket_ord"))
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable("g_bucketed_orders")

@@ -3,6 +3,7 @@ package graft.multimodal
 import java.io.ByteArrayInputStream
 
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFormat, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -126,12 +127,65 @@ object MultimodalOps {
     } catch { case _: Exception => None } // truncated/corrupt image → stub
   }
 
-  /** Payload → feature vector: real imageio decode when the bytes ARE an
-    * image, byte-level stub otherwise.
+  private def isWav(bytes: Array[Byte]): Boolean =
+    bytes.length > 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
+      bytes(10) == 'V' && bytes(11) == 'E'
+
+  /** Real audio decode via `javax.sound.sampled` (JDK-native): 16-bit
+    * PCM WAV → dim stride-bucketed mean absolute amplitudes in [0,1]
+    * (bucket b = samples at indices ≡ b (mod dim), across channels;
+    * integer |sample| sums / count / 32768). None for non-WAV bytes or
+    * encodings the JDK can't hand back as 16-bit signed PCM — those fall
+    * to the stub, same contract as the image tier.
+    */
+  private[multimodal] def decodeAudio(bytes: Array[Byte],
+                                      dim: Int = 8): Option[Array[Double]] = {
+    if (!isWav(bytes)) return None
+    try {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) None
+        else {
+          val data = in.readAllBytes()
+          val n = data.length / 2
+          if (n == 0) return Some(new Array[Double](dim))
+          val sums = new Array[Long](dim)
+          val counts = new Array[Int](dim)
+          val big = fmt.isBigEndian
+          var i = 0
+          while (i < n) {
+            val lo = data(2 * i + (if (big) 1 else 0)) & 0xff
+            val hi = data(2 * i + (if (big) 0 else 1)).toInt
+            val s = (hi << 8) | lo
+            sums(i % dim) += math.abs(s).toLong
+            counts(i % dim) += 1
+            i += 1
+          }
+          val out = new Array[Double](dim)
+          var j = 0
+          while (j < dim) {
+            if (counts(j) > 0) out(j) = sums(j).toDouble / counts(j) / 32768.0
+            j += 1
+          }
+          Some(out)
+        }
+      } finally in.close()
+    } catch { case _: Exception => None } // truncated/corrupt wav → stub
+  }
+
+  /** Payload → feature vector, tiered by what the bytes ARE: imageio for
+    * real images, javax.sound for real 16-bit PCM WAV, byte-level stub
+    * for everything else (video has no JDK codec — documented stub).
     */
   private[multimodal] def decode(bytes: Array[Byte],
                                  dim: Int = 8): Array[Double] =
-    decodeImage(bytes, dim).getOrElse(decodeStub(bytes, dim))
+    decodeImage(bytes, dim)
+      .orElse(decodeAudio(bytes, dim))
+      .getOrElse(decodeStub(bytes, dim))
 
   /** Feature extraction over the media table: per-partition batch decode.
     * This is where a 1000-executor cluster spends its time, so the shape

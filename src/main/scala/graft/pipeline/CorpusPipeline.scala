@@ -51,9 +51,13 @@ object CorpusPipeline {
     // map-side partial combine — on a duplicate-heavy 100 TB corpus the
     // shuffle carries one candidate row per (map task, fingerprint)
     // instead of every duplicate, and nothing buffers whole groups.
-    val exactKept = docs
+    // project to the columns the pipeline actually consumes BEFORE the
+    // dedup shuffle — the corpus's one full-data exchange should carry
+    // nothing it won't use (source/n_chars etc. would ride the whole way)
+    val needed = docs.select(col("doc_id"), col("lang"), col("text"))
+    val exactKept = needed
       .groupBy(TextOps.fingerprint(col("text")).as("__fp"))
-      .agg(min_by(struct(docs.columns.map(col): _*), col("doc_id"))
+      .agg(min_by(struct(needed.columns.map(col): _*), col("doc_id"))
              .as("__row"))
       .select(col("__fp"), col("__row.*"))
 

@@ -82,6 +82,43 @@ class MultimodalDecodeSpec extends SparkSpec {
       MultimodalOps.decodeStub(text).toSeq)
   }
 
+  test("a real generated WAV decodes to PCM amplitude features") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    val fmt = new AudioFormat(16000f, 16, 1, true, false) // 16-bit LE mono
+    val samples = Array.tabulate[Short](400)(i =>
+      (math.sin(i * 0.1) * 12000).toShort)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val baos = new ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt,
+                           samples.length),
+      AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+
+    val expected = {
+      val sums = new Array[Long](8); val counts = new Array[Int](8)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        sums(i % 8) += math.abs(s.toInt); counts(i % 8) += 1 }
+      sums.zip(counts).map { case (s, c) => s.toDouble / c / 32768.0 }
+    }
+    val got = MultimodalOps.decodeAudio(wav)
+    assert(got.isDefined, "javax.sound did not decode a valid WAV")
+    assert(got.get.toSeq === expected.toSeq)
+    // tiering: decode() picks the audio path, not the stub
+    assert(MultimodalOps.decode(wav).toSeq === expected.toSeq)
+    assert(MultimodalOps.decode(wav).toSeq !==
+      MultimodalOps.decodeStub(wav).toSeq)
+    // RIFF magic but truncated → stub fallback, not a crash
+    val corrupt = wav.take(16)
+    assert(MultimodalOps.decodeAudio(corrupt).isEmpty)
+    assert(MultimodalOps.decode(corrupt).toSeq ===
+      MultimodalOps.decodeStub(corrupt).toSeq)
+  }
+
   test("stub bucket values are the exact integer-sum division chain") {
     val bytes = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90)
     val f = MultimodalOps.decodeStub(bytes)
