@@ -73,4 +73,22 @@ class NgramPropertySpec extends SparkSpec {
       assert(want.nonEmpty, "degenerate corpus: no pairs above tau")
     }
   }
+
+  test("minhash LSH is sound on a random corpus: surfaced ⊆ truth, exact values") {
+    val docs = corpus(seed = 13, nDocs = 120, nTemplates = 8)
+    val want = bruteForce(docs, n = 8, tau = 0.7)
+    val got = DedupOps.minhashLshPairs(
+        docs.toDF("doc_id", "text"), "doc_id", "text",
+        n = 8, k = 64, bands = 16, tau = 0.7)
+      .select($"id_a", $"id_b", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    // soundness is unconditional (exact verify); every surfaced pair must
+    // be a true pair with the true jaccard
+    assert((got -- want).isEmpty, s"false positives: ${got -- want}")
+    // recall is probabilistic: P(miss) = (1-s^4)^16 < 2% at s = 0.7 —
+    // over the handful of true pairs here a miss is possible but multiple
+    // misses are vanishingly unlikely; allow at most one
+    assert(want.size - got.size <= 1,
+      s"LSH recall collapsed: ${want.size} true, ${got.size} surfaced")
+  }
 }
