@@ -45,19 +45,18 @@ object Bench {
     case c => c.toString
   } + "\""
 
-  /** The one-line JSON metric (pure — spec'd so the driver-parseability
-    * contract can't silently regress). A query timed < 0 means FAILED; it
-    * is excluded from the sum and the total is poisoned past any
-    * plausible duration so a failing round can't look fast.
-    */
-  /** Shared poisoned-total: failed queries (< 0) are excluded from the
-    * sum and push the total past any plausible duration. ONE definition
-    * so the short line can never drift from bench.json's detailed line.
+  /** Shared poisoned-total: a query timed < 0 means FAILED — it is
+    * excluded from the sum and pushes the total past any plausible
+    * duration so a failing round can't look fast. ONE definition so the
+    * short line can never drift from bench.json's detailed line.
     */
   private def totalOf(results: Seq[(String, Double)]): Double =
     results.map(_._2).filter(_ >= 0).sum +
       (if (results.exists(_._2 < 0)) 1e9 else 0.0)
 
+  /** The one-line detailed JSON metric (pure — spec'd so the
+    * driver-parseability contract can't silently regress).
+    */
   def renderJson(results: Seq[(String, Double)], sfDir: String): String = {
     val qs = results.map { case (k, v) => jsonQuote(k) + ":" + v }
       .mkString("{", ",", "}")

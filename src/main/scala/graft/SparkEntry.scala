@@ -1220,7 +1220,7 @@ object SparkEntry {
 
     "q_vector_mean" ->
       """SELECT CAST(vec_id % 3 AS INT) AS g,
-        |       count(*) AS n_vecs,
+        |       count(embedding) AS n_vecs,
         |       round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS m0,
         |       round(avg(CAST(embedding[-1] AS DOUBLE)), 6) AS mlast
         |FROM embeddings GROUP BY 1""".stripMargin,

@@ -105,10 +105,14 @@ object CorpusPipeline {
     * bounded-state streaming form, so at scale it runs periodically over
     * the deduped store while THIS path keeps the ingest incremental.
     *
-    * Output columns are all text-derived (fingerprint, stats) — identical
-    * for any exact duplicate — so the result SET is deterministic no
-    * matter which physical duplicate the stream sees first, and the
+    * Dedup key is (fingerprint, lang) — every output column is then a
+    * pure function of the key (lang is a key part; the stats derive from
+    * the text behind the fingerprint), so the result SET is deterministic
+    * no matter which physical duplicate the stream sees first, and the
     * batch twin (same code path, `isStreaming=false`) is set-equal.
+    * Keying on fingerprint alone would be nondeterministic: identical
+    * text can carry different lang tags, and whichever row arrived first
+    * would decide whether the doc survives the language gate.
     */
   def curateStream(docs: DataFrame, lang: String = "en",
                    minTokens: Int = 20, maxRepetition: Double = 1.0,
@@ -122,9 +126,9 @@ object CorpusPipeline {
         // evicted — the only dedup that survives an unbounded ingest
         withFp.withColumn("__ingest_ts", current_timestamp())
           .withWatermark("__ingest_ts", lateness)
-          .dropDuplicatesWithinWatermark("fingerprint")
+          .dropDuplicatesWithinWatermark("fingerprint", "lang")
           .drop("__ingest_ts")
-      else withFp.dropDuplicates("fingerprint")
+      else withFp.dropDuplicates("fingerprint", "lang")
     deduped
       .select(col("fingerprint"), col("lang"),
               TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),

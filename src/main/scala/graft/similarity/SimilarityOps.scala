@@ -227,8 +227,13 @@ object SimilarityOps {
     for (_ <- 1 to iters) {
       val assigned = ivfAssignTo(emb, idCol, vecCol, cents)
       // count(vecCol), not count(*): vector_sum null-skips, so the mean's
-      // denominator must too, or null vectors dilute the centroid
+      // denominator must too, or null vectors dilute the centroid.
+      // Degenerate (empty) vectors are excluded from the MEANS entirely:
+      // ivfAssignTo parks them in list 0, but a 0-length array inside
+      // vector_sum would be a hard length-mismatch against real vectors —
+      // and a direction-less vector has nothing to contribute anyway.
       val means = assigned
+        .filter(size(col(vecCol)) > 0)
         .groupBy(col("list_id"))
         .agg(graft.functions.VectorAggregates.vectorSum(col(vecCol))
                .as("vsum"),

@@ -49,6 +49,8 @@ class AqeSkewJoinSpec extends SparkSpec {
     val plan = joined.queryExecution.executedPlan.toString
     assert(plan.contains("isSkewJoin=true") || plan.contains("skewed"),
       s"AQE did not split the skewed join:\n$plan")
-    s.close()
+    // do NOT close() the child session: newSession shares the global
+    // SparkContext, and close() == sparkContext.stop() — it would kill
+    // every later suite in this JVM. The SQL confs are already isolated.
   }
 }

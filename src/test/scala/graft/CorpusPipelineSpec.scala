@@ -36,13 +36,15 @@ class CorpusPipelineSpec extends SparkSpec {
     val dir = "/root/repo/target/scratch/curate_stream_in"
     docs.write.mode("overwrite").parquet(dir)
 
+    // 0.1 sits inside this corpus's observed rep_ratio range (0.06-0.18),
+    // so the gate provably filters below
     val batch = CorpusPipeline
-      .curateStream(docs, "en", minTokens = 20, maxRepetition = 0.6)
+      .curateStream(docs, "en", minTokens = 20, maxRepetition = 0.1)
       .collect().map(_.toSeq).toSet
 
     val stream = spark.readStream.schema(docs.schema).parquet(dir)
     val q = CorpusPipeline
-      .curateStream(stream, "en", minTokens = 20, maxRepetition = 0.6)
+      .curateStream(stream, "en", minTokens = 20, maxRepetition = 0.1)
       .writeStream.outputMode("append")
       .format("memory").queryName("curate_stream_test").start()
     try q.processAllAvailable() finally q.stop()
@@ -51,11 +53,12 @@ class CorpusPipelineSpec extends SparkSpec {
 
     assert(got === batch)
     assert(batch.nonEmpty, "degenerate: curation gate passed nothing")
-    // the repetition gate must actually bite relative to the lenient run
+    // STRICTLY more rows without the gate: proof the gate bites
     val lenient = CorpusPipeline
       .curateStream(docs, "en", minTokens = 20, maxRepetition = 1.0)
       .count()
-    assert(lenient >= batch.size)
+    assert(lenient > batch.size,
+      s"repetition gate filtered nothing (lenient=$lenient strict=${batch.size})")
   }
 
   test("sorted partitioned write produces pruned, sorted row groups (S9)") {

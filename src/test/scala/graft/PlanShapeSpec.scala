@@ -14,7 +14,10 @@ import graft.similarity.SimilarityOps
 class PlanShapeSpec extends SparkSpec {
 
   private def finalPlan(df: DataFrame): String = {
-    df.count() // drive AQE to its final plan
+    // collect(), NOT count(): count() builds a NEW QueryExecution around
+    // groupBy().count(), leaving df's own plan unexecuted (and its
+    // AdaptiveSparkPlan stuck at isFinalPlan=false)
+    df.collect()
     df.queryExecution.executedPlan.toString
   }
 

@@ -147,6 +147,21 @@ class SimilaritySpec extends SparkSpec {
     assert(got.values.forall(l => l == 0 || l == 1), s"phantom list: $got")
   }
 
+  test("ivfTrain survives a corpus containing an empty embedding") {
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.2f)), (1L, Seq(0.1f, 1.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq.empty[Float]) // degenerate: parked in list 0, excluded from means
+    ).toDF("vec_id", "embedding")
+    val cents = SimilarityOps.ivfTrain(rows, "vec_id", "embedding",
+                                       nlist = 2, iters = 2)
+    assert(cents.count() === 2)
+    val assigned = SimilarityOps.ivfAssignTo(rows, "vec_id", "embedding", cents)
+      .select($"vec_id", $"list_id").as[(Long, Int)].collect().toMap
+    assert(assigned(3L) === 0)
+    assert(assigned.size === 4)
+    cents.unpersist()
+  }
+
   test("ivfTrain: spherical k-means objective is monotone non-decreasing") {
     // objective = mean cosine of each vector to its assigned centroid;
     // assign(max-cosine) + update(mean direction) must not decrease it
