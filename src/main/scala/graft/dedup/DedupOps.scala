@@ -190,12 +190,31 @@ object DedupOps {
         least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn"))
     val minOverlap =
       lit(tau / (1.0 + tau)) * (col("a.sz") + col("b.sz")) - lit(1e-9)
+    // indexing-prefix filter (PPJoin's asymmetric prefix): for J ≥ τ the
+    // FIRST shared shingle (in the global order) sits within the probing
+    // prefix of the LARGER set (len sz−⌈τ·sz⌉+1 — what `prefix` already
+    // keeps for both sides) AND within the SHORTER indexing prefix of the
+    // SMALLER set (len sz−⌈2τ/(1+τ)·sz⌉+1): the required overlap
+    // α = ⌈τ/(1+τ)(sz_a+sz_b)⌉ is ≥ 2τ/(1+τ)·min(sz) because the other
+    // side is at least as large. Requiring the smaller side's match rank
+    // inside its indexing prefix is therefore lossless, and shrinks that
+    // side's effective prefix from (1−τ)·sz to (1−τ)/(1+τ)·sz — at τ=0.7
+    // a 42% cut of the candidate-generating tokens. The 1e-9 guard keeps
+    // an FP-exact ⌈c·sz⌉ boundary from over-shortening the prefix.
+    val c = 2.0 * tau / (1.0 + tau)
+    def indexLen(sz: Column): Column =
+      sz - ceil(lit(c) * sz - lit(1e-9)) + 1
+    val inIndexPrefix =
+      when(col("a.sz") <= col("b.sz"),
+           col("a.rn") <= indexLen(col("a.sz")))
+        .otherwise(col("b.rn") <= indexLen(col("b.sz")))
     val cand = prefix.as("a")
       .join(prefix.as("b"),
             col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
               col("a.sz") >= lit(tau) * col("b.sz") &&
               col("b.sz") >= lit(tau) * col("a.sz") &&
-              overlapBound >= minOverlap)
+              overlapBound >= minOverlap &&
+              inIndexPrefix)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     verifyPairs(cand, sets, tau)
