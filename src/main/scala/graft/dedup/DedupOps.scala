@@ -163,8 +163,14 @@ object DedupOps {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("id"))
           .orderBy(col("df").asc, col("sh").asc)))
+      // +1e-9 before the floor: 1.0-0.8 is 0.1999…96 in FP, so an
+      // UNguarded floor((1-τ)·sz) under-computes by 1 whenever (1-τ)·sz
+      // is mathematically integral (τ=0.8, sz any multiple of 5) — a
+      // one-short prefix silently DROPS true pairs sitting exactly at
+      // J = τ. The guard can only lengthen the prefix (keeps extras,
+      // never loses) — same safe direction as the other bounds' guards.
       .filter(col("rn") <=
-        floor(lit(1.0 - tau) * col("sz")).cast("int") + 1)
+        floor(lit(1.0 - tau) * col("sz") + lit(1e-9)).cast("int") + 1)
       .select("id", "sh", "sz", "rn")
       // Self-joined below: compute the window once (evictable cache).
       // Deliberately NOT pre-partitioned on the join key: at bench scale

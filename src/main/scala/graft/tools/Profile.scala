@@ -38,7 +38,7 @@ object Profile {
         .agg(slice(array_sort(collect_list(
                      struct(col("df").as("df"), col("sh").as("sh")))),
                    lit(1),
-                   (floor(lit(1.0 - tau) * col("sz")) + 1).cast("int"))
+                   (floor(lit(1.0 - tau) * col("sz") + lit(1e-9)) + 1).cast("int"))
                .as("pref"))
         .select(col("id"), col("sz"), explode(col("pref")).as("e"))
         .select(col("id"), col("sz"), col("e.sh").as("sh"))
@@ -58,7 +58,7 @@ object Profile {
     val prefix = postings.join(freq, "sh")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df").asc, col("sh").asc)))
-      .filter(col("rn") <= floor(lit(1.0 - tau) * col("sz")).cast("int") + 1)
+      .filter(col("rn") <= floor(lit(1.0 - tau) * col("sz") + lit(1e-9)).cast("int") + 1)
       .select("id", "sh", "sz")
     time("prefix count")(println("prefix rows: " + prefix.count()))
     val prefixM = time("prefix checkpoint")(prefix.localCheckpoint())

@@ -62,6 +62,28 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh === pairs)
   }
 
+  test("exact-boundary pair (J == tau) survives the prefix at tau=0.8") {
+    // Regression for an FP trap: 1.0-0.8 = 0.1999…96, so an unguarded
+    // floor((1-τ)·sz) computed a one-short prefix whenever (1-τ)·sz was
+    // integral — and a one-short prefix DROPS pairs sitting exactly at
+    // J = τ. Here A={v,w,x,y,z}, B={w,x,y,z}: J = 4/5 = 0.8 exactly;
+    // 'v' is corpus-unique so it is A's rarest shingle, and with the
+    // broken prefix (length 1 instead of 2) A's prefix was {v} alone —
+    // no shared shingle, pair silently missing. The filler docs raise
+    // df(w..z) and are themselves excluded by the length filter.
+    val docs = Seq(
+      (1L, "vwxyz"),
+      (2L, "wxyz"),
+      (3L, "wxyzabcdefghij"),
+      (4L, "wxyzklmnopqrst")
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+                                           n = 1, tau = 0.8)
+      .select($"id_a", $"id_b", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs === Set((1L, 2L, 0.8)))
+  }
+
   test("jaccard value is exact: identical docs → 1.0") {
     val docs = Seq((1L, "aaaaabbbbb"), (2L, "aaaaabbbbb"))
       .toDF("doc_id", "text")
