@@ -59,16 +59,23 @@ case class SortedIntersectCount(left: Expression, right: Expression)
         .TypeCheckResult.TypeCheckSuccess)
   }
 
+  // null elements equal nothing — skip them instead of NPEing on
+  // getUTF8String (the type check accepts containsNull arrays, so the
+  // SQL surface can legally pass them; array_sort puts nulls last)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     var i = 0; var j = 0; var c = 0
     val na = a.numElements(); val nb = b.numElements()
     while (i < na && j < nb) {
-      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
-      if (cmp == 0) { c += 1; i += 1; j += 1 }
-      else if (cmp < 0) i += 1
-      else j += 1
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -83,9 +90,13 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |int $i = 0, $j = 0, $c = 0;
          |int $na = $a.numElements(), $nb = $b.numElements();
          |while ($i < $na && $j < $nb) {
-         |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
-         |  if ($cmp == 0) { $c++; $i++; $j++; }
-         |  else if ($cmp < 0) { $i++; } else { $j++; }
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |    if ($cmp == 0) { $c++; $i++; $j++; }
+         |    else if ($cmp < 0) { $i++; } else { $j++; }
+         |  }
          |}
          |${ev.value} = $c;
        """.stripMargin

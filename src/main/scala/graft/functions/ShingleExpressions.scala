@@ -50,8 +50,15 @@ case class ShingleHashes(child: Expression, n: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
-  override def checkInputDataTypes() =
-    TextExpressions.requireType(child, prettyName, "string")(_ == StringType)
+  override def checkInputDataTypes() = {
+    // n ≤ 0 would silently shingle every doc to {hash("")} — all-pairs
+    // Jaccard 1.0, catastrophic dedup output; fail at analysis instead
+    if (n < 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"$prettyName n must be >= 1, got $n")
+    else
+      TextExpressions.requireType(child, prettyName, "string")(_ == StringType)
+  }
 
   def compute(s: UTF8String): GenericArrayData = {
     val numBytes = s.numBytes
@@ -68,11 +75,25 @@ case class ShingleHashes(child: Expression, n: Int)
         i += 1
       }
     } else {
+      // multi-byte: ONE forward pass computes every char's byte offset,
+      // then windows hash in place from the boundary table — O(len),
+      // same bytes as substringSQL(i+1, n) per window. (The substringSQL
+      // formulation re-walked the string from byte 0 for every window:
+      // O(len²), a single-task straggler on a megabyte CJK document.)
+      val bounds = new Array[Int](numChars + 1)
+      var off = 0
+      var c = 0
+      while (c < numChars) {
+        bounds(c) = off
+        off += UTF8String.numBytesForFirstByte(s.getByte(off))
+        c += 1
+      }
+      bounds(numChars) = numBytes
       var i = 0
       while (i < m) {
-        val w = s.substringSQL(i + 1, n)
         out(i) = XXH64.hashUnsafeBytes(
-          w.getBaseObject, w.getBaseOffset, w.numBytes, TextExpressions.Seed)
+          s.getBaseObject, s.getBaseOffset + bounds(i),
+          bounds(i + n) - bounds(i), TextExpressions.Seed)
         i += 1
       }
     }
@@ -119,16 +140,23 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
         .TypeCheckResult.TypeCheckSuccess)
   }
 
+  // null slots equal nothing — skipped, not read as 0 (getLong on a null
+  // slot returns garbage 0 that would count a phantom element; the SQL
+  // surface can legally pass containsNull arrays)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     var i = 0; var j = 0; var c = 0
     val na = a.numElements(); val nb = b.numElements()
     while (i < na && j < nb) {
-      val x = a.getLong(i); val y = b.getLong(j)
-      if (x == y) { c += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { c += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -144,9 +172,13 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
          |int $i = 0, $j = 0, $c = 0;
          |int $na = $a.numElements(), $nb = $b.numElements();
          |while ($i < $na && $j < $nb) {
-         |  long $x = $a.getLong($i); long $y = $b.getLong($j);
-         |  if ($x == $y) { $c++; $i++; $j++; }
-         |  else if ($x < $y) { $i++; } else { $j++; }
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    long $x = $a.getLong($i); long $y = $b.getLong($j);
+         |    if ($x == $y) { $c++; $i++; $j++; }
+         |    else if ($x < $y) { $i++; } else { $j++; }
+         |  }
          |}
          |${ev.value} = $c;
        """.stripMargin
@@ -164,10 +196,17 @@ case class MinHashSigFromHashes(child: Expression, k: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig_hashes"
-  override def checkInputDataTypes() =
-    TextExpressions.requireType(child, prettyName, "array<bigint>") {
-      case ArrayType(LongType, _) => true; case _ => false
-    }
+  override def checkInputDataTypes() = {
+    // k < 1 would NegativeArraySizeException per task at execution;
+    // fail at analysis like lsh_bucket's bits check
+    if (k < 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"$prettyName k must be >= 1, got $k")
+    else
+      TextExpressions.requireType(child, prettyName, "array<bigint>") {
+        case ArrayType(LongType, _) => true; case _ => false
+      }
+  }
 
   private lazy val as: Array[Long] =
     Array.tabulate(k)(i => SetExpressions.splitmix64(2L * i + 1) | 1L)
@@ -179,12 +218,16 @@ case class MinHashSigFromHashes(child: Expression, k: Int)
     var e = 0
     val ne = arr.numElements()
     while (e < ne) {
-      val h = arr.getLong(e)
-      var i = 0
-      while (i < k) {
-        val v = h * as(i) + bs(i)
-        if (v < mins(i)) mins(i) = v
-        i += 1
+      // a null slot is not hash 0 — skipping matches the string twin
+      // (MinHashSig), which ignores null elements
+      if (!arr.isNullAt(e)) {
+        val h = arr.getLong(e)
+        var i = 0
+        while (i < k) {
+          val v = h * as(i) + bs(i)
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
       }
       e += 1
     }

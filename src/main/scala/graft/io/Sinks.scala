@@ -89,8 +89,15 @@ object Sinks {
     */
   def writeSortedPartitioned(df: DataFrame, partCol: String,
                              sortCol: String, path: String): Unit =
+    // sort by (partCol, sortCol), not sortCol alone: the partitioned file
+    // writer requires partition columns to lead the ordering and would
+    // otherwise insert its OWN sort keyed only on partCol — whose
+    // stability w.r.t. our sortCol order is not contractual, silently
+    // un-sorting rows inside each partition dir and defeating the
+    // row-group min/max skipping this layout exists for. Leading with
+    // partCol satisfies the writer's requirement, so no second sort.
     df.repartition(col(partCol))
-      .sortWithinPartitions(col(sortCol))
+      .sortWithinPartitions(col(partCol), col(sortCol))
       .write.mode("overwrite").partitionBy(partCol).parquet(path)
 
   /** S13 — console sink (`df.show()`, spark-apps/test_spark.py:13). */

@@ -21,13 +21,20 @@ import org.apache.spark.sql.functions._
 object SkewOps {
 
   /** Inner equi-join of `fact` to `dim` on `key`, salted `n` ways.
-    * The salt is derived from the whole fact row (xxhash64), so it is
-    * deterministic under retries and needs no unique id column.
+    * The salt mixes the whole fact row with a per-partition-disambiguated
+    * row id: row-content alone would give EXACT-DUPLICATE rows of a hot
+    * key the same salt — and duplicate-heavy hot keys (retried/replayed
+    * log events) are precisely the common real-world skew shape, which a
+    * content-only salt silently fails to spread. The join RESULT is salt-
+    * invariant (the dim side carries every salt), so the id's run-to-run
+    * instability is confined to which reducer a row lands on — the thing
+    * salting exists to randomize.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  n: Int = 8): DataFrame = {
     val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(fact.columns.map(col): _*), lit(n)).cast("int"))
+      pmod(xxhash64(monotonically_increasing_id() +:
+                      fact.columns.map(col): _*), lit(n)).cast("int"))
     val salts = explode(sequence(lit(0), lit(n - 1)))
     val saltedDim = dim.withColumn("__salt", salts)
     saltedFact

@@ -42,8 +42,11 @@ object Quality {
     * dags/nyc_taxi_pipeline_dag.py:95-96). Returns (columnName -> nullCount).
     */
   def nullCensus(df: DataFrame): Map[String, Long] = {
+    // coalesce: sum() over ZERO rows is NULL, and getLong on it throws —
+    // the census must return all-zeros on an empty table, which is
+    // exactly when a quality check is most likely to be consulted
     val exprs = df.columns.map(c =>
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(c))
+      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(c))
     val row = df.agg(exprs.head, exprs.tail: _*).head()
     df.columns.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
   }

@@ -75,7 +75,12 @@ object Sessionize {
         return Iterator(SessionUpdate(userId, s.start, s.end, s.n,
                                       closed = true))
       }
-      val times = rows.map(_.ts.getTime).toSeq.sorted
+      // null timestamps are skipped, not dereferenced — one bad row must
+      // not kill the whole streaming query (the batch form lets a null
+      // tsm flow through its window harmlessly)
+      val times = rows.collect {
+        case e if e.ts != null => e.ts.getTime
+      }.toSeq.sorted
       if (times.isEmpty) return Iterator.empty
       var s = state.getOption.getOrElse(
         SessionState(times.head, times.head, 0L))
@@ -83,7 +88,12 @@ object Sessionize {
       times.foreach { t =>
         s = if (t - s.end > gapMs) {
           closed += s; SessionState(t, t, 1L)
-        } else s.copy(end = math.max(s.end, t), n = s.n + 1)
+        } else
+          // a LATE in-gap event can precede the stored start (cross-batch
+          // arrival): widen both bounds, matching the batch min/max —
+          // without the min the emitted start diverges from the oracle
+          s.copy(start = math.min(s.start, t),
+                 end = math.max(s.end, t), n = s.n + 1)
       }
       state.update(s)
       if (idleTimeout) state.setTimeoutDuration(gapMs)

@@ -34,6 +34,13 @@ object StreamingOps {
     * within `lateness` of the original is dropped, and state for expired
     * event-times is evicted — the only dedup that survives an unbounded
     * ingest. On a batch frame it degrades to plain dropDuplicates.
+    *
+    * DETERMINISM CONTRACT: the kept row per key is the first one seen
+    * (streaming) / an arbitrary one (batch) — so any NON-key output
+    * column is arrival-order-dependent. Downstream logic must consume
+    * only the key columns, or columns that are pure functions of them
+    * (the discipline CorpusPipeline.curateStream follows by keying on
+    * (fingerprint, lang)); anything else is run-to-run flaky by nature.
     */
   def dedupStream(events: DataFrame, keys: Seq[String],
                   lateness: String = "30 minutes"): DataFrame =

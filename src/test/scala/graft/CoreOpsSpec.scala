@@ -86,5 +86,7 @@ class CoreOpsSpec extends SparkSpec {
     assert(Quality.requireNoNulls(withNull, Seq("x")).isLeft)
     assert(Quality.requireNoNulls(withNull, Seq("y")).isRight)
     assert(Quality.nullCensus(withNull) === Map("x" -> 1L, "y" -> 0L))
+    // empty table: all-zero census, never an NPE (sum over 0 rows is NULL)
+    assert(Quality.nullCensus(empty) === Map("x" -> 0L, "y" -> 0L))
   }
 }

@@ -62,6 +62,34 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh === pairs)
   }
 
+  test("multi-byte shingle hashes equal per-window UTF-8 hashing") {
+    // pins the O(len) boundary-table path against a direct per-window
+    // recomputation (the path used to re-walk bytes via substringSQL)
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val text = "héllo wörld — 你好世界 café ños"
+    val n = 4
+    val got = Seq(Tuple1(text)).toDF("text")
+      .select(graft.functions.ShingleExpressions
+        .shingleHashes($"text", n).as("hs"))
+      .head().getSeq[Long](0)
+    val expected = text.toCharArray.map(_.toString)
+      .sliding(n).map(_.mkString).map { w =>
+        val b = w.getBytes("UTF-8")
+        XXH64.hashUnsafeBytes(b,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length,
+          graft.functions.TextExpressions.Seed)
+      }.toSeq.distinct.sorted
+    assert(got === expected)
+  }
+
+  test("sorted_intersect_count skips null elements instead of crashing") {
+    GraftExtensions.registerAll(spark)
+    val c = spark.sql(
+      "SELECT sorted_intersect_count(array('a', 'b', NULL), array('a', NULL))")
+      .head().getInt(0)
+    assert(c === 1)
+  }
+
   test("exact-boundary pair (J == tau) survives the prefix at tau=0.8") {
     // Regression for an FP trap: 1.0-0.8 = 0.1999…96, so an unguarded
     // floor((1-τ)·sz) computed a one-short prefix whenever (1-τ)·sz was
