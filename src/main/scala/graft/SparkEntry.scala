@@ -464,7 +464,7 @@ object SparkEntry {
     // (the UNsalted SQL join) verifies; the salt must be invisible.
     "q_salted_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-        .withColumn("n_nationkey", (col("user_id") % 25).cast("int"))
+        .withColumn("n_nationkey", pmod(col("user_id"), lit(25)).cast("int"))
       graft.ops.SkewOps.saltedJoin(ev, t(s, dir, "nation"),
                                    "n_nationkey", n = 8)
         .groupBy(col("n_name"))
@@ -741,7 +741,7 @@ object SparkEntry {
                     ELSE 'Other' END AS time_bucket,
                n_name AS zone, count(*) AS trips
         FROM g_events LEFT JOIN g_nation
-          ON CAST(user_id % 25 AS INT) = n_nationkey
+          ON CAST(((user_id % 25) + 25) % 25 AS INT) = n_nationkey
         GROUP BY 1, 2""")
     }),
 
@@ -806,7 +806,7 @@ object SparkEntry {
         |              WHEN date_part('hour', ts) BETWEEN 17 AND 19
         |                THEN 'Evening Rush'
         |              ELSE 'Other' END AS time_bucket,
-        |         value, user_id % 25 AS zone_key
+        |         value, ((user_id % 25) + 25) % 25 AS zone_key
         |  FROM (SELECT DISTINCT * FROM events
         |        WHERE event_id IS NOT NULL AND ts IS NOT NULL
         |          AND user_id IS NOT NULL AND event_type IS NOT NULL
@@ -988,7 +988,7 @@ object SparkEntry {
     "q_text_stats" ->
       """SELECT doc_id,
         |  CAST(len(text) AS BIGINT) AS n_chars_calc,
-        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT)
         |    AS n_tokens,
         |  CAST(len(regexp_extract_all(text,
         |       '[A-Za-z]+|[0-9]+|[!-/:-@\[-`{-~]')) AS BIGINT)
@@ -1032,11 +1032,11 @@ object SparkEntry {
 
     "q_quality_score" ->
       """SELECT doc_id, round(
-        |  least(CAST(len(string_split_regex(trim(text),'\s+')) AS DOUBLE)
+        |  least(CAST(len(list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '')) AS DOUBLE)
         |        / 100.0, 1.0) * 0.5
         |  + (CAST(len(list_filter(string_split_regex(trim(text),'\s+'),
         |          x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
-        |     / CAST(greatest(len(string_split_regex(trim(text),'\s+')), 1)
+        |     / CAST(greatest(len(list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '')), 1)
         |            AS DOUBLE)) * 0.3
         |  + (1.0 - least(CAST(len(regexp_extract_all(text,'[.,!?;:]'))
         |                      AS DOUBLE)
@@ -1153,8 +1153,9 @@ object SparkEntry {
         |GROUP BY t.doc_id""".stripMargin,
 
     "q_chunk_docs" ->
-      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+')
-        |              AS toks
+      """WITH tk AS (SELECT doc_id,
+        |              list_filter(string_split_regex(trim(text), '\s+'),
+        |                          x -> x <> '') AS toks
         |            FROM documents),
         |idx AS (SELECT unnest(range(0,
         |    (SELECT CAST(max(len(toks)) AS BIGINT) FROM tk), 40)) AS s)
@@ -1190,20 +1191,23 @@ object SparkEntry {
     // list-level twin of the narrow array expressions (same int/int
     // division chain, so the doubles agree bit-for-bit before round)
     "q_repetition" ->
-      """WITH t AS (SELECT doc_id,
-        |                  string_split_regex(trim(text), '\s+') AS toks,
+      """WITH t AS (SELECT doc_id, text,
+        |                  list_filter(string_split_regex(trim(text), '\s+'),
+        |                              x -> x <> '') AS toks,
         |                  list_filter(string_split(text, chr(10)),
         |                              l -> l <> '') AS lines
         |           FROM documents)
         |SELECT doc_id,
-        |       round(CAST(list_max(list_transform(list_distinct(toks),
-        |               t -> len(list_filter(toks, x -> x = t))))
-        |             AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6)
-        |         AS rep_ratio,
+        |       round(CASE WHEN len(toks) > 0
+        |               THEN CAST(list_max(list_transform(list_distinct(toks),
+        |                      t -> len(list_filter(toks, x -> x = t))))
+        |                    AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |               ELSE NULL END, 6) AS rep_ratio,
         |       round(CASE WHEN len(lines) > 0
         |               THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
         |                          / CAST(len(lines) AS DOUBLE)
-        |               ELSE 0.0 END, 6) AS dup_line_frac
+        |               WHEN text IS NOT NULL THEN 0.0
+        |               ELSE NULL END, 6) AS dup_line_frac
         |FROM t""".stripMargin,
 
     "q_pii_redact" ->
@@ -1245,7 +1249,7 @@ object SparkEntry {
         |            ELSE 'Other' END AS time_bucket,
         |       n_name AS zone, count(*) AS trips
         |FROM events LEFT JOIN nation
-        |  ON CAST(user_id % 25 AS INTEGER) = n_nationkey
+        |  ON CAST(((user_id % 25) + 25) % 25 AS INTEGER) = n_nationkey
         |GROUP BY 1, 2""".stripMargin,
 
     "q_asof_join" ->
@@ -1308,7 +1312,7 @@ object SparkEntry {
     "q_salted_join" ->
       """SELECT n_name, count(*) AS n, round(sum(value), 4) AS v
         |FROM events JOIN nation
-        |  ON CAST(user_id % 25 AS INTEGER) = n_nationkey
+        |  ON CAST(((user_id % 25) + 25) % 25 AS INTEGER) = n_nationkey
         |GROUP BY n_name""".stripMargin,
 
     "q_fact_join" ->
@@ -1371,15 +1375,15 @@ object SparkEntry {
         |kept AS (SELECT * FROM dedup1
         |         WHERE doc_id NOT IN (SELECT id_b FROM drops))
         |SELECT doc_id, lang,
-        |  CAST(len(string_split_regex(trim(text),'\s+')) AS BIGINT)
+        |  CAST(len(list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '')) AS BIGINT)
         |    AS n_tokens,
         |  round(
-        |    least(CAST(len(string_split_regex(trim(text),'\s+')) AS DOUBLE)
+        |    least(CAST(len(list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '')) AS DOUBLE)
         |          / 100.0, 1.0) * 0.5
         |    + (CAST(len(list_filter(string_split_regex(trim(text),'\s+'),
         |            x -> x IN ('the','a','of','and','to','in','is')))
         |            AS DOUBLE)
-        |       / CAST(greatest(len(string_split_regex(trim(text),'\s+')), 1)
+        |       / CAST(greatest(len(list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '')), 1)
         |              AS DOUBLE)) * 0.3
         |    + (1.0 - least(CAST(len(regexp_extract_all(text,'[.,!?;:]'))
         |                        AS DOUBLE)
@@ -1388,7 +1392,7 @@ object SparkEntry {
         |  md5(text) AS fingerprint
         |FROM kept
         |WHERE lang = 'en'
-        |  AND len(string_split_regex(trim(text),'\s+')) >= 20""".stripMargin
+        |  AND len(list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '')) >= 20""".stripMargin
   )
 
   /** Shared truth for both top-k strategies (window row_number and the

@@ -13,8 +13,12 @@ import graft.text.TextOps
   * corpus-cleaning pass a 100 TB text pipeline runs before tokenization —
   *
   *   exact dedup (content hash, keep lowest id)
-  *   → near-dup removal (12-gram Jaccard ≥ τ, drop the higher id of
-  *     every surviving pair — the greedy keep-first policy)
+  *   → near-dup removal (12-gram Jaccard ≥ τ: drop EVERY doc that has a
+  *     ≥τ neighbour of smaller id — note this is NOT greedy keep-first:
+  *     on a chain A~B~C with A≁C, keep-first would retain C after
+  *     dropping B, whereas this policy drops both B and C. One anti-join
+  *     instead of an inherently sequential chain walk — the scalable
+  *     choice, at the cost of over-dropping on transitive clusters)
   *   → language filter
   *   → quality gate (token floor) + quality scoring
   *

@@ -50,7 +50,10 @@ object TaxiPipeline {
     */
   def joinZones(trips: DataFrame, zones: DataFrame): DataFrame =
     trips
-      .withColumn("zone_key", (col("user_id") % 25).cast("int"))
+      // pmod, not %: Scala/Spark % truncates toward zero, so a negative
+      // user_id would derive a zone_key outside [0,25) and silently fall out
+      // of the left join into a null zone
+      .withColumn("zone_key", pmod(col("user_id"), lit(25)).cast("int"))
       .join(broadcast(zones), col("zone_key") === col("n_nationkey"), "left")
 
   /** Analytics aggregate — "trip volume, average fare by time buckets"

@@ -14,9 +14,15 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** Whitespace tokenizer (the reference's pandas-era ETL had no text ops;
-    * this is the extension-scope surface).
+    * this is the extension-scope surface). Empty fragments are filtered:
+    * `trim` strips only 0x20 spaces, so a newline/tab-terminated document
+    * (ubiquitous in real corpora) would otherwise emit phantom ''
+    * tokens — off-by-one n_tokens, a diluted repetition denominator, and
+    * a phantom chunk tail. The DuckDB oracle twin is
+    * `list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')`.
     */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= lit(""))
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -95,10 +101,28 @@ object TextOps {
     * is bit-identical across engines.
     */
   def topTokenRatio(text: Column): Column = {
-    val toks = tokens(text)
-    array_max(transform(array_distinct(toks),
-        t => size(filter(toks, x => x === t)))).cast("double") /
-      size(toks).cast("double")
+    // single O(n log n) pass: sort the tokens, then the max frequency is
+    // the longest equal run — the distinct×filter formulation re-scanned
+    // the whole array per distinct token (O(d·n), quadratic on long
+    // documents, which is where a repetition gate matters most)
+    val sorted = array_sort(tokens(text))
+    val best = aggregate(
+      sorted,
+      struct(lit(null).cast("string").as("prev"),
+             lit(0).as("run"), lit(0).as("best")),
+      (acc, t) => {
+        val run = when(acc.getField("prev").isNotNull &&
+                         t === acc.getField("prev"),
+                       acc.getField("run") + 1).otherwise(lit(1))
+        struct(t.as("prev"), run.as("run"),
+               greatest(acc.getField("best"), run).as("best"))
+      }).getField("best")
+    // explicit empty guard: 0/0 division semantics differ across engines
+    // (Spark yields null, IEEE-mode engines NaN) — make "no tokens" a
+    // definite null in both
+    when(size(sorted) > 0,
+         best.cast("double") / size(sorted).cast("double"))
+      .otherwise(lit(null).cast("double"))
   }
 
   /** Duplicate-line fraction (the other classic repetition gate):
@@ -107,10 +131,13 @@ object TextOps {
     */
   def dupLineFraction(text: Column): Column = {
     val lines = filter(split(text, "\n"), l => l =!= lit(""))
+    // null text propagates null (matching topTokenRatio) rather than
+    // reading as a maximally-clean 0.0; only a real no-content document
+    // scores 0
     when(size(lines) > 0,
          lit(1.0) - size(array_distinct(lines)).cast("double") /
            size(lines).cast("double"))
-      .otherwise(lit(0.0))
+      .when(text.isNotNull, lit(0.0))
   }
 
   /** PII scrub patterns: deliberately plain character-class regexes with
@@ -196,7 +223,12 @@ object TextOps {
     */
   def trainSplit(text: Column): Column = {
     val h = substring(fingerprint(text), 1, 1)
-    when(h < "e", "train").when(h === "e", "val").otherwise("test")
+    // the final arm tests isNotNull rather than being otherwise(): a null
+    // document must assign to NO split (null), not silently concentrate
+    // in the 6.25% test partition (every comparison on a null hash falls
+    // through all when() branches)
+    when(h < "e", "train").when(h === "e", "val")
+      .when(h.isNotNull, "test")
   }
 
   /** All text stats in one projection (one scan pass). */
