@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.dedup.DedupOps
+import graft.dedup.{ConnectedComponents, DedupOps}
 import graft.functions.TextExpressions
 import graft.io.Sinks
 import graft.multimodal.MultimodalOps
@@ -316,6 +316,76 @@ object SparkEntry {
     "q_minhash_lsh" -> ((s, dir) =>
       DedupOps.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
                                n = 12, k = 64, bands = 16, tau = 0.7)),
+
+    // Deterministic corpus mixing: cap src0 at 25%, src1 at 50%, drop
+    // src2, keep the rest — RNG-free (md5 coin), so the mix is
+    // re-derivable and engine-checkable
+    "q_corpus_mix" -> ((s, dir) =>
+      TextOps.mixSample(t(s, dir, "documents"), "source",
+                        Map("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.0))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("kept"))),
+
+    // Sequence packing: chunk stream → 512-token bins, sequential within
+    // each language (per-key window, never a global sort)
+    "q_pack_chunks" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val chunks = TextOps.chunkDocs(docs, "text", chunkTokens = 50,
+                                     overlap = 10)
+      val keyed = chunks.join(docs.select(col("doc_id"), col("lang")),
+                              "doc_id")
+      TextOps.packChunks(keyed, "lang", Seq("doc_id", "chunk_idx"),
+                         "chunk_tokens", budget = 512)
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_chunks"),
+             sum(col("chunk_tokens")).as("bin_tokens"))
+    }),
+
+    // Top-3 TF-IDF terms per document (keyword extraction for domain
+    // tagging / corpus mixing); ranked by rounded score then term for a
+    // deterministic engine-portable selection
+    "q_tfidf" -> ((s, dir) =>
+      TextOps.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text",
+                            k = 3)),
+
+    // ORC round-trip: the third columnar format a warehouse boundary
+    // speaks (parquet and CSV are covered elsewhere) — write, re-read,
+    // aggregate; the oracle computes the same aggregate from the source
+    // parquet, so the round-trip must be lossless
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val path = scratch(dir, "orc_roundtrip")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+                col("o_totalprice"))
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .agg(count(lit(1)).as("n"),
+             sum(col("o_orderkey")).as("key_sum"),
+             round(sum(col("o_totalprice")), 2).as("price_sum"),
+             countDistinct(col("o_orderstatus")).as("n_status"))
+    }),
+
+    // Benchmark decontamination: docs outside src0 sharing ≥1 long
+    // (30-char) n-gram with the src0 "benchmark" slice — the pre-training
+    // leak check. At n=30 only true cross-source near-dup plants flag
+    // (n=12 would flag ~the whole templated corpus).
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DedupOps.contamination(docs.filter(col("source") =!= "src0"),
+                             docs.filter(col("source") === "src0"),
+                             "doc_id", "text", n = 30)
+    }),
+
+    // Duplicate CLUSTERS: near-dup pairs (LSH sketch path) → alternating
+    // large-star/small-star connected components → per-cluster canonical
+    // member + sorted member list. Closes the dedup loop: pairs alone
+    // can't collapse transitive chains (A~B~C with no direct A~C pair —
+    // sf0.01 has one such 3-cluster). Oracle: recursive min-label
+    // transitive closure over the exact-Jaccard pair truth in DuckDB.
+    "q_dup_clusters" -> ((s, dir) =>
+      ConnectedComponents.duplicateClusters(
+        DedupOps.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+                                 n = 12, k = 64, bands = 16, tau = 0.7))),
 
     // SimHash near-dup pairs: 16-bit band candidates, hamming ≤ 3 verify.
     // 4 bands × 16 bits guarantee a band collision for hamming ≤ 3
@@ -1055,6 +1125,71 @@ object SparkEntry {
 
     "q_ngram_jaccard" -> jaccardOracle,
     "q_minhash_lsh" -> jaccardOracle,
+    "q_dup_clusters" -> dupClustersOracle,
+
+    "q_corpus_mix" ->
+      """SELECT source, count(*) AS kept FROM documents
+        |WHERE (strpos('0123456789abcdef', substr(md5(text),1,1))-1)*16
+        |      + (strpos('0123456789abcdef', substr(md5(text),2,1))-1)
+        |  < (CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.5
+        |                 WHEN 'src2' THEN 0.0 ELSE 1.0 END) * 256.0
+        |GROUP BY source""".stripMargin,
+
+    "q_pack_chunks" ->
+      """WITH tk AS (SELECT doc_id, lang,
+        |              list_filter(string_split_regex(trim(text), '\s+'),
+        |                          x -> x <> '') AS toks
+        |            FROM documents),
+        |idx AS (SELECT unnest(range(0,
+        |    (SELECT CAST(max(len(toks)) AS BIGINT) FROM tk), 40)) AS s),
+        |chunks AS (SELECT doc_id, lang, CAST(s // 40 AS BIGINT) AS chunk_idx,
+        |             CAST(least(len(toks) - s, 50) AS BIGINT) AS chunk_tokens
+        |           FROM tk JOIN idx ON (s = 0 OR s < len(toks) - 10)),
+        |packed AS (SELECT lang, chunk_tokens,
+        |             sum(chunk_tokens) OVER (
+        |               PARTITION BY lang ORDER BY doc_id, chunk_idx
+        |               ROWS UNBOUNDED PRECEDING) AS cum
+        |           FROM chunks),
+        |binned AS (SELECT lang, chunk_tokens,
+        |             CAST((cum - chunk_tokens) // 512 AS BIGINT) AS bin
+        |           FROM packed)
+        |SELECT lang, bin, count(*) AS n_chunks,
+        |       CAST(sum(chunk_tokens) AS BIGINT) AS bin_tokens
+        |FROM binned GROUP BY 1, 2""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |                       x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1,2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.term,
+        |                  round(tf * ln(CAST(n AS DOUBLE)/df), 6) AS tfidf
+        |           FROM tf JOIN dfreq USING (term), n),
+        |ranked AS (SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+        |  FROM scored)
+        |SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 3""".stripMargin,
+
+    "q_orc_roundtrip" ->
+      """SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |       round(sum(o_totalprice), 2) AS price_sum,
+        |       count(DISTINCT o_orderstatus) AS n_status
+        |FROM orders""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH idx AS (SELECT unnest(range(1,
+        |    (SELECT CAST(max(len(text)) AS BIGINT) FROM documents))) AS i),
+        |sh AS (SELECT DISTINCT doc_id, source,
+        |              substr(text, CAST(i AS INTEGER), 30) AS s
+        |       FROM documents JOIN idx ON i <= len(text)-29),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0')
+        |SELECT c.doc_id, count(*) AS shared
+        |FROM sh c JOIN bench b ON c.s = b.s
+        |WHERE c.source <> 'src0'
+        |GROUP BY 1""".stripMargin,
 
     "q_cosine_topk" ->
       """WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -1414,7 +1549,11 @@ object SparkEntry {
     * LSH banding + exact verification — different physical strategies,
     * identical result contract.
     */
-  private val jaccardOracle: String =
+  /** Shared CTE prefix: exact 12-gram Jaccard pair truth (J ≥ 0.7) as a
+    * `pairs` relation — the ground truth for q_ngram_jaccard,
+    * q_minhash_lsh, and the cluster oracle built on top of it.
+    */
+  private val jaccardPairsCte: String =
     """WITH idx AS (SELECT unnest(range(1,
       |    (SELECT CAST(max(len(text)) AS BIGINT) FROM documents))) AS i),
       |sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 12) AS s
@@ -1422,10 +1561,33 @@ object SparkEntry {
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
       |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |           GROUP BY 1,2)
-      |SELECT id_a, id_b, round(CAST(c AS DOUBLE)/(sa.n + sb.n - c), 6)
-      |         AS jaccard
-      |FROM common JOIN sizes sa ON sa.doc_id = id_a
-      |            JOIN sizes sb ON sb.doc_id = id_b
-      |WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.7""".stripMargin
+      |           GROUP BY 1,2),
+      |pairs AS (SELECT id_a, id_b,
+      |                 round(CAST(c AS DOUBLE)/(sa.n + sb.n - c), 6)
+      |                   AS jaccard
+      |          FROM common JOIN sizes sa ON sa.doc_id = id_a
+      |                      JOIN sizes sb ON sb.doc_id = id_b
+      |          WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.7)""".stripMargin
+
+  private val jaccardOracle: String =
+    jaccardPairsCte + "\nSELECT id_a, id_b, jaccard FROM pairs"
+
+  /** Connected components of the pair graph by recursive min-label
+    * transitive closure (DuckDB WITH RECURSIVE; the distinct-UNION
+    * fixpoint terminates because reachability is finite).
+    */
+  private val dupClustersOracle: String =
+    jaccardPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |verts AS (SELECT DISTINCT u AS id FROM edges),
+        |reach AS (SELECT id, id AS lbl FROM verts
+        |          UNION
+        |          SELECT r.id, e.v AS lbl
+        |          FROM reach r JOIN edges e ON e.u = r.lbl),
+        |comp AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id)
+        |SELECT comp AS cluster_id, count(*) AS cluster_size,
+        |       list(id ORDER BY id) AS members
+        |FROM comp GROUP BY comp""".stripMargin
 }

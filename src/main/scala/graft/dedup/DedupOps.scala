@@ -226,6 +226,41 @@ object DedupOps {
     verifyPairs(cand, sets, tau)
   }
 
+  /** Benchmark decontamination: per corpus doc, the number of DISTINCT
+    * character n-grams it shares with ANY benchmark doc (≥ `minShared`
+    * to appear). A training pipeline runs this corpus-vs-eval-set before
+    * training: docs quoting benchmark items verbatim inflate eval scores
+    * and must be dropped (the n here is long — ~a sentence — so chance
+    * collisions vanish and only real quotation flags).
+    *
+    * Scale shape: the benchmark's gram set is tiny next to a 100 TB
+    * corpus (eval suites are MBs), so the join broadcasts the benchmark
+    * hashes and the corpus is never shuffled — grams stream out of the
+    * scan as 8-byte xxhash64s (ShingleExpressions.shingleHashes emits
+    * per-doc distinct hashes in place, no string materialization), the
+    * count aggregates with map-side combine on the doc id.
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, n: Int,
+                    minShared: Long = 1L): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(ShingleExpressions.shingleHashes(col(textCol), n))
+        .as("sh"))
+      .distinct()
+    val corpusGrams = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
+                   col(idCol)) // single-file inputs: spread the scan
+      .select(col(idCol),
+              explode(ShingleExpressions.shingleHashes(col(textCol), n))
+                .as("sh"))
+    // per-doc hashes are already distinct, so count(*) after the gram
+    // join IS the distinct shared-gram count
+    corpusGrams.join(broadcast(benchGrams), "sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** MinHash signature over STRING shingles: k hash slots from one base
     * xxhash64 per shingle, slot i = min over the set of (h·A_i + B_i) —
     * see graft.functions.MinHashSig (native, codegen'd, single pass).

@@ -231,6 +231,89 @@ object TextOps {
       .when(h.isNotNull, "test")
   }
 
+  /** Deterministic sampling coin: first md5 byte of the content as an
+    * int in [0,256). RNG-free (re-derivable from data alone, the same
+    * property trainSplit leans on) and engine-portable (hex → int is
+    * exact in both engines).
+    */
+  def hashByte(text: Column): Column =
+    conv(substring(fingerprint(text), 1, 2), 16, 10).cast("int")
+
+  /** Corpus mixing: per-group deterministic downsampling to target
+    * rates — how a training mix reweights sources (cap the boilerplate
+    * crawl, keep all of the rare high-quality slice). A pure filter
+    * projection: no shuffle, no RNG state, reproducible across runs,
+    * engines, and partitionings; rate 0 removes a source, unlisted
+    * groups keep `defaultRate`.
+    */
+  def mixSample(df: DataFrame, keyCol: String, rates: Map[String, Double],
+                defaultRate: Double = 1.0,
+                textCol: String = "text"): DataFrame = {
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (k, v)) => when(col(keyCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(hashByte(col(textCol)).cast("double") < rate * lit(256.0))
+  }
+
+  /** Sequence packing: assign the (ordered) chunk stream to fixed
+    * token-budget bins — the step that turns curated chunks into
+    * context-window-sized training rows. A chunk joins the bin its
+    * cumulative token START falls in, so bins are contiguous runs in the
+    * (deterministic) order and a bin overflows its budget by at most one
+    * chunk — the standard concat-then-split packing. The running sum
+    * windows on `partitionCol` (e.g. language), NEVER globally: per-key
+    * sequential state is the scale contract (a global ORDER BY would
+    * single-partition a 100 TB chunk stream).
+    */
+  def packChunks(chunks: DataFrame, partitionCol: String,
+                 orderCols: Seq[String], tokenCol: String,
+                 budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col(partitionCol))
+      .orderBy(orderCols.map(c => col(c).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks.withColumn("bin",
+      floor((sum(col(tokenCol)).over(w) - col(tokenCol))
+        .cast("double") / lit(budget.toDouble)).cast("long"))
+  }
+
+  /** Top-k TF-IDF terms per document — the classic keyword/topic signal
+    * a curation pipeline uses for domain tagging and stratified corpus
+    * mixing. Plan shape at scale: one token explode (no shuffle), one
+    * (doc, term) aggregate and one term aggregate (both partial+final
+    * with map-side combine), the corpus size folded in as a broadcast
+    * scalar, and the per-doc top-k window partitions on the DOC id —
+    * bounded groups (a doc's distinct terms), never a global sort.
+    * Scoring is tf · ln(N/df) rounded to 6; ranking uses the ROUNDED
+    * score (desc) then the term (asc) so the selected set is
+    * deterministic and engine-portable.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+                   col(idCol)) // single-file inputs: spread the explode
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // tf is one row per (doc, term) already — count(*) IS document freq
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n").cast("double") /
+          col("df").cast("double")), 6))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("tfidf").desc, col("term").asc)))
+      .filter(col("rn") <= k)
+      .select(col(idCol), col("term"), col("tfidf"))
+  }
+
   /** All text stats in one projection (one scan pass). */
   def withTextStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.ConnectedComponents
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents
+      .connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  test("single edge → one component rooted at min") {
+    assert(cc(Seq((5L, 3L))) === Map(5L -> 3L, 3L -> 3L))
+  }
+
+  test("transitive chain collapses (the case pairwise dedup misses)") {
+    // 1-3, 3-2: no direct 1-2 edge, still one cluster rooted at 1
+    assert(cc(Seq((3L, 1L), (3L, 2L))) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("long path needs multiple rounds and still roots at min") {
+    // path 9-8-7-…-0 (diameter 9): exercises the iteration, not just
+    // one large/small-star pass
+    val path = (0L until 9L).map(i => (i, i + 1))
+    val got = cc(path)
+    assert(got === (0L to 9L).map(_ -> 0L).toMap)
+  }
+
+  test("separate components stay separate; duplicate + swapped edges ok") {
+    val got = cc(Seq((1L, 2L), (2L, 1L), (1L, 2L), (7L, 9L), (9L, 8L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
+  test("self-loops ignored; empty input → empty output") {
+    assert(cc(Seq((4L, 4L))) === Map.empty)
+    assert(cc(Seq.empty[(Long, Long)]) === Map.empty)
+  }
+
+  test("duplicateClusters elects canonical member with sorted members") {
+    val pairs = Seq((10L, 30L), (30L, 20L), (40L, 50L))
+      .toDF("id_a", "id_b")
+    val got = ConnectedComponents.duplicateClusters(pairs)
+      .orderBy("cluster_id")
+      .as[(Long, Long, Seq[Long])].collect().toSeq
+    assert(got === Seq((10L, 3L, Seq(10L, 20L, 30L)),
+                       (40L, 2L, Seq(40L, 50L))))
+    spark.catalog.clearCache() // release the internally persisted stars
+  }
+
+  test("star graph with hub as max id (stress on large-star direction)") {
+    // hub 100 connected to 1..6 — one component rooted at 1
+    val star = (1L to 6L).map(i => (100L, i))
+    val got = cc(star)
+    assert(got === ((1L to 6L) :+ 100L).map(_ -> 1L).toMap)
+    spark.catalog.clearCache()
+  }
+}

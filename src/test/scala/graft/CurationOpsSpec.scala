@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.DedupOps
+import graft.text.TextOps
+
+/** Specs for the round-3 curation additions: benchmark decontamination,
+  * TF-IDF keyword extraction. (Cluster election is covered by
+  * ConnectedComponentsSpec; all three also carry DuckDB oracles.)
+  */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("contamination flags only docs quoting a benchmark n-gram") {
+    val corpus = Seq(
+      (1L, "aaaaaaaaaaaa and then some unrelated tail"), // quotes bench
+      (2L, "totally different content here xyzzy"),
+      (3L, "prefix aaaaaaaaaaaa suffix aaaaaaaaaaaa")    // same gram twice
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "zz aaaaaaaaaaaa zz")).toDF("doc_id", "text")
+    val got = DedupOps.contamination(corpus, bench, "doc_id", "text",
+                                     n = 12)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    // doc 3 contains the 12-gram 'aaaaaaaaaaaa' at two positions but it
+    // is ONE distinct gram; bench windows around it ('z aaaaaaaaaa…')
+    // don't occur in the corpus docs
+    assert(got.map(_._1) === Seq(1L, 3L))
+    assert(got.forall(_._2 >= 1L))
+  }
+
+  test("contamination: empty benchmark or short docs → no flags") {
+    val corpus = Seq((1L, "some document text here")).toDF("doc_id", "text")
+    val benchEmpty = corpus.filter(lit(false))
+    assert(DedupOps.contamination(corpus, benchEmpty, "doc_id", "text",
+                                  n = 12).count() === 0)
+    val benchShort = Seq((2L, "tiny")).toDF("doc_id", "text") // < n chars
+    assert(DedupOps.contamination(corpus, benchShort, "doc_id", "text",
+                                  n = 12).count() === 0)
+  }
+
+  test("tfidf ranks rare terms above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "common common rare1"),
+      (2L, "common rare2 rare2"),
+      (3L, "common filler words")).toDF("doc_id", "text")
+    val got = TextOps.tfidfTopTerms(docs, "doc_id", "text", k = 1)
+      .orderBy("doc_id")
+      .as[(Long, String, Double)].collect().toSeq
+    // 'common' has df=3 → idf=ln(1)=0; the doc-unique terms win
+    assert(got.map(r => (r._1, r._2)) ===
+      Seq((1L, "rare1"), (2L, "rare2"), (3L, "filler")))
+    // doc 2: tf=2, idf=ln(3/1) → 2·1.098612…
+    assert(math.abs(got(1)._3 - 2.197225) < 1e-6)
+  }
+
+  test("mixSample: rate 0 removes, rate 1 keeps, coin is content-stable") {
+    val docs = (1 to 200).map(i => (i.toLong, s"document number $i", s"src${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    val kept = TextOps.mixSample(docs, "source",
+                                 Map("src0" -> 0.0, "src1" -> 1.0))
+    val bySource = kept.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(!bySource.contains("src0"))
+    assert(bySource("src1") === 100L)
+    // determinism: same content → same decision on re-evaluation
+    val again = TextOps.mixSample(docs, "source",
+                                  Map("src0" -> 0.0, "src1" -> 1.0))
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq ===
+      again.select("doc_id").as[Long].collect().sorted.toSeq)
+    // a 50% rate keeps a plausible fraction (md5 coin, 200 docs)
+    val half = TextOps.mixSample(docs, "source", Map(), defaultRate = 0.5)
+      .count()
+    assert(half > 60 && half < 140)
+  }
+
+  test("packChunks: bins contiguous, overflow ≤ one chunk, per-key reset") {
+    val chunks = Seq(
+      // key a: tokens 60+60+60 → budget 100: starts at 0,60,120 → bins 0,0,1
+      ("a", 1L, 0L, 60L), ("a", 1L, 1L, 60L), ("a", 2L, 0L, 60L),
+      // key b: independent numbering restarts at bin 0
+      ("b", 3L, 0L, 40L), ("b", 3L, 1L, 80L)
+    ).toDF("lang", "doc_id", "chunk_idx", "chunk_tokens")
+    val got = TextOps.packChunks(chunks, "lang",
+                                 Seq("doc_id", "chunk_idx"),
+                                 "chunk_tokens", budget = 100)
+      .select($"lang", $"doc_id", $"chunk_idx", $"bin")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("a", 1L, 0L, 0L), ("a", 1L, 1L, 0L), ("a", 2L, 0L, 1L),
+      ("b", 3L, 0L, 0L), ("b", 3L, 1L, 0L)))
+  }
+
+  test("tfidf k bounds output per doc with deterministic term tie-break") {
+    val docs = Seq((1L, "b a c b a c")).toDF("doc_id", "text")
+    // all three terms tie on (tf=2, df=1) → rounded score ties → term asc
+    val got = TextOps.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .as[(Long, String, Double)].collect().toSeq.sortBy(_._2)
+    assert(got.map(_._2) === Seq("a", "b"))
+  }
+}
