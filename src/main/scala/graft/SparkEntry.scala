@@ -317,6 +317,39 @@ object SparkEntry {
       DedupOps.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
                                n = 12, k = 64, bands = 16, tau = 0.7)),
 
+    // Batched exact k-NN join: every query vector (ids < 5) → top-3
+    // corpus neighbors; the serving/eval retrieval shape
+    "q_knn_join" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.knnJoin(e.filter(col("vec_id") < 5),
+                            e.filter(col("vec_id") >= 5),
+                            "vec_id", "embedding", k = 3)
+    }),
+
+    // Int8 embedding quantization (4× ANN memory cut); explicit
+    // round-half-up keeps the codes engine-portable
+    "q_quantize" -> ((s, dir) =>
+      SimilarityOps.quantizeInt8(t(s, dir, "embeddings"),
+                                 "vec_id", "embedding")),
+
+    // Parquet schema evolution: a second batch adds a column; the
+    // mergeSchema read unions the schemas and back-fills null — the lake
+    // ingest reality the warehouse boundary (S10) must survive
+    "q_schema_evolution" -> ((s, dir) => {
+      val path = scratch(dir, "schema_evo")
+      val o = t(s, dir, "orders")
+      o.select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$path/b=1")
+      o.select(col("o_orderkey"), col("o_totalprice"),
+               col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$path/b=2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$path/b=1", s"$path/b=2")
+        .agg(count(lit(1)).as("n"),
+             round(sum(col("o_totalprice")), 2).as("price_sum"),
+             count(col("o_orderstatus")).as("status_rows"))
+    }),
+
     // Deterministic corpus mixing: cap src0 at 25%, src1 at 50%, drop
     // src2, keep the rest — RNG-free (md5 coin), so the mix is
     // re-derivable and engine-checkable
@@ -1126,6 +1159,43 @@ object SparkEntry {
     "q_ngram_jaccard" -> jaccardOracle,
     "q_minhash_lsh" -> jaccardOracle,
     "q_dup_clusters" -> dupClustersOracle,
+
+    "q_knn_join" ->
+      """WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |                     generate_subscripts(embedding,1) AS i
+        |              FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM flat GROUP BY 1),
+        |dots AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |                sum(q.v*c.v) AS dot
+        |         FROM flat q JOIN flat c ON q.i = c.i
+        |         WHERE q.vec_id < 5 AND c.vec_id >= 5
+        |         GROUP BY 1,2),
+        |scored AS (SELECT query_id, neighbor_id,
+        |                  round(dot/(nq.nrm*nc.nrm), 6) AS sim
+        |           FROM dots JOIN norms nq ON nq.vec_id = query_id
+        |                     JOIN norms nc ON nc.vec_id = neighbor_id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |             ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
+        |SELECT query_id, neighbor_id, sim FROM ranked WHERE rn <= 3""".stripMargin,
+
+    "q_quantize" ->
+      """SELECT vec_id,
+        |  round(127.0 / list_max(list_transform(embedding,
+        |          x -> abs(CAST(x AS DOUBLE)))), 6) AS scale,
+        |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) *
+        |    (127.0 / list_max(list_transform(embedding,
+        |       y -> abs(CAST(y AS DOUBLE))))) + 0.5) AS INTEGER)) AS qvec
+        |FROM embeddings""".stripMargin,
+
+    "q_schema_evolution" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_totalprice, NULL AS o_orderstatus
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders)
+        |SELECT count(*) AS n, round(sum(o_totalprice), 2) AS price_sum,
+        |       count(o_orderstatus) AS status_rows
+        |FROM merged""".stripMargin,
 
     "q_corpus_mix" ->
       """SELECT source, count(*) AS kept FROM documents

@@ -51,6 +51,38 @@ object SimilarityOps {
       .select(col(idCol), round(col("sim"), 6).as("sim"))
   }
 
+  /** Batched exact k-NN join: for EVERY query vector, its top-k nearest
+    * corpus vectors by cosine — the serving/eval shape (embed a query
+    * batch, retrieve per-query neighbors), where topKNeighbors is the
+    * single-probe special case. The query batch broadcasts (queries ≪
+    * corpus by contract — a batch is thousands against a corpus of
+    * billions) so the corpus is scanned ONCE and never shuffled with its
+    * payloads: the per-query top-k runs as a window on the scored
+    * (query_id, neighbor_id, sim) stream, which Spark 4 bounds with
+    * WindowGroupLimit — each map task forwards at most k rows per query
+    * before the exchange, so the shuffle is O(k·queries·tasks) id/sim
+    * triples, not |corpus|·|queries| rows. Ties broken by neighbor id;
+    * sims rounded to 6 for an engine-portable selection.
+    */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"),
+                           col(vecCol).as("__qv"))
+    val scored = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
+                   col(idCol)) // single-file inputs: spread the scan
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .crossJoin(broadcast(q))
+      .withColumn("sim", round(cosineSim(col("__qv"), col("__cv")), 6))
+    scored
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id").asc)))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+  }
+
   /** All-pairs cosine above a threshold. Quadratic by nature; kept exact
     * here (the oracle-checkable contract). The scale path for corpus-level
     * near-dup is `lshBuckets` + within-bucket pairs.
@@ -265,6 +297,34 @@ object SimilarityOps {
     * `cents` codebook — seed or trained) are nearest the probe,
     * brute-force within them.
     */
+  /** Symmetric per-vector int8 quantization — the memory-side scale
+    * lever for ANN at 100 TB: a quantized corpus is 4× smaller than
+    * float32 (and the reconstruction error is bounded by 0.5/scale per
+    * element, so re-ranking on the quantized codes stays honest). Pure
+    * narrow projection: one fused pass computes the max-abs, the scale,
+    * and the rounded codes — no shuffle, no UDF.
+    *
+    * Determinism contract: codes are floor(x·scale + 0.5) — explicit
+    * round-half-up, identical in every engine (library round() functions
+    * disagree on half-to-even vs half-away at exact .5) — and the scale
+    * is rounded to 6 for output. A non-positive max (empty or all-zero
+    * vector) yields a defined null scale + null codes rather than the
+    * engine-dependent Inf/NaN division result.
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String,
+                   vecCol: String): DataFrame = {
+    val mx = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    val scale = lit(127.0) / mx
+    emb.select(
+      col(idCol),
+      when(mx > 0, round(scale, 6)).as("scale"),
+      when(mx > 0,
+           transform(col(vecCol),
+                     x => floor(x.cast("double") * scale + lit(0.5))
+                       .cast("int")))
+        .as("qvec"))
+  }
+
   def ivfTopK(assigned: DataFrame, cents: DataFrame, idCol: String,
               vecCol: String, probeId: Long, k: Int,
               nprobe: Int): DataFrame = {

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.dedup.DedupOps
+import graft.similarity.SimilarityOps
 import graft.text.TextOps
 
 /** Specs for the round-3 curation additions: benchmark decontamination,
@@ -37,6 +38,28 @@ class CurationOpsSpec extends SparkSpec {
     val benchShort = Seq((2L, "tiny")).toDF("doc_id", "text") // < n chars
     assert(DedupOps.contamination(corpus, benchShort, "doc_id", "text",
                                   n = 12).count() === 0)
+  }
+
+  test("quantizeInt8: codes in [-127,127], reconstruction bounded, " +
+       "degenerate vectors null") {
+    val emb = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f)), // all-zero → null scale/codes, not Inf/NaN
+      (3L, Seq.empty[Float]) // empty → null
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.quantizeInt8(emb, "vec_id", "embedding")
+      .orderBy("vec_id")
+      .as[(Long, Option[Double], Option[Seq[Int]])].collect()
+    val (_, Some(scale), Some(q)) = got(0)
+    assert(scale === 127.0) // max abs = 1.0
+    assert(q === Seq(64, -127, 32)) // floor(x·127 + .5)
+    assert(q.forall(c => c >= -127 && c <= 127))
+    // reconstruction error ≤ 0.5/scale per element
+    Seq(0.5, -1.0, 0.25).zip(q).foreach { case (x, c) =>
+      assert(math.abs(x - c / scale) <= 0.5 / scale + 1e-12)
+    }
+    assert(got(1)._2.isEmpty && got(1)._3.isEmpty)
+    assert(got(2)._2.isEmpty && got(2)._3.isEmpty)
   }
 
   test("tfidf ranks rare terms above ubiquitous ones") {

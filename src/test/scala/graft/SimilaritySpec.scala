@@ -96,6 +96,48 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSet === expected.toSet)
   }
 
+  test("knnJoin with a single query equals topKNeighbors") {
+    val single = SimilarityOps.knnJoin(
+        emb.filter($"vec_id" === 0L), emb.filter($"vec_id" =!= 0L),
+        "vec_id", "embedding", k = 5)
+      .select($"neighbor_id".as("vec_id"), $"sim")
+      .as[(Long, Double)].collect().toSet
+    val probe = SimilarityOps.topKNeighbors(emb, "vec_id", "embedding",
+                                            probeId = 0L, k = 5)
+      .as[(Long, Double)].collect().toSet
+    assert(single === probe)
+  }
+
+  test("knnJoin: k rows per query, each query's best is its true argmax") {
+    val k = 3
+    val got = SimilarityOps.knnJoin(
+        emb.filter($"vec_id" < 3L), emb.filter($"vec_id" >= 3L),
+        "vec_id", "embedding", k)
+      .as[(Long, Long, Double)].collect()
+    val byQuery = got.groupBy(_._1)
+    assert(byQuery.keySet === Set(0L, 1L, 2L))
+    byQuery.values.foreach(rows => assert(rows.length === k))
+    // per query, returned sims are the k largest (vs brute force)
+    val all = emb.filter($"vec_id" >= 3L)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val queries = emb.filter($"vec_id" < 3L)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) *
+        math.sqrt(bd.map(x => x * x).sum))
+    }
+    queries.foreach { case (qid, qv) =>
+      val expect = all.map { case (cid, cv) =>
+        (BigDecimal(cos(qv, cv)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble, cid)
+      }.sortBy { case (s, id) => (-s, id) }.take(k).map(_._2).toSeq
+      val gotIds = byQuery(qid).sortBy(r => (-r._3, r._2)).map(_._2).toSeq
+      assert(gotIds === expect, s"query $qid")
+    }
+  }
+
   test("ann/ivf return k well-formed results with sims <= brute-force max") {
     val brute = SimilarityOps.topKNeighbors(emb, "vec_id", "embedding", 0L, 1)
       .select($"sim").as[Double].head()
