@@ -288,16 +288,26 @@ object TextOps {
     * Scoring is tf · ln(N/df) rounded to 6; ranking uses the ROUNDED
     * score (desc) then the term (asc) so the selected set is
     * deterministic and engine-portable.
+    *
+    * The (doc, term, tf) frame feeds BOTH the scored stream and the
+    * document-frequency aggregate, so it is pinned (evictable
+    * MEMORY_AND_DISK) to tokenize the corpus once instead of twice.
+    * Deliberately NOT a term-partitioned count window (one pass but
+    * whole-group buffering — a stopword's group is most of a 100 TB
+    * corpus). CACHE OWNERSHIP: caller releases (clearCache/unpersist),
+    * same contract as DedupOps.hashedSets.
     */
   def tfidfTopTerms(df: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
     val tok = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism,
                    col(idCol)) // single-file inputs: spread the explode
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
     val tf = tok.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // tf is one row per (doc, term) already — count(*) IS document freq
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n"))
