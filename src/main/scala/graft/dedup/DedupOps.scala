@@ -261,6 +261,39 @@ object DedupOps {
       .filter(col("shared") >= minShared)
   }
 
+  /** Streaming twin of `contamination`: flag-on-ingest, STATELESS. The
+    * batch form's explode→join→groupBy needs shuffles and (on a stream)
+    * watermarked aggregation state; here the static benchmark gram set
+    * folds into ONE sorted-array row (the same fold ivfTrain uses for
+    * its codebook) that cross-joins in by broadcast — a stream-static
+    * join with a single static row — and the per-doc shared-gram count
+    * is one linear merge pass of the native SortedLongIntersectCount
+    * over the doc's (sorted, distinct) shingle hashes. No state, no
+    * watermark, no shuffle on the stream side, so it composes with any
+    * ingest pipeline stage. Works identically on a batch frame (spec
+    * pins it set-equal to `contamination`).
+    *
+    * Scale note: one row of 8-byte hashes bounds the broadcast at
+    * ~8 MB per million benchmark grams — eval suites fit with room to
+    * spare; a benchmark too big for that belongs in the batch path.
+    */
+  def contaminationStream(docs: DataFrame, benchmark: DataFrame,
+                          idCol: String, textCol: String, n: Int,
+                          minShared: Long = 1L): DataFrame = {
+    val bench = benchmark
+      .select(explode(ShingleExpressions.shingleHashes(col(textCol), n))
+        .as("sh"))
+      .distinct()
+      .agg(sort_array(collect_list(col("sh"))).as("__bench"))
+    docs
+      .crossJoin(broadcast(bench))
+      .select(col(idCol),
+              ShingleExpressions.sortedLongIntersectCount(
+                ShingleExpressions.shingleHashes(col(textCol), n),
+                col("__bench")).cast("long").as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** MinHash signature over STRING shingles: k hash slots from one base
     * xxhash64 per shingle, slot i = min over the set of (h·A_i + B_i) —
     * see graft.functions.MinHashSig (native, codegen'd, single pass).

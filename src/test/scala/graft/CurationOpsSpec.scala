@@ -40,6 +40,42 @@ class CurationOpsSpec extends SparkSpec {
                                   n = 12).count() === 0)
   }
 
+  test("contaminationStream batch twin is set-equal to contamination") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val corpus = docs.filter($"source" =!= "src0")
+    val bench = docs.filter($"source" === "src0")
+    val batch = DedupOps.contamination(corpus, bench, "doc_id", "text",
+                                       n = 30)
+      .as[(Long, Long)].collect().toSet
+    val twin = DedupOps.contaminationStream(corpus, bench, "doc_id",
+                                            "text", n = 30)
+      .as[(Long, Long)].collect().toSet
+    assert(twin === batch)
+    assert(batch.nonEmpty) // the planted cross-source near-dups flag
+  }
+
+  test("contaminationStream flags on a real stream, statelessly") {
+    val dir = "/root/repo/target/scratch/contam_stream"
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated content with no overlap at all here")
+    ).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(dir)
+    val bench = Seq(
+      (9L, "xx the quick brown fox jumps over the lazy dog xx"))
+      .toDF("doc_id", "text")
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = DedupOps.contaminationStream(stream, bench, "doc_id", "text",
+                                         n = 20)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("contam_test").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("contam_test")
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet === Set(1L))
+    assert(got(1L) >= 1L)
+  }
+
   test("quantizeInt8: codes in [-127,127], reconstruction bounded, " +
        "degenerate vectors null") {
     val emb = Seq(
