@@ -1560,7 +1560,7 @@ object SparkEntry {
         |FROM s GROUP BY 1, 2""".stripMargin,
 
     "q_corpus_pipeline" ->
-      """WITH dedup1 AS (
+      """WITH RECURSIVE dedup1 AS (
         |  SELECT * FROM (SELECT d.*, row_number() OVER (
         |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |    FROM documents d) WHERE rn = 1),
@@ -1573,10 +1573,19 @@ object SparkEntry {
         |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
         |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
         |           GROUP BY 1,2),
-        |drops AS (SELECT DISTINCT id_b
-        |          FROM common JOIN sizes sa ON sa.doc_id = id_a
-        |                      JOIN sizes sb ON sb.doc_id = id_b
-        |          WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.7),
+        |prs AS (SELECT id_a, id_b
+        |        FROM common JOIN sizes sa ON sa.doc_id = id_a
+        |                    JOIN sizes sb ON sb.doc_id = id_b
+        |        WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.7),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM prs
+        |          UNION SELECT id_b, id_a FROM prs),
+        |verts AS (SELECT DISTINCT u AS id FROM edges),
+        |reach AS (SELECT id, id AS lbl FROM verts
+        |          UNION
+        |          SELECT r.id, e.v AS lbl
+        |          FROM reach r JOIN edges e ON e.u = r.lbl),
+        |drops AS (SELECT id AS id_b FROM reach
+        |          GROUP BY id HAVING id <> min(lbl)),
         |kept AS (SELECT * FROM dedup1
         |         WHERE doc_id NOT IN (SELECT id_b FROM drops))
         |SELECT doc_id, lang,

@@ -13,12 +13,15 @@ import graft.text.TextOps
   * corpus-cleaning pass a 100 TB text pipeline runs before tokenization —
   *
   *   exact dedup (content hash, keep lowest id)
-  *   → near-dup removal (12-gram Jaccard ≥ τ: drop EVERY doc that has a
-  *     ≥τ neighbour of smaller id — note this is NOT greedy keep-first:
-  *     on a chain A~B~C with A≁C, keep-first would retain C after
-  *     dropping B, whereas this policy drops both B and C. One anti-join
-  *     instead of an inherently sequential chain walk — the scalable
-  *     choice, at the cost of over-dropping on transitive clusters)
+  *   → near-dup removal (12-gram Jaccard ≥ τ pairs → connected
+  *     components → keep EXACTLY the minimum-id member of each duplicate
+  *     component. Pairwise-only policies get chains wrong in both
+  *     directions: "drop any doc with a smaller neighbour" under-deletes
+  *     the chain B~A~C when A is the smallest id (B and C are transitive
+  *     duplicates of each other, both kept), and greedy keep-first
+  *     over-keeps C on A~B~C. The component view is the contract near-dup
+  *     dedup actually means; the CC rounds shuffle only (id, id) pairs —
+  *     ConnectedComponents scaladoc has the round analysis)
   *   → language filter
   *   → quality gate (token floor) + quality scoring
   *
@@ -87,10 +90,16 @@ object CorpusPipeline {
       .withColumn("sz", size(col("hs")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // near-dup removal: any doc with a ≥τ neighbour of smaller id drops
-    val dropIds = DedupOps.ngramJaccardPairsFromSets(
+    // near-dup removal: pair graph → components → every non-canonical
+    // (non-minimum) member drops. The pairs land in the CC loop's own
+    // persisted canonical-edge frame at its first action, so the prefix
+    // join runs once no matter how many rounds follow.
+    val pairs = DedupOps.ngramJaccardPairsFromSets(
         enriched.select(col("doc_id").as("id"), col("hs"), col("sz")), tau)
-      .select(col("id_b").as("doc_id")).distinct()
+    val dropIds = graft.dedup.ConnectedComponents
+      .connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
 
     enriched.join(dropIds, Seq("doc_id"), "left_anti")
       .filter(col("lang") === lang && col("n_tokens") >= minTokens)
