@@ -51,6 +51,39 @@ class ConnectedComponentsSpec extends SparkSpec {
     spark.catalog.clearCache() // release the internally persisted stars
   }
 
+  test("randomized graphs match a union-find reference (3 seeds)") {
+    for (seed <- Seq(7, 23, 101)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      // ~mixed topology: sparse random edges + one long chain + a clique
+      val edges =
+        Seq.fill(40)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)) ++
+          (60L until 70L).sliding(2).map(s => (s(0), s(1))).toSeq ++
+          (for (a <- 70L to 74L; b <- (a + 1) to 74L) yield (a, b))
+      val valid = edges.filter { case (a, b) => a != b }
+
+      // reference: classic union-find
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      valid.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // canonical reference labels: min member per root group
+      val expect = parent.keys.toSeq
+        .groupBy(find).flatMap { case (_, members) =>
+          val m = members.min
+          members.map(_ -> m)
+        }
+
+      assert(cc(valid) === expect, s"seed=$seed")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("star graph with hub as max id (stress on large-star direction)") {
     // hub 100 connected to 1..6 — one component rooted at 1
     val star = (1L to 6L).map(i => (100L, i))
