@@ -57,9 +57,15 @@ object ConnectedComponents {
       .filter(col("u") =!= col("v"))
       .distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var sig = signature(e)
+    // No up-front signature action: the star operator is deterministic,
+    // so sig(round i) == sig(round i−1) detects its fixpoint just as
+    // well as comparing against the input — and round 1's signature
+    // action is what materializes the (lazy) canonical-edge cache
+    // anyway. One cluster job saved per invocation; an empty graph
+    // reads as a 0-count first-round signature.
+    var sig: (Long, String) = null
 
-    var converged = sig._1 == 0L
+    var converged = false
     var it = 0
     while (!converged && it < maxIter) {
       // --- large-star: for each node u, connect every STRICTLY LARGER
@@ -87,7 +93,7 @@ object ConnectedComponents {
       val nextSig = signature(next)
       e.unpersist()
       e = next
-      converged = nextSig == sig
+      converged = nextSig == sig || nextSig._1 == 0L
       sig = nextSig
       it += 1
     }
