@@ -22,6 +22,33 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out === Set(1L, 6L))
   }
 
+  test("curate never keeps two members of one near-dup component") {
+    // gates may remove a canonical survivor, but no component may ever
+    // contribute TWO docs to the output — the uniqueness half of the
+    // exactly-one-survivor contract, asserted independently of the oracle
+    val docs = Tables.load(spark, sfDir, "documents")
+    val kept = CorpusPipeline.curate(docs).select($"doc_id").as[Long]
+      .collect().toSet
+    // mirror curate's exact-dedup stage (min id per content hash) so the
+    // component node ids are the ones curate actually considered —
+    // dropDuplicates would keep an arbitrary physical row
+    val exactKept = docs
+      .groupBy(md5($"text").as("f")).agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val clusters = graft.dedup.ConnectedComponents.duplicateClusters(
+        graft.dedup.DedupOps.ngramJaccardPairs(
+          docs.join(exactKept, "doc_id"), "doc_id", "text",
+          n = 12, tau = 0.7))
+      .select($"members").as[Seq[Long]].collect()
+    clusters.foreach { members =>
+      val survivors = members.filter(kept)
+      assert(survivors.size <= 1,
+        s"component $members kept ${survivors.size} members: $survivors")
+    }
+    assert(clusters.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("curate output carries quality metadata") {
     val out = CorpusPipeline.flagship(spark, sfDir)
     assert(out.columns.toSeq ===
