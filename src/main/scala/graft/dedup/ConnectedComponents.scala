@@ -97,6 +97,14 @@ object ConnectedComponents {
       sig = nextSig
       it += 1
     }
+    // A non-converged edge set is NOT a star forest — reading components
+    // off it would silently merge or split clusters. Real graphs converge
+    // in single-digit rounds (the O(log² n) bound is loose in practice);
+    // hitting the cap means something is wrong — fail loudly.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"(last round: ${sig._1} edges)")
 
     // Converged star forest: every edge is (child, root). Components =
     // children plus the roots themselves (roots never appear on the u

@@ -35,6 +35,16 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
   }
 
+  test("maxIter exhaustion fails loudly instead of returning a wrong map") {
+    val path = (0L until 9L).map(i => (i, i + 1)) // needs several rounds
+    val ex = intercept[IllegalStateException] {
+      ConnectedComponents.connectedComponents(
+        path.toDF("a", "b"), "a", "b", maxIter = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    spark.catalog.clearCache()
+  }
+
   test("self-loops ignored; empty input → empty output") {
     assert(cc(Seq((4L, 4L))) === Map.empty)
     assert(cc(Seq.empty[(Long, Long)]) === Map.empty)
