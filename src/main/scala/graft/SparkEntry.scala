@@ -1209,7 +1209,7 @@ object SparkEntry {
       """WITH tk AS (SELECT doc_id, lang,
         |              list_filter(string_split_regex(trim(text), '\s+'),
         |                          x -> x <> '') AS toks
-        |            FROM documents),
+        |            FROM documents WHERE text IS NOT NULL),
         |idx AS (SELECT unnest(range(0,
         |    (SELECT CAST(max(len(toks)) AS BIGINT) FROM tk), 40)) AS s),
         |chunks AS (SELECT doc_id, lang, CAST(s // 40 AS BIGINT) AS chunk_idx,
@@ -1274,7 +1274,8 @@ object SparkEntry {
         |SELECT d.vec_id,
         |       round(d.dot/(n.nrm*(SELECT nrm FROM pnorm)), 6) AS sim
         |FROM dots d JOIN norms n ON n.vec_id = d.vec_id
-        |ORDER BY d.dot/(n.nrm*(SELECT nrm FROM pnorm)) DESC, d.vec_id ASC
+        |ORDER BY round(d.dot/(n.nrm*(SELECT nrm FROM pnorm)), 6) DESC,
+        |         d.vec_id ASC
         |LIMIT 10""".stripMargin,
 
     "q_cosine_pairs" ->
@@ -1361,7 +1362,7 @@ object SparkEntry {
       """WITH tk AS (SELECT doc_id,
         |              list_filter(string_split_regex(trim(text), '\s+'),
         |                          x -> x <> '') AS toks
-        |            FROM documents),
+        |            FROM documents WHERE text IS NOT NULL),
         |idx AS (SELECT unnest(range(0,
         |    (SELECT CAST(max(len(toks)) AS BIGINT) FROM tk), 40)) AS s)
         |SELECT doc_id, CAST(s // 40 AS BIGINT) AS chunk_idx,
@@ -1560,7 +1561,7 @@ object SparkEntry {
         |FROM s GROUP BY 1, 2""".stripMargin,
 
     "q_corpus_pipeline" ->
-      """WITH RECURSIVE dedup1 AS (
+      ("""WITH RECURSIVE dedup1 AS (
         |  SELECT * FROM (SELECT d.*, row_number() OVER (
         |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |    FROM documents d) WHERE rn = 1),
@@ -1577,13 +1578,7 @@ object SparkEntry {
         |        FROM common JOIN sizes sa ON sa.doc_id = id_a
         |                    JOIN sizes sb ON sb.doc_id = id_b
         |        WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.7),
-        |edges AS (SELECT id_a AS u, id_b AS v FROM prs
-        |          UNION SELECT id_b, id_a FROM prs),
-        |verts AS (SELECT DISTINCT u AS id FROM edges),
-        |reach AS (SELECT id, id AS lbl FROM verts
-        |          UNION
-        |          SELECT r.id, e.v AS lbl
-        |          FROM reach r JOIN edges e ON e.u = r.lbl),
+        |""".stripMargin + closureCtes("prs") + """,
         |drops AS (SELECT id AS id_b FROM reach
         |          GROUP BY id HAVING id <> min(lbl)),
         |kept AS (SELECT * FROM dedup1
@@ -1606,7 +1601,7 @@ object SparkEntry {
         |  md5(text) AS fingerprint
         |FROM kept
         |WHERE lang = 'en'
-        |  AND len(list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '')) >= 20""".stripMargin
+        |  AND len(list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '')) >= 20""".stripMargin)
   )
 
   /** Shared truth for both top-k strategies (window row_number and the
@@ -1651,20 +1646,27 @@ object SparkEntry {
   private val jaccardOracle: String =
     jaccardPairsCte + "\nSELECT id_a, id_b, jaccard FROM pairs"
 
-  /** Connected components of the pair graph by recursive min-label
-    * transitive closure (DuckDB WITH RECURSIVE; the distinct-UNION
-    * fixpoint terminates because reachability is finite).
+  /** Recursive min-label transitive closure over a pair relation
+    * (id_a, id_b) — the `reach` fixpoint terminates because the
+    * distinct-UNION is over finite reachability. ONE definition shared
+    * by the cluster oracle and the corpus-flagship oracle so the two
+    * can never drift on the clustering contract; callers must open
+    * their WITH as `WITH RECURSIVE`.
     */
+  private def closureCtes(pairsRel: String): String =
+    s"""edges AS (SELECT id_a AS u, id_b AS v FROM $pairsRel
+       |          UNION SELECT id_b, id_a FROM $pairsRel),
+       |verts AS (SELECT DISTINCT u AS id FROM edges),
+       |reach AS (SELECT id, id AS lbl FROM verts
+       |          UNION
+       |          SELECT r.id, e.v AS lbl
+       |          FROM reach r JOIN edges e ON e.u = r.lbl)""".stripMargin
+
+  /** Connected components of the pair graph → per-cluster summary. */
   private val dupClustersOracle: String =
-    jaccardPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+    jaccardPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +
+      closureCtes("pairs") +
       """,
-        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-        |          UNION SELECT id_b, id_a FROM pairs),
-        |verts AS (SELECT DISTINCT u AS id FROM edges),
-        |reach AS (SELECT id, id AS lbl FROM verts
-        |          UNION
-        |          SELECT r.id, e.v AS lbl
-        |          FROM reach r JOIN edges e ON e.u = r.lbl),
         |comp AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id)
         |SELECT comp AS cluster_id, count(*) AS cluster_size,
         |       list(id ORDER BY id) AS members

@@ -48,6 +48,7 @@ object ConnectedComponents {
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1 (got $maxIter)")
     // Canonical start: (u > v) directed edges, self-loops dropped. The
     // distinct collapses parallel edges so round cost is bounded by the
     // simple-graph size from the start.
@@ -125,13 +126,6 @@ object ConnectedComponents {
       .agg(count(lit(1)).as("cluster_size"),
            sort_array(collect_list(col("id"))).as("members"))
 
-  /** Order-independent edge-multiset signature: (count, sum of per-edge
-    * hashes). Cheap convergence check that cannot confuse two
-    * consecutive rounds' edge sets in practice; a collision would only
-    * cost extra rounds' worth of work if it ended iteration early AND
-    * the sets differed — with 64-bit hashes the chance is negligible,
-    * and maxIter bounds the damage in either direction.
-    */
   /** Lineage truncation for the iterative loop: each round's plan embeds
     * the previous round's plan ~12× (sym, afterLarge and their aggregates
     * are each referenced several times), so WITHOUT truncation the
@@ -147,6 +141,13 @@ object ConnectedComponents {
   private def truncated(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(df.rdd, df.schema)
 
+  /** Order-independent edge-multiset signature: (count, sum of per-edge
+    * hashes). Cheap convergence check that cannot confuse two
+    * consecutive rounds' edge sets in practice; a collision would only
+    * cost extra rounds' worth of work if it ended iteration early AND
+    * the sets differed — with 64-bit hashes the chance is negligible,
+    * and maxIter bounds the damage in either direction.
+    */
   private def signature(e: DataFrame): (Long, String) = {
     // sum over decimal(38,0): ANSI-safe (a Long sum of 64-bit hashes
     // overflows almost immediately under Spark 4's exact arithmetic)

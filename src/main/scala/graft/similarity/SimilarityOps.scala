@@ -45,10 +45,16 @@ object SimilarityOps {
       emb.filter(col(idCol) === probeId).select(col(vecCol).as("__probe")))
     emb.filter(col(idCol) =!= probeId)
       .crossJoin(probe)
-      .withColumn("sim", cosineSim(col(vecCol), col("__probe")))
+      // rank on the ROUNDED similarity with the id tie-break — the same
+      // deterministic, engine-portable ordering knnJoin uses (ranking on
+      // the raw double would let a sub-ulp difference at the k-boundary
+      // pick different neighbors across engines, and would make the
+      // "knnJoin with one query ≡ topKNeighbors" contract false on
+      // rounded ties)
+      .withColumn("sim", round(cosineSim(col(vecCol), col("__probe")), 6))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
-      .select(col(idCol), round(col("sim"), 6).as("sim"))
+      .select(col(idCol), col("sim"))
   }
 
   /** Batched exact k-NN join: for EVERY query vector, its top-k nearest
@@ -66,7 +72,6 @@ object SimilarityOps {
     */
   def knnJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(idCol).as("query_id"),
                            col(vecCol).as("__qv"))
     val scored = corpus

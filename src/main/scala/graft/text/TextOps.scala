@@ -192,12 +192,21 @@ object TextOps {
       "need 0 <= overlap < chunkTokens")
     val step = chunkTokens - overlap
     val toks = tokens(col(textCol))
+    // null text yields NO chunks. Without the guard the null propagates
+    // asymmetrically through the array builders — size(null) is null, so
+    // greatest(null−overlap−1, 0) silently becomes 0 and least(null, k)
+    // becomes k, emitting a phantom ("", chunkTokens)-row whose
+    // chunk_tokens inflate every downstream packing sum, and whose chunk
+    // renders "" here but NULL in SQL engines (concat_ws ignores a null
+    // array, array_to_string propagates it) — an engine-visible
+    // divergence. "No text → no chunks" is the only portable contract.
     // last start must bring NEW tokens beyond the previous chunk's span:
     // starts run while start + overlap < |toks| (a start inside the
     // previous window's tail would emit a chunk fully contained in it,
     // silently duplicating corpus content). greatest(...,0) keeps the
     // mandatory start=0 for docs shorter than overlap.
-    df.select(col(idCol), toks.as("__toks"))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), toks.as("__toks"))
       .select(col(idCol), col("__toks"),
               posexplode(sequence(
                 lit(0),
@@ -245,6 +254,12 @@ object TextOps {
     * projection: no shuffle, no RNG state, reproducible across runs,
     * engines, and partitionings; rate 0 removes a source, unlisted
     * groups keep `defaultRate`.
+    *
+    * Null contract: a null-text row has no coin (md5(null) is null, and
+    * null < anything is unknown) and is DROPPED at every rate, including
+    * 1.0 — the same "no hash → no assignment" rule trainSplit applies,
+    * and exactly what the SQL twin's WHERE does. A pipeline that wants
+    * to keep null-text rows must route them around the sampler.
     */
   def mixSample(df: DataFrame, keyCol: String, rates: Map[String, Double],
                 defaultRate: Double = 1.0,
