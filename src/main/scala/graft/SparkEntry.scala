@@ -317,6 +317,22 @@ object SparkEntry {
       DedupOps.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
                                n = 12, k = 64, bands = 16, tau = 0.7)),
 
+    // Semantic-ONLY near-dups: embedding-cosine pairs the lexical
+    // (n-gram Jaccard) join cannot see — the paraphrase/translation gap
+    // lexical dedup leaves open. Composes two oracle-verified pair sets
+    // with an anti-join on the canonical (id_a < id_b) pair key; the
+    // lexical side rides the LSH sketch path (same exact-verified truth)
+    "q_semantic_dups" -> ((s, dir) => {
+      val cos = SimilarityOps.cosinePairs(t(s, dir, "embeddings"),
+                                          "vec_id", "embedding", tau = 0.45)
+      val lex = DedupOps.minhashLshPairs(t(s, dir, "documents"),
+                                         "doc_id", "text",
+                                         n = 12, k = 64, bands = 16,
+                                         tau = 0.7)
+        .select(col("id_a"), col("id_b"))
+      cos.join(lex, Seq("id_a", "id_b"), "left_anti")
+    }),
+
     // Batched exact k-NN join: every query vector (ids < 5) → top-3
     // corpus neighbors; the serving/eval retrieval shape
     "q_knn_join" -> ((s, dir) => {
@@ -1159,6 +1175,27 @@ object SparkEntry {
     "q_ngram_jaccard" -> jaccardOracle,
     "q_minhash_lsh" -> jaccardOracle,
     "q_dup_clusters" -> dupClustersOracle,
+
+    "q_semantic_dups" ->
+      (jaccardPairsCte + ",\n" +
+        """flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+          |                generate_subscripts(embedding,1) AS i
+          |         FROM embeddings),
+          |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm
+          |          FROM flat GROUP BY 1),
+          |dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |                sum(a.v*b.v) AS dot
+          |         FROM flat a JOIN flat b
+          |           ON a.i = b.i AND a.vec_id < b.vec_id
+          |         GROUP BY 1,2),
+          |cpairs AS (SELECT id_a, id_b,
+          |                  round(dot/(na.nrm*nb.nrm), 6) AS sim
+          |           FROM dots JOIN norms na ON na.vec_id = id_a
+          |                     JOIN norms nb ON nb.vec_id = id_b
+          |           WHERE dot/(na.nrm*nb.nrm) >= 0.45)
+          |SELECT c.id_a, c.id_b, c.sim FROM cpairs c
+          |WHERE NOT EXISTS (SELECT 1 FROM pairs p
+          |                  WHERE p.id_a = c.id_a AND p.id_b = c.id_b)""".stripMargin),
 
     "q_knn_join" ->
       """WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
