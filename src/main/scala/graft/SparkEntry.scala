@@ -317,6 +317,18 @@ object SparkEntry {
       DedupOps.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
                                n = 12, k = 64, bands = 16, tau = 0.7)),
 
+    // Incremental near-dup screening: the two-sided (R-S) prefix join —
+    // new batch (odd ids) vs existing corpus (even ids) without the
+    // old-vs-old pairs a self-join recomputes; one shared hashedSets
+    // cache feeds both sides
+    "q_incremental_dedup" -> ((s, dir) => {
+      val sets = DedupOps.hashedSets(t(s, dir, "documents"),
+                                     "doc_id", "text", n = 12)
+      DedupOps.ngramJaccardPairsBetween(
+        sets.filter(pmod(col("id"), lit(2)) === 0),
+        sets.filter(pmod(col("id"), lit(2)) === 1), tau = 0.7)
+    }),
+
     // Semantic-ONLY near-dups: embedding-cosine pairs the lexical
     // (n-gram Jaccard) join cannot see — the paraphrase/translation gap
     // lexical dedup leaves open. Composes two oracle-verified pair sets
@@ -1175,6 +1187,13 @@ object SparkEntry {
     "q_ngram_jaccard" -> jaccardOracle,
     "q_minhash_lsh" -> jaccardOracle,
     "q_dup_clusters" -> dupClustersOracle,
+
+    "q_incremental_dedup" ->
+      (jaccardPairsCte + "\n" +
+        """SELECT CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END AS id_a,
+          |       CASE WHEN id_a % 2 = 0 THEN id_b ELSE id_a END AS id_b,
+          |       jaccard
+          |FROM pairs WHERE id_a % 2 <> id_b % 2""".stripMargin),
 
     "q_semantic_dups" ->
       (jaccardPairsCte + ",\n" +

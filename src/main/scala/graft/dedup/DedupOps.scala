@@ -226,6 +226,66 @@ object DedupOps {
     verifyPairs(cand, sets, tau)
   }
 
+  /** Two-sided (R-S) exact Jaccard join: pairs (a ∈ A, b ∈ B) with
+    * J ≥ τ — the INCREMENTAL dedup shape: screen a new crawl batch (B)
+    * against the existing curated corpus (A) without recomputing the
+    * old-vs-old pairs a self-join would. Same lossless machinery as
+    * `ngramJaccardPairsFromSets` (probing prefixes, length-ratio,
+    * positional and asymmetric indexing-prefix bounds — the long
+    * comments there apply verbatim), with two differences: the global
+    * document-frequency order is computed over A ∪ B so both sides'
+    * prefixes rank in ONE total order (prefix-filter completeness needs
+    * that), and candidates require one side from each input instead of
+    * id_a < id_b.
+    *
+    * Contract: the two inputs' id domains must be disjoint (an id
+    * appearing on both sides would merge its postings). Inputs are
+    * (id, hs, sz) frames from `hashedSets`. Output: (id_a ∈ A,
+    * id_b ∈ B, jaccard), exact. CACHE OWNERSHIP: internally persisted
+    * frames released by the caller (clearCache), as elsewhere.
+    */
+  def ngramJaccardPairsBetween(setsA: DataFrame, setsB: DataFrame,
+                               tau: Double): DataFrame = {
+    val tagged = setsA
+      .select(lit(0).as("side"), col("id"), col("hs"), col("sz"))
+      .unionByName(setsB
+        .select(lit(1).as("side"), col("id"), col("hs"), col("sz")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val postings = tagged.select(col("side"), col("id"), col("sz"),
+                                 explode(col("hs")).as("sh"))
+    val freq = postings.groupBy("sh").agg(count(lit(1)).as("df"))
+    val prefix = postings.join(freq, "sh")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("side"), col("id"))
+          .orderBy(col("df").asc, col("sh").asc)))
+      .filter(col("rn") <=
+        floor(lit(1.0 - tau) * col("sz") + lit(1e-9)).cast("int") + 1)
+      .select("side", "id", "sh", "sz", "rn")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val overlapBound =
+      least(col("a.rn"), col("b.rn")) +
+        least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn"))
+    val minOverlap =
+      lit(tau / (1.0 + tau)) * (col("a.sz") + col("b.sz")) - lit(1e-9)
+    val c = 2.0 * tau / (1.0 + tau)
+    def indexLen(sz: Column): Column =
+      sz - ceil(lit(c) * sz - lit(1e-9)) + 1
+    val inIndexPrefix =
+      when(col("a.sz") <= col("b.sz"),
+           col("a.rn") <= indexLen(col("a.sz")))
+        .otherwise(col("b.rn") <= indexLen(col("b.sz")))
+    val cand = prefix.filter(col("side") === 0).as("a")
+      .join(prefix.filter(col("side") === 1).as("b"),
+            col("a.sh") === col("b.sh") &&
+              col("a.sz") >= lit(tau) * col("b.sz") &&
+              col("b.sz") >= lit(tau) * col("a.sz") &&
+              overlapBound >= minOverlap &&
+              inIndexPrefix)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyPairs(cand, tagged.select(col("id"), col("hs"), col("sz")), tau)
+  }
+
   /** Benchmark decontamination: per corpus doc, the number of DISTINCT
     * character n-grams it shares with ANY benchmark doc (≥ `minShared`
     * to appear). A training pipeline runs this corpus-vs-eval-set before

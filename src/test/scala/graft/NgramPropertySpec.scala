@@ -74,6 +74,28 @@ class NgramPropertySpec extends SparkSpec {
     }
   }
 
+  for ((seed, tau) <- Seq((42, 0.7), (7, 0.5))) {
+    test(s"R-S join ≡ brute-force cross pairs (seed=$seed, tau=$tau)") {
+      // split the corpus by parity and require the two-sided join to
+      // equal exactly the cross-parity subset of the all-pairs truth,
+      // reoriented to (even side, odd side)
+      val docs = corpus(seed, nDocs = 120, nTemplates = 8)
+      val sets = DedupOps.hashedSets(docs.toDF("doc_id", "text"),
+                                     "doc_id", "text", n = 8)
+      val got = DedupOps.ngramJaccardPairsBetween(
+          sets.filter(pmod($"id", lit(2)) === 0),
+          sets.filter(pmod($"id", lit(2)) === 1), tau = tau)
+        .as[(Long, Long, Double)].collect().toSet
+      val want = bruteForce(docs, n = 8, tau = tau)
+        .filter { case (a, b, _) => a % 2 != b % 2 }
+        .map { case (a, b, j) =>
+          if (a % 2 == 0) (a, b, j) else (b, a, j) }
+      assert(got === want)
+      assert(want.nonEmpty, "degenerate corpus: no cross pairs")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("minhash LSH is sound on a random corpus: surfaced ⊆ truth, exact values") {
     val docs = corpus(seed = 13, nDocs = 120, nTemplates = 8)
     val want = bruteForce(docs, n = 8, tau = 0.7)
