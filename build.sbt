@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver tail-parses raw stdout of `sbt "runMain ..."`:
+// the forked JVM's output must reach stdout UNDECORATED (the default
+// LoggedOutput strategy prefixed every line with "[info] ", which broke
+// the driver's JSON parse in rounds 1-3), and sbt's own trailing
+// "[success] Total time: ..." line must not displace the metric JSON as
+// the literal final line of output.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command loop, not by a task — exempt it
+// from the unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -111,7 +111,20 @@ object Bench {
         // genuinely slow plan (both runs rebuild + re-execute from cold)
         val a = timedRun(name, fn)
         val b = timedRun(name, fn)
-        name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+        // adaptive third run: when the two timings disagree >2× (and by
+        // more than scheduling noise), the box was contended during one
+        // of them — one more cold run stops a single busy window from
+        // spiking the recorded number (r2/r3 driver runs both hit this)
+        val best =
+          if (a < 0 || b < 0) -1.0
+          else {
+            val lo = math.min(a, b); val hi = math.max(a, b)
+            if (hi > 2 * lo && hi - lo > 0.3) {
+              val c = timedRun(name, fn)
+              if (c < 0) lo else math.min(lo, c)
+            } else lo
+          }
+        name -> best
     }
     val json = renderJson(results, sfDir)
     // absolute fallback path: the driver may invoke from any cwd (same
@@ -123,8 +136,12 @@ object Bench {
     spark.stop()
     // after shutdown nothing can interleave; detailed line first (for
     // humans + bench.json parity), short total-only line LAST (for the
-    // driver's bounded stdout tail)
+    // driver's bounded stdout tail). build.sbt's StdoutOutput strategy +
+    // showSuccess=false make the short line the literal final stdout
+    // line of `sbt "runMain graft.Bench"`; a stderr copy is the backup
+    // channel in case the driver merges or switches streams.
     println(json)
     println(renderShortJson(results, sfDir))
+    System.err.println(renderShortJson(results, sfDir))
   }
 }

@@ -355,10 +355,14 @@ object SparkEntry {
     }),
 
     // Int8 embedding quantization (4× ANN memory cut); explicit
-    // round-half-up keeps the codes engine-portable
+    // round-half-up keeps the codes engine-portable. The code vector is
+    // ','-joined for the compare (q_collect_arrays precedent: a raw
+    // array column is unhashable in the driver's pandas sort).
     "q_quantize" -> ((s, dir) =>
       SimilarityOps.quantizeInt8(t(s, dir, "embeddings"),
-                                 "vec_id", "embedding")),
+                                 "vec_id", "embedding")
+        .withColumn("qvec",
+                    array_join(col("qvec").cast("array<string>"), ","))),
 
     // Parquet schema evolution: a second batch adds a column; the
     // mergeSchema read unions the schemas and back-fills null — the lake
@@ -443,10 +447,15 @@ object SparkEntry {
     // can't collapse transitive chains (A~B~C with no direct A~C pair —
     // sf0.01 has one such 3-cluster). Oracle: recursive min-label
     // transitive closure over the exact-Jaccard pair truth in DuckDB.
+    // Member list ','-joined for the compare (q_collect_arrays
+    // precedent: raw arrays are unhashable in the driver's pandas sort).
     "q_dup_clusters" -> ((s, dir) =>
       ConnectedComponents.duplicateClusters(
         DedupOps.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-                                 n = 12, k = 64, bands = 16, tau = 0.7))),
+                                 n = 12, k = 64, bands = 16, tau = 0.7),
+        assumeDistinct = true)
+        .withColumn("members",
+                    array_join(col("members").cast("array<string>"), ","))),
 
     // SimHash near-dup pairs: 16-bit band candidates, hamming ≤ 3 verify.
     // 4 bands × 16 bits guarantee a band collision for hamming ≤ 3
@@ -597,7 +606,8 @@ object SparkEntry {
       val ev = t(s, dir, "events")
         .withColumn("n_nationkey", pmod(col("user_id"), lit(25)).cast("int"))
       graft.ops.SkewOps.saltedJoin(ev, t(s, dir, "nation"),
-                                   "n_nationkey", n = 8)
+                                   "n_nationkey", n = 8,
+                                   rowIdCol = Some("event_id"))
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("v"))
     }),
@@ -1238,9 +1248,11 @@ object SparkEntry {
       """SELECT vec_id,
         |  round(127.0 / list_max(list_transform(embedding,
         |          x -> abs(CAST(x AS DOUBLE)))), 6) AS scale,
-        |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) *
-        |    (127.0 / list_max(list_transform(embedding,
-        |       y -> abs(CAST(y AS DOUBLE))))) + 0.5) AS INTEGER)) AS qvec
+        |  array_to_string(
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) *
+        |      (127.0 / list_max(list_transform(embedding,
+        |         y -> abs(CAST(y AS DOUBLE))))) + 0.5) AS INTEGER)),
+        |    ',') AS qvec
         |FROM embeddings""".stripMargin,
 
     "q_schema_evolution" ->
@@ -1725,6 +1737,6 @@ object SparkEntry {
       """,
         |comp AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id)
         |SELECT comp AS cluster_id, count(*) AS cluster_size,
-        |       list(id ORDER BY id) AS members
+        |       array_to_string(list(id ORDER BY id), ',') AS members
         |FROM comp GROUP BY comp""".stripMargin
 }

@@ -45,28 +45,45 @@ object ConnectedComponents {
     * (two id columns; self-loops ignored). Returns (id, comp): one row
     * per node appearing in at least one edge, comp = min id in the
     * node's component.
+    *
+    * `assumeDistinct`: the caller vouches the edge list has no exact
+    * duplicate pairs (true for every DedupOps pair generator — their
+    * outputs end in distinct + verify), skipping the up-front distinct
+    * shuffle. A false claim costs one extra round (the first star round
+    * re-distincts), never a wrong answer.
+    *
+    * Convergence is detected STRUCTURALLY, not by comparing consecutive
+    * edge multisets: the alternating-star fixpoint is exactly a
+    * min-rooted star forest, and "is a star forest" is a cheap exact
+    * test (no node appears as both child and root; no child has two
+    * roots — see starStats). Two wins over a hash signature: a graph
+    * that is ALREADY a star forest (the common near-dup case — most
+    * duplicate clusters are simple pairs) converges with ZERO star
+    * rounds and one action, no confirm round; and convergence can never
+    * be declared early by a hash collision — the test is exact, so
+    * reading components off the converged frame is sound by
+    * construction.
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          assumeDistinct: Boolean = false): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1 (got $maxIter)")
     // Canonical start: (u > v) directed edges, self-loops dropped. The
     // distinct collapses parallel edges so round cost is bounded by the
-    // simple-graph size from the start.
-    var e = truncated(edges
+    // simple-graph size from the start (skipped when the caller already
+    // guarantees it — one shuffle saved).
+    val canon = edges
       .select(greatest(col(aCol), col(bCol)).as("u"),
               least(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct())
+    var e = truncated(if (assumeDistinct) canon else canon.distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // No up-front signature action: the star operator is deterministic,
-    // so sig(round i) == sig(round i−1) detects its fixpoint just as
-    // well as comparing against the input — and round 1's signature
-    // action is what materializes the (lazy) canonical-edge cache
-    // anyway. One cluster job saved per invocation; an empty graph
-    // reads as a 0-count first-round signature.
-    var sig: (Long, String) = null
+      .transform(graft.CacheScope.register)
 
-    var converged = false
+    // Round-0 check: the stats action is also what materializes the
+    // (lazy) canonical-edge cache.
+    var st = starStats(e)
+    var converged = st.star
     var it = 0
     while (!converged && it < maxIter) {
       // --- large-star: for each node u, connect every STRICTLY LARGER
@@ -90,12 +107,12 @@ object ConnectedComponents {
         .filter(col("u") =!= col("v"))
         .distinct())
         .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheScope.register)
 
-      val nextSig = signature(next)
+      st = starStats(next)
       e.unpersist()
       e = next
-      converged = nextSig == sig || nextSig._1 == 0L
-      sig = nextSig
+      converged = st.star
       it += 1
     }
     // A non-converged edge set is NOT a star forest — reading components
@@ -105,7 +122,8 @@ object ConnectedComponents {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
-          s"(last round: ${sig._1} edges)")
+          s"(last round: ${st.edges} edges, ${st.violations} non-star " +
+          "nodes)")
 
     // Converged star forest: every edge is (child, root). Components =
     // children plus the roots themselves (roots never appear on the u
@@ -120,8 +138,9 @@ object ConnectedComponents {
     * is then a semi/anti join: keep id == cluster_id, drop the rest.
     */
   def duplicateClusters(pairs: DataFrame, aCol: String = "id_a",
-                        bCol: String = "id_b"): DataFrame =
-    connectedComponents(pairs, aCol, bCol)
+                        bCol: String = "id_b",
+                        assumeDistinct: Boolean = false): DataFrame =
+    connectedComponents(pairs, aCol, bCol, assumeDistinct = assumeDistinct)
       .groupBy(col("comp").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"),
            sort_array(collect_list(col("id"))).as("members"))
@@ -141,19 +160,28 @@ object ConnectedComponents {
   private def truncated(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(df.rdd, df.schema)
 
-  /** Order-independent edge-multiset signature: (count, sum of per-edge
-    * hashes). Cheap convergence check that cannot confuse two
-    * consecutive rounds' edge sets in practice; a collision would only
-    * cost extra rounds' worth of work if it ended iteration early AND
-    * the sets differed — with 64-bit hashes the chance is negligible,
-    * and maxIter bounds the damage in either direction.
+  private case class StarStats(edges: Long, violations: Long) {
+    def star: Boolean = violations == 0L
+  }
+
+  /** EXACT star-forest test + edge count in ONE action. A canonical
+    * (u > v), duplicate-free edge set is a min-rooted star forest iff no
+    * node appears as both a child (u side) and a root (v side) AND no
+    * child appears twice (two roots). Both reduce to one groupBy over
+    * the union of the two sides; sum(c) recovers the edge count in the
+    * same pass. On a duplicate-carrying edge list (assumeDistinct
+    * abuse) a repeated edge reads as a two-root child — a spurious
+    * violation that only schedules another round, never a wrong answer.
     */
-  private def signature(e: DataFrame): (Long, String) = {
-    // sum over decimal(38,0): ANSI-safe (a Long sum of 64-bit hashes
-    // overflows almost immediately under Spark 4's exact arithmetic)
-    val r = e.agg(count(lit(1)),
-                  sum(xxhash64(col("u"), col("v"))
-                    .cast("decimal(38,0)"))).head()
-    (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
+  private def starStats(e: DataFrame): StarStats = {
+    val sides = e.select(col("u").as("id"), lit(1L).as("c"), lit(0L).as("r"))
+      .union(e.select(col("v").as("id"), lit(0L).as("c"), lit(1L).as("r")))
+    val row = sides.groupBy(col("id"))
+      .agg(sum(col("c")).as("nc"), sum(col("r")).as("nr"))
+      .agg(sum(col("nc")).as("edges"),
+           count(when(col("nc") > 0 && (col("nr") > 0 || col("nc") > 1),
+                      1)).as("viol"))
+      .head()
+    StarStats(if (row.isNullAt(0)) 0L else row.getLong(0), row.getLong(1))
   }
 }

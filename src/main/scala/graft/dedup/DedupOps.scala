@@ -76,11 +76,14 @@ object DedupOps {
     * after the consuming action.
     *
     * CACHE OWNERSHIP: the returned frame is persisted and the CALLER owns
-    * its release — `unpersist()` it (or `spark.catalog.clearCache()`, as
-    * Bench/Verify do per action) once the consuming job finishes, or a
-    * long-lived session accumulates block-manager bookkeeping. The same
-    * contract applies to the prefix frame `ngramJaccardPairs*` pins
-    * internally and to `CorpusPipeline.curate`'s enrichment frame.
+    * its release. Preferred: build inside `CacheScope.capture { ... }`
+    * and call the returned release() after the consuming action — it
+    * drops exactly the frames the operators pinned (this one, the prefix
+    * frame `ngramJaccardPairs*` pins internally, `CorpusPipeline.curate`'s
+    * enrichment frame) without touching unrelated session caches.
+    * `unpersist()`/`spark.catalog.clearCache()` (as Bench/Verify do per
+    * action) remain valid; without SOME release a long-lived session
+    * accumulates block-manager bookkeeping.
     */
   def hashedSets(docs: DataFrame, idCol: String, textCol: String,
                  n: Int): DataFrame =
@@ -100,6 +103,7 @@ object DedupOps {
               ShingleExpressions.shingleHashes(col(textCol), n).as("hs"))
       .withColumn("sz", size(col("hs")))
       .persist(StorageLevel.MEMORY_AND_DISK) // lazy: fills at first action
+      .transform(graft.CacheScope.register)
 
   /** Exact-Jaccard verification of candidate pairs. The shingle-set
     * payloads are first semi-join-reduced to ids that actually appear in
@@ -178,6 +182,7 @@ object DedupOps {
       // pure overhead), and at SMJ scale the two sides' exchanges are
       // identical so ReuseExchange already collapses them to one.
       .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
     // length filter: J(A,B) ≥ τ forces τ·|B| ≤ |A| ≤ |B|/τ — prunes
     // size-mismatched candidates before the expensive verify.
     //
@@ -242,19 +247,44 @@ object DedupOps {
     * appearing on both sides would merge its postings). Inputs are
     * (id, hs, sz) frames from `hashedSets`. Output: (id_a ∈ A,
     * id_b ∈ B, jaccard), exact. CACHE OWNERSHIP: internally persisted
-    * frames released by the caller (clearCache), as elsewhere.
+    * frames released by the caller (CacheScope.capture / clearCache), as
+    * elsewhere.
+    *
+    * `reuseFreq`: a precomputed (sh, df) frame — e.g. `shingleFreq` of
+    * the standing corpus, built once and stored — skipping the
+    * union-wide posting aggregation that otherwise re-scans the corpus
+    * side every batch (the rolling-crawl deployment runs this join per
+    * batch against a corpus 1000× the batch). SAFE BY CONSTRUCTION: the
+    * prefix filter is lossless under ANY total order of shingles — both
+    * sides just have to rank by the SAME one — so a stale or
+    * corpus-only df changes the candidate count (rare unseen shingles
+    * default to df 0: rarest-first, which is the good direction), never
+    * the output pairs. Spec'd equal to the exact-df run in
+    * NgramPropertySpec.
     */
+  def shingleFreq(sets: DataFrame): DataFrame =
+    sets.select(explode(col("hs")).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+
   def ngramJaccardPairsBetween(setsA: DataFrame, setsB: DataFrame,
-                               tau: Double): DataFrame = {
+                               tau: Double,
+                               reuseFreq: Option[DataFrame] = None)
+      : DataFrame = {
     val tagged = setsA
       .select(lit(0).as("side"), col("id"), col("hs"), col("sz"))
       .unionByName(setsB
         .select(lit(1).as("side"), col("id"), col("hs"), col("sz")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
     val postings = tagged.select(col("side"), col("id"), col("sz"),
                                  explode(col("hs")).as("sh"))
-    val freq = postings.groupBy("sh").agg(count(lit(1)).as("df"))
-    val prefix = postings.join(freq, "sh")
+    val freq = reuseFreq.getOrElse(
+      postings.groupBy("sh").agg(count(lit(1)).as("df")))
+    // left join: with a reused corpus-side freq, batch-only shingles are
+    // absent — coalesce ranks them df=0 (rarest-first). With the exact
+    // union-wide freq the join never misses and this is the plain path.
+    val prefix = postings.join(freq, Seq("sh"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("side"), col("id"))
           .orderBy(col("df").asc, col("sh").asc)))
@@ -262,6 +292,7 @@ object DedupOps {
         floor(lit(1.0 - tau) * col("sz") + lit(1e-9)).cast("int") + 1)
       .select("side", "id", "sh", "sz", "rn")
       .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
     val overlapBound =
       least(col("a.rn"), col("b.rn")) +
         least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn"))

@@ -21,20 +21,34 @@ import org.apache.spark.sql.functions._
 object SkewOps {
 
   /** Inner equi-join of `fact` to `dim` on `key`, salted `n` ways.
-    * The salt mixes the whole fact row with a per-partition-disambiguated
-    * row id: row-content alone would give EXACT-DUPLICATE rows of a hot
-    * key the same salt — and duplicate-heavy hot keys (retried/replayed
-    * log events) are precisely the common real-world skew shape, which a
-    * content-only salt silently fails to spread. The join RESULT is salt-
-    * invariant (the dim side carries every salt), so the id's run-to-run
-    * instability is confined to which reducer a row lands on — the thing
-    * salting exists to randomize.
+    *
+    * Salt derivation must be DETERMINISTIC UNDER TASK RETRY: a re-run
+    * map task that salts the same row differently than its first attempt
+    * can duplicate or drop rows when reducers have already fetched part
+    * of the first attempt's output (the SPARK-23207 failure class —
+    * exactly why round-robin repartition sorts). So the salt never mixes
+    * `monotonically_increasing_id`/`rand` (both attempt-dependent on
+    * post-shuffle inputs):
+    *
+    *  - `rowIdCol = Some(id)`: salt = hash(id). The caller names a
+    *    unique row id (most fact tables have one) — retry-stable AND
+    *    exact-duplicate rows of a hot key spread across reducers.
+    *  - `rowIdCol = None`: salt = hash(whole row) — retry-stable with no
+    *    precondition, but EXACT-duplicate rows share a salt. Fine when
+    *    duplicates are rare; for duplicate-heavy skew (retried/replayed
+    *    log events) supply the id column instead.
+    *
+    * The join RESULT is salt-invariant either way (the dim side carries
+    * every salt value) — the choice only affects reducer placement.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
-                 n: Int = 8): DataFrame = {
+                 n: Int = 8, rowIdCol: Option[String] = None): DataFrame = {
+    val saltSrc = rowIdCol match {
+      case Some(id) => xxhash64(col(id))
+      case None     => xxhash64(fact.columns.map(col): _*)
+    }
     val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id() +:
-                      fact.columns.map(col): _*), lit(n)).cast("int"))
+      pmod(saltSrc, lit(n)).cast("int"))
     val salts = explode(sequence(lit(0), lit(n - 1)))
     val saltedDim = dim.withColumn("__salt", salts)
     saltedFact

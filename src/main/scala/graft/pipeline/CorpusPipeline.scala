@@ -43,8 +43,11 @@ import graft.text.TextOps
   * CACHE OWNERSHIP: `curate`'s plan references internally persisted
   * frames (the enrichment pass here, the prefix frame inside DedupOps).
   * Callers embedding it in a long-lived session should release them
-  * after the consuming action — `spark.catalog.clearCache()` (what
-  * Bench/Verify do), since the pins are internal to the returned plan.
+  * after the consuming action: wrap the call in
+  * `CacheScope.capture { ... }` and invoke the returned release() —
+  * exactly the operator's pins are dropped, unrelated session caches
+  * survive. `spark.catalog.clearCache()` (what Bench/Verify do) remains
+  * the blunt whole-session alternative.
   */
 object CorpusPipeline {
 
@@ -89,6 +92,7 @@ object CorpusPipeline {
         ShingleExpressions.shingleHashes(col("text"), ShingleN).as("hs"))
       .withColumn("sz", size(col("hs")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
 
     // near-dup removal: pair graph → components → every non-canonical
     // (non-minimum) member drops. The pairs land in the CC loop's own
@@ -97,7 +101,7 @@ object CorpusPipeline {
     val pairs = DedupOps.ngramJaccardPairsFromSets(
         enriched.select(col("doc_id").as("id"), col("hs"), col("sz")), tau)
     val dropIds = graft.dedup.ConnectedComponents
-      .connectedComponents(pairs, "id_a", "id_b")
+      .connectedComponents(pairs, "id_a", "id_b", assumeDistinct = true)
       .filter(col("id") =!= col("comp"))
       .select(col("id").as("doc_id"))
 

@@ -105,7 +105,20 @@ object SimilarityOps {
     val a = emb.repartition(parts, col(idCol))
       .select(col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
+    // Broadcast is pinned only while the build side provably fits: an
+    // unconditional hint past the driver/broadcast memory limit turns a
+    // slow-but-running shuffled BNLJ into a hard OOM. Catalyst's size
+    // estimate is bytes-accurate for parquet scans; 1 GiB leaves ample
+    // headroom under the 8 GiB broadcast hard cap and typical driver
+    // heaps. Past the gate the join is left unhinted (Spark still picks
+    // BNLJ and broadcasts the side IT estimates, or falls back to a
+    // cartesian shuffle) — but at that scale the answer is lshCosinePairs
+    // anyway; this exact operator is the small-corpus oracle baseline.
+    val bSized =
+      if (b.queryExecution.optimizedPlan.stats.sizeInBytes <= (1L << 30))
+        broadcast(b)
+      else b
+    a.join(bSized, col("id_a") < col("id_b"))
       .withColumn("sim", cosineSim(col("va"), col("vb")))
       .filter(col("sim") >= tau)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
@@ -286,6 +299,7 @@ object SimilarityOps {
         .select(col("list_id"),
                 coalesce(col("mvec"), col("cvec")).as("cvec"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheScope.register)
       // Training is inherently iterative: round i's assignment job must
       // run before round i+1 can improve on it, so materialize each
       // round's (nlist-row) codebook EAGERLY — that truncates the lazy

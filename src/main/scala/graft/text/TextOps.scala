@@ -323,6 +323,7 @@ object TextOps {
     val tf = tok.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
     // tf is one row per (doc, term) already — count(*) IS document freq
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n"))

@@ -50,6 +50,29 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(cc(Seq.empty[(Long, Long)]) === Map.empty)
   }
 
+  test("already-star-forest input converges with ZERO star rounds") {
+    // disjoint pairs are a star forest; the round-0 structural check
+    // accepts them immediately, so even maxIter=1 never throws and the
+    // whole call costs one action
+    val got = ConnectedComponents.connectedComponents(
+      Seq((5L, 3L), (9L, 7L)).toDF("a", "b"), "a", "b", maxIter = 1,
+      assumeDistinct = true)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(3L -> 3L, 5L -> 3L, 7L -> 7L, 9L -> 7L))
+    spark.catalog.clearCache()
+  }
+
+  test("assumeDistinct abused with duplicate edges: still correct") {
+    // a repeated edge reads as a spurious star violation → one extra
+    // round (which distincts) — never a wrong component map
+    val got = ConnectedComponents.connectedComponents(
+      Seq((5L, 3L), (5L, 3L), (3L, 1L)).toDF("a", "b"), "a", "b",
+      assumeDistinct = true)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 3L -> 1L, 5L -> 1L))
+    spark.catalog.clearCache()
+  }
+
   test("duplicateClusters elects canonical member with sorted members") {
     val pairs = Seq((10L, 30L), (30L, 20L), (40L, 50L))
       .toDF("id_a", "id_b")

@@ -96,6 +96,27 @@ class NgramPropertySpec extends SparkSpec {
     }
   }
 
+  test("R-S join with reused corpus-side freq ≡ exact union-wide freq") {
+    // the rolling-crawl shape: the standing corpus's (sh, df) is built
+    // once and reused per batch; batch-only shingles rank df=0. The df
+    // order is a pruning heuristic — output pairs must be IDENTICAL.
+    val docs = corpus(seed = 42, nDocs = 120, nTemplates = 8)
+    val sets = DedupOps.hashedSets(docs.toDF("doc_id", "text"),
+                                   "doc_id", "text", n = 8)
+    val corpusSide = sets.filter(pmod($"id", lit(2)) === 0)
+    val batchSide = sets.filter(pmod($"id", lit(2)) === 1)
+    val exact = DedupOps.ngramJaccardPairsBetween(
+        corpusSide, batchSide, tau = 0.7)
+      .as[(Long, Long, Double)].collect().toSet
+    val reused = DedupOps.ngramJaccardPairsBetween(
+        corpusSide, batchSide, tau = 0.7,
+        reuseFreq = Some(DedupOps.shingleFreq(corpusSide)))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(reused === exact)
+    assert(exact.nonEmpty, "degenerate corpus: no cross pairs")
+    spark.catalog.clearCache()
+  }
+
   test("minhash LSH is sound on a random corpus: surfaced ⊆ truth, exact values") {
     val docs = corpus(seed = 13, nDocs = 120, nTemplates = 8)
     val want = bruteForce(docs, n = 8, tau = 0.7)

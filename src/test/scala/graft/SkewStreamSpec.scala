@@ -35,6 +35,24 @@ class SkewStreamSpec extends SparkSpec {
     assert(salts >= 6)
   }
 
+  test("saltedJoin with rowIdCol spreads EXACT-duplicate hot rows and " +
+       "stays row-identical") {
+    // 1000 byte-identical rows of one hot key: the content-hash fallback
+    // necessarily gives them all ONE salt; a caller-supplied unique id
+    // spreads them while staying retry-deterministic (pure function of a
+    // stored column)
+    val fact = (1 to 1000).map(i => (i.toLong, 1, "same-payload"))
+      .toDF("row_id", "k", "payload")
+    val dim = Seq((1, "dimval")).toDF("k", "dval")
+    val out = SkewOps.saltedJoin(fact, dim, "k", n = 8,
+                                 rowIdCol = Some("row_id"))
+    assert(out.count() === 1000)
+    val spread = fact.withColumn("__salt",
+      pmod(xxhash64($"row_id"), lit(8)).cast("int"))
+      .select($"__salt").distinct().count()
+    assert(spread >= 6)
+  }
+
   test("streaming dedup within watermark drops duplicate keys") {
     val dir = "/root/repo/target/scratch/dedup_stream"
     val events = Seq(
