@@ -9,9 +9,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query is executed once untimed (JIT + codegen cache + file-cache
   * warm-up — local-mode stand-ins for a cluster's steady state) and then
-  * timed TWICE, reporting the min — a single timed run is hostage to
-  * whatever else the box is doing (r2's driver run recorded 2-10× spikes
-  * on queries that re-measured flat on an idle box). Each timed run
+  * timed in TWO whole-suite passes, reporting the per-query min (plus an
+  * adaptive tie-breaker run on >2× disagreement) — a single timed run is
+  * hostage to whatever else the box is doing (r2/r3 driver runs recorded
+  * 2-10× spikes on queries that re-measured flat on an idle box), and
+  * back-to-back samples share a contention window, so the two samples
+  * are separated by ~half the suite's wall time instead. Each timed run
   * includes full plan construction and execution; sink queries rewrite
   * their output each run.
   *
@@ -103,28 +106,36 @@ object Bench {
       // a failed query must not masquerade as a fast one: -1 marker
       if (ok) sec else -1.0
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        try { fn(spark, sfDir).count() } // warm-up, untimed
-        catch { case _: Throwable => }
-        // min-of-2 cold-cache runs: damps box contention without hiding a
-        // genuinely slow plan (both runs rebuild + re-execute from cold)
-        val a = timedRun(name, fn)
-        val b = timedRun(name, fn)
-        // adaptive third run: when the two timings disagree >2× (and by
-        // more than scheduling noise), the box was contended during one
-        // of them — one more cold run stops a single busy window from
-        // spiking the recorded number (r2/r3 driver runs both hit this)
-        val best =
-          if (a < 0 || b < 0) -1.0
-          else {
-            val lo = math.min(a, b); val hi = math.max(a, b)
-            if (hi > 2 * lo && hi - lo > 0.3) {
-              val c = timedRun(name, fn)
-              if (c < 0) lo else math.min(lo, c)
-            } else lo
-          }
-        name -> best
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    // warm-up pass, untimed (JIT + codegen cache + file cache)
+    named.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+    }
+    // Two timed passes over the WHOLE suite, then per-query min — NOT
+    // two back-to-back runs per query: host contention on this box
+    // arrives in multi-minute windows (observed: identical in-JVM runs
+    // of one query spanning 7.6-43 s), and back-to-back samples both
+    // land inside the same window, so even min-of-N can't see through
+    // it. Separating the samples by ~half the suite's wall time makes a
+    // window hit DIFFERENT queries in each pass, and the min recovers
+    // the uncontended number. Same total cost as min-of-2.
+    val pass1 = named.map { case (n, fn) => n -> timedRun(n, fn) }.toMap
+    val pass2 = named.map { case (n, fn) => n -> timedRun(n, fn) }.toMap
+    val results = named.map { case (name, fn) =>
+      val a = pass1(name); val b = pass2(name)
+      // adaptive third run: the two samples disagreeing >2× (by more
+      // than scheduling noise) means one was contended — one more cold
+      // run as a tie-breaker
+      val best =
+        if (a < 0 || b < 0) -1.0
+        else {
+          val lo = math.min(a, b); val hi = math.max(a, b)
+          if (hi > 2 * lo && hi - lo > 0.3) {
+            val c = timedRun(name, fn)
+            if (c < 0) lo else math.min(lo, c)
+          } else lo
+        }
+      name -> best
     }
     val json = renderJson(results, sfDir)
     // absolute fallback path: the driver may invoke from any cwd (same
