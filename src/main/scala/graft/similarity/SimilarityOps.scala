@@ -365,4 +365,36 @@ object SimilarityOps {
       .limit(k)
       .select(col(idCol), round(col("sim"), 6).as("sim"))
   }
+
+  /** Persist an IVF index (assignments + codebook) as parquet, with the
+    * assignments PARTITIONED BY list_id — Hive-style directories are the
+    * on-disk inverted-list layout: an `nprobe` query's
+    * `list_id ∈ probes` predicate prunes the scan to `nprobe`
+    * directories at planning time, so serving cost is proportional to
+    * the lists probed, not the corpus (the point of IVF). Training is a
+    * write-time job; queries in later sessions `loadIndex` without
+    * re-training or re-assigning.
+    *
+    * One file per list via repartition on the partition column (the
+    * Sinks.partitioned discipline): without it every task writes a
+    * fragment into every list directory — shufflePartitions × nlist
+    * small files.
+    */
+  def saveIndex(assigned: DataFrame, cents: DataFrame, path: String): Unit = {
+    assigned
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$path/lists")
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** Load a saved IVF index → (assigned, codebook), query-ready for
+    * `ivfTopK`. The embedding/id column names are whatever the saved
+    * `assigned` frame carried; `list_id` comes back from the partition
+    * directories (as int — parquet partition-column inference).
+    */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+                path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/lists"),
+     spark.read.parquet(s"$path/codebook"))
 }

@@ -113,6 +113,17 @@ class ConnectedComponentsSpec extends SparkSpec {
         }
 
       assert(cc(valid) === expect, s"seed=$seed")
+
+      // the assumeDistinct fast path on properly canonical deduped
+      // edges must agree with the reference too (the pair-generator
+      // deployment shape)
+      val canonical = valid.map { case (a, b) =>
+        (math.max(a, b), math.min(a, b))
+      }.distinct
+      val gotFast = ConnectedComponents.connectedComponents(
+        canonical.toDF("a", "b"), "a", "b", assumeDistinct = true)
+        .as[(Long, Long)].collect().toMap
+      assert(gotFast === expect, s"assumeDistinct seed=$seed")
       spark.catalog.clearCache()
     }
   }

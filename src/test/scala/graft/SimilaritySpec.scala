@@ -176,6 +176,39 @@ class SimilaritySpec extends SparkSpec {
     assert(full === brute)
   }
 
+  test("saved IVF index round-trips: loaded top-k identical, probe " +
+       "scan pruned to the probed list directories") {
+    val path = "/root/repo/target/scratch/ivf_index"
+    val cents = SimilarityOps.ivfTrain(emb, "vec_id", "embedding",
+                                       nlist = 4, iters = 2)
+    val assigned = SimilarityOps.ivfAssignTo(emb, "vec_id", "embedding",
+                                             cents)
+    val live = SimilarityOps.ivfTopK(assigned, cents, "vec_id",
+                                     "embedding", 3L, k = 5, nprobe = 2)
+      .as[(Long, Double)].collect().toSeq
+    SimilarityOps.saveIndex(assigned, cents, path)
+    spark.catalog.clearCache() // release ivfTrain's codebook pin
+    val (loadedAssign, loadedCents) = SimilarityOps.loadIndex(spark, path)
+    val replayed = SimilarityOps.ivfTopK(loadedAssign, loadedCents,
+                                         "vec_id", "embedding", 3L,
+                                         k = 5, nprobe = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(replayed === live)
+    // the on-disk inverted-list contract: a list_id predicate must reach
+    // the scan as a PARTITION filter (directory pruning), not a data one
+    val probePlan = loadedAssign.filter($"list_id" === 0)
+      .queryExecution.executedPlan.toString
+    assert(probePlan.contains("PartitionFilters") &&
+             probePlan.contains("list_id"),
+           s"list_id should prune partitions:\n$probePlan")
+    // one file per list directory (the repartition-before-write rule)
+    val files = new java.io.File(s"$path/lists").listFiles()
+      .filter(_.getName.startsWith("list_id="))
+    assert(files.length === 4)
+    assert(files.forall(
+      _.listFiles().count(_.getName.endsWith(".parquet")) === 1))
+  }
+
   test("ivfAssignTo: a zero-norm vector lands in list 0, never a phantom list") {
     val rows = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
