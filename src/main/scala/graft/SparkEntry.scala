@@ -430,6 +430,24 @@ object SparkEntry {
              countDistinct(col("o_orderstatus")).as("n_status"))
     }),
 
+    // JSON-lines round-trip: the interchange format crawl/annotation
+    // pipelines actually exchange — write, re-read with a DECLARED schema
+    // (no inference job over 100 TB), aggregate; oracle computes the same
+    // aggregate from the source parquet, so the trip must be lossless
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      val path = scratch(dir, "jsonl_roundtrip")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+                col("o_totalprice"))
+        .write.mode("overwrite").json(path)
+      s.read.schema("o_orderkey long, o_orderstatus string, o_totalprice double")
+        .json(path)
+        .agg(count(lit(1)).as("n"),
+             sum(col("o_orderkey")).as("key_sum"),
+             round(sum(col("o_totalprice")), 2).as("price_sum"),
+             countDistinct(col("o_orderstatus")).as("n_status"))
+    }),
+
     // Benchmark decontamination: docs outside src0 sharing ≥1 long
     // (30-char) n-gram with the src0 "benchmark" slice — the pre-training
     // leak check. At n=30 only true cross-source near-dup plants flag
@@ -754,6 +772,26 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.trainSplit(col("text")).as("split"))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"))),
+
+    // Leakage-proof split: near-dup clusters (LSH sketch path, the same
+    // exact-verified pair truth as q_dup_clusters) assign as ONE unit —
+    // no near-duplicate pair can straddle train/test. Census by split:
+    // doc and cluster counts (clusters = split units)
+    "q_cluster_split" -> ((s, dir) =>
+      graft.pipeline.CorpusPipeline.clusterSplit(
+        t(s, dir, "documents"),
+        DedupOps.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+                                 n = 12, k = 64, bands = 16, tau = 0.7))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct(col("cluster_key")).as("n_clusters"))),
+
+    // Okapi BM25 top-10 for a fixed query-term set — retrieval-scored
+    // corpus mining (per-term weights rounded to 1e-6 pre-sum; ranking by
+    // rounded score then id is a deterministic total order)
+    "q_bm25" -> ((s, dir) =>
+      TextOps.bm25TopK(t(s, dir, "documents"),
+                       Seq("spark", "vector", "stream"), k = 10)),
 
     // Vocabulary: corpus token frequencies + deterministic id assignment
     "q_vocab" -> ((s, dir) =>
@@ -1396,6 +1434,35 @@ object SparkEntry {
         |       count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
 
+    "q_cluster_split" -> clusterSplitOracle,
+
+    "q_bm25" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |                       x -> x <> '')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+        |       FROM tok GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+        |          FROM dl),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |       FROM tok WHERE term IN ('spark', 'vector', 'stream')
+        |       GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+        |          FROM tf GROUP BY 1),
+        |w AS (SELECT tf.doc_id,
+        |        round(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+        |              / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS w
+        |      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats)
+        |SELECT doc_id, round(sum(w), 6) AS bm25
+        |FROM w GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_jsonl_roundtrip" ->
+      """SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |       round(sum(o_totalprice), 2) AS price_sum,
+        |       count(DISTINCT o_orderstatus) AS n_status
+        |FROM orders""".stripMargin,
+
     "q_vocab" ->
       """WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+'))
         |             AS token
@@ -1739,4 +1806,26 @@ object SparkEntry {
         |SELECT comp AS cluster_id, count(*) AS cluster_size,
         |       array_to_string(list(id ORDER BY id), ',') AS members
         |FROM comp GROUP BY comp""".stripMargin
+
+  /** Cluster-coherent split census: every near-dup component (min-id
+    * key, singletons keyed by their own id) draws ONE md5 coin over the
+    * key's decimal string — the same closure truth as the cluster
+    * oracle, then the trainSplit hex-digit partition on the cluster key.
+    */
+  private val clusterSplitOracle: String =
+    jaccardPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +
+      closureCtes("pairs") +
+      """,
+        |comp AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id),
+        |assigned AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS ck
+        |             FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+        |sp AS (SELECT ck,
+        |         CASE WHEN substr(md5(CAST(ck AS VARCHAR)), 1, 1) < 'e'
+        |                THEN 'train'
+        |              WHEN substr(md5(CAST(ck AS VARCHAR)), 1, 1) = 'e'
+        |                THEN 'val'
+        |              ELSE 'test' END AS split
+        |       FROM assigned)
+        |SELECT split, count(*) AS n_docs, count(DISTINCT ck) AS n_clusters
+        |FROM sp GROUP BY 1""".stripMargin
 }

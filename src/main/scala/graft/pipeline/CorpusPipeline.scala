@@ -114,6 +114,41 @@ object CorpusPipeline {
   def flagship(spark: SparkSession, dir: String): DataFrame =
     curate(Tables.load(spark, dir, "documents"))
 
+  /** Leakage-proof train/val/test assignment: every member of a near-dup
+    * CLUSTER receives the SAME split, so no near-duplicate pair can
+    * straddle train and test — the eval-contamination guarantee a
+    * per-document hash split (TextOps.trainSplit) cannot give, because
+    * near-identical texts hash to unrelated md5 values and ~12% of
+    * duplicate pairs land astride the train/test cut.
+    *
+    * The split key is the component's minimum id (singleton documents are
+    * their own key), hashed exactly like trainSplit: first hex digit of
+    * md5 over the key's decimal string, 14:1:1. RNG-free and
+    * re-derivable from the data alone, and the per-CLUSTER coin keeps
+    * the expected split RATIOS on clusters, not documents — the standard
+    * contract for dedup-aware splits.
+    *
+    * Scale shape: the pair graph collapses through the CC rounds ((id,
+    * id) pairs only — see ConnectedComponents), the component frame joins
+    * back by id (a hash join on the narrow comp frame), and the split
+    * itself is a narrow projection. Nothing beyond the pair generator
+    * touches document bytes.
+    */
+  def clusterSplit(docs: DataFrame, pairs: DataFrame,
+                   idCol: String = "doc_id"): DataFrame = {
+    val comp = graft.dedup.ConnectedComponents
+      .connectedComponents(pairs, "id_a", "id_b", assumeDistinct = true)
+      .withColumnRenamed("id", idCol)
+    val key = coalesce(col("comp"), col(idCol))
+    val h = substring(md5(key.cast("string")), 1, 1)
+    docs.join(comp, Seq(idCol), "left")
+      .withColumn("cluster_key", key)
+      .withColumn("split",
+        when(h < "e", "train").when(h === "e", "val")
+          .when(h.isNotNull, "test"))
+      .drop("comp")
+  }
+
   /** Incremental (streaming) corpus curation: the streaming-safe prefix
     * of `curate` — exact content dedup with WATERMARK-BOUNDED state, then
     * the language/token-floor/repetition gates, which are all narrow

@@ -340,6 +340,61 @@ object TextOps {
       .select(col(idCol), col("term"), col("tfidf"))
   }
 
+  /** Okapi BM25 relevance of every document to a small query-term set —
+    * the retrieval scorer a curation pipeline uses to mine
+    * domain-relevant documents out of a bulk corpus (quality-targeted
+    * sampling, eval-set sourcing). Lucene's non-negative idf variant:
+    * idf = ln(1 + (N − df + ½)/(df + ½)); N and avgdl are taken over
+    * documents with ≥1 token (the only engine-portable corpus
+    * definition — no separate null/whitespace rule needed on either
+    * side).
+    *
+    * Plan shape at scale: the query-term `isin` filter lands directly on
+    * the exploded token stream, so the (doc, term) aggregate — the only
+    * wide stage over token rows — shuffles a handful of terms, not the
+    * corpus vocabulary; per-doc lengths are a narrow no-explode
+    * projection joined by doc id; term dfs and the N/avgdl scalar fold
+    * in as broadcasts; the final top-k is orderBy+limit =
+    * TakeOrderedAndProject, never a global sort. Per-term weights are
+    * rounded to 1e-6 BEFORE the per-doc sum and the sum re-rounded, so
+    * the double accumulation (~1e-15 off a 1e-6 grid) collapses to the
+    * same grid point in both engines — the ordering (rounded score desc,
+    * id asc) is then a deterministic total order.
+    */
+  def bm25TopK(df: DataFrame, queryTerms: Seq[String],
+               idCol: String = "doc_id", textCol: String = "text",
+               k1: Double = 1.2, b: Double = 0.75, k: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val dl = df.select(col(idCol),
+                       tokenCount(col(textCol)).cast("double").as("dl"))
+      .filter(col("dl") > 0)
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+                       avg(col("dl")).as("avgdl"))
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    // tf is unique per (doc, term) — count(*) IS document frequency
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .withColumn("w",
+        round(col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 6))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("w")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** All text stats in one projection (one scan pass). */
   def withTextStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.CorpusPipeline
+import graft.text.TextOps
+
+/** BM25 retrieval scoring and the cluster-coherent (leakage-proof)
+  * train/val/test split.
+  */
+class RetrievalSplitSpec extends SparkSpec {
+
+  test("bm25TopK matches an independent hand computation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark stream"), // dl=3, tf(spark)=2
+      (2L, "vector"),             // dl=1, tf(vector)=1
+      (3L, "other words here"),   // dl=3, no query terms
+      (4L, null.asInstanceOf[String]) // no tokens → excluded from N
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(docs, Seq("spark", "vector"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // independent re-derivation: N=3 (docs with >=1 token), avgdl=7/3,
+    // df(spark)=df(vector)=1, idf=ln(1+2.5/1.5)
+    val n = 3.0; val avgdl = 7.0 / 3.0
+    val idf = math.log(1 + (n - 1 + 0.5) / (1 + 0.5))
+    def w(tf: Double, dl: Double): Double =
+      math.rint(idf * tf * 2.2 /
+        (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6) / 1e6
+    assert(out.keySet === Set(1L, 2L)) // doc 3 has no query term, 4 is null
+    assert(math.abs(out(1L) - w(2, 3)) < 1e-9)
+    assert(math.abs(out(2L) - w(1, 1)) < 1e-9)
+  }
+
+  test("bm25TopK truncates to k deterministically (score desc, id asc)") {
+    import spark.implicits._
+    // ten identical docs → identical scores; k=3 must keep lowest ids
+    val docs = (1L to 10L).map(i => (i, "spark fast")).toDF("doc_id", "text")
+    val got = TextOps.bm25TopK(docs, Seq("spark"), k = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L, 3L))
+  }
+
+  test("clusterSplit: no near-dup pair straddles splits; singleton keys") {
+    import spark.implicits._
+    val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // chain 1~2~3 (no direct 1-3 pair) and pair 5~6; 4 is a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = CorpusPipeline.clusterSplit(docs, pairs)
+      .select(col("doc_id"), col("cluster_key"), col("split"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(out.keySet === (1L to 6L).toSet)
+    // transitive chain shares ONE key (the component minimum) and split
+    assert(Seq(1L, 2L, 3L).map(out(_)._1).toSet === Set(1L))
+    assert(Seq(1L, 2L, 3L).map(out(_)._2).toSet.size === 1)
+    assert(Seq(5L, 6L).map(out(_)._1).toSet === Set(5L))
+    assert(out(5L)._2 === out(6L)._2)
+    // singleton: own id, and the assignment every split variant agrees on
+    assert(out(4L)._1 === 4L)
+    // every split value is one of the three arms (non-null text ⇒ assigned)
+    assert(out.values.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("clusterSplit split arm matches the md5 hex-digit contract") {
+    import spark.implicits._
+    val docs = Seq((42L, "x")).toDF("doc_id", "text")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got = CorpusPipeline.clusterSplit(docs, noPairs)
+      .select(col("split")).as[String].head()
+    val digit = java.security.MessageDigest.getInstance("MD5")
+      .digest("42".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.charAt(0)
+    val want =
+      if (digit < 'e') "train" else if (digit == 'e') "val" else "test"
+    assert(got === want)
+  }
+}
