@@ -293,6 +293,25 @@ object SparkEntry {
         .select(col("doc_id"),
                 TextOps.qualityScore(col("text")).as("quality_score"))),
 
+    // Adaptive per-source quality gate: keep docs strictly above their
+    // source's exact median score (relative gating for mixed corpora);
+    // census per source with the threshold
+    "q_quality_gate" -> ((s, dir) =>
+      TextOps.adaptiveQualityGate(t(s, dir, "documents"), "source")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+             round(max(col("med")), 6).as("med_score"))),
+
+    // Embedding-space data-quality gate: the k vectors FARTHEST from
+    // their own label's centroid (lowest cosine) — mislabeled/noise
+    // candidates for review. Centroids via the native vector_sum
+    // aggregate; tiny centroid table broadcast; top-k never sorts
+    // globally
+    "q_embed_outliers" -> ((s, dir) =>
+      SimilarityOps.centroidOutliers(t(s, dir, "embeddings"),
+                                     "vec_id", "embedding", "label",
+                                     k = 10)),
+
     // Exact dedup, keyed (deterministic min-id survivor)
     "q_dedup_keyed" -> ((s, dir) =>
       DedupOps.dedupKeyed(t(s, dir, "documents"),
@@ -1226,6 +1245,40 @@ object SparkEntry {
     "q_dedup_keyed" ->
       """SELECT lang, source, min(doc_id) AS doc_id
         |FROM documents GROUP BY lang, source""".stripMargin,
+
+    "q_quality_gate" ->
+      """WITH q AS (SELECT source, round(
+        |  least(CAST(len(list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '')) AS DOUBLE)
+        |        / 100.0, 1.0) * 0.5
+        |  + (CAST(len(list_filter(string_split_regex(trim(text),'\s+'),
+        |          x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |     / CAST(greatest(len(list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '')), 1)
+        |            AS DOUBLE)) * 0.3
+        |  + (1.0 - least(CAST(len(regexp_extract_all(text,'[.,!?;:]'))
+        |                      AS DOUBLE)
+        |                 / CAST(greatest(len(text),1) AS DOUBLE) * 10.0,
+        |                 1.0)) * 0.2, 6) AS qs
+        |FROM documents),
+        |m AS (SELECT source, median(qs) AS med FROM q GROUP BY 1)
+        |SELECT q.source AS source, count(*) AS n_kept,
+        |       round(max(m.med), 6) AS med_score
+        |FROM q JOIN m ON m.source = q.source
+        |WHERE q.qs > m.med GROUP BY 1""".stripMargin,
+
+    "q_embed_outliers" ->
+      """WITH flat AS (SELECT vec_id, label,
+        |                     CAST(unnest(embedding) AS DOUBLE) AS v,
+        |                     generate_subscripts(embedding, 1) AS i
+        |              FROM embeddings),
+        |cent AS (SELECT label, i, avg(v) AS c FROM flat GROUP BY 1, 2),
+        |sims AS (SELECT f.vec_id, f.label,
+        |                round(sum(f.v * c.c) /
+        |                      (sqrt(sum(f.v * f.v)) * sqrt(sum(c.c * c.c))),
+        |                      6) AS sim
+        |         FROM flat f JOIN cent c ON c.label = f.label AND c.i = f.i
+        |         GROUP BY 1, 2)
+        |SELECT vec_id, label, sim FROM sims
+        |ORDER BY sim ASC, vec_id LIMIT 10""".stripMargin,
 
     "q_exact_dedup" ->
       """SELECT count(*) AS total_docs,

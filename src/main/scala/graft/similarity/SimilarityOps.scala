@@ -366,6 +366,38 @@ object SimilarityOps {
       .select(col(idCol), round(col("sim"), 6).as("sim"))
   }
 
+  /** Label-centroid cosine OUTLIERS: the embedding-space data-quality
+    * gate — vectors far from their own label's centroid are the
+    * mislabeled/noise candidates a curation pipeline routes to review
+    * (the embedding twin of the text quality score). Returns the k most
+    * anomalous (lowest cosine-to-own-centroid) rows.
+    *
+    * Scale shape: centroids come from ONE partial-aggregated pass (the
+    * native vector_sum aggregate — map-side combine, never a collect),
+    * the (n_labels × d) centroid table is genuinely tiny so its
+    * broadcast is principled (unlike broadcasting a corpus), similarity
+    * is the fused codegen'd cosine, and the top-k is orderBy+limit =
+    * TakeOrderedAndProject. The corpus is scanned twice (sum pass, score
+    * pass) and never shuffled. Rows with a null vector are dropped (no
+    * similarity is definable; keeps Spark's nulls-first sort and the SQL
+    * oracle's no-unnest-rows semantics aligned).
+    */
+  def centroidOutliers(emb: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, k: Int = 10): DataFrame = {
+    val cents = emb.groupBy(col(labelCol))
+      .agg(graft.functions.VectorAggregates.vectorSum(col(vecCol))
+             .as("vsum"),
+           count(col(vecCol)).as("nv"))
+      .select(col(labelCol),
+              transform(col("vsum"), x => x / col("nv")).as("centroid"))
+    emb.join(broadcast(cents), labelCol)
+      .select(col(idCol), col(labelCol),
+              round(cosineSim(col(vecCol), col("centroid")), 6).as("sim"))
+      .filter(col("sim").isNotNull)
+      .orderBy(col("sim").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Persist an IVF index (assignments + codebook) as parquet, with the
     * assignments PARTITIONED BY list_id — Hive-style directories are the
     * on-disk inverted-list layout: an `nprobe` query's

@@ -93,6 +93,30 @@ object TextOps {
     */
   def fingerprint(text: Column): Column = md5(text)
 
+  /** Adaptive per-group quality gate: keep documents STRICTLY above
+    * their own group's median quality score — the relative gate a mixed
+    * corpus needs (a fixed threshold tuned on web text silently deletes
+    * all of a low-scoring-but-wanted source, or none of a high-scoring
+    * one). Returns survivors with `quality_score` and the group's `med`
+    * attached.
+    *
+    * Scale shape: the per-group median is one aggregate whose output is
+    * n_groups rows — genuinely tiny, so the broadcast join back is
+    * principled; the gate itself is a narrow filter. The exact `median`
+    * keeps the gate oracle-checkable; its aggregation buffer grows with
+    * group size, so at extreme per-group cardinalities swap in
+    * `approx_percentile(·, 0.5, acc)` — identical plan shape, the same
+    * broadcast-back, only the aggregate changes.
+    */
+  def adaptiveQualityGate(df: DataFrame, groupCol: String,
+                          textCol: String = "text"): DataFrame = {
+    val scored = df.withColumn("quality_score", qualityScore(col(textCol)))
+    val med = scored.groupBy(col(groupCol))
+      .agg(median(col("quality_score")).as("med"))
+    scored.join(broadcast(med), Seq(groupCol))
+      .filter(col("quality_score") > col("med"))
+  }
+
   /** Gopher-style repetition signal: frequency share of the most-repeated
     * whitespace token. Entirely narrow array expressions — no explode, no
     * shuffle — so gating a 100 TB corpus on repetitiveness stays a scan
@@ -366,9 +390,16 @@ object TextOps {
                k1: Double = 1.2, b: Double = 0.75, k: Int = 10): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k >= 1, s"k must be >= 1 (got $k)")
+    // dl feeds BOTH the N/avgdl scalar and the per-doc join; tf feeds
+    // BOTH the score stream and the df aggregate. Pinning each
+    // (evictable) halves the corpus scans: 2 passes instead of 4.
+    // CACHE OWNERSHIP: caller releases (CacheScope / clearCache), the
+    // tfidfTopTerms contract.
     val dl = df.select(col(idCol),
                        tokenCount(col(textCol)).cast("double").as("dl"))
       .filter(col("dl") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
     val stats = dl.agg(count(lit(1)).cast("double").as("n"),
                        avg(col("dl")).as("avgdl"))
     val tf = df
@@ -376,6 +407,8 @@ object TextOps {
       .filter(col("term").isin(queryTerms: _*))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
     // tf is unique per (doc, term) — count(*) IS document frequency
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))

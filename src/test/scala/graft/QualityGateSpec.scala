@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.SimilarityOps
+import graft.text.TextOps
+
+/** Adaptive (per-group-median) quality gating and embedding
+  * centroid-outlier detection.
+  */
+class QualityGateSpec extends SparkSpec {
+
+  test("adaptiveQualityGate keeps strictly-above-median rows per group") {
+    import spark.implicits._
+    // group a: clearly ordered scores (longer text with stopwords scores
+    // higher); group b: identical texts → median = every score → all cut
+    val docs = Seq(
+      ("a", 1L, "the of and to in is " * 30), // high: token-rich + stopwords
+      ("a", 2L, "word " * 10),                // mid
+      ("a", 3L, "!!!???;;;...."),             // low: pure punctuation
+      ("b", 4L, "same text"),
+      ("b", 5L, "same text")
+    ).toDF("source", "doc_id", "text")
+    val out = TextOps.adaptiveQualityGate(docs, "source")
+      .select(col("source"), col("doc_id"), col("quality_score"), col("med"))
+      .collect()
+    // group b: both scores equal the median → strict > keeps none
+    assert(!out.exists(_.getString(0) == "b"))
+    // group a: exactly the rows above the (odd-count) median survive, and
+    // every survivor is strictly above its group threshold
+    val a = out.filter(_.getString(0) == "a")
+    assert(a.map(_.getLong(1)).toSet === Set(1L))
+    assert(a.forall(r => r.getDouble(2) > r.getDouble(3)))
+  }
+
+  test("centroidOutliers ranks the planted outlier first, drops null vecs") {
+    import spark.implicits._
+    // label 0: three near-identical vectors + one opposed outlier;
+    // a null-embedding row must simply vanish (no definable similarity)
+    val rows = Seq(
+      (1L, 0, Array(1.0f, 0.0f, 0.0f)),
+      (2L, 0, Array(0.99f, 0.05f, 0.0f)),
+      (3L, 0, Array(0.98f, -0.05f, 0.0f)),
+      (9L, 0, Array(-1.0f, 0.0f, 0.0f)), // the outlier
+      (7L, 1, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "label", "embedding")
+    val got = SimilarityOps.centroidOutliers(rows, "vec_id", "embedding",
+                                             "label", k = 10)
+      .collect()
+    assert(got.head.getLong(0) === 9L) // lowest cosine to the centroid
+    assert(!got.exists(_.getLong(0) === 7L))
+    // sims are sorted ascending and rounded
+    val sims = got.map(_.getDouble(2))
+    assert(sims.sorted.sameElements(sims))
+  }
+}
