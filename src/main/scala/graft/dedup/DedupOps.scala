@@ -400,10 +400,20 @@ object DedupOps {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 5, k: Int = 32, bands: Int = 8,
-                      tau: Double = 0.8): DataFrame = {
+                      tau: Double = 0.8): DataFrame =
+    minhashLshPairsFromSets(hashedSets(docs, idCol, textCol, n),
+                            k, bands, tau)
+
+  /** The LSH pair join over PRE-BUILT hashed shingle sets (id, hs, sz) —
+    * lets a pipeline that already paid the shingling pass (e.g.
+    * CorpusPipeline.curate's shared enrichment frame) band and verify
+    * without re-scanning documents. `minhashLshPairs` is this over
+    * `hashedSets`.
+    */
+  def minhashLshPairsFromSets(sets: DataFrame, k: Int, bands: Int,
+                              tau: Double): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
-    val sets = hashedSets(docs, idCol, textCol, n)
     // docs shorter than n chars have an EMPTY shingle set → a signature of
     // k MaxValue slots that collides in EVERY band with every other empty
     // doc (O(empties²) candidates, all dropped by verify anyway). They can

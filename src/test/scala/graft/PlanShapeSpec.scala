@@ -42,6 +42,32 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("bm25TopK: isin filter below the token aggregate, bounded top-k") {
+    val df = graft.text.TextOps.bm25TopK(
+      Tables.load(spark, sfDir, "documents"), Seq("spark", "vector"), k = 5)
+    val plan = finalPlan(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k regressed to a global sort:\n$plan")
+    // the query-term filter must sit under the (doc,term) aggregate so
+    // the only token-volume shuffle carries matching terms only
+    val genIdx = plan.indexOf("Generate explode")
+    val filtIdx = plan.indexOf("spark", genIdx)
+    assert(genIdx >= 0 && filtIdx >= 0,
+      s"expected explode + term-literal filter in plan:\n$plan")
+    spark.catalog.clearCache()
+  }
+
+  test("centroidOutliers: centroid broadcast, no embedding exchange, top-k") {
+    val df = SimilarityOps.centroidOutliers(
+      Tables.load(spark, sfDir, "embeddings"), "vec_id", "embedding",
+      "label", k = 5)
+    val plan = finalPlan(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bottom-k regressed to a global sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"centroid table must broadcast back:\n$plan")
+  }
+
   test("ivfAssignTo plans zero exchanges over the embedding table") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val cents = SimilarityOps.seedCentroids(emb, "vec_id", "embedding", 4)
