@@ -383,6 +383,13 @@ object SparkEntry {
         .withColumn("qvec",
                     array_join(col("qvec").cast("array<string>"), ","))),
 
+    // Quantized SERVING: top-10 cosine over the int8 codes (4×-compressed
+    // corpus). Exactly oracle-checkable — cosine over codes is
+    // scale-free and integer dots are order-independent-exact in double
+    "q_int8_topk" -> ((s, dir) =>
+      SimilarityOps.int8TopK(t(s, dir, "embeddings"),
+                             "vec_id", "embedding", probeId = 0L, k = 10)),
+
     // Parquet schema evolution: a second batch adds a column; the
     // mergeSchema read unions the schemas and back-fills null — the lake
     // ingest reality the warehouse boundary (S10) must survive
@@ -1345,6 +1352,31 @@ object SparkEntry {
         |         y -> abs(CAST(y AS DOUBLE))))) + 0.5) AS INTEGER)),
         |    ',') AS qvec
         |FROM embeddings""".stripMargin,
+
+    "q_int8_topk" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) *
+        |      (127.0 / list_max(list_transform(embedding,
+        |         y -> abs(CAST(y AS DOUBLE))))) + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |  WHERE list_max(list_transform(embedding,
+        |          x -> abs(CAST(x AS DOUBLE)))) > 0),
+        |flat AS (SELECT vec_id, unnest(qv) AS v,
+        |                generate_subscripts(qv, 1) AS i
+        |         FROM q),
+        |probe AS (SELECT i, v FROM flat WHERE vec_id = 0),
+        |pn AS (SELECT sum(v * v) AS pn2 FROM probe),
+        |dots AS (SELECT f.vec_id, sum(f.v * p.v) AS dot,
+        |                sum(f.v * f.v) AS nrm2
+        |         FROM flat f JOIN probe p ON p.i = f.i
+        |         WHERE f.vec_id <> 0 GROUP BY 1)
+        |SELECT d.vec_id,
+        |       round(CAST(dot AS DOUBLE) /
+        |             (sqrt(CAST(nrm2 AS DOUBLE)) * sqrt(CAST(pn2 AS DOUBLE))),
+        |             6) AS sim
+        |FROM dots d, pn
+        |WHERE nrm2 > 0
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_schema_evolution" ->
       """WITH merged AS (

@@ -366,6 +366,42 @@ object SimilarityOps {
       .select(col(idCol), round(col("sim"), 6).as("sim"))
   }
 
+  /** Top-k cosine over INT8-QUANTIZED codes — the serving path after
+    * `quantizeInt8` compresses a float corpus 4× (the memory/IO knob
+    * that decides whether a 100 TB embedding table fits its cluster).
+    * Same broadcast-probe / single-scan / TakeOrderedAndProject shape as
+    * `topKNeighbors`, but similarity is computed over the codes.
+    *
+    * Two properties make this EXACTLY oracle-checkable (unlike typical
+    * approximate search): cosine over codes is SCALE-FREE (each vector's
+    * per-vector scale cancels between numerator and norms), and every
+    * dot is a sum of integer products ≤ 127²·d — exact in double in ANY
+    * summation order, so Spark and the SQL twin agree to the last bit
+    * before the one final division. Zero vectors (all-zero codes) have
+    * no direction and are excluded, matching quantizeInt8's defined-null
+    * contract for degenerate inputs.
+    */
+  def int8TopK(emb: DataFrame, idCol: String, vecCol: String,
+               probeId: Long, k: Int = 10): DataFrame = {
+    val codes = quantizeInt8(emb, idCol, vecCol)
+      .filter(col("qvec").isNotNull)
+      .select(col(idCol),
+              transform(col("qvec"), x => x.cast("double")).as("qd"))
+    val probe = broadcast(
+      codes.filter(col(idCol) === probeId).select(col("qd").as("pd")))
+    import graft.functions.VectorExpressions.dotProduct
+    codes.filter(col(idCol) =!= probeId)
+      .crossJoin(probe)
+      .withColumn("nrm2", dotProduct(col("qd"), col("qd")))
+      .filter(col("nrm2") > 0)
+      .withColumn("sim",
+        round(dotProduct(col("qd"), col("pd")) /
+          (sqrt(col("nrm2")) * sqrt(dotProduct(col("pd"), col("pd")))), 6))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("sim"))
+  }
+
   /** Label-centroid cosine OUTLIERS: the embedding-space data-quality
     * gate — vectors far from their own label's centroid are the
     * mislabeled/noise candidates a curation pipeline routes to review

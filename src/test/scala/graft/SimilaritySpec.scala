@@ -263,4 +263,37 @@ class SimilaritySpec extends SparkSpec {
       .select($"vec_id").as[Long].collect().toSet
     assert(full === brute)
   }
+
+  test("int8 quantized top-k: high recall vs full precision, probe excluded") {
+    import spark.implicits._
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val q = SimilarityOps.int8TopK(emb, "vec_id", "embedding", 0L, k = 10)
+      .collect()
+    assert(q.length === 10)
+    assert(!q.exists(_.getLong(0) === 0L))
+    // sims arrive sorted descending (rounded; id tie-break)
+    val sims = q.map(_.getDouble(1))
+    assert(sims.sorted.reverse.sameElements(sims))
+    // 8-bit codes shift cosines by O(1/127): ranking is largely preserved
+    val full = SimilarityOps.topKNeighbors(emb, "vec_id", "embedding",
+                                           0L, 10)
+      .select($"vec_id").as[Long].collect().toSet
+    val overlap = q.map(_.getLong(0)).count(full)
+    assert(overlap >= 6, s"int8 recall@10 too low: $overlap/10")
+  }
+
+  test("int8 top-k: degenerate zero vector is excluded, codes scale-free") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Array(0.5f, 0.5f, 0.0f)),
+      (1L, Array(5.0f, 5.0f, 0.0f)),   // same direction, 10× magnitude
+      (2L, Array(0.0f, 0.0f, 0.0f)),   // degenerate: no direction
+      (3L, Array(-0.5f, -0.5f, 0.0f))  // opposed
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.int8TopK(rows, "vec_id", "embedding", 0L, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!got.contains(2L)) // zero vector has no cosine
+    assert(got(1L) === 1.0)   // scale cancels: identical direction → 1.0
+    assert(got(3L) === -1.0)
+  }
 }
