@@ -321,6 +321,38 @@ object SparkEntry {
     "q_exact_dedup" -> ((s, dir) =>
       DedupOps.exactStats(t(s, dir, "documents"), "text")),
 
+    // Per-source duplication report: the dedup-rate dashboard a crawl
+    // pipeline watches (a source whose dup_rate jumps is re-crawling
+    // itself). One aggregate pass; rate from exact fingerprint counts
+    "q_dedup_rate" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct(TextOps.fingerprint(col("text")))
+               .as("n_unique"))
+        .withColumn("dup_rate",
+          round(lit(1.0) - col("n_unique").cast("double") /
+            col("n_docs").cast("double"), 6))),
+
+    // Corpus bigram counts (top-20): the n-gram LM statistic behind
+    // vocabulary/fertility analysis. Bigrams form INSIDE the token array
+    // (one transform, no positional self-join), then one explode +
+    // aggregate with map-side combine
+    "q_bigrams" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val bigrams = when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2),
+                  i => concat_ws(" ", element_at(toks, i + 1),
+                                 element_at(toks, i + 2))))
+        .otherwise(array().cast("array<string>"))
+      t(s, dir, "documents")
+        .select(explode(bigrams).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(20)
+    }),
+
     // Exact n-gram Jaccard near-dup join (prefix-filtered). n=12: char
     // 5-grams over a small vocabulary are near-universal (df≈docs/20 →
     // candidates≈all pairs); 12-grams span ~2 words and stay selective —
@@ -1252,6 +1284,25 @@ object SparkEntry {
     "q_dedup_keyed" ->
       """SELECT lang, source, min(doc_id) AS doc_id
         |FROM documents GROUP BY lang, source""".stripMargin,
+
+    "q_dedup_rate" ->
+      """SELECT source, count(*) AS n_docs,
+        |       count(DISTINCT md5(text)) AS n_unique,
+        |       round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+        |                   / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_bigrams" ->
+      """WITH tk AS (SELECT list_filter(string_split_regex(trim(text),
+        |                                                  '\s+'),
+        |                               x -> x <> '') AS toks
+        |            FROM documents WHERE text IS NOT NULL),
+        |bg AS (SELECT unnest(list_transform(range(1, len(toks)),
+        |                                    i -> toks[i] || ' ' ||
+        |                                         toks[i + 1])) AS bigram
+        |       FROM tk WHERE len(toks) >= 2)
+        |SELECT bigram, count(*) AS n FROM bg
+        |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
 
     "q_quality_gate" ->
       """WITH q AS (SELECT source, round(
