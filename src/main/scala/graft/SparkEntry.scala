@@ -611,6 +611,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_vectors"))
     }),
 
+    // Product quantization end-to-end: per-subspace k-means codebook
+    // (8 subs × 16 codes over 64-dim = 32× compression) → per-row encode
+    // → asymmetric-distance top-10 for a raw probe. Rows-only (k-means
+    // internals); exactness-on-saturated-vocab, monotone distortion, and
+    // planted-cluster retrieval are spec-asserted (PqSpec)
+    "q_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      // codebooks train on a corpus SAMPLE (the standard PQ practice —
+      // k·nsub centroids need thousands of examples, not billions);
+      // encode + ADC serve then run over the full corpus
+      val cb = SimilarityOps.pqTrain(emb.filter(col("vec_id") < 1024),
+                                     "vec_id", "embedding",
+                                     nsub = 8, codes = 16, iters = 1)
+      SimilarityOps.pqTopK(emb, "vec_id", "embedding", cb,
+                           probeId = 0L, k = 10)
+    }),
+
     // HLL sketch distinct (mergeable at 100 TB; no exact-SQL oracle)
     "q_approx_users" -> ((s, dir) =>
       t(s, dir, "events")

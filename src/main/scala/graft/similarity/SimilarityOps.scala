@@ -366,6 +366,233 @@ object SimilarityOps {
       .select(col(idCol), round(col("sim"), 6).as("sim"))
   }
 
+  // ------------------------------------------------------------------ PQ
+
+  /** Fold a PQ codebook (sub_id, code, cvec) into ONE broadcastable row:
+    * an array indexed by sub_id whose entries are the sub's (code, c)
+    * list sorted by code. nsub·k rows total — tiny by construction, the
+    * same fold-then-broadcast discipline as ivfAssignTo's codebook.
+    */
+  private def foldPqCodebook(cb: DataFrame): DataFrame =
+    cb.groupBy(col("sub_id"))
+      .agg(array_sort(collect_list(struct(
+             col("code").cast("int").as("code"),
+             col("cvec").as("c"),
+             // ‖c‖² precomputed at fold time: higher-order lambdas are
+             // interpreted (not codegen'd), so every dot skipped per
+             // (row, entry) matters — see nearestCode
+             graft.functions.VectorExpressions
+               .dotProduct(col("cvec"), col("cvec")).as("c2"))))
+             .as("entries"))
+      .agg(array_sort(collect_list(struct(
+             col("sub_id").cast("int").as("sub"),
+             col("entries").as("entries")))).as("__pqcb"))
+
+  /** Argmin-L2 code for one subvector against one sub's entries. The
+    * row-constant ‖sv‖² term is DROPPED from the objective (argmin of
+    * ‖sv−c‖² ≡ argmin of ‖c‖² − 2·sv·c), and ‖c‖² is read precomputed —
+    * ONE interpreted dot per (row, entry) instead of three. Strict <
+    * keeps the lowest code on ties.
+    */
+  private def nearestCode(sv: Column, entries: Column): Column =
+    aggregate(entries,
+      struct(lit(-1).as("code"), lit(Double.MaxValue).as("obj")),
+      (acc, e) => {
+        val obj = e.getField("c2") - lit(2.0) *
+          graft.functions.VectorExpressions.dotProduct(sv, e.getField("c"))
+        when(obj < acc.getField("obj"),
+             struct(e.getField("code").as("code"), obj.as("obj")))
+          .otherwise(acc)
+      }).getField("code")
+
+  /** Per-row PQ encoding: for each of the nsub subvector slices, the
+    * L2-nearest code in that sub's codebook — evaluated entirely inside
+    * one projection against the folded broadcast codebook (zero
+    * exchanges over the embedding table, the ivfAssignTo discipline).
+    * Ties keep the LOWEST code (strict <); `dvec` must already be
+    * array<double> of length nsub·dsub.
+    */
+  private def pqCodesExpr(dvec: Column, cbBySub: Column, nsub: Int,
+                          dsub: Int): Column =
+    transform(sequence(lit(0), lit(nsub - 1)), s =>
+      nearestCode(slice(dvec, s * dsub + 1, lit(dsub)),
+                  element_at(cbBySub, s + 1).getField("entries")))
+
+  /** Train a PRODUCT-QUANTIZATION codebook (Jégou et al., TPAMI 2011):
+    * split each d-dim vector into `nsub` contiguous subvectors and run
+    * an independent k-means (`codes` centroids, L2) in every subspace —
+    * all nsub problems trained SIMULTANEOUSLY in one frame keyed by
+    * sub_id. PQ is the memory knob that decides whether a 100 TB float
+    * corpus serves from RAM: nsub bytes per vector instead of 4·d
+    * (32× at d=64, nsub=8).
+    *
+    * Scale shape per Lloyd iteration: assignment is the per-row argmin
+    * against the folded broadcast codebook — the subvector frame is
+    * never shuffled; the means are ONE (sub_id, code) aggregation of
+    * dsub-length arrays (vector_sum partial combine). Empty codes keep
+    * their previous centroid (the ivfTrain contract); each round's
+    * nsub·k-row codebook materializes eagerly to truncate the lazy
+    * lineage. Seeds are the first `codes` subvectors by id — RNG-free
+    * and re-derivable, like every other initialization in the engine.
+    *
+    * Returns (sub_id, code, cvec: array<double>[dsub]). Vectors whose
+    * length ≠ the (required-uniform) corpus dimension are excluded from
+    * training; `d` is probed with one tiny max(size) action up front
+    * (train-time only).
+    */
+  def pqTrain(emb: DataFrame, idCol: String, vecCol: String,
+              nsub: Int, codes: Int, iters: Int): DataFrame = {
+    require(nsub >= 1 && codes >= 1 && iters >= 0,
+            s"nsub/codes/iters must be positive (got $nsub/$codes/$iters)")
+    val dRow = emb.agg(max(size(col(vecCol)))).head()
+    require(!dRow.isNullAt(0), "pqTrain: corpus has no vectors")
+    val d = dRow.getInt(0)
+    require(d % nsub == 0, s"dimension $d not divisible by nsub=$nsub")
+    val dsub = d / nsub
+    val dvec = transform(col(vecCol), x => x.cast("double"))
+    val subv = emb.filter(size(col(vecCol)) === d)
+      .select(col(idCol).as("id"),
+              explode(transform(sequence(lit(0), lit(nsub - 1)), s =>
+                struct(s.cast("int").as("sub_id"),
+                       slice(dvec, s * dsub + 1, lit(dsub)).as("sv")))).as("e"))
+      .select(col("id"), col("e.sub_id").as("sub_id"), col("e.sv").as("sv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+
+    var cb = subv
+      .withColumn("code",
+        row_number().over(Window.partitionBy(col("sub_id"))
+          .orderBy(col("id").asc)) - 1)
+      .filter(col("code") < codes)
+      .select(col("sub_id"), col("code"), col("sv").as("cvec"))
+    for (_ <- 1 to iters) {
+      val folded = broadcast(foldPqCodebook(cb))
+      val assigned = subv.crossJoin(folded)
+        .select(col("sub_id"), col("sv"),
+          nearestCode(col("sv"),
+            element_at(col("__pqcb"), col("sub_id") + 1)
+              .getField("entries")).as("code"))
+      val means = assigned
+        .groupBy(col("sub_id"), col("code"))
+        .agg(graft.functions.VectorAggregates.vectorSum(col("sv"))
+               .as("vsum"),
+             count(col("sv")).as("cnt"))
+        .select(col("sub_id"), col("code"),
+                transform(col("vsum"), x => x / col("cnt")).as("mvec"))
+      val prev = cb
+      cb = cb.join(means, Seq("sub_id", "code"), "left")
+        .select(col("sub_id"), col("code"),
+                coalesce(col("mvec"), col("cvec")).as("cvec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheScope.register)
+      cb.count()
+      prev.unpersist(false)
+    }
+    cb
+  }
+
+  /** Encode every vector as its nsub PQ codes — the 4·d-bytes → nsub-bytes
+    * compression pass, one scan, zero exchanges (per-row argmin against
+    * the folded broadcast codebook). Rows whose vector length doesn't
+    * match the codebook's nsub·dsub are excluded (not encodable).
+    */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+               cb: DataFrame): DataFrame = {
+    val (nsub, dsub) = pqShape(cb)
+    emb.filter(size(col(vecCol)) === nsub * dsub)
+      .crossJoin(broadcast(foldPqCodebook(cb)))
+      .select(col(idCol),
+              pqCodesExpr(transform(col(vecCol), x => x.cast("double")),
+                          col("__pqcb"), nsub, dsub).as("pq_codes"))
+  }
+
+  private def pqShape(cb: DataFrame): (Int, Int) = {
+    val r = cb.agg(countDistinct(col("sub_id")),
+                   max(size(col("cvec")))).head()
+    (r.getLong(0).toInt, r.getInt(1))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the raw (unquantized)
+    * probe builds an nsub×k table of partial squared distances to every
+    * codeword — ONE tiny frame from the codebook alone, no corpus scan —
+    * and each document's approximate distance is the sum of nsub table
+    * lookups on its codes. The serving shape at 100 TB: the corpus is
+    * read as nsub-byte codes (32× less IO than float), never shuffled,
+    * and the top-k is TakeOrderedAndProject ascending. Returns
+    * (id, dist2) — rounded, id tie-break, deterministic.
+    */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String, cb: DataFrame,
+             probeId: Long, k: Int = 10): DataFrame = {
+    val (nsub, dsub) = pqShape(cb)
+    val probeVec = transform(col(vecCol), x => x.cast("double"))
+    val table = cb.crossJoin(broadcast(
+        emb.filter(col(idCol) === probeId)
+          .select(probeVec.as("__pv"))))
+      .select(col("sub_id"), col("code"),
+        (graft.functions.VectorExpressions.dotProduct(
+           slice(col("__pv"), col("sub_id") * dsub + 1, lit(dsub)),
+           slice(col("__pv"), col("sub_id") * dsub + 1, lit(dsub))) -
+         lit(2.0) * graft.functions.VectorExpressions.dotProduct(
+           slice(col("__pv"), col("sub_id") * dsub + 1, lit(dsub)), col("cvec")) +
+         graft.functions.VectorExpressions.dotProduct(col("cvec"),
+                                                      col("cvec")))
+          .as("pd2"))
+    val foldedTable = broadcast(table
+      .groupBy(col("sub_id"))
+      .agg(array_sort(collect_list(struct(
+             col("code").cast("int").as("code"),
+             col("pd2").as("pd2")))).as("entries"))
+      .agg(array_sort(collect_list(struct(
+             col("sub_id").cast("int").as("sub"),
+             col("entries").as("entries")))).as("__adc")))
+    // inline encode against ONE folded broadcast (pqEncode would re-fold
+    // and re-probe the codebook shape — two extra driver jobs)
+    emb.filter(col(idCol) =!= probeId &&
+                 size(col(vecCol)) === nsub * dsub)
+      .crossJoin(broadcast(foldPqCodebook(cb)))
+      .select(col(idCol),
+              pqCodesExpr(transform(col(vecCol), x => x.cast("double")),
+                          col("__pqcb"), nsub, dsub).as("pq_codes"))
+      .crossJoin(foldedTable)
+      .select(col(idCol),
+        round(aggregate(
+          zip_with(col("pq_codes"),
+                   sequence(lit(0), lit(nsub - 1)),
+                   (code, s) => element_at(
+                     element_at(col("__adc"), s + 1).getField("entries"),
+                     code + 1).getField("pd2")),
+          lit(0.0), (acc, x) => acc + x), 6).as("dist2"))
+      .orderBy(col("dist2").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Total squared reconstruction error of a codebook over a corpus —
+    * the PQ training objective (monotone non-increasing under Lloyd
+    * iterations; spec-asserted).
+    */
+  def pqDistortion(emb: DataFrame, idCol: String, vecCol: String,
+                   cb: DataFrame): Double = {
+    val (nsub, dsub) = pqShape(cb)
+    val folded = broadcast(foldPqCodebook(cb))
+    emb.filter(size(col(vecCol)) === nsub * dsub)
+      .crossJoin(folded)
+      .select(aggregate(
+        transform(sequence(lit(0), lit(nsub - 1)), s => {
+          val sv = slice(transform(col(vecCol), x => x.cast("double")),
+                         s * dsub + 1, lit(dsub))
+          // true ‖sv−c*‖² = ‖sv‖² + min over entries of (‖c‖² − 2·sv·c)
+          val minObj = aggregate(
+            element_at(col("__pqcb"), s + 1).getField("entries"),
+            lit(Double.MaxValue),
+            (acc, e) => least(acc,
+              e.getField("c2") - lit(2.0) * graft.functions
+                .VectorExpressions.dotProduct(sv, e.getField("c"))))
+          graft.functions.VectorExpressions.dotProduct(sv, sv) + minObj
+        }),
+        lit(0.0), (acc, x) => acc + x).as("e2"))
+      .agg(sum(col("e2"))).head().getDouble(0)
+  }
+
   /** Top-k cosine over INT8-QUANTIZED codes — the serving path after
     * `quantizeInt8` compresses a float corpus 4× (the memory/IO knob
     * that decides whether a 100 TB embedding table fits its cluster).

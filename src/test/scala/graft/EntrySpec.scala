@@ -30,7 +30,7 @@ class EntrySpec extends SparkSpec {
     // (q_multimodal_features gained its oracle in r3)
     val expected = Set("q_simhash_pairs", "q_fingerprints", "q_ann_topk",
                        "q_ivf_topk", "q_ivf_trained", "q_approx_users",
-                       "q_lsh_cosine_pairs")
+                       "q_lsh_cosine_pairs", "q_pq_topk")
     assert(noOracle === expected)
   }
 }

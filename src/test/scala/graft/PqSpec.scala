@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.SimilarityOps
+
+/** Product quantization: training, encoding, ADC serving. */
+class PqSpec extends SparkSpec {
+
+  test("PQ is exact when the codebook saturates the subvector vocabulary") {
+    import spark.implicits._
+    // every subspace has exactly 2 distinct subvectors, and the first 2
+    // vectors (by id — the seed rule) jointly carry all of them → the
+    // trained codebook reconstructs every vector EXACTLY, so ADC top-k
+    // must equal the true L2 ranking (here: id 3 shares id 0's prefix
+    // subvector, id 4 is id 0's exact twin)
+    val a = Array(1.0f, 2.0f); val b = Array(-1.0f, 0.5f)
+    val c = Array(3.0f, 0.0f); val e = Array(0.0f, 4.0f)
+    def cat(x: Array[Float], y: Array[Float]) = x ++ y
+    val rows = Seq(
+      (0L, cat(a, c)), (1L, cat(b, e)), (2L, cat(b, c)),
+      (3L, cat(a, e)), (4L, cat(a, c))
+    ).toDF("vec_id", "embedding")
+    val cb = SimilarityOps.pqTrain(rows, "vec_id", "embedding",
+                                   nsub = 2, codes = 2, iters = 2)
+    assert(SimilarityOps.pqDistortion(rows, "vec_id", "embedding", cb)
+             < 1e-12)
+    val got = SimilarityOps.pqTopK(rows, "vec_id", "embedding", cb,
+                                   probeId = 0L, k = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // exact twin first at distance 0; ranking matches true L2 distances
+    assert(got.head === (4L -> 0.0))
+    val trueD2 = Map(
+      1L -> (dist2(a, b) + dist2(c, e)), 2L -> dist2(a, b),
+      3L -> dist2(c, e), 4L -> 0.0)
+    val expectOrder = trueD2.toSeq.sortBy { case (id, d) => (d, id) }
+      .map(_._1)
+    assert(got.map(_._1).toSeq === expectOrder)
+    spark.catalog.clearCache()
+  }
+
+  private def dist2(x: Array[Float], y: Array[Float]): Double =
+    x.zip(y).map { case (p, q) =>
+      (p.toDouble - q.toDouble) * (p.toDouble - q.toDouble) }.sum
+
+  test("Lloyd iterations never increase PQ distortion; codebook stays full") {
+    import spark.implicits._
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .filter($"embedding".isNotNull && size($"embedding") === 64)
+    def train(iters: Int) = SimilarityOps.pqTrain(
+      emb, "vec_id", "embedding", nsub = 8, codes = 16, iters = iters)
+    val d0 = SimilarityOps.pqDistortion(emb, "vec_id", "embedding", train(0))
+    val cb2 = train(2)
+    val d2 = SimilarityOps.pqDistortion(emb, "vec_id", "embedding", cb2)
+    assert(d2 <= d0 + 1e-9, s"distortion rose: $d0 -> $d2")
+    // 8 subspaces × 16 codes, none lost to empty clusters
+    assert(cb2.count() === 128L)
+    spark.catalog.clearCache()
+  }
+
+  test("ADC retrieves the probe's planted cluster on structured data") {
+    // Set-overlap recall on RANDOM vectors measures the data (64-dim
+    // near-equidistant points), not the engine — so plant structure: 8
+    // well-separated cluster centers (coordinate gap 4.0) with ±0.1
+    // deterministic jitter. Intra-cluster d² ≲ 0.64 vs inter ≳ 16, and
+    // quantization error is bounded by the jitter spread, so every ADC
+    // top-10 hit must come from the probe's own cluster.
+    import spark.implicits._
+    val rows = (0L until 200L).map { i =>
+      val k = (i % 8).toInt
+      // (k·5 + 3j) mod 8 with 5 coprime to 8: any two clusters differ
+      // in EVERY coordinate (k1≠k2 ⇒ (k1−k2)·5 ≢ 0 mod 8), so no two
+      // centers coincide anywhere
+      val v = Array.tabulate(16) { j =>
+        (((k * 5 + j * 3) % 8) * 4 +
+          ((i * 13 + j * 5) % 3 - 1) * 0.1).toFloat
+      }
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val cb = SimilarityOps.pqTrain(rows, "vec_id", "embedding",
+                                   nsub = 4, codes = 8, iters = 3)
+    val got = SimilarityOps.pqTopK(rows, "vec_id", "embedding", cb,
+                                   probeId = 0L, k = 10)
+      .select($"vec_id").as[Long].collect()
+    assert(got.length === 10)
+    assert(got.forall(_ % 8 === 0L),
+      s"ADC leaked out of the probe's cluster: ${got.mkString(",")}")
+    spark.catalog.clearCache()
+  }
+}
