@@ -66,7 +66,8 @@ object ConnectedComponents {
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25,
-                          assumeDistinct: Boolean = false): DataFrame = {
+                          assumeDistinct: Boolean = false,
+                          localSolveMaxEdges: Long = 1L << 20): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1 (got $maxIter)")
     // Canonical start: (u > v) directed edges, self-loops dropped. The
     // distinct collapses parallel edges so round cost is bounded by the
@@ -84,6 +85,24 @@ object ConnectedComponents {
     // (lazy) canonical-edge cache.
     var st = starStats(e)
     var converged = st.star
+
+    // ADAPTIVE SMALL-GRAPH SOLVE: the stats action just measured the
+    // DEDUPLICATED edge count. A non-star graph at or below the gate is
+    // solved with one bounded collect + driver union-find instead of
+    // scheduling star rounds — the same size-triggered plan choice Spark
+    // itself makes (broadcast vs shuffle join). This is NOT a scale
+    // compromise: a duplicate-pair graph is O(#duplicate docs), so even
+    // a 100 TB corpus usually fits the gate (2²⁰ edges ≈ 16 MB on the
+    // driver), and one that doesn't takes the distributed rounds below.
+    // Every path returns the identical (id, comp) set — property-tested
+    // against each other across random graphs.
+    // (long ids only: the local path materializes longs; other id types
+    // keep the distributed rounds so the output schema never depends on
+    // which path ran)
+    val longIds = e.schema.fields
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (!converged && longIds && st.edges <= localSolveMaxEdges)
+      return localSolve(e)
     var it = 0
     while (!converged && it < maxIter) {
       // --- large-star: for each node u, connect every STRICTLY LARGER
@@ -159,6 +178,49 @@ object ConnectedComponents {
     */
   private def truncated(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(df.rdd, df.schema)
+
+  /** Driver-side union-find over a size-gated edge list (≤
+    * localSolveMaxEdges rows of two longs — bounded memory by
+    * construction; the caller just measured the count). Path-halving
+    * find + union by arbitrary root, then one relabel pass to the
+    * component MINIMUM so the output contract matches the star-forest
+    * read exactly: (id, comp = min id in component), one row per node
+    * appearing in an edge.
+    */
+  private def localSolve(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.get(x)
+      while (p != x) { // path-halving
+        val gp = parent.get(p)
+        parent.put(x, gp)
+        x = gp
+        p = parent.get(x)
+      }
+      x
+    }
+    e.select(col("u"), col("v")).collect().foreach { r =>
+      val u = r.getLong(0); val v = r.getLong(1)
+      if (!parent.containsKey(u)) parent.put(u, u)
+      if (!parent.containsKey(v)) parent.put(v, v)
+      val ru = find(u); val rv = find(v)
+      if (ru != rv) parent.put(ru, rv)
+    }
+    // second pass: component minimum per root, then (id, min) rows
+    val minOf = new java.util.HashMap[Long, Long]()
+    val ids = parent.keySet().toArray(new Array[java.lang.Long](0))
+      .map(_.longValue)
+    ids.foreach { id =>
+      val r = find(id)
+      val m = minOf.getOrDefault(r, Long.MaxValue)
+      if (id < m) minOf.put(r, id)
+    }
+    val rows = ids.map(id => (id, minOf.get(find(id)).longValue)).toSeq
+    import spark.implicits._
+    rows.toDF("id", "comp")
+  }
 
   private case class StarStats(edges: Long, violations: Long) {
     def star: Boolean = violations == 0L

@@ -7,9 +7,13 @@ import graft.dedup.ConnectedComponents
 class ConnectedComponentsSpec extends SparkSpec {
   import spark.implicits._
 
+  // gate 0 forces the DISTRIBUTED star rounds — the spec's directed
+  // cases (chains, paths, maxIter exhaustion) are about that path; the
+  // size-gated local union-find has its own tests below
   private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
     ConnectedComponents
-      .connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .connectedComponents(edges.toDF("a", "b"), "a", "b",
+                           localSolveMaxEdges = 0L)
       .as[(Long, Long)].collect().toMap
 
   test("single edge → one component rooted at min") {
@@ -39,9 +43,26 @@ class ConnectedComponentsSpec extends SparkSpec {
     val path = (0L until 9L).map(i => (i, i + 1)) // needs several rounds
     val ex = intercept[IllegalStateException] {
       ConnectedComponents.connectedComponents(
-        path.toDF("a", "b"), "a", "b", maxIter = 1).collect()
+        path.toDF("a", "b"), "a", "b", maxIter = 1,
+        localSolveMaxEdges = 0L).collect()
     }
     assert(ex.getMessage.contains("did not converge"))
+    spark.catalog.clearCache()
+  }
+
+  test("size-gated local solve ≡ distributed rounds (the default path)") {
+    // under the default gate every tiny non-star graph takes the driver
+    // union-find; both paths must produce the identical (id, comp) set
+    val graphs = Seq(
+      (0L until 9L).map(i => (i, i + 1)),              // long path
+      Seq((3L, 1L), (3L, 2L), (7L, 9L)),               // chain + pair
+      (1L to 6L).map(i => (100L, i)))                  // max-id hub
+    graphs.foreach { g =>
+      val local = ConnectedComponents.connectedComponents(
+        g.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(local === cc(g), s"paths disagree on $g")
+    }
     spark.catalog.clearCache()
   }
 
@@ -124,6 +145,14 @@ class ConnectedComponentsSpec extends SparkSpec {
         canonical.toDF("a", "b"), "a", "b", assumeDistinct = true)
         .as[(Long, Long)].collect().toMap
       assert(gotFast === expect, s"assumeDistinct seed=$seed")
+      // same random graph through the forced-distributed rounds: the
+      // size-gated local path (what gotFast took) and the star rounds
+      // must agree exactly
+      val gotDist = ConnectedComponents.connectedComponents(
+        canonical.toDF("a", "b"), "a", "b", assumeDistinct = true,
+        localSolveMaxEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(gotDist === expect, s"distributed seed=$seed")
       spark.catalog.clearCache()
     }
   }
