@@ -67,7 +67,7 @@ object ConnectedComponents {
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25,
                           assumeDistinct: Boolean = false,
-                          localSolveMaxEdges: Long = 1L << 20): DataFrame = {
+                          localSolveMaxEdges: Long = 1L << 19): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1 (got $maxIter)")
     // Canonical start: (u > v) directed edges, self-loops dropped. The
     // distinct collapses parallel edges so round cost is bounded by the
@@ -88,12 +88,18 @@ object ConnectedComponents {
 
     // ADAPTIVE SMALL-GRAPH SOLVE: the stats action just measured the
     // DEDUPLICATED edge count. A non-star graph at or below the gate is
-    // solved with one bounded collect + driver union-find instead of
-    // scheduling star rounds — the same size-triggered plan choice Spark
-    // itself makes (broadcast vs shuffle join). This is NOT a scale
+    // solved with one bounded driver union-find instead of scheduling
+    // star rounds — the same size-triggered plan choice Spark itself
+    // makes (broadcast vs shuffle join). This is NOT a scale
     // compromise: a duplicate-pair graph is O(#duplicate docs), so even
-    // a 100 TB corpus usually fits the gate (2²⁰ edges ≈ 16 MB on the
-    // driver), and one that doesn't takes the distributed rounds below.
+    // a 100 TB corpus usually fits the gate, and one that doesn't takes
+    // the distributed rounds below. Gate accounting is honest about JVM
+    // boxing, not raw bytes: 2¹⁹ edges stream through toLocalIterator
+    // (never a collected array), and the driver holds ≤ 2²⁰ boxed
+    // (Long, Long) HashMap entries ≈ 100 MB worst case — bounded well
+    // under default driver heaps; the result goes back out as a
+    // parallelized dataset, never a LocalRelation embedded in (and
+    // re-serialized with) every downstream plan.
     // Every path returns the identical (id, comp) set — property-tested
     // against each other across random graphs.
     // (long ids only: the local path materializes longs; other id types
@@ -186,6 +192,13 @@ object ConnectedComponents {
     * component MINIMUM so the output contract matches the star-forest
     * read exactly: (id, comp = min id in component), one row per node
     * appearing in an edge.
+    *
+    * Memory discipline (both directions of the driver boundary): edges
+    * STREAM in through toLocalIterator — one in-flight row, never a
+    * collected Array[Row] of boxed pairs — and the result leaves as a
+    * PARALLELIZED dataset, not a local Seq: `Seq.toDF` would embed up
+    * to 2·gate tuples as a LocalRelation inside every downstream plan,
+    * re-serialized with each job that references the component frame.
     */
   private def localSolve(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
@@ -201,7 +214,9 @@ object ConnectedComponents {
       }
       x
     }
-    e.select(col("u"), col("v")).collect().foreach { r =>
+    val it = e.select(col("u"), col("v")).toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
       val u = r.getLong(0); val v = r.getLong(1)
       if (!parent.containsKey(u)) parent.put(u, u)
       if (!parent.containsKey(v)) parent.put(v, v)
@@ -217,9 +232,13 @@ object ConnectedComponents {
       val m = minOf.getOrDefault(r, Long.MaxValue)
       if (id < m) minOf.put(r, id)
     }
-    val rows = ids.map(id => (id, minOf.get(find(id)).longValue)).toSeq
+    val rows = ids.toIndexedSeq.map(id =>
+      (id, minOf.get(find(id)).longValue))
     import spark.implicits._
-    rows.toDF("id", "comp")
+    val parts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, rows.size / 4096))
+    spark.createDataset(spark.sparkContext.parallelize(rows, parts))
+      .toDF("id", "comp")
   }
 
   private case class StarStats(edges: Long, violations: Long) {

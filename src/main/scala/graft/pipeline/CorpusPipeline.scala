@@ -59,9 +59,14 @@ object CorpusPipeline {
     *    q_minhash_lsh contract) + exact verify. THE production scale
     *    path: the pair join shuffles 16 band rows per document instead
     *    of every posting, at a per-pair miss probability of
-    *    (1−s⁴)¹⁶ ≈ 2·10⁻³ at s=0.7 (falling to 2·10⁻⁴ by s=0.8) — the
-    *    standard curation trade (GPT-3/Gopher-style dedup runs MinHash
-    *    LSH, not an exact join).
+    *    (1−s⁴)¹⁶ ≈ 1.2·10⁻² at the τ=0.7 boundary (falling fast with
+    *    similarity: ≈2·10⁻⁴ at s=0.8, ≈10⁻⁷ by s=0.9) — the standard
+    *    curation trade (GPT-3/Gopher-style dedup runs MinHash LSH, not
+    *    an exact join). RECALL-PROBABILISTIC: a borderline pair can be
+    *    missed, so outputs downstream of the pair set (components,
+    *    survivors, splits) carry the same small per-pair risk;
+    *    CorpusPipelineSpec pins LSH pairs == exact pairs on the bench
+    *    corpora so drift on the oracle-checked data is caught.
     *  - `false`: the df-ordered prefix-filtered exact join — provably
     *    lossless for J ≥ τ, at posting-volume shuffle cost. The
     *    borderline-recall-critical variant (e.g. legal compliance
@@ -165,8 +170,10 @@ object CorpusPipeline {
     docs.join(comp, Seq(idCol), "left")
       .withColumn("cluster_key", key)
       .withColumn("split",
-        when(h < "e", "train").when(h === "e", "val")
-          .when(h.isNotNull, "test"))
+        // otherwise, not when(h.isNotNull): the oracle's CASE ELSE arm
+        // assigns "test" unconditionally, and a null id must not fall
+        // out of all three splits silently
+        when(h < "e", "train").when(h === "e", "val").otherwise("test"))
       .drop("comp")
   }
 

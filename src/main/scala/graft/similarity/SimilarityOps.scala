@@ -562,10 +562,19 @@ object SimilarityOps {
         round(aggregate(
           zip_with(col("pq_codes"),
                    sequence(lit(0), lit(nsub - 1)),
-                   (code, s) => element_at(
-                     element_at(col("__adc"), s + 1).getField("entries"),
+                   // try_element_at, not element_at: a degenerate probe
+                   // leaves __adc EMPTY, and ANSI element_at throws on an
+                   // out-of-bounds index instead of returning null
+                   (code, s) => try_element_at(
+                     try_element_at(col("__adc"), s + 1).getField("entries"),
                      code + 1).getField("pd2")),
           lit(0.0), (acc, x) => acc + x), 6).as("dist2"))
+      // degenerate-probe guard: an absent probeId (or a probe whose
+      // length mismatches the codebook) leaves foldedTable's collect_list
+      // empty, every lookup null, and dist2 null on EVERY row — which
+      // would "win" the ascending top-k (nulls first). No distance ⇒ no
+      // result row, matching int8TopK's empty-probe behavior.
+      .filter(col("dist2").isNotNull)
       .orderBy(col("dist2").asc, col(idCol).asc)
       .limit(k)
   }

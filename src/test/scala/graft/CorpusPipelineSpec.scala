@@ -100,4 +100,29 @@ class CorpusPipelineSpec extends SparkSpec {
     val plan = back.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") || back.count() >= 0)
   }
+
+  test("LSH pair set equals exact pair set on the bench corpora (recall drift guard)") {
+    // curate's default (sketchPairs=true) is recall-probabilistic:
+    // P(miss) ≈ 1.2e-2 per pair at the τ=0.7 boundary. The oracle
+    // contract for q_corpus_pipeline / q_cluster_split is hash-EXACT
+    // against a closure over the exact pair set, so this spec pins
+    // LSH pairs == exact pairs on the corpora those oracles run over —
+    // any drift (new data, parameter change) fails HERE, loudly, not
+    // as a silent hash mismatch in the driver.
+    import spark.implicits._
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = Tables.load(spark, dir, "documents")
+      val exact = graft.dedup.DedupOps
+        .ngramJaccardPairs(docs, "doc_id", "text", n = 12, tau = 0.7)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      val lsh = graft.dedup.DedupOps
+        .minhashLshPairs(docs, "doc_id", "text",
+                         n = 12, k = 64, bands = 16, tau = 0.7)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(lsh === exact,
+        s"LSH pair recall drift at $dir: missing=${(exact -- lsh).size} " +
+          s"extra=${(lsh -- exact).size}")
+      spark.catalog.clearCache()
+    }
+  }
 }

@@ -87,4 +87,22 @@ class PqSpec extends SparkSpec {
       s"ADC leaked out of the probe's cluster: ${got.mkString(",")}")
     spark.catalog.clearCache()
   }
+
+  test("pqTopK with an absent probe id returns no rows, not null-ranked ones") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (1L, Array(4.0f, 3.0f, 2.0f, 1.0f)),
+      (2L, Array(0.5f, 0.5f, 0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val cb = SimilarityOps.pqTrain(rows, "vec_id", "embedding",
+                                   nsub = 2, codes = 2, iters = 1)
+    // no vector has id 99 → the ADC table is empty; every corpus row's
+    // dist2 would be null, and nulls sort FIRST ascending — the guard
+    // must yield an empty result instead of k arbitrary rows
+    val got = SimilarityOps.pqTopK(rows, "vec_id", "embedding", cb,
+                                   probeId = 99L, k = 2)
+    assert(got.isEmpty)
+    spark.catalog.clearCache()
+  }
 }
