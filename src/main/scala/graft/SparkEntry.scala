@@ -519,6 +519,15 @@ object SparkEntry {
                              "doc_id", "text", n = 30)
     }),
 
+    // Cross-document exact-substring dedup (Lee et al. 2022 ExactSubstr):
+    // maximal verbatim spans ≥ 50 chars shared between distinct docs —
+    // the contamination shape document-level dedup can't see. Anchors on
+    // positional 25-char gram hashes, diagonal gaps-and-islands, exact
+    // (maxDf=0) so the DuckDB string-gram oracle matches hash-exact.
+    "q_substring_dedup" -> ((s, dir) =>
+      DedupOps.sharedSpans(t(s, dir, "documents"), "doc_id", "text",
+                           n = 25, minLen = 50)),
+
     // Duplicate CLUSTERS: near-dup pairs (LSH sketch path) → alternating
     // large-star/small-star connected components → per-cluster canonical
     // member + sorted member list. Closes the dedup loop: pairs alone
@@ -1521,6 +1530,30 @@ object SparkEntry {
         |FROM sh c JOIN bench b ON c.s = b.s
         |WHERE c.source <> 'src0'
         |GROUP BY 1""".stripMargin,
+
+    "q_substring_dedup" ->
+      """WITH g AS (SELECT doc_id,
+        |             unnest(generate_series(1,
+        |               greatest(len(text) - 24, 0))) AS pos, text
+        |           FROM documents),
+        |g2 AS (SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+        |              substr(text, CAST(pos AS INTEGER), 25) AS s
+        |       FROM g),
+        |anch AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |                a.pos AS pa, a.pos - b.pos AS diag
+        |         FROM g2 a JOIN g2 b
+        |           ON a.s = b.s AND a.doc_id < b.doc_id),
+        |isl AS (SELECT id_a, id_b, diag, pa,
+        |               pa - row_number() OVER (
+        |                 PARTITION BY id_a, id_b, diag ORDER BY pa)
+        |                 AS island
+        |        FROM anch),
+        |sp AS (SELECT id_a, id_b, diag, min(pa) AS pa0,
+        |              count(*) + 24 AS span_len
+        |       FROM isl GROUP BY id_a, id_b, diag, island)
+        |SELECT id_a, id_b, CAST(pa0 AS INTEGER) AS start_a,
+        |       CAST(pa0 - diag AS INTEGER) AS start_b, span_len
+        |FROM sp WHERE span_len >= 50""".stripMargin,
 
     "q_cosine_topk" ->
       """WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,

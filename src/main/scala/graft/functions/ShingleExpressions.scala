@@ -30,6 +30,9 @@ object ShingleExpressions {
   def shingleHashes(text: Column, n: Int): Column =
     Bridge.toColumn(ShingleHashes(Bridge.toExpression(text), n))
 
+  def shingleHashesPos(text: Column, n: Int): Column =
+    Bridge.toColumn(ShingleHashesPos(Bridge.toExpression(text), n))
+
   def sortedLongIntersectCount(a: Column, b: Column): Column =
     Bridge.toColumn(SortedLongIntersectCount(
       Bridge.toExpression(a), Bridge.toExpression(b)))
@@ -121,6 +124,75 @@ case class ShingleHashes(child: Expression, n: Int)
   }
 
   override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+}
+
+/** text → xxhash64 of every n-CHAR window IN POSITION ORDER (slot i =
+  * hash of the window starting at char i, duplicates kept). The
+  * positional twin of ShingleHashes for substring-level dedup: span
+  * detection needs to know WHERE a gram sits, so sorting/dedup would
+  * destroy exactly the information it exists to carry. Same ASCII
+  * fast path / multi-byte boundary table; texts shorter than n yield
+  * an empty array.
+  */
+case class ShingleHashesPos(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes_pos"
+  override def checkInputDataTypes() = {
+    if (n < 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"$prettyName n must be >= 1, got $n")
+    else
+      TextExpressions.requireType(child, prettyName, "string")(_ == StringType)
+  }
+
+  def compute(s: UTF8String): GenericArrayData = {
+    val numBytes = s.numBytes
+    val numChars = s.numChars()
+    if (numChars < n) return new GenericArrayData(Array.emptyLongArray)
+    val m = numChars - n + 1
+    val out = new Array[Long](m)
+    if (numChars == numBytes) {
+      var i = 0
+      while (i < m) {
+        out(i) = XXH64.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset + i, n, TextExpressions.Seed)
+        i += 1
+      }
+    } else {
+      val bounds = new Array[Int](numChars + 1)
+      var off = 0
+      var c = 0
+      while (c < numChars) {
+        bounds(c) = off
+        off += UTF8String.numBytesForFirstByte(s.getByte(off))
+        c += 1
+      }
+      bounds(numChars) = numBytes
+      var i = 0
+      while (i < m) {
+        out(i) = XXH64.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset + bounds(i),
+          bounds(i + n) - bounds(i), TextExpressions.Seed)
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingler", this,
+      classOf[ShingleHashesPos].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.compute($s);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashesPos =
     copy(child = c)
 }
 
