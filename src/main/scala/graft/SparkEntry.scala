@@ -374,12 +374,17 @@ object SparkEntry {
     // new batch (odd ids) vs existing corpus (even ids) without the
     // old-vs-old pairs a self-join recomputes; one shared hashedSets
     // cache feeds both sides
+    // reuseFreq = the standing corpus's shingle df (the stored-df
+    // deployment shape): the union-wide posting aggregation is skipped —
+    // lossless under any total shingle order, spec'd pair-identical
     "q_incremental_dedup" -> ((s, dir) => {
       val sets = DedupOps.hashedSets(t(s, dir, "documents"),
                                      "doc_id", "text", n = 12)
+      val corpus = sets.filter(pmod(col("id"), lit(2)) === 0)
       DedupOps.ngramJaccardPairsBetween(
-        sets.filter(pmod(col("id"), lit(2)) === 0),
-        sets.filter(pmod(col("id"), lit(2)) === 1), tau = 0.7)
+        corpus,
+        sets.filter(pmod(col("id"), lit(2)) === 1), tau = 0.7,
+        reuseFreq = Some(DedupOps.shingleFreq(corpus)))
     }),
 
     // Semantic-ONLY near-dups: embedding-cosine pairs the lexical

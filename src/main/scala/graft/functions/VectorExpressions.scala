@@ -29,6 +29,9 @@ object VectorExpressions {
 
   def lshBucket(vec: Column, bits: Int): Column =
     Bridge.toColumn(LshBucket(Bridge.toExpression(vec), bits))
+
+  def int8Codes(vec: Column): Column =
+    Bridge.toColumn(Int8Codes(Bridge.toExpression(vec)))
 }
 
 trait VectorBinaryOp extends BinaryExpression {
@@ -151,6 +154,98 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): DotProduct = copy(l, r)
+}
+
+/** Fused int8 symmetric quantization: out[i] = floor(x_i·(127/max|x|)
+  * + 0.5) AS DOUBLE — one native pass replacing the serving path's
+  * three interpreted HOF walks (abs/max transform, quantize transform,
+  * int→double cast transform) per corpus row. Bit-identical to
+  * `quantizeInt8`'s qvec cast to double: same IEEE double ops in the
+  * same order, and the quantized magnitudes (≤ 127) round-trip int ↔
+  * double exactly. Degenerate inputs (empty, all-null, max|x| = 0)
+  * yield NULL — the quantizeInt8 defined-null contract; null elements
+  * propagate elementwise.
+  */
+case class Int8Codes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType,
+    containsNull = child.dataType match {
+      case ArrayType(_, n) => n
+      case _ => true
+    })
+  override def nullable: Boolean = true
+  override def prettyName: String = "int8_codes"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckSuccess
+      case other => TypeCheckFailure(
+        s"$prettyName requires array<float>/array<double>, got " +
+          other.catalogString)
+    }
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  def compute(arr: ArrayData): Any = {
+    val n = arr.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val v = math.abs(
+          if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i))
+        if (v > mx) mx = v
+      }
+      i += 1
+    }
+    if (mx <= 0.0) return null // empty / all-null / all-zero: no scale
+    val s = 127.0 / mx
+    if (!dataType.asInstanceOf[ArrayType].containsNull) {
+      val out = new Array[Double](n)
+      i = 0
+      while (i < n) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        out(i) = math.floor(x * s + 0.5)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } else {
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) {
+        out(i) =
+          if (arr.isNullAt(i)) null
+          else {
+            val x =
+              if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+            math.floor(x * s + 0.5)
+          }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("quantizer", this,
+      classOf[Int8Codes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+       |  $ref.compute($c);
+       |${ev.isNull} = (${ev.value} == null);
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Int8Codes =
+    copy(child = c)
 }
 
 /** Random-hyperplane LSH bucket id: bit j = sign(v · h_j) with hyperplane

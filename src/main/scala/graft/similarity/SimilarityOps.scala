@@ -463,12 +463,18 @@ object SimilarityOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheScope.register)
 
+    // seed filter is on the RAW row_number (rank <= k pattern), not a
+    // derived `code < codes` alias: InferWindowGroupLimit only
+    // recognizes the former, and losing it turns the seed pass into a
+    // full sort of the subvector frame shuffled into nsub partitions
+    // (harmless on a 1k-row sample, a straggler on an unsampled corpus)
     var cb = subv
-      .withColumn("code",
+      .withColumn("__rn",
         row_number().over(Window.partitionBy(col("sub_id"))
-          .orderBy(col("id").asc)) - 1)
-      .filter(col("code") < codes)
-      .select(col("sub_id"), col("code"), col("sv").as("cvec"))
+          .orderBy(col("id").asc)))
+      .filter(col("__rn") <= codes)
+      .select(col("sub_id"), (col("__rn") - 1).as("code"),
+              col("sv").as("cvec"))
     for (_ <- 1 to iters) {
       val folded = broadcast(foldPqCodebook(cb))
       val assigned = subv.crossJoin(folded)
@@ -623,10 +629,15 @@ object SimilarityOps {
     */
   def int8TopK(emb: DataFrame, idCol: String, vecCol: String,
                probeId: Long, k: Int = 10): DataFrame = {
-    val codes = quantizeInt8(emb, idCol, vecCol)
-      .filter(col("qvec").isNotNull)
-      .select(col(idCol),
-              transform(col("qvec"), x => x.cast("double")).as("qd"))
+    // fused native quantize (Int8Codes): one codegen'd pass per row,
+    // bit-identical to quantizeInt8's qvec cast to double — replacing
+    // three interpreted HOF walks per consumer. Both consumers stay
+    // cheap single passes (the probe side is filter-pushed to one row),
+    // so no persist is warranted.
+    val codes = emb.select(
+        col(idCol),
+        graft.functions.VectorExpressions.int8Codes(col(vecCol)).as("qd"))
+      .filter(col("qd").isNotNull)
     val probe = broadcast(
       codes.filter(col(idCol) === probeId).select(col("qd").as("pd")))
     import graft.functions.VectorExpressions.dotProduct

@@ -88,6 +88,23 @@ class PqSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("pq seed pass keeps the WindowGroupLimit pushdown (plan shape)") {
+    import spark.implicits._
+    // iters=0 returns exactly the seed frame: the rank<=k filter must
+    // plan as WindowGroupLimit (partial limit below the exchange), not
+    // a full per-partition sort — the difference between a bounded seed
+    // pass and a straggler on an unsampled corpus
+    val rows = (0L until 64L)
+      .map(i => (i, Array.tabulate(8)(j => (i + j).toFloat)))
+    val cb = SimilarityOps.pqTrain(rows.toDF("vec_id", "embedding"),
+                                   "vec_id", "embedding",
+                                   nsub = 4, codes = 4, iters = 0)
+    val plan = cb.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"seed plan lost the " +
+      s"group-limit pushdown:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("pqTopK with an absent probe id returns no rows, not null-ranked ones") {
     import spark.implicits._
     val rows = Seq(

@@ -296,4 +296,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1L) === 1.0)   // scale cancels: identical direction → 1.0
     assert(got(3L) === -1.0)
   }
+
+  test("Int8Codes fused expression is bit-identical to the quantizeInt8 path") {
+    import spark.implicits._
+    // the serving-path fuse must reproduce the interpreted formulation
+    // EXACTLY (q_int8_topk's oracle is hash-exact): random vectors incl.
+    // negatives and magnitude extremes, plus the degenerate zero/empty
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.fill(16)((rnd.nextFloat() - 0.5f) *
+         math.pow(10, rnd.nextInt(6) - 3).toFloat))
+    } ++ Seq((200L, Array.fill(4)(0.0f)), (201L, Array.empty[Float]))
+    val df = vecs.toDF("vec_id", "embedding")
+    val legacy = SimilarityOps.quantizeInt8(df, "vec_id", "embedding")
+      .select($"vec_id",
+              transform($"qvec", x => x.cast("double")).as("qd"))
+    val fused = df.select($"vec_id",
+      graft.functions.VectorExpressions.int8Codes($"embedding").as("qd"))
+    val l = legacy.as[(Long, Option[Seq[Double]])].collect().sortBy(_._1)
+    val f = fused.as[(Long, Option[Seq[Double]])].collect().sortBy(_._1)
+    assert(l === f)
+  }
 }
