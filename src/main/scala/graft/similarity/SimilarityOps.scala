@@ -206,40 +206,47 @@ object SimilarityOps {
     * write-time pass that turns a flat 100 TB embedding table into
     * `nlist` inverted lists.
     */
+  /** The IVF codebook folded into ONE array-of-structs row (sorted by
+    * list_id) for broadcasting — the codebook is tiny BY DEFINITION
+    * (nlist ≪ n). Shared by assignment and the composed IVF×PQ build.
+    */
+  private def foldIvfCodebook(cents: DataFrame): DataFrame =
+    cents.agg(array_sort(collect_list(struct(
+      col("list_id").cast("int").as("l"),
+      transform(col("cvec"), _.cast("double")).as("c")))).as("__cb"))
+
+  /** Argmax-cosine list id for one vector against the folded codebook.
+    * The transform evaluates each cosine exactly ONCE (folding cosineSim
+    * into the when() predicate would embed two copies per centroid);
+    * strict > then keeps the FIRST maximum in list_id order — the same
+    * (csim desc NULLS LAST, list_id asc) tie-break the window form had.
+    * The accumulator starts at (l = 0, s = -2.0): a degenerate vector
+    * whose cosine is null against EVERY centroid (zero-norm/empty) keeps
+    * the init and lands in list 0, matching the old NULLS-LAST ranking
+    * instead of inventing a phantom list.
+    */
+  private def nearestListExpr(vec: Column, cb: Column): Column =
+    aggregate(
+      transform(cb, e =>
+        struct(e.getField("l").as("l"),
+               cosineSim(vec, e.getField("c")).as("s"))),
+      struct(lit(0).as("l"), lit(-2.0).as("s")),
+      (acc, p) =>
+        when(p.getField("s") > acc.getField("s"), p).otherwise(acc))
+      .getField("l")
+
   def ivfAssignTo(emb: DataFrame, idCol: String, vecCol: String,
-                  cents: DataFrame): DataFrame = {
-    // The codebook is tiny BY DEFINITION (nlist ≪ n), so fold it into ONE
-    // array-of-structs row (sorted by list_id) and broadcast that single
-    // row; the nearest-centroid argmax then runs per embedding row inside
-    // one projection. The embedding table is never shuffled AT ALL — not
-    // by a per-vector window (r2: full-table sort shuffle per k-means
-    // iteration, whole-group buffering) and not by a groupBy(id) argmax
-    // (still one-row-per-vector shuffle, i.e. the whole table at scale).
-    // Assignment cost: one scan pass, nlist cosines per row, zero
-    // exchanges — per training iteration.
-    val codebook = broadcast(cents.agg(
-      array_sort(collect_list(struct(
-        col("list_id").cast("int").as("l"),
-        transform(col("cvec"), _.cast("double")).as("c")))).as("__cb")))
-    // The transform evaluates each cosine exactly ONCE (folding cosineSim
-    // into the when() predicate would embed two copies per centroid);
-    // strict > then keeps the FIRST maximum in list_id order — the same
-    // (csim desc NULLS LAST, list_id asc) tie-break the window form had.
-    // The accumulator starts at (l = 0, s = -2.0): a degenerate vector
-    // whose cosine is null against EVERY centroid (zero-norm/empty) keeps
-    // the init and lands in list 0, matching the old NULLS-LAST ranking
-    // instead of inventing a phantom list.
-    emb.crossJoin(codebook)
+                  cents: DataFrame): DataFrame =
+    // One broadcast of the folded codebook; the nearest-centroid argmax
+    // runs per embedding row inside one projection. The embedding table
+    // is never shuffled AT ALL — not by a per-vector window (r2:
+    // full-table sort shuffle per k-means iteration, whole-group
+    // buffering) and not by a groupBy(id) argmax (still one-row-per-
+    // vector shuffle, i.e. the whole table at scale). Assignment cost:
+    // one scan pass, nlist cosines per row, zero exchanges.
+    emb.crossJoin(broadcast(foldIvfCodebook(cents)))
       .select(col(idCol), col(vecCol),
-        aggregate(
-          transform(col("__cb"), e =>
-            struct(e.getField("l").as("l"),
-                   cosineSim(col(vecCol), e.getField("c")).as("s"))),
-          struct(lit(0).as("l"), lit(-2.0).as("s")),
-          (acc, p) =>
-            when(p.getField("s") > acc.getField("s"), p).otherwise(acc))
-          .getField("l").as("list_id"))
-  }
+              nearestListExpr(col(vecCol), col("__cb")).as("list_id"))
 
   /** IVF index build against the seed codebook (backwards-compatible
     * shape: list_id values are 0..nlist-1 ranks of the seed ids).
@@ -531,23 +538,21 @@ object SimilarityOps {
     * and the top-k is TakeOrderedAndProject ascending. Returns
     * (id, dist2) — rounded, id tie-break, deterministic.
     */
-  def pqTopK(emb: DataFrame, idCol: String, vecCol: String, cb: DataFrame,
-             probeId: Long, k: Int = 10): DataFrame = {
-    val (nsub, dsub) = pqShape(cb)
-    val probeVec = transform(col(vecCol), x => x.cast("double"))
-    val table = cb.crossJoin(broadcast(
-        emb.filter(col(idCol) === probeId)
-          .select(probeVec.as("__pv"))))
+  /** The nsub×k ADC table for one probe, folded into ONE broadcastable
+    * row `__adc`: per (sub, code), the partial squared distance from the
+    * probe's subvector to that codeword — built from the codebook and
+    * the (one-row) probe frame alone, no corpus scan. Shared by pqTopK
+    * and the composed IVF×PQ serve.
+    */
+  private def adcFoldedTable(cb: DataFrame, probe: DataFrame,
+                             dsub: Int): DataFrame = {
+    import graft.functions.VectorExpressions.dotProduct
+    val sub = slice(col("__pv"), col("sub_id") * dsub + 1, lit(dsub))
+    broadcast(cb.crossJoin(probe)
       .select(col("sub_id"), col("code"),
-        (graft.functions.VectorExpressions.dotProduct(
-           slice(col("__pv"), col("sub_id") * dsub + 1, lit(dsub)),
-           slice(col("__pv"), col("sub_id") * dsub + 1, lit(dsub))) -
-         lit(2.0) * graft.functions.VectorExpressions.dotProduct(
-           slice(col("__pv"), col("sub_id") * dsub + 1, lit(dsub)), col("cvec")) +
-         graft.functions.VectorExpressions.dotProduct(col("cvec"),
-                                                      col("cvec")))
-          .as("pd2"))
-    val foldedTable = broadcast(table
+        (dotProduct(sub, sub) -
+         lit(2.0) * dotProduct(sub, col("cvec")) +
+         dotProduct(col("cvec"), col("cvec"))).as("pd2"))
       .groupBy(col("sub_id"))
       .agg(array_sort(collect_list(struct(
              col("code").cast("int").as("code"),
@@ -555,6 +560,30 @@ object SimilarityOps {
       .agg(array_sort(collect_list(struct(
              col("sub_id").cast("int").as("sub"),
              col("entries").as("entries")))).as("__adc")))
+  }
+
+  /** Approximate squared distance = sum of nsub ADC-table lookups on a
+    * row's `pq_codes` (rounded; reads the `__adc` fold).
+    * try_element_at, not element_at: a degenerate probe leaves __adc
+    * EMPTY, and ANSI element_at throws on an out-of-bounds index
+    * instead of returning null.
+    */
+  private def adcDist2(nsub: Int): Column =
+    round(aggregate(
+      zip_with(col("pq_codes"),
+               sequence(lit(0), lit(nsub - 1)),
+               (code, s) => try_element_at(
+                 try_element_at(col("__adc"), s + 1).getField("entries"),
+                 code + 1).getField("pd2")),
+      lit(0.0), (acc, x) => acc + x), 6)
+
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String, cb: DataFrame,
+             probeId: Long, k: Int = 10): DataFrame = {
+    val (nsub, dsub) = pqShape(cb)
+    val probe = broadcast(
+      emb.filter(col(idCol) === probeId)
+        .select(transform(col(vecCol), x => x.cast("double")).as("__pv")))
+    val foldedTable = adcFoldedTable(cb, probe, dsub)
     // inline encode against ONE folded broadcast (pqEncode would re-fold
     // and re-probe the codebook shape — two extra driver jobs)
     emb.filter(col(idCol) =!= probeId &&
@@ -564,17 +593,7 @@ object SimilarityOps {
               pqCodesExpr(transform(col(vecCol), x => x.cast("double")),
                           col("__pqcb"), nsub, dsub).as("pq_codes"))
       .crossJoin(foldedTable)
-      .select(col(idCol),
-        round(aggregate(
-          zip_with(col("pq_codes"),
-                   sequence(lit(0), lit(nsub - 1)),
-                   // try_element_at, not element_at: a degenerate probe
-                   // leaves __adc EMPTY, and ANSI element_at throws on an
-                   // out-of-bounds index instead of returning null
-                   (code, s) => try_element_at(
-                     try_element_at(col("__adc"), s + 1).getField("entries"),
-                     code + 1).getField("pd2")),
-          lit(0.0), (acc, x) => acc + x), 6).as("dist2"))
+      .select(col(idCol), adcDist2(nsub).as("dist2"))
       // degenerate-probe guard: an absent probeId (or a probe whose
       // length mismatches the codebook) leaves foldedTable's collect_list
       // empty, every lookup null, and dist2 null on EVERY row — which
@@ -716,4 +735,93 @@ object SimilarityOps {
                 path: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"$path/lists"),
      spark.read.parquet(s"$path/codebook"))
+
+  // ---------------------------------------------------------- IVF × PQ
+
+  /** Build the COMPOSED IVF×PQ index (Jégou TPAMI'11 §IV: coarse
+    * quantizer prunes, product codes rank): one scan pass computes both
+    * each vector's inverted list (argmax cosine against the IVF
+    * codebook) and its nsub PQ codes (per-subspace argmin against the
+    * PQ codebook) — the two codebooks fold into one broadcast row each,
+    * and the corpus is NEVER shuffled (saveIndexPq's write-side
+    * repartition is the only exchange). This is the production ANN
+    * serving layout at 100 TB: lists prune the scan to nprobe
+    * directories at planning time, and what's scanned is nsub bytes
+    * per vector, not 4·d floats.
+    *
+    * Returns (id, list_id, pq_codes); vectors whose length mismatches
+    * the PQ codebook are excluded (not encodable — the pqEncode
+    * contract).
+    */
+  def ivfPqBuild(emb: DataFrame, idCol: String, vecCol: String,
+                 cents: DataFrame, pqCb: DataFrame): DataFrame = {
+    val (nsub, dsub) = pqShape(pqCb)
+    emb.filter(size(col(vecCol)) === nsub * dsub)
+      .crossJoin(broadcast(foldIvfCodebook(cents)))
+      .crossJoin(broadcast(foldPqCodebook(pqCb)))
+      .select(col(idCol),
+              nearestListExpr(col(vecCol), col("__cb")).as("list_id"),
+              pqCodesExpr(transform(col(vecCol), x => x.cast("double")),
+                          col("__pqcb"), nsub, dsub).as("pq_codes"))
+  }
+
+  /** Serve ADC top-k WITHIN the nprobe nearest inverted lists: rank
+    * lists by squared L2 distance from the raw probe to each centroid
+    * (the ADC metric — consistent pruning and ranking), prune the
+    * index to those lists (a planning-time partition prune when
+    * `index` was loadIndexPq'd from the partitioned layout), then rank
+    * the survivors by the summed ADC table lookups on their codes.
+    *
+    * `index` is (id, list_id, pq_codes) from ivfPqBuild/loadIndexPq;
+    * `emb` supplies only the raw probe vector. Degenerate probes
+    * (absent id, length mismatch) return EMPTY — the pqTopK contract.
+    */
+  def ivfPqTopK(index: DataFrame, cents: DataFrame, pqCb: DataFrame,
+                emb: DataFrame, idCol: String, vecCol: String,
+                probeId: Long, k: Int = 10, nprobe: Int = 1): DataFrame = {
+    import graft.functions.VectorExpressions.dotProduct
+    val (nsub, dsub) = pqShape(pqCb)
+    val probe = broadcast(
+      emb.filter(col(idCol) === probeId &&
+                   size(col(vecCol)) === nsub * dsub)
+        .select(transform(col(vecCol), x => x.cast("double")).as("__pv")))
+    // ‖p‖² is list-constant — rank lists on ‖c‖² − 2·p·c
+    val targetLists = broadcast(
+      cents.crossJoin(probe)
+        .withColumn("cd2",
+          dotProduct(col("cvec"), col("cvec")) -
+            lit(2.0) * dotProduct(col("__pv"), col("cvec")))
+        .orderBy(col("cd2").asc, col("list_id").asc)
+        .limit(nprobe)
+        .select(col("list_id").cast("int").as("lid")))
+    val foldedTable = adcFoldedTable(pqCb, probe, dsub)
+    index
+      .join(targetLists, col("list_id") === col("lid"))
+      .filter(col(idCol) =!= probeId)
+      .crossJoin(foldedTable)
+      .select(col(idCol), adcDist2(nsub).as("dist2"))
+      .filter(col("dist2").isNotNull)
+      .orderBy(col("dist2").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Persist the composed index: PQ-coded lists partitioned by list_id
+    * (the saveIndex layout — nprobe queries prune to nprobe directories
+    * at planning time, and each directory holds nsub-byte codes instead
+    * of float vectors) plus BOTH codebooks.
+    */
+  def saveIndexPq(lists: DataFrame, cents: DataFrame, pqCb: DataFrame,
+                  path: String): Unit = {
+    saveIndex(lists, cents, path)
+    pqCb.coalesce(1).write.mode("overwrite").parquet(s"$path/pq_codebook")
+  }
+
+  /** Load a saved IVF×PQ index → (lists, ivf codebook, pq codebook),
+    * query-ready for `ivfPqTopK`.
+    */
+  def loadIndexPq(spark: org.apache.spark.sql.SparkSession,
+                  path: String): (DataFrame, DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/lists"),
+     spark.read.parquet(s"$path/codebook"),
+     spark.read.parquet(s"$path/pq_codebook"))
 }
