@@ -907,6 +907,17 @@ object SparkEntry {
     "q_vocab" -> ((s, dir) =>
       TextOps.buildVocab(t(s, dir, "documents"), minCount = 5L)),
 
+    // BPE merge training (Sennrich ACL'16): 16 highest-frequency-pair
+    // merges over the word-frequency frame — the corpus collapses into
+    // the distinct vocabulary in ONE pass, rounds run on that tiny
+    // frame only. Rows-only (iterative argmax isn't SQL-expressible —
+    // recursive CTEs forbid aggregation in the recursive term);
+    // determinism, the hand-computed classic example, encode∘decode=id,
+    // and monotone compression are spec-asserted (BpeSpec)
+    "q_bpe_vocab" -> ((s, dir) =>
+      graft.text.Bpe.bpeTrain(t(s, dir, "documents"), "text",
+                              numMerges = 16)),
+
     // Vocabulary APPLICATION — encode every document against the built
     // vocab (the corpus → token-id step before training). The vocab side
     // broadcasts (distinct tokens ≪ corpus); OOV tokens count but don't
