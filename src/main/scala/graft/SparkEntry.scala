@@ -719,6 +719,16 @@ object SparkEntry {
     "q_corpus_pipeline" -> ((s, dir) =>
       graft.pipeline.CorpusPipeline.flagship(s, dir)),
 
+    // The EXPORT flagship — the actual end product: curate →
+    // leakage-proof cluster split → chunk → pack → JSONL partitioned by
+    // split → declared-schema re-read → per-split census. Full-chain
+    // oracle (CTE composition of the curate/split/chunk/pack truths);
+    // the md5(doc_id) oracle coin cross-checks the survivor-is-canonical
+    // theorem against the Spark side's full pair-graph closure.
+    "q_export_pipeline" -> ((s, dir) =>
+      graft.pipeline.CorpusPipeline.exportCorpus(
+        t(s, dir, "documents"), scratch(dir, "export_pipeline"))),
+
     // Embedding near-dup pairs via LSH buckets (scale path for
     // q_cosine_pairs; recall vs brute force measured in spec — no oracle)
     "q_lsh_cosine_pairs" -> ((s, dir) =>
@@ -1658,6 +1668,7 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "q_cluster_split" -> clusterSplitOracle,
+    "q_export_pipeline" -> exportPipelineOracle,
 
     "q_bm25" ->
       """WITH tok AS (SELECT doc_id,
@@ -1919,28 +1930,7 @@ object SparkEntry {
         |FROM s GROUP BY 1, 2""".stripMargin,
 
     "q_corpus_pipeline" ->
-      ("""WITH RECURSIVE dedup1 AS (
-        |  SELECT * FROM (SELECT d.*, row_number() OVER (
-        |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
-        |    FROM documents d) WHERE rn = 1),
-        |idx AS (SELECT unnest(range(1,
-        |    (SELECT CAST(max(len(text)) AS BIGINT) FROM dedup1))) AS i),
-        |sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 12)
-        |         AS s
-        |       FROM dedup1 JOIN idx ON i <= len(text)-11),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-        |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |           GROUP BY 1,2),
-        |prs AS (SELECT id_a, id_b
-        |        FROM common JOIN sizes sa ON sa.doc_id = id_a
-        |                    JOIN sizes sb ON sb.doc_id = id_b
-        |        WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.7),
-        |""".stripMargin + closureCtes("prs") + """,
-        |drops AS (SELECT id AS id_b FROM reach
-        |          GROUP BY id HAVING id <> min(lbl)),
-        |kept AS (SELECT * FROM dedup1
-        |         WHERE doc_id NOT IN (SELECT id_b FROM drops))
+      (curateKeptCtes + """
         |SELECT doc_id, lang,
         |  CAST(len(list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '')) AS BIGINT)
         |    AS n_tokens,
@@ -2019,6 +2009,80 @@ object SparkEntry {
        |          UNION
        |          SELECT r.id, e.v AS lbl
        |          FROM reach r JOIN edges e ON e.u = r.lbl)""".stripMargin
+
+  /** Shared CTE chain: exact dedup (min-id survivor per md5 fingerprint)
+    * → exact 12-gram Jaccard ≥ 0.7 pairs → transitive closure → near-dup
+    * drops → `kept` — the relational truth of CorpusPipeline.curate
+    * BEFORE the language/token-floor gates. q_corpus_pipeline selects
+    * its enrichment columns from `kept`; q_export_pipeline chains the
+    * split/chunk/pack census on top.
+    */
+  private val curateKeptCtes: String =
+    """WITH RECURSIVE dedup1 AS (
+      |  SELECT * FROM (SELECT d.*, row_number() OVER (
+      |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |    FROM documents d) WHERE rn = 1),
+      |idx AS (SELECT unnest(range(1,
+      |    (SELECT CAST(max(len(text)) AS BIGINT) FROM dedup1))) AS i),
+      |sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 12)
+      |         AS s
+      |       FROM dedup1 JOIN idx ON i <= len(text)-11),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |           GROUP BY 1,2),
+      |prs AS (SELECT id_a, id_b
+      |        FROM common JOIN sizes sa ON sa.doc_id = id_a
+      |                    JOIN sizes sb ON sb.doc_id = id_b
+      |        WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.7),
+      |""".stripMargin + closureCtes("prs") + """,
+      |drops AS (SELECT id AS id_b FROM reach
+      |          GROUP BY id HAVING id <> min(lbl)),
+      |kept AS (SELECT * FROM dedup1
+      |         WHERE doc_id NOT IN (SELECT id_b FROM drops))""".stripMargin
+
+  /** The export-pipeline census: survivors (the curate truth) → the
+    * md5(doc_id) split coin (valid BECAUSE every survivor is its
+    * component's canonical minimum — the Spark side computes the split
+    * through the full pair-graph closure, so the compare cross-checks
+    * that theorem) → 50/10 token chunking → per-(split, lang) 512-token
+    * packing → per-split census.
+    */
+  private val exportPipelineOracle: String =
+    curateKeptCtes + """,
+      |surv AS (SELECT doc_id, lang, text FROM kept
+      |         WHERE lang = 'en'
+      |           AND len(list_filter(string_split_regex(trim(text),'\s+'),
+      |                               x -> x <> '')) >= 20),
+      |spl AS (SELECT doc_id, lang, text,
+      |          CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+      |                 THEN 'train'
+      |               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'e'
+      |                 THEN 'val'
+      |               ELSE 'test' END AS split
+      |        FROM surv),
+      |tk AS (SELECT doc_id, lang, split,
+      |         list_filter(string_split_regex(trim(text), '\s+'),
+      |                     x -> x <> '') AS toks
+      |       FROM spl WHERE text IS NOT NULL),
+      |cidx AS (SELECT unnest(range(0,
+      |    (SELECT CAST(max(len(toks)) AS BIGINT) FROM tk), 40)) AS s),
+      |chk AS (SELECT doc_id, lang, split, CAST(s // 40 AS BIGINT)
+      |            AS chunk_idx,
+      |          CAST(least(len(toks) - s, 50) AS BIGINT) AS chunk_tokens
+      |        FROM tk JOIN cidx ON (s = 0 OR s < len(toks) - 10)),
+      |packed AS (SELECT split, lang, doc_id, chunk_tokens,
+      |             sum(chunk_tokens) OVER (
+      |               PARTITION BY split, lang ORDER BY doc_id, chunk_idx
+      |               ROWS UNBOUNDED PRECEDING) AS cum
+      |           FROM chk),
+      |binned AS (SELECT split, lang, doc_id, chunk_tokens,
+      |             CAST((cum - chunk_tokens) // 512 AS BIGINT) AS bin
+      |           FROM packed)
+      |SELECT split, count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs,
+      |       count(DISTINCT bin) AS n_bins,
+      |       CAST(sum(chunk_tokens) AS BIGINT) AS n_tokens
+      |FROM binned GROUP BY 1""".stripMargin
 
   /** Connected components of the pair graph → per-cluster summary. */
   private val dupClustersOracle: String =

@@ -76,7 +76,22 @@ object CorpusPipeline {
     */
   def curate(docs: DataFrame, lang: String = "en",
              tau: Double = 0.7, minTokens: Int = 20,
-             sketchPairs: Boolean = true): DataFrame = {
+             sketchPairs: Boolean = true): DataFrame =
+    curateParts(docs, lang, tau, minTokens, sketchPairs)._1
+
+  /** `curate` with its internal near-dup COMPONENT frame exposed — the
+    * composition hook for consumers that need both the survivors and
+    * the duplicate clustering (exportCorpus's cluster-coherent split):
+    * re-deriving it outside would re-shingle the corpus the enrichment
+    * pass already paid for AND re-run the CC rounds. The components are
+    * over the exact-deduped docs' pair graph; for split purposes that
+    * is interchangeable with the raw-docs graph — a survivor's
+    * component minimum is its own id in both (see exportCorpus).
+    */
+  def curateParts(docs: DataFrame, lang: String = "en",
+                  tau: Double = 0.7, minTokens: Int = 20,
+                  sketchPairs: Boolean = true)
+      : (DataFrame, DataFrame) = {
     // Exact dedup on content fingerprint, deterministic survivor = the
     // whole row with the lowest doc_id. min_by-aggregate rather than a
     // row_number window: identical semantics, but the aggregate gets
@@ -126,15 +141,22 @@ object CorpusPipeline {
       if (sketchPairs)
         DedupOps.minhashLshPairsFromSets(setsView, k = 64, bands = 16, tau)
       else DedupOps.ngramJaccardPairsFromSets(setsView, tau)
-    val dropIds = graft.dedup.ConnectedComponents
+    // the component frame is (id, comp) — tiny (duplicate docs only);
+    // pinned because the drop-anti-join consumes it here and the export
+    // composition's split consumes it AGAIN (re-deriving would re-run
+    // the pair join and the CC rounds per consumer)
+    val comp = graft.dedup.ConnectedComponents
       .connectedComponents(pairs, "id_a", "id_b", assumeDistinct = true)
-      .filter(col("id") =!= col("comp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+    val dropIds = comp.filter(col("id") =!= col("comp"))
       .select(col("id").as("doc_id"))
 
-    enriched.join(dropIds, Seq("doc_id"), "left_anti")
+    val curated = enriched.join(dropIds, Seq("doc_id"), "left_anti")
       .filter(col("lang") === lang && col("n_tokens") >= minTokens)
       .select(col("doc_id"), col("lang"), col("n_tokens"),
               col("quality_score"), col("fingerprint"))
+    (curated, comp)
   }
 
   def flagship(spark: SparkSession, dir: String): DataFrame =
@@ -161,10 +183,19 @@ object CorpusPipeline {
     * touches document bytes.
     */
   def clusterSplit(docs: DataFrame, pairs: DataFrame,
-                   idCol: String = "doc_id"): DataFrame = {
-    val comp = graft.dedup.ConnectedComponents
-      .connectedComponents(pairs, "id_a", "id_b", assumeDistinct = true)
-      .withColumnRenamed("id", idCol)
+                   idCol: String = "doc_id"): DataFrame =
+    clusterSplitFromComponents(docs,
+      graft.dedup.ConnectedComponents
+        .connectedComponents(pairs, "id_a", "id_b", assumeDistinct = true),
+      idCol)
+
+  /** `clusterSplit` over an ALREADY-COMPUTED (id, comp) component frame
+    * (e.g. curateParts' — the CC rounds run once per pipeline, not once
+    * per consumer).
+    */
+  def clusterSplitFromComponents(docs: DataFrame, components: DataFrame,
+                                 idCol: String = "doc_id"): DataFrame = {
+    val comp = components.withColumnRenamed("id", idCol)
     val key = coalesce(col("comp"), col(idCol))
     val h = substring(md5(key.cast("string")), 1, 1)
     docs.join(comp, Seq(idCol), "left")
@@ -175,6 +206,63 @@ object CorpusPipeline {
         // out of all three splits silently
         when(h < "e", "train").when(h === "e", "val").otherwise("test"))
       .drop("comp")
+  }
+
+  /** The END PRODUCT dataflow: curate → leakage-proof cluster split →
+    * fixed-window chunking → per-(split, lang) sequence packing →
+    * JSONL written PARTITIONED BY split → declared-schema re-read →
+    * per-split census. What a training run actually consumes: one
+    * directory per split of context-window-packed JSONL, re-readable
+    * without an inference job.
+    *
+    * Composition notes:
+    *  - the split key rides the same pair graph the dedup used. For a
+    *    curated survivor the component minimum IS its own id (curate
+    *    keeps exactly the min-id member, and an exact-dup's fingerprint
+    *    twin pairs at J=1.0, so the raw graph's component min survives
+    *    both stages) — the export oracle exploits exactly that theorem
+    *    (md5 over doc_id), so the driver compare cross-checks the
+    *    survivor-is-canonical contract end to end.
+    *  - packing partitions on (split, lang), never globally: bins must
+    *    not straddle splits (a bin crossing train/test would leak), and
+    *    the per-key window is the scale contract (packChunks scaladoc).
+    *  - the write repartitions on split (the Sinks.partitioned
+    *    discipline — one file per directory, not one per task), and the
+    *    re-read declares the schema: no inference pass over the export.
+    */
+  def exportCorpus(docs: DataFrame, outPath: String,
+                   lang: String = "en", tau: Double = 0.7,
+                   minTokens: Int = 20, chunkTokens: Int = 50,
+                   overlap: Int = 10, budget: Int = 512): DataFrame = {
+    val spark = docs.sparkSession
+    // ONE curation pass supplies both the survivors and the component
+    // frame the split rides — re-deriving either would re-shingle the
+    // corpus and re-run the CC rounds the curation already paid for
+    val (curated, comp) = curateParts(docs, lang, tau, minTokens)
+    val assigned = clusterSplitFromComponents(
+      curated.select(col("doc_id"), col("lang")), comp)
+      .select(col("doc_id"), col("lang"), col("split"))
+    val chunks = TextOps.chunkDocs(
+      assigned.select(col("doc_id"))
+        .join(docs.select(col("doc_id"), col("text")), "doc_id"),
+      "text", chunkTokens, overlap)
+    val keyed = chunks.join(assigned, "doc_id")
+      .withColumn("__pk", concat_ws("|", col("split"), col("lang")))
+    TextOps.packChunks(keyed, "__pk", Seq("doc_id", "chunk_idx"),
+                       "chunk_tokens", budget)
+      .select(col("doc_id"), col("lang"), col("chunk_idx"), col("chunk"),
+              col("chunk_tokens"), col("bin"), col("split"))
+      .repartition(col("split"))
+      .write.mode("overwrite").partitionBy("split").json(outPath)
+    spark.read
+      .schema("doc_id long, lang string, chunk_idx long, chunk string, " +
+              "chunk_tokens long, bin long, split string")
+      .json(outPath)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_chunks"),
+           countDistinct(col("doc_id")).as("n_docs"),
+           countDistinct(col("bin")).as("n_bins"),
+           sum(col("chunk_tokens")).as("n_tokens"))
   }
 
   /** Incremental (streaming) corpus curation: the streaming-safe prefix

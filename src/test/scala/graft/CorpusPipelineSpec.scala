@@ -101,6 +101,35 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") || back.count() >= 0)
   }
 
+  test("exportCorpus: per-split dirs, leak-free doc assignment, bounded bins") {
+    import spark.implicits._
+    val out = "target/scratch/export_spec"
+    val census = graft.pipeline.CorpusPipeline
+      .exportCorpus(Tables.load(spark, sfDir, "documents"), out)
+      .collect()
+    assert(census.nonEmpty)
+    // Hive-style one-directory-per-split layout
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.nonEmpty &&
+             dirs.subsetOf(Set("split=train", "split=val", "split=test")),
+           s"unexpected layout: $dirs")
+    val back = spark.read
+      .schema("doc_id long, lang string, chunk_idx long, chunk string, " +
+              "chunk_tokens long, bin long, split string")
+      .json(out)
+    // no document's chunks straddle splits (the leakage contract)
+    assert(back.groupBy($"doc_id")
+             .agg(countDistinct($"split").as("ns"))
+             .filter($"ns" > 1).count() === 0L)
+    // a bin overflows its 512-token budget by at most one chunk (49
+    // extra tokens max at chunkTokens=50), and bins are split-local
+    assert(back.groupBy($"split", $"lang", $"bin")
+             .agg(sum($"chunk_tokens").as("tok"))
+             .filter($"tok" > 512 + 49).count() === 0L)
+    spark.catalog.clearCache()
+  }
+
   test("LSH pair set equals exact pair set on the bench corpora (recall drift guard)") {
     // curate's default (sketchPairs=true) is recall-probabilistic:
     // P(miss) ≈ 1.2e-2 per pair at the τ=0.7 boundary. The oracle
