@@ -103,16 +103,24 @@ object TextOps {
     * Scale shape: the per-group median is one aggregate whose output is
     * n_groups rows — genuinely tiny, so the broadcast join back is
     * principled; the gate itself is a narrow filter. The exact `median`
-    * keeps the gate oracle-checkable; its aggregation buffer grows with
-    * group size, so at extreme per-group cardinalities swap in
-    * `approx_percentile(·, 0.5, acc)` — identical plan shape, the same
-    * broadcast-back, only the aggregate changes.
+    * (default) keeps the gate oracle-checkable; its aggregation buffer
+    * grows with group size, so at extreme per-group cardinalities pass
+    * `exact = false`: `percentile_approx(·, 0.5, accuracy)` bounds the
+    * buffer at the sketch size (rank error ≤ 1/accuracy, and EXACT
+    * whenever a group has ≤ accuracy rows) — identical plan shape, the
+    * same broadcast-back, only the aggregate changes (spec-pinned:
+    * QualityGateSpec asserts both the plan shape and survivor equality
+    * on sub-accuracy groups).
     */
   def adaptiveQualityGate(df: DataFrame, groupCol: String,
-                          textCol: String = "text"): DataFrame = {
+                          textCol: String = "text",
+                          exact: Boolean = true,
+                          accuracy: Int = 10000): DataFrame = {
     val scored = df.withColumn("quality_score", qualityScore(col(textCol)))
-    val med = scored.groupBy(col(groupCol))
-      .agg(median(col("quality_score")).as("med"))
+    val medAgg =
+      if (exact) median(col("quality_score"))
+      else percentile_approx(col("quality_score"), lit(0.5), lit(accuracy))
+    val med = scored.groupBy(col(groupCol)).agg(medAgg.as("med"))
     scored.join(broadcast(med), Seq(groupCol))
       .filter(col("quality_score") > col("med"))
   }

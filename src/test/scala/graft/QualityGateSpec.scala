@@ -33,6 +33,35 @@ class QualityGateSpec extends SparkSpec {
     assert(a.forall(r => r.getDouble(2) > r.getDouble(3)))
   }
 
+  test("approx variant: bounded-buffer sketch, same plan shape, same gate") {
+    import spark.implicits._
+    // the at-scale swap must be a drop-in: percentile_approx is EXACT on
+    // groups with <= accuracy rows, so on the bench corpus the survivor
+    // set must be identical to the exact median's
+    val docs = Tables.load(spark, sfDir, "documents")
+    val exact = TextOps.adaptiveQualityGate(docs, "source")
+      .select($"doc_id").as[Long].collect().toSet
+    val approx = TextOps.adaptiveQualityGate(docs, "source", exact = false)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(approx === exact)
+    // identical plan shape: one partial+final aggregate broadcast back —
+    // only the aggregate function differs, never the dataflow
+    def shape(e: Boolean): String = {
+      val plan = TextOps.adaptiveQualityGate(docs, "source", exact = e)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") ||
+               plan.contains("BroadcastExchange"), plan)
+      plan.linesIterator
+        .map(_.replaceAll("#\\d+", "").replaceAll("plan_id=\\d+", "")
+          .replaceAll("(?i)percentile_approx\\([^)]*\\)|median\\([^)]*\\)",
+                      "AGG"))
+        .filter(l => l.contains("Exchange") || l.contains("Join"))
+        .mkString("\n")
+    }
+    assert(shape(true) === shape(false))
+    spark.catalog.clearCache()
+  }
+
   test("centroidOutliers ranks the planted outlier first, drops null vecs") {
     import spark.implicits._
     // label 0: three near-identical vectors + one opposed outlier;
