@@ -533,6 +533,19 @@ object SparkEntry {
       DedupOps.sharedSpans(t(s, dir, "documents"), "doc_id", "text",
                            n = 25, minLen = 50)),
 
+    // The removal ACTION for shared spans: cut each span from its
+    // pair's higher-id doc (lowest-id occurrence survives — the
+    // canonical-min convention); overlapping cuts interval-merge before
+    // splicing. Output = affected docs with their cleaned text —
+    // oracle-exact including the spliced string itself.
+    "q_span_removal" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DedupOps.removeSharedSpans(
+        docs,
+        DedupOps.sharedSpans(docs, "doc_id", "text", n = 25, minLen = 50),
+        "doc_id", "text")
+    }),
+
     // Duplicate CLUSTERS: near-dup pairs (LSH sketch path) → alternating
     // large-star/small-star connected components → per-cluster canonical
     // member + sorted member list. Closes the dedup loop: pairs alone
@@ -1599,6 +1612,61 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(pa0 AS INTEGER) AS start_a,
         |       CAST(pa0 - diag AS INTEGER) AS start_b, span_len
         |FROM sp WHERE span_len >= 50""".stripMargin,
+
+    "q_span_removal" ->
+      """WITH g AS (SELECT doc_id,
+        |             unnest(generate_series(1,
+        |               greatest(len(text) - 24, 0))) AS pos, text
+        |           FROM documents),
+        |g2 AS (SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+        |              substr(text, CAST(pos AS INTEGER), 25) AS s
+        |       FROM g),
+        |anch AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |                a.pos AS pa, a.pos - b.pos AS diag
+        |         FROM g2 a JOIN g2 b
+        |           ON a.s = b.s AND a.doc_id < b.doc_id),
+        |isl AS (SELECT id_a, id_b, diag, pa,
+        |               pa - row_number() OVER (
+        |                 PARTITION BY id_a, id_b, diag ORDER BY pa)
+        |                 AS island
+        |        FROM anch),
+        |sp AS (SELECT id_a, id_b, diag, min(pa) AS pa0,
+        |              count(*) + 24 AS span_len
+        |       FROM isl GROUP BY id_a, id_b, diag, island),
+        |iv AS (SELECT id_b AS doc_id, pa0 - diag AS s,
+        |              pa0 - diag + span_len AS e
+        |       FROM sp WHERE span_len >= 50),
+        |mk AS (SELECT doc_id, s, e,
+        |         CASE WHEN s > coalesce(max(e) OVER (
+        |                PARTITION BY doc_id ORDER BY s, e
+        |                ROWS BETWEEN UNBOUNDED PRECEDING
+        |                  AND 1 PRECEDING), 0)
+        |              THEN 1 ELSE 0 END AS ni
+        |       FROM iv),
+        |mi AS (SELECT doc_id, s, e,
+        |         sum(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+        |                       ROWS UNBOUNDED PRECEDING) AS grp
+        |       FROM mk),
+        |merged AS (SELECT doc_id, grp, min(s) AS ms, max(e) AS me
+        |           FROM mi GROUP BY 1, 2),
+        |segs AS (SELECT doc_id,
+        |           coalesce(lag(me) OVER (
+        |             PARTITION BY doc_id ORDER BY ms), 1) AS f,
+        |           ms AS t
+        |         FROM merged
+        |         UNION ALL
+        |         SELECT doc_id, max(me), NULL FROM merged GROUP BY doc_id),
+        |clean AS (SELECT s.doc_id,
+        |            string_agg(substr(d.text, CAST(s.f AS INTEGER),
+        |              CAST(coalesce(s.t, len(d.text) + 1) - s.f
+        |                AS INTEGER)), '' ORDER BY s.f) AS clean_text,
+        |            max(len(d.text)) AS orig_len
+        |          FROM segs s JOIN documents d ON d.doc_id = s.doc_id
+        |          GROUP BY s.doc_id)
+        |SELECT doc_id,
+        |       CAST(orig_len - len(clean_text) AS BIGINT) AS removed_chars,
+        |       clean_text
+        |FROM clean""".stripMargin,
 
     "q_cosine_topk" ->
       """WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,

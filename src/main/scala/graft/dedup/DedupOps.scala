@@ -475,6 +475,69 @@ object DedupOps {
     * Returns (id_a, id_b, start_a, start_b, span_len), id_a < id_b,
     * starts 1-based char offsets.
     */
+  /** The REMOVAL action for `sharedSpans` (the Lee et al. dedup step):
+    * cut every shared span out of the HIGHER-id document of its pair —
+    * the lowest-id occurrence survives, the engine's canonical-min
+    * convention everywhere. Returns only AFFECTED documents as
+    * (id, removed_chars, clean_text).
+    *
+    * Relational shape, no per-row loops anywhere:
+    *  1. a doc's cut set = its id_b-side spans as [start, end)
+    *     intervals; overlapping/adjacent intervals MERGE via the
+    *     classic running-max-end island window (per-doc groups, bounded
+    *     by that doc's span count);
+    *  2. the kept text is the COMPLEMENT, materialized as segment ROWS
+    *     (before each merged interval via lag, plus the tail), then
+    *     spliced back in order inside one aggregate — sort_array over
+    *     (from, to) structs, transform to substrings, array_join. The
+    *     document bytes ride exactly one hash exchange (the groupBy on
+    *     id, text).
+    */
+  def removeSharedSpans(docs: DataFrame, spans: DataFrame,
+                        idCol: String, textCol: String): DataFrame = {
+    val iv = spans.select(
+      col("id_b").as(idCol),
+      col("start_b").cast("long").as("s"),
+      (col("start_b") + col("span_len")).cast("long").as("e"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("s"), col("e"))
+    val prevMax = max(col("e"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = iv
+      .withColumn("ni",
+        when(col("s") > coalesce(prevMax, lit(0L)), 1).otherwise(0))
+      .withColumn("isl",
+        sum(col("ni")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("isl"))
+      .agg(min(col("s")).as("ms"), max(col("e")).as("me"))
+    val wm = Window.partitionBy(col(idCol)).orderBy(col("ms"))
+    // complement: the gap BEFORE each merged interval, plus the tail
+    // after the last one (to = null ⇒ end of string, resolved once the
+    // text is in scope)
+    val segs = merged
+      .withColumn("from", coalesce(lag(col("me"), 1).over(wm), lit(1L)))
+      .select(col(idCol), col("from"), col("ms").as("to"))
+      .unionByName(
+        merged.groupBy(col(idCol))
+          .agg(max(col("me")).as("from"))
+          .withColumn("to", lit(null).cast("long")))
+    docs.select(col(idCol), col(textCol))
+      .join(segs, idCol)
+      .groupBy(col(idCol), col(textCol))
+      .agg(array_join(
+             transform(
+               array_sort(collect_list(struct(col("from"), col("to")))),
+               seg => substring(col(textCol),
+                 seg.getField("from").cast("int"),
+                 (coalesce(seg.getField("to"),
+                           length(col(textCol)).cast("long") + 1) -
+                   seg.getField("from")).cast("int"))),
+             "").as("clean_text"))
+      .select(col(idCol),
+              (length(col(textCol)) - length(col("clean_text")))
+                .cast("long").as("removed_chars"),
+              col("clean_text"))
+  }
+
   def sharedSpans(docs: DataFrame, idCol: String, textCol: String,
                   n: Int, minLen: Int, maxDf: Long = 0L): DataFrame = {
     require(minLen >= n, s"minLen ($minLen) must be >= n ($n)")

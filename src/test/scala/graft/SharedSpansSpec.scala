@@ -91,6 +91,55 @@ class SharedSpansSpec extends SparkSpec {
     }
   }
 
+  test("removeSharedSpans cuts the span from the higher-id doc only") {
+    import spark.implicits._
+    val quote = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docA = "alpha preamble before the quotation<" + quote + ">tail of A"
+    val docB = "a different opening{" + quote + "}and B continues its way"
+    val docs = Seq((10L, docA), (20L, docB)).toDF("doc_id", "text")
+    val spans = DedupOps.sharedSpans(docs, "doc_id", "text",
+                                     n = 25, minLen = 50)
+    val got = DedupOps.removeSharedSpans(docs, spans, "doc_id", "text")
+      .as[(Long, Long, String)].collect().toSet
+    // only doc 20 (the higher id) is affected; the quote vanishes whole
+    assert(got === Set(
+      (20L, quote.length.toLong, "a different opening{}and B continues its way")))
+    // the deduped pair shares nothing >= minLen anymore
+    val after = Seq((10L, docA),
+                    (20L, "a different opening{}and B continues its way"))
+      .toDF("doc_id", "text")
+    assert(DedupOps.sharedSpans(after, "doc_id", "text",
+                                n = 25, minLen = 50).isEmpty)
+  }
+
+  test("overlapping and adjacent cut intervals merge before splicing") {
+    import spark.implicits._
+    // doc 5 shares [3,20) with doc 1 and [15,32) with doc 2 (overlap),
+    // plus [32, 40) with doc 3 (adjacent) — the cuts must merge into
+    // ONE [3,40) interval, never double-remove the overlap
+    val base = "XY0123456789abcdefghijklmnopqrstuvwxyzZW"
+    val seg1 = base.substring(2, 19)   // chars 3..19 (1-based)
+    val seg2 = base.substring(14, 31)  // chars 15..31
+    val seg3 = base.substring(31, 39)  // chars 32..39
+    val docs = Seq(
+      (1L, "A<" + seg1 + ">a"), (2L, "B[" + seg2 + "]b"),
+      (3L, "C(" + seg3 + seg3 + ")c"), // long enough to pair at n=8
+      (5L, base)
+    ).toDF("doc_id", "text")
+    val spans = DedupOps.sharedSpans(docs, "doc_id", "text",
+                                     n = 8, minLen = 8)
+    val got = DedupOps.removeSharedSpans(docs, spans, "doc_id", "text")
+      .filter($"doc_id" === 5L)
+      .as[(Long, Long, String)].collect()
+    assert(got.length === 1)
+    val (_, removed, clean) = got(0)
+    // every removed range lay inside the merged cut; the survivors are
+    // a prefix and a suffix of the original
+    assert(clean.startsWith("XY") && base.endsWith(clean.drop(2)))
+    assert(removed === (base.length - clean.length).toLong)
+    assert(!clean.contains(seg1.take(8)) && !clean.contains(seg2.take(8)))
+  }
+
   test("maxDf prunes hot grams but keeps spans anchored on rare ones") {
     // 40-char boilerplate in 5 docs (hot at maxDf=2); a rarer 30-char
     // quote shared by exactly 2 docs must survive the pruning
