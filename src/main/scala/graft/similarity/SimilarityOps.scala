@@ -754,15 +754,45 @@ object SimilarityOps {
     * contract).
     */
   def ivfPqBuild(emb: DataFrame, idCol: String, vecCol: String,
-                 cents: DataFrame, pqCb: DataFrame): DataFrame = {
+                 cents: DataFrame, pqCb: DataFrame,
+                 residual: Boolean = false): DataFrame = {
     val (nsub, dsub) = pqShape(pqCb)
+    val dvec = transform(col(vecCol), x => x.cast("double"))
+    // residual mode (Jégou TPAMI'11 §IV.B, the textbook IVFADC): PQ
+    // encodes x − c_list, not x. Residuals concentrate near zero once
+    // the coarse quantizer has soaked up the between-cluster variance,
+    // so the same bits buy finer cells (spec: lower distortion on
+    // clustered data). The centroid lookup indexes the folded codebook
+    // by the just-computed list id — still one projection, zero
+    // exchanges. pqCb must then be TRAINED on residuals (ivfResiduals).
+    def codesInput(listId: Column): Column =
+      if (!residual) dvec
+      else zip_with(dvec,
+                    element_at(col("__cb"), listId + 1).getField("c"),
+                    (a, b) => a - b)
     emb.filter(size(col(vecCol)) === nsub * dsub)
       .crossJoin(broadcast(foldIvfCodebook(cents)))
       .crossJoin(broadcast(foldPqCodebook(pqCb)))
-      .select(col(idCol),
-              nearestListExpr(col(vecCol), col("__cb")).as("list_id"),
-              pqCodesExpr(transform(col(vecCol), x => x.cast("double")),
+      .withColumn("list_id", nearestListExpr(col(vecCol), col("__cb")))
+      .select(col(idCol), col("list_id"),
+              pqCodesExpr(codesInput(col("list_id")),
                           col("__pqcb"), nsub, dsub).as("pq_codes"))
+  }
+
+  /** Per-vector coarse residuals x − c_assigned(x) — the training input
+    * for a residual-mode PQ codebook (`ivfPqBuild(residual = true)`).
+    * One projection against the folded broadcast codebook; returns
+    * (idCol, rvec: array<double>).
+    */
+  def ivfResiduals(emb: DataFrame, idCol: String, vecCol: String,
+                   cents: DataFrame): DataFrame = {
+    val dvec = transform(col(vecCol), x => x.cast("double"))
+    emb.crossJoin(broadcast(foldIvfCodebook(cents)))
+      .withColumn("__l", nearestListExpr(col(vecCol), col("__cb")))
+      .select(col(idCol),
+              zip_with(dvec,
+                       element_at(col("__cb"), col("__l") + 1).getField("c"),
+                       (a, b) => a - b).as("rvec"))
   }
 
   /** Serve ADC top-k WITHIN the nprobe nearest inverted lists: rank
@@ -778,7 +808,8 @@ object SimilarityOps {
     */
   def ivfPqTopK(index: DataFrame, cents: DataFrame, pqCb: DataFrame,
                 emb: DataFrame, idCol: String, vecCol: String,
-                probeId: Long, k: Int = 10, nprobe: Int = 1): DataFrame = {
+                probeId: Long, k: Int = 10, nprobe: Int = 1,
+                residual: Boolean = false): DataFrame = {
     import graft.functions.VectorExpressions.dotProduct
     val (nsub, dsub) = pqShape(pqCb)
     val probe = broadcast(
@@ -793,12 +824,42 @@ object SimilarityOps {
             lit(2.0) * dotProduct(col("__pv"), col("cvec")))
         .orderBy(col("cd2").asc, col("list_id").asc)
         .limit(nprobe)
-        .select(col("list_id").cast("int").as("lid")))
-    val foldedTable = adcFoldedTable(pqCb, probe, dsub)
-    index
-      .join(targetLists, col("list_id") === col("lid"))
+        .select(col("list_id").cast("int").as("lid"),
+                transform(col("cvec"), x => x.cast("double")).as("__c")))
+    val scored =
+      if (!residual) {
+        val foldedTable = adcFoldedTable(pqCb, probe, dsub)
+        index
+          .join(targetLists.select(col("lid")), col("list_id") === col("lid"))
+          .crossJoin(foldedTable)
+      } else {
+        // residual mode: ‖r_p − q(r_x)‖² with r_p = p − c_list, so the
+        // ADC table differs PER PROBED LIST — nprobe tables built from
+        // the codebooks alone (nprobe·nsub·k rows, still tiny), folded
+        // per lid and broadcast; each corpus row picks its list's table
+        // through the same pruning join
+        val probeResiduals = targetLists.crossJoin(probe)
+          .select(col("lid"),
+                  zip_with(col("__pv"), col("__c"), (a, b) => a - b)
+                    .as("__pv"))
+        val sub = slice(col("__pv"), col("sub_id") * dsub + 1, lit(dsub))
+        val tables = broadcast(pqCb.crossJoin(probeResiduals)
+          .select(col("lid"), col("sub_id"), col("code"),
+            (dotProduct(sub, sub) -
+             lit(2.0) * dotProduct(sub, col("cvec")) +
+             dotProduct(col("cvec"), col("cvec"))).as("pd2"))
+          .groupBy(col("lid"), col("sub_id"))
+          .agg(array_sort(collect_list(struct(
+                 col("code").cast("int").as("code"),
+                 col("pd2").as("pd2")))).as("entries"))
+          .groupBy(col("lid"))
+          .agg(array_sort(collect_list(struct(
+                 col("sub_id").cast("int").as("sub"),
+                 col("entries").as("entries")))).as("__adc")))
+        index.join(tables, col("list_id") === col("lid"))
+      }
+    scored
       .filter(col(idCol) =!= probeId)
-      .crossJoin(foldedTable)
       .select(col(idCol), adcDist2(nsub).as("dist2"))
       .filter(col("dist2").isNotNull)
       .orderBy(col("dist2").asc, col(idCol).asc)

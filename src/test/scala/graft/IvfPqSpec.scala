@@ -104,6 +104,70 @@ class IvfPqSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("residual mode: saturated residual vocab + one list == brute force") {
+    // single list ⇒ residual = x − c (a constant shift): the residual
+    // subvector vocabulary stays 2-valued per subspace, the codebook
+    // saturates, and ‖r_p − r_x‖ = ‖p − x‖ — the composed residual
+    // serve must reproduce the true L2 ranking exactly
+    val a = Array(1.0f, 2.0f); val b = Array(-1.0f, 0.5f)
+    val c = Array(3.0f, 0.0f); val e = Array(0.0f, 4.0f)
+    def cat(x: Array[Float], y: Array[Float]) = x ++ y
+    val rows = Seq(
+      (0L, cat(a, c)), (1L, cat(b, e)), (2L, cat(b, c)),
+      (3L, cat(a, e)), (4L, cat(a, c))
+    ).toDF("vec_id", "embedding")
+    val cents = SimilarityOps.seedCentroids(rows, "vec_id", "embedding", 1)
+    val res = SimilarityOps.ivfResiduals(rows, "vec_id", "embedding", cents)
+    val pqCb = SimilarityOps.pqTrain(res, "vec_id", "rvec",
+                                     nsub = 2, codes = 2, iters = 2)
+    val index = SimilarityOps.ivfPqBuild(rows, "vec_id", "embedding",
+                                         cents, pqCb, residual = true)
+    val got = SimilarityOps.ivfPqTopK(index, cents, pqCb, rows,
+                                      "vec_id", "embedding",
+                                      probeId = 0L, k = 4, nprobe = 1,
+                                      residual = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    def d2(x: Array[Float], y: Array[Float]): Double =
+      x.zip(y).map { case (p, q) =>
+        (p.toDouble - q.toDouble) * (p.toDouble - q.toDouble) }.sum
+    val vecs = Map(0L -> cat(a, c), 1L -> cat(b, e), 2L -> cat(b, c),
+                   3L -> cat(a, e), 4L -> cat(a, c))
+    val expect = vecs.removed(0L).toSeq
+      .map { case (id, v) => id -> d2(vecs(0L), v) }
+      .sortBy { case (id, d) => (d, id) }
+    assert(got.toSeq === expect)
+    spark.catalog.clearCache()
+  }
+
+  test("residual codes beat raw codes on clustered data (distortion + recall)") {
+    val rows = planted(200L)
+    val cents = SimilarityOps.ivfTrain(rows, "vec_id", "embedding",
+                                       nlist = 8, iters = 2)
+    // distortion: once the coarse quantizer soaks up between-cluster
+    // variance, the SAME pq budget encodes the (near-zero) residuals
+    // strictly better than the raw vectors
+    val rawCb = SimilarityOps.pqTrain(rows, "vec_id", "embedding",
+                                      nsub = 4, codes = 8, iters = 3)
+    val rawD = SimilarityOps.pqDistortion(rows, "vec_id", "embedding", rawCb)
+    val res = SimilarityOps.ivfResiduals(rows, "vec_id", "embedding", cents)
+    val resCb = SimilarityOps.pqTrain(res, "vec_id", "rvec",
+                                      nsub = 4, codes = 8, iters = 3)
+    val resD = SimilarityOps.pqDistortion(res, "vec_id", "rvec", resCb)
+    assert(resD <= rawD + 1e-9,
+           s"residual distortion did not improve: raw=$rawD res=$resD")
+    // end-to-end pruned residual serve stays within the planted cluster
+    val index = SimilarityOps.ivfPqBuild(rows, "vec_id", "embedding",
+                                         cents, resCb, residual = true)
+    val got = SimilarityOps.ivfPqTopK(index, cents, resCb, rows,
+                                      "vec_id", "embedding",
+                                      probeId = 0L, k = 10, nprobe = 2,
+                                      residual = true)
+      .select($"vec_id").as[Long].collect()
+    assert(got.length === 10 && got.forall(_ % 8 === 0L),
+           s"residual serve leaked out of the cluster: ${got.mkString(",")}")
+    spark.catalog.clearCache()
+  }
+
   test("absent probe id returns empty through the composed path") {
     val rows = planted(40L)
     val pqCb = SimilarityOps.pqTrain(rows, "vec_id", "embedding",
