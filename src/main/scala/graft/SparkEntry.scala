@@ -456,6 +456,15 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("kept"))),
 
+    // Stratified sample: EXACTLY 20 docs per source by md5-coin order —
+    // the hard-budget mix spec (mixSample's rate cousin); rank <= k on
+    // the raw row_number keeps the WindowGroupLimit partial below the
+    // exchange (spec-asserted)
+    "q_stratified_sample" -> ((s, dir) =>
+      TextOps.stratifiedSample(t(s, dir, "documents"), "source", "doc_id",
+                               k = 20)
+        .select(col("source"), col("doc_id"))),
+
     // Sequence packing: chunk stream → 512-token bins, sequential within
     // each language (per-key window, never a global sort)
     "q_pack_chunks" -> ((s, dir) => {
@@ -1532,6 +1541,14 @@ object SparkEntry {
         |  < (CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.5
         |                 WHEN 'src2' THEN 0.0 ELSE 1.0 END) * 256.0
         |GROUP BY source""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20""".stripMargin,
 
     "q_pack_chunks" ->
       """WITH tk AS (SELECT doc_id, lang,

@@ -302,6 +302,29 @@ object TextOps {
     df.filter(hashByte(col(textCol)).cast("double") < rate * lit(256.0))
   }
 
+  /** Stratified sample: EXACTLY k rows per group (fewer only when the
+    * group is smaller), chosen by md5 coin order — `mixSample`'s
+    * rate-based cousin for when the mix spec is a hard per-source
+    * budget ("200k docs per domain"), not a fraction. Deterministic,
+    * RNG-free, re-derivable from the data alone; the md5-then-id order
+    * is a uniform shuffle of each group with a total tie-break.
+    *
+    * Scale shape: the rank ≤ k filter is on the RAW row_number, so
+    * InferWindowGroupLimit bounds every map task's output to k rows
+    * per group BEFORE the exchange (spec-asserted) — the shuffle
+    * carries O(tasks·k) rows per group, never the group.
+    */
+  def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
+                       k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Sequence packing: assign the (ordered) chunk stream to fixed
     * token-budget bins — the step that turns curated chunks into
     * context-window-sized training rows. A chunk joins the bin its

@@ -150,6 +150,26 @@ class CurationOpsSpec extends SparkSpec {
       ("b", 3L, 0L, 0L), ("b", 3L, 1L, 0L)))
   }
 
+  test("stratifiedSample: exactly k per group, deterministic, group-limit plan") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val sizes = docs.groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    val got = TextOps.stratifiedSample(docs, "source", "doc_id", k = 7)
+      .select($"source", $"doc_id").as[(String, Long)].collect()
+    val perGroup = got.groupBy(_._1).view.mapValues(_.length).toMap
+    // exactly k, or the whole group when it is smaller
+    assert(perGroup === sizes.map { case (s, n) => s -> math.min(7L, n).toInt })
+    // deterministic: identical selection on a second run
+    val again = TextOps.stratifiedSample(docs, "source", "doc_id", k = 7)
+      .select($"source", $"doc_id").as[(String, Long)].collect()
+    assert(got.toSet === again.toSet)
+    // rank <= k on the raw row_number: the partial group-limit must
+    // bound map output before the exchange
+    val plan = TextOps.stratifiedSample(docs, "source", "doc_id", k = 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("tfidf k bounds output per doc with deterministic term tie-break") {
     val docs = Seq((1L, "b a c b a c")).toDF("doc_id", "text")
     // all three terms tie on (tf=2, df=1) → rounded score ties → term asc
