@@ -533,6 +533,17 @@ object SparkEntry {
                              "doc_id", "text", n = 30)
     }),
 
+    // Span-granular decontamination: the exact verbatim spans corpus
+    // docs share with the src0 "benchmark" slice — the surgical cut
+    // list (removeSharedSpans shape) where q_decontaminate only flags
+    // whole docs. Benchmark gram stream broadcast; corpus never shuffled
+    "q_decontaminate_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DedupOps.sharedSpansBetween(docs.filter(col("source") =!= "src0"),
+                                  docs.filter(col("source") === "src0"),
+                                  "doc_id", "text", n = 30, minLen = 60)
+    }),
+
     // Cross-document exact-substring dedup (Lee et al. 2022 ExactSubstr):
     // maximal verbatim spans ≥ 50 chars shared between distinct docs —
     // the contamination shape document-level dedup can't see. Anchors on
@@ -1629,6 +1640,36 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(pa0 AS INTEGER) AS start_a,
         |       CAST(pa0 - diag AS INTEGER) AS start_b, span_len
         |FROM sp WHERE span_len >= 50""".stripMargin,
+
+    "q_decontaminate_spans" ->
+      """WITH ben AS (SELECT doc_id, text FROM documents
+        |            WHERE source = 'src0'),
+        |cor AS (SELECT doc_id, text FROM documents
+        |        WHERE source <> 'src0'),
+        |ga AS (SELECT doc_id, unnest(generate_series(1,
+        |           greatest(len(text) - 29, 0))) AS pos, text FROM ben),
+        |ga2 AS (SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+        |               substr(text, CAST(pos AS INTEGER), 30) AS s
+        |        FROM ga),
+        |gb AS (SELECT doc_id, unnest(generate_series(1,
+        |           greatest(len(text) - 29, 0))) AS pos, text FROM cor),
+        |gb2 AS (SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+        |               substr(text, CAST(pos AS INTEGER), 30) AS s
+        |        FROM gb),
+        |anch AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |                a.pos AS pa, a.pos - b.pos AS diag
+        |         FROM ga2 a JOIN gb2 b ON a.s = b.s),
+        |isl AS (SELECT id_a, id_b, diag, pa,
+        |               pa - row_number() OVER (
+        |                 PARTITION BY id_a, id_b, diag ORDER BY pa)
+        |                 AS island
+        |        FROM anch),
+        |sp AS (SELECT id_a, id_b, diag, min(pa) AS pa0,
+        |              count(*) + 29 AS span_len
+        |       FROM isl GROUP BY id_a, id_b, diag, island)
+        |SELECT id_a, id_b, CAST(pa0 AS INTEGER) AS start_a,
+        |       CAST(pa0 - diag AS INTEGER) AS start_b, span_len
+        |FROM sp WHERE span_len >= 60""".stripMargin,
 
     "q_span_removal" ->
       """WITH g AS (SELECT doc_id,

@@ -538,12 +538,36 @@ object DedupOps {
               col("clean_text"))
   }
 
+  /** (id, pos, hash) positional gram stream — the anchor input. */
+  private def posGrams(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      posexplode(ShingleExpressions.shingleHashesPos(col(textCol), n))
+        .as(Seq("pos", "sh")))
+
+  /** Anchor matches → maximal spans: gaps-and-islands per (pair,
+    * diagonal), shared by the self-join and corpus-vs-benchmark modes.
+    * `anchors` must carry (id_a, id_b, pa, diag = pa − pb).
+    */
+  private def spansFromAnchors(anchors: DataFrame, n: Int,
+                               minLen: Int): DataFrame = {
+    val w = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
+      .orderBy(col("pa"))
+    anchors
+      .withColumn("island", col("pa") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("island"))
+      .agg(min(col("pa")).as("pa0"), count(lit(1)).as("run"))
+      .select(col("id_a"), col("id_b"),
+              (col("pa0") + 1).as("start_a"),
+              (col("pa0") - col("diag") + 1).as("start_b"),
+              (col("run") + (n - 1)).as("span_len"))
+      .filter(col("span_len") >= minLen)
+  }
+
   def sharedSpans(docs: DataFrame, idCol: String, textCol: String,
                   n: Int, minLen: Int, maxDf: Long = 0L): DataFrame = {
     require(minLen >= n, s"minLen ($minLen) must be >= n ($n)")
-    val grams = docs.select(col(idCol).as("id"),
-        posexplode(ShingleExpressions.shingleHashesPos(col(textCol), n))
-          .as(Seq("pos", "sh")))
+    val grams = posGrams(docs, idCol, textCol, n)
     val pruned =
       if (maxDf <= 0L) grams
       else {
@@ -558,16 +582,32 @@ object DedupOps {
             col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
               col("a.pos").as("pa"), (col("a.pos") - col("b.pos")).as("diag"))
-    val w = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
-      .orderBy(col("pa"))
-    anchors
-      .withColumn("island", col("pa") - row_number().over(w))
-      .groupBy(col("id_a"), col("id_b"), col("diag"), col("island"))
-      .agg(min(col("pa")).as("pa0"), count(lit(1)).as("run"))
-      .select(col("id_a"), col("id_b"),
-              (col("pa0") + 1).as("start_a"),
-              (col("pa0") - col("diag") + 1).as("start_b"),
-              (col("run") + (n - 1)).as("span_len"))
-      .filter(col("span_len") >= minLen)
+    spansFromAnchors(anchors, n, minLen)
+  }
+
+  /** Span-granular DECONTAMINATION (the surgical alternative to
+    * `contamination`'s whole-doc flag): every maximal verbatim span of
+    * length ≥ minLen a corpus document shares with ANY benchmark
+    * document — (id_a = benchmark doc, id_b = corpus doc, start_a,
+    * start_b, span_len), the exact shape `removeSharedSpans` consumes
+    * to cut the quoted benchmark text OUT of the corpus doc while
+    * keeping the rest (whole-doc dropping deletes a million-token
+    * document over one quoted eval item).
+    *
+    * Scale shape: the benchmark's positional gram stream is tiny (eval
+    * suites are MBs) and BROADCAST — the corpus grams are never
+    * shuffled; the only exchange is the anchor rows partitioned by
+    * (pair, diagonal), bounded by real quotation volume.
+    */
+  def sharedSpansBetween(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int, minLen: Int): DataFrame = {
+    require(minLen >= n, s"minLen ($minLen) must be >= n ($n)")
+    val anchors = posGrams(corpus, idCol, textCol, n).as("b")
+      .join(broadcast(posGrams(benchmark, idCol, textCol, n).as("a")),
+            col("a.sh") === col("b.sh"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              col("a.pos").as("pa"), (col("a.pos") - col("b.pos")).as("diag"))
+    spansFromAnchors(anchors, n, minLen)
   }
 }

@@ -140,6 +140,28 @@ class SharedSpansSpec extends SparkSpec {
     assert(!clean.contains(seg1.take(8)) && !clean.contains(seg2.take(8)))
   }
 
+  test("sharedSpansBetween finds benchmark quotes and composes with removal") {
+    import spark.implicits._
+    // a corpus doc quoting a benchmark item verbatim: the span is found
+    // with the corpus doc on the id_b (removal) side, and the composed
+    // cut leaves the rest of the document intact
+    val item = "What is the capital of France? Paris is the capital."
+    val bench = Seq((100L, "intro<" + item + ">outro")).toDF("doc_id", "text")
+    val corpusDoc = "Lots of organic text here{" + item + "}and more after"
+    val corpus = Seq((7L, corpusDoc), (8L, "unrelated content entirely"))
+      .toDF("doc_id", "text")
+    val spans = DedupOps.sharedSpansBetween(corpus, bench, "doc_id", "text",
+                                            n = 20, minLen = 40)
+    val got = spans.as[(Long, Long, Int, Int, Long)].collect().toSet
+    assert(got === Set((100L, 7L, bench.head().getString(1).indexOf(item) + 1,
+                        corpusDoc.indexOf(item) + 1, item.length.toLong)))
+    val cleaned = DedupOps.removeSharedSpans(corpus, spans, "doc_id", "text")
+      .as[(Long, Long, String)].collect().toSet
+    assert(cleaned === Set(
+      (7L, item.length.toLong,
+       "Lots of organic text here{}and more after")))
+  }
+
   test("maxDf prunes hot grams but keeps spans anchored on rare ones") {
     // 40-char boilerplate in 5 docs (hot at maxDf=2); a rarer 30-char
     // quote shared by exactly 2 docs must survive the pruning
