@@ -872,17 +872,32 @@ object SimilarityOps {
     * of float vectors) plus BOTH codebooks.
     */
   def saveIndexPq(lists: DataFrame, cents: DataFrame, pqCb: DataFrame,
-                  path: String): Unit = {
+                  path: String, residual: Boolean = false): Unit = {
     saveIndex(lists, cents, path)
     pqCb.coalesce(1).write.mode("overwrite").parquet(s"$path/pq_codebook")
+    // the encoding mode is part of the index, not the caller's memory:
+    // serving a residual index with raw ADC tables returns garbage
+    // silently, so the flag persists alongside the codes
+    val spark = lists.sparkSession
+    import spark.implicits._
+    Seq(residual).toDF("residual").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Load a saved IVF×PQ index → (lists, ivf codebook, pq codebook),
-    * query-ready for `ivfPqTopK`.
+    * query-ready for `ivfPqTopK` (pass `indexIsResidual` through).
     */
   def loadIndexPq(spark: org.apache.spark.sql.SparkSession,
                   path: String): (DataFrame, DataFrame, DataFrame) =
     (spark.read.parquet(s"$path/lists"),
      spark.read.parquet(s"$path/codebook"),
      spark.read.parquet(s"$path/pq_codebook"))
+
+  /** The persisted encoding mode of a saved IVF×PQ index; indexes from
+    * before the marker (no meta dir) read as raw.
+    */
+  def indexIsResidual(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Boolean =
+    try spark.read.parquet(s"$path/meta").head().getBoolean(0)
+    catch { case _: org.apache.spark.sql.AnalysisException => false }
 }

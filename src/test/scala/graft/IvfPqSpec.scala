@@ -168,6 +168,38 @@ class IvfPqSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("residual index round-trips with its persisted encoding mode") {
+    val rows = planted(120L)
+    val cents = SimilarityOps.ivfTrain(rows, "vec_id", "embedding",
+                                       nlist = 4, iters = 1)
+    val res = SimilarityOps.ivfResiduals(rows, "vec_id", "embedding", cents)
+    val pqCb = SimilarityOps.pqTrain(res, "vec_id", "rvec",
+                                     nsub = 4, codes = 8, iters = 2)
+    val index = SimilarityOps.ivfPqBuild(rows, "vec_id", "embedding",
+                                         cents, pqCb, residual = true)
+    val before = SimilarityOps.ivfPqTopK(index, cents, pqCb, rows,
+                                         "vec_id", "embedding",
+                                         probeId = 3L, k = 8, nprobe = 2,
+                                         residual = true).collect().toSeq
+    val path = "target/scratch/ivfpq_residual_index"
+    SimilarityOps.saveIndexPq(index, cents, pqCb, path, residual = true)
+    // the mode travels WITH the index — a later session reads it back
+    // instead of having to remember how the codes were built
+    assert(SimilarityOps.indexIsResidual(spark, path))
+    val (l2, c2, p2) = SimilarityOps.loadIndexPq(spark, path)
+    val served = SimilarityOps.ivfPqTopK(l2, c2, p2, rows,
+                                         "vec_id", "embedding",
+                                         probeId = 3L, k = 8, nprobe = 2,
+                                         residual =
+                                           SimilarityOps.indexIsResidual(spark, path))
+      .collect().toSeq
+    assert(served === before)
+    // a pre-marker index directory reads as raw
+    assert(!SimilarityOps.indexIsResidual(spark,
+             "target/scratch/ivfpq_index"))
+    spark.catalog.clearCache()
+  }
+
   test("absent probe id returns empty through the composed path") {
     val rows = planted(40L)
     val pqCb = SimilarityOps.pqTrain(rows, "vec_id", "embedding",
