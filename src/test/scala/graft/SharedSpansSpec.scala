@@ -162,6 +162,43 @@ class SharedSpansSpec extends SparkSpec {
        "Lots of organic text here{}and more after")))
   }
 
+  test("sharedSpansBetween matches the lockstep brute force across two sets") {
+    import spark.implicits._
+    def brute(bench: Seq[(Long, String)], corpus: Seq[(Long, String)],
+              minLen: Int): Set[(Long, Long, Int, Int, Long)] = {
+      val out = Set.newBuilder[(Long, Long, Int, Int, Long)]
+      for {
+        (ia, a) <- bench; (ib, b) <- corpus
+        d <- -(b.length - 1) to (a.length - 1)
+      } {
+        var i = math.max(0, d)
+        val end = math.min(a.length, b.length + d)
+        while (i < end) {
+          if (a(i) == b(i - d)) {
+            var j = i
+            while (j < end && a(j) == b(j - d)) j += 1
+            if (j - i >= minLen)
+              out += ((ia, ib, i + 1, i - d + 1, (j - i).toLong))
+            i = j
+          } else i += 1
+        }
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(11)
+    def mk(n: Int, id0: Long) = (id0 until id0 + n).map(id =>
+      (id, Seq.fill(25 + rnd.nextInt(25))(
+         if (rnd.nextBoolean()) 'a' else 'b').mkString))
+    for (round <- 0 until 2) {
+      val bench = mk(3, 100L); val corpus = mk(6, 0L)
+      val got = DedupOps.sharedSpansBetween(
+          corpus.toDF("doc_id", "text"), bench.toDF("doc_id", "text"),
+          "doc_id", "text", n = 5, minLen = 8)
+        .as[(Long, Long, Int, Int, Long)].collect().toSet
+      assert(got === brute(bench, corpus, 8), s"round $round")
+    }
+  }
+
   test("maxDf prunes hot grams but keeps spans anchored on rare ones") {
     // 40-char boilerplate in 5 docs (hot at maxDf=2); a rarer 30-char
     // quote shared by exactly 2 docs must survive the pruning
