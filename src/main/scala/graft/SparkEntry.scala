@@ -1618,79 +1618,26 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
 
     "q_substring_dedup" ->
-      """WITH g AS (SELECT doc_id,
-        |             unnest(generate_series(1,
-        |               greatest(len(text) - 24, 0))) AS pos, text
-        |           FROM documents),
-        |g2 AS (SELECT doc_id, CAST(pos AS INTEGER) AS pos,
-        |              substr(text, CAST(pos AS INTEGER), 25) AS s
-        |       FROM g),
-        |anch AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |                a.pos AS pa, a.pos - b.pos AS diag
-        |         FROM g2 a JOIN g2 b
-        |           ON a.s = b.s AND a.doc_id < b.doc_id),
-        |isl AS (SELECT id_a, id_b, diag, pa,
-        |               pa - row_number() OVER (
-        |                 PARTITION BY id_a, id_b, diag ORDER BY pa)
-        |                 AS island
-        |        FROM anch),
-        |sp AS (SELECT id_a, id_b, diag, min(pa) AS pa0,
-        |              count(*) + 24 AS span_len
-        |       FROM isl GROUP BY id_a, id_b, diag, island)
+      ("WITH " + spanCtes(25, "documents", "documents",
+                          "a.doc_id < b.doc_id") + """
         |SELECT id_a, id_b, CAST(pa0 AS INTEGER) AS start_a,
         |       CAST(pa0 - diag AS INTEGER) AS start_b, span_len
-        |FROM sp WHERE span_len >= 50""".stripMargin,
+        |FROM sp WHERE span_len >= 50""".stripMargin),
 
     "q_decontaminate_spans" ->
-      """WITH ben AS (SELECT doc_id, text FROM documents
+      ("""WITH ben AS (SELECT doc_id, text FROM documents
         |            WHERE source = 'src0'),
         |cor AS (SELECT doc_id, text FROM documents
         |        WHERE source <> 'src0'),
-        |ga AS (SELECT doc_id, unnest(generate_series(1,
-        |           greatest(len(text) - 29, 0))) AS pos, text FROM ben),
-        |ga2 AS (SELECT doc_id, CAST(pos AS INTEGER) AS pos,
-        |               substr(text, CAST(pos AS INTEGER), 30) AS s
-        |        FROM ga),
-        |gb AS (SELECT doc_id, unnest(generate_series(1,
-        |           greatest(len(text) - 29, 0))) AS pos, text FROM cor),
-        |gb2 AS (SELECT doc_id, CAST(pos AS INTEGER) AS pos,
-        |               substr(text, CAST(pos AS INTEGER), 30) AS s
-        |        FROM gb),
-        |anch AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |                a.pos AS pa, a.pos - b.pos AS diag
-        |         FROM ga2 a JOIN gb2 b ON a.s = b.s),
-        |isl AS (SELECT id_a, id_b, diag, pa,
-        |               pa - row_number() OVER (
-        |                 PARTITION BY id_a, id_b, diag ORDER BY pa)
-        |                 AS island
-        |        FROM anch),
-        |sp AS (SELECT id_a, id_b, diag, min(pa) AS pa0,
-        |              count(*) + 29 AS span_len
-        |       FROM isl GROUP BY id_a, id_b, diag, island)
+        |""".stripMargin +
+        spanCtes(30, "ben", "cor", "a.doc_id <> b.doc_id") + """
         |SELECT id_a, id_b, CAST(pa0 AS INTEGER) AS start_a,
         |       CAST(pa0 - diag AS INTEGER) AS start_b, span_len
-        |FROM sp WHERE span_len >= 60""".stripMargin,
+        |FROM sp WHERE span_len >= 60""".stripMargin),
 
     "q_span_removal" ->
-      """WITH g AS (SELECT doc_id,
-        |             unnest(generate_series(1,
-        |               greatest(len(text) - 24, 0))) AS pos, text
-        |           FROM documents),
-        |g2 AS (SELECT doc_id, CAST(pos AS INTEGER) AS pos,
-        |              substr(text, CAST(pos AS INTEGER), 25) AS s
-        |       FROM g),
-        |anch AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |                a.pos AS pa, a.pos - b.pos AS diag
-        |         FROM g2 a JOIN g2 b
-        |           ON a.s = b.s AND a.doc_id < b.doc_id),
-        |isl AS (SELECT id_a, id_b, diag, pa,
-        |               pa - row_number() OVER (
-        |                 PARTITION BY id_a, id_b, diag ORDER BY pa)
-        |                 AS island
-        |        FROM anch),
-        |sp AS (SELECT id_a, id_b, diag, min(pa) AS pa0,
-        |              count(*) + 24 AS span_len
-        |       FROM isl GROUP BY id_a, id_b, diag, island),
+      ("WITH " + spanCtes(25, "documents", "documents",
+                          "a.doc_id < b.doc_id") + """,
         |iv AS (SELECT id_b AS doc_id, pa0 - diag AS s,
         |              pa0 - diag + span_len AS e
         |       FROM sp WHERE span_len >= 50),
@@ -1724,7 +1671,7 @@ object SparkEntry {
         |SELECT doc_id,
         |       CAST(orig_len - len(clean_text) AS BIGINT) AS removed_chars,
         |       clean_text
-        |FROM clean""".stripMargin,
+        |FROM clean""".stripMargin),
 
     "q_cosine_topk" ->
       """WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -2135,6 +2082,46 @@ object SparkEntry {
        |          UNION
        |          SELECT r.id, e.v AS lbl
        |          FROM reach r JOIN edges e ON e.u = r.lbl)""".stripMargin
+
+  /** Shared span CTE chain: positional n-char grams over two relations
+    * → anchor join on gram equality (+ `pairCond`) → diagonal
+    * gaps-and-islands → maximal spans as `sp (id_a, id_b, diag, pa0,
+    * span_len)`. ONE definition behind all three span oracles
+    * (q_substring_dedup, q_span_removal, q_decontaminate_spans) so the
+    * island logic can never drift between them — the curateKeptCtes
+    * discipline. Callers open with `WITH ` (plus any prefix CTEs) and
+    * filter `span_len` themselves.
+    */
+  private def spanCtes(n: Int, docsA: String, docsB: String,
+                       pairCond: String): String = {
+    val n1 = n - 1
+    s"""ga AS (SELECT doc_id,
+       |         unnest(generate_series(1,
+       |           greatest(len(text) - $n1, 0))) AS pos, text
+       |       FROM $docsA),
+       |ga2 AS (SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+       |               substr(text, CAST(pos AS INTEGER), $n) AS s
+       |        FROM ga),
+       |gb AS (SELECT doc_id,
+       |         unnest(generate_series(1,
+       |           greatest(len(text) - $n1, 0))) AS pos, text
+       |       FROM $docsB),
+       |gb2 AS (SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+       |               substr(text, CAST(pos AS INTEGER), $n) AS s
+       |        FROM gb),
+       |anch AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |                a.pos AS pa, a.pos - b.pos AS diag
+       |         FROM ga2 a JOIN gb2 b
+       |           ON a.s = b.s AND $pairCond),
+       |isl AS (SELECT id_a, id_b, diag, pa,
+       |               pa - row_number() OVER (
+       |                 PARTITION BY id_a, id_b, diag ORDER BY pa)
+       |                 AS island
+       |        FROM anch),
+       |sp AS (SELECT id_a, id_b, diag, min(pa) AS pa0,
+       |              count(*) + $n1 AS span_len
+       |       FROM isl GROUP BY id_a, id_b, diag, island)""".stripMargin
+  }
 
   /** Shared CTE chain: exact dedup (min-id survivor per md5 fingerprint)
     * → exact 12-gram Jaccard ≥ 0.7 pairs → transitive closure → near-dup

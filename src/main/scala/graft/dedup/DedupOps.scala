@@ -435,46 +435,6 @@ object DedupOps {
     verifyPairs(cand, sets, tau)
   }
 
-  /** Cross-document exact-substring dedup (the Lee et al. 2022
-    * "Deduplicating Training Data Makes Language Models Better"
-    * ExactSubstr mode, re-expressed relationally): find every maximal
-    * verbatim character span of length ≥ `minLen` shared between two
-    * DISTINCT documents — the contamination shape document-level dedup
-    * cannot see (boilerplate, quotations, mirrored passages inside
-    * otherwise-different documents).
-    *
-    * Relational reformulation of the paper's suffix-array walk:
-    *  1. ANCHOR — every n-char window becomes (id, pos, xxhash64) via
-    *     the positional ShingleHashesPos (zero string materialization;
-    *     reference dedups whole rows only, dags/__pycache__ legacy ETL —
-    *     this is north-star extension scope). Equal hashes across
-    *     distinct docs are anchor matches.
-    *  2. DIAGONAL ISLANDS — a shared span of length L contributes
-    *     L−n+1 anchors on ONE diagonal (pos_a − pos_b constant), at
-    *     consecutive pos_a. Gaps-and-islands over each (id_a, id_b,
-    *     diag): island = pos_a − row_number(), one group per maximal
-    *     run — the same O(anchors) window pass q_sessionize uses.
-    *  3. SPAN — per island: start = min pos (1-based), char length =
-    *     run length + n − 1. Filter ≥ minLen.
-    *
-    * Scale shape: anchors shuffle as (id, pos, 8-byte hash) — never
-    * document text; the join is selective because n is LONG (a ~25-char
-    * gram over natural text is near-unique, unlike the 12-char Jaccard
-    * shingles). Hot grams (site boilerplate repeated in f docs × m
-    * positions) cost O((f·m)²) anchor pairs on this self-join —
-    * `maxDf` caps a gram's document frequency before pairing (the
-    * standard suffix-automaton pruning trade: spans composed ONLY of
-    * >maxDf grams are lost; spans containing any sub-maxDf gram
-    * survive anchored on it, possibly trimmed at hot edges). Default 0
-    * = exact, the oracle-checked contract.
-    *
-    * 64-bit hash equality stands in for string equality inside one
-    * join (P(collision) < 10⁻¹³ per comparison — the ShingleHashes
-    * contract); the DuckDB oracle joins on the gram STRINGS.
-    *
-    * Returns (id_a, id_b, start_a, start_b, span_len), id_a < id_b,
-    * starts 1-based char offsets.
-    */
   /** The REMOVAL action for `sharedSpans` (the Lee et al. dedup step):
     * cut every shared span out of the HIGHER-id document of its pair —
     * the lowest-id occurrence survives, the engine's canonical-min
@@ -564,6 +524,46 @@ object DedupOps {
       .filter(col("span_len") >= minLen)
   }
 
+  /** Cross-document exact-substring dedup (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * ExactSubstr mode, re-expressed relationally): find every maximal
+    * verbatim character span of length ≥ `minLen` shared between two
+    * DISTINCT documents — the contamination shape document-level dedup
+    * cannot see (boilerplate, quotations, mirrored passages inside
+    * otherwise-different documents).
+    *
+    * Relational reformulation of the paper's suffix-array walk:
+    *  1. ANCHOR — every n-char window becomes (id, pos, xxhash64) via
+    *     the positional ShingleHashesPos (zero string materialization;
+    *     reference dedups whole rows only, dags/__pycache__ legacy ETL —
+    *     this is north-star extension scope). Equal hashes across
+    *     distinct docs are anchor matches.
+    *  2. DIAGONAL ISLANDS — a shared span of length L contributes
+    *     L−n+1 anchors on ONE diagonal (pos_a − pos_b constant), at
+    *     consecutive pos_a. Gaps-and-islands over each (id_a, id_b,
+    *     diag): island = pos_a − row_number(), one group per maximal
+    *     run — the same O(anchors) window pass q_sessionize uses.
+    *  3. SPAN — per island: start = min pos (1-based), char length =
+    *     run length + n − 1. Filter ≥ minLen.
+    *
+    * Scale shape: anchors shuffle as (id, pos, 8-byte hash) — never
+    * document text; the join is selective because n is LONG (a ~25-char
+    * gram over natural text is near-unique, unlike the 12-char Jaccard
+    * shingles). Hot grams (site boilerplate repeated in f docs × m
+    * positions) cost O((f·m)²) anchor pairs on this self-join —
+    * `maxDf` caps a gram's document frequency before pairing (the
+    * standard suffix-automaton pruning trade: spans composed ONLY of
+    * >maxDf grams are lost; spans containing any sub-maxDf gram
+    * survive anchored on it, possibly trimmed at hot edges). Default 0
+    * = exact, the oracle-checked contract.
+    *
+    * 64-bit hash equality stands in for string equality inside one
+    * join (P(collision) < 10⁻¹³ per comparison — the ShingleHashes
+    * contract); the DuckDB oracle joins on the gram STRINGS.
+    *
+    * Returns (id_a, id_b, start_a, start_b, span_len), id_a < id_b,
+    * starts 1-based char offsets.
+    */
   def sharedSpans(docs: DataFrame, idCol: String, textCol: String,
                   n: Int, minLen: Int, maxDf: Long = 0L): DataFrame = {
     require(minLen >= n, s"minLen ($minLen) must be >= n ($n)")
@@ -598,6 +598,14 @@ object DedupOps {
     * suites are MBs) and BROADCAST — the corpus grams are never
     * shuffled; the only exchange is the anchor rows partitioned by
     * (pair, diagonal), bounded by real quotation volume.
+    *
+    * Id contract: ids are compared ACROSS sides — a shared id is
+    * treated as the same physical document (the realistic case:
+    * benchmark slice drawn from the corpus table) and never pairs with
+    * itself. Without the guard a doc on both sides would anchor
+    * against itself at every position, emit a full-length self-span,
+    * and `removeSharedSpans` would silently delete its entire text.
+    * Sides with genuinely colliding id spaces must re-key first.
     */
   def sharedSpansBetween(corpus: DataFrame, benchmark: DataFrame,
                          idCol: String, textCol: String,
@@ -605,7 +613,7 @@ object DedupOps {
     require(minLen >= n, s"minLen ($minLen) must be >= n ($n)")
     val anchors = posGrams(corpus, idCol, textCol, n).as("b")
       .join(broadcast(posGrams(benchmark, idCol, textCol, n).as("a")),
-            col("a.sh") === col("b.sh"))
+            col("a.sh") === col("b.sh") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
               col("a.pos").as("pa"), (col("a.pos") - col("b.pos")).as("diag"))
     spansFromAnchors(anchors, n, minLen)

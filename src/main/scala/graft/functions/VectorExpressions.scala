@@ -162,9 +162,9 @@ case class DotProduct(left: Expression, right: Expression)
   * int→double cast transform) per corpus row. Bit-identical to
   * `quantizeInt8`'s qvec cast to double: same IEEE double ops in the
   * same order, and the quantized magnitudes (≤ 127) round-trip int ↔
-  * double exactly. Degenerate inputs (empty, all-null, max|x| = 0)
-  * yield NULL — the quantizeInt8 defined-null contract; null elements
-  * propagate elementwise.
+  * double exactly. Degenerate inputs (empty, all-null, max|x| = 0,
+  * or ANY NaN/±Inf element) yield NULL — the quantizeInt8
+  * defined-null contract; null elements propagate elementwise.
   */
 case class Int8Codes(child: Expression) extends UnaryExpression {
 
@@ -198,6 +198,11 @@ case class Int8Codes(child: Expression) extends UnaryExpression {
       if (!arr.isNullAt(i)) {
         val v = math.abs(
           if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i))
+        // NaN fails every > comparison, so without this check a NaN
+        // element would silently NOT decide the max (diverging from
+        // array_max, where NaN sorts greatest) — non-finite input is
+        // degenerate in both paths
+        if (v.isNaN || v.isInfinite) return null
         if (v > mx) mx = v
       }
       i += 1

@@ -333,18 +333,22 @@ object SimilarityOps {
     * Determinism contract: codes are floor(x·scale + 0.5) — explicit
     * round-half-up, identical in every engine (library round() functions
     * disagree on half-to-even vs half-away at exact .5) — and the scale
-    * is rounded to 6 for output. A non-positive max (empty or all-zero
-    * vector) yields a defined null scale + null codes rather than the
-    * engine-dependent Inf/NaN division result.
+    * is rounded to 6 for output. A non-positive OR non-finite max
+    * (empty, all-zero, or any NaN/±Inf element — NaN sorts greatest in
+    * Spark's array_max, so one bad element decides the max) yields a
+    * defined null scale + null codes rather than engine-dependent
+    * NaN-arithmetic garbage; Int8Codes (the fused serving twin)
+    * implements the identical contract, spec-pinned.
     */
   def quantizeInt8(emb: DataFrame, idCol: String,
                    vecCol: String): DataFrame = {
     val mx = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    val ok = mx > 0 && !isnan(mx) && mx < lit(Double.PositiveInfinity)
     val scale = lit(127.0) / mx
     emb.select(
       col(idCol),
-      when(mx > 0, round(scale, 6)).as("scale"),
-      when(mx > 0,
+      when(ok, round(scale, 6)).as("scale"),
+      when(ok,
            transform(col(vecCol),
                      x => floor(x.cast("double") * scale + lit(0.5))
                        .cast("int")))
@@ -544,19 +548,24 @@ object SimilarityOps {
     * the (one-row) probe frame alone, no corpus scan. Shared by pqTopK
     * and the composed IVF×PQ serve.
     */
-  private def adcFoldedTable(cb: DataFrame, probe: DataFrame,
-                             dsub: Int): DataFrame = {
+  private def adcFoldedTable(cb: DataFrame, probe: DataFrame, dsub: Int,
+                             keyCols: Seq[String] = Nil): DataFrame = {
+    // keyCols carry a per-probe-variant key through the fold (the
+    // residual serve builds one table PER PROBED LIST, keyed by lid);
+    // empty keyCols = the single-table global fold
     import graft.functions.VectorExpressions.dotProduct
     val sub = slice(col("__pv"), col("sub_id") * dsub + 1, lit(dsub))
+    val key = keyCols.map(col)
     broadcast(cb.crossJoin(probe)
-      .select(col("sub_id"), col("code"),
+      .select(key :+ col("sub_id") :+ col("code") :+
         (dotProduct(sub, sub) -
          lit(2.0) * dotProduct(sub, col("cvec")) +
-         dotProduct(col("cvec"), col("cvec"))).as("pd2"))
-      .groupBy(col("sub_id"))
+         dotProduct(col("cvec"), col("cvec"))).as("pd2"): _*)
+      .groupBy(key :+ col("sub_id"): _*)
       .agg(array_sort(collect_list(struct(
              col("code").cast("int").as("code"),
              col("pd2").as("pd2")))).as("entries"))
+      .groupBy(key: _*)
       .agg(array_sort(collect_list(struct(
              col("sub_id").cast("int").as("sub"),
              col("entries").as("entries")))).as("__adc")))
@@ -796,11 +805,14 @@ object SimilarityOps {
   }
 
   /** Serve ADC top-k WITHIN the nprobe nearest inverted lists: rank
-    * lists by squared L2 distance from the raw probe to each centroid
-    * (the ADC metric — consistent pruning and ranking), prune the
-    * index to those lists (a planning-time partition prune when
-    * `index` was loadIndexPq'd from the partitioned layout), then rank
-    * the survivors by the summed ADC table lookups on their codes.
+    * lists by the ASSIGNMENT metric (argmax cosine — pruning must
+    * probe the cells ivfPqBuild actually filled; ranking lists by a
+    * different geometry, e.g. L2 against unnormalized k-means
+    * centroids, can exclude the very list the neighbors were assigned
+    * to), prune the index to those lists (a planning-time partition
+    * prune when `index` was loadIndexPq'd from the partitioned
+    * layout), then rank the survivors by the summed L2 ADC table
+    * lookups on their codes.
     *
     * `index` is (id, list_id, pq_codes) from ivfPqBuild/loadIndexPq;
     * `emb` supplies only the raw probe vector. Degenerate probes
@@ -810,19 +822,15 @@ object SimilarityOps {
                 emb: DataFrame, idCol: String, vecCol: String,
                 probeId: Long, k: Int = 10, nprobe: Int = 1,
                 residual: Boolean = false): DataFrame = {
-    import graft.functions.VectorExpressions.dotProduct
     val (nsub, dsub) = pqShape(pqCb)
     val probe = broadcast(
       emb.filter(col(idCol) === probeId &&
                    size(col(vecCol)) === nsub * dsub)
         .select(transform(col(vecCol), x => x.cast("double")).as("__pv")))
-    // ‖p‖² is list-constant — rank lists on ‖c‖² − 2·p·c
     val targetLists = broadcast(
       cents.crossJoin(probe)
-        .withColumn("cd2",
-          dotProduct(col("cvec"), col("cvec")) -
-            lit(2.0) * dotProduct(col("__pv"), col("cvec")))
-        .orderBy(col("cd2").asc, col("list_id").asc)
+        .withColumn("csim", cosineSim(col("cvec"), col("__pv")))
+        .orderBy(col("csim").desc, col("list_id").asc)
         .limit(nprobe)
         .select(col("list_id").cast("int").as("lid"),
                 transform(col("cvec"), x => x.cast("double")).as("__c")))
@@ -836,27 +844,14 @@ object SimilarityOps {
         // residual mode: ‖r_p − q(r_x)‖² with r_p = p − c_list, so the
         // ADC table differs PER PROBED LIST — nprobe tables built from
         // the codebooks alone (nprobe·nsub·k rows, still tiny), folded
-        // per lid and broadcast; each corpus row picks its list's table
-        // through the same pruning join
+        // per lid through the shared adcFoldedTable keyed fold; each
+        // corpus row picks its list's table through the pruning join
         val probeResiduals = targetLists.crossJoin(probe)
           .select(col("lid"),
                   zip_with(col("__pv"), col("__c"), (a, b) => a - b)
                     .as("__pv"))
-        val sub = slice(col("__pv"), col("sub_id") * dsub + 1, lit(dsub))
-        val tables = broadcast(pqCb.crossJoin(probeResiduals)
-          .select(col("lid"), col("sub_id"), col("code"),
-            (dotProduct(sub, sub) -
-             lit(2.0) * dotProduct(sub, col("cvec")) +
-             dotProduct(col("cvec"), col("cvec"))).as("pd2"))
-          .groupBy(col("lid"), col("sub_id"))
-          .agg(array_sort(collect_list(struct(
-                 col("code").cast("int").as("code"),
-                 col("pd2").as("pd2")))).as("entries"))
-          .groupBy(col("lid"))
-          .agg(array_sort(collect_list(struct(
-                 col("sub_id").cast("int").as("sub"),
-                 col("entries").as("entries")))).as("__adc")))
-        index.join(tables, col("list_id") === col("lid"))
+        index.join(adcFoldedTable(pqCb, probeResiduals, dsub, Seq("lid")),
+                   col("list_id") === col("lid"))
       }
     scored
       .filter(col(idCol) =!= probeId)

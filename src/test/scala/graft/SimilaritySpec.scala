@@ -306,7 +306,13 @@ class SimilaritySpec extends SparkSpec {
     val vecs = (0L until 200L).map { i =>
       (i, Array.fill(16)((rnd.nextFloat() - 0.5f) *
          math.pow(10, rnd.nextInt(6) - 3).toFloat))
-    } ++ Seq((200L, Array.fill(4)(0.0f)), (201L, Array.empty[Float]))
+    } ++ Seq((200L, Array.fill(4)(0.0f)), (201L, Array.empty[Float]),
+             // non-finite inputs are degenerate → null in BOTH paths
+             // (without the shared contract, array_max's NaN-greatest
+             // vs a Java > loop would silently diverge)
+             (202L, Array(Float.NaN, 1.0f)),
+             (203L, Array(Float.PositiveInfinity, 1.0f)),
+             (204L, Array(Float.NegativeInfinity, 1.0f)))
     val df = vecs.toDF("vec_id", "embedding")
     val legacy = SimilarityOps.quantizeInt8(df, "vec_id", "embedding")
       .select($"vec_id",
