@@ -677,23 +677,28 @@ object SparkEntry {
                            probeId = 0L, k = 10)
     }),
 
-    // COMPOSED IVF×PQ: coarse lists prune the scan, product codes rank
-    // within — the production ANN serving shape (lists ∧ 32× smaller
-    // payloads). One build pass computes list + codes against two folded
-    // broadcast codebooks; zero corpus shuffles. Rows-only (k-means
-    // internals); exact-on-saturated-vocab, recall-vs-plain-PQ, and
-    // index round-trip + partition pruning are spec-asserted (IvfPqSpec)
+    // COMPOSED IVF×PQ in RESIDUAL mode (textbook IVFADC): coarse lists
+    // prune the scan, product codes over x − c_list rank within — the
+    // production ANN serving shape (lists ∧ 32× smaller payloads ∧ the
+    // code budget spent on within-list variance). One build pass
+    // computes list + codes against two folded broadcast codebooks;
+    // zero corpus shuffles; PQ trains on the sample's residuals.
+    // Rows-only (k-means internals); exact-on-saturated-vocab (raw AND
+    // residual), recall floors, and index round-trip + partition
+    // pruning are spec-asserted (IvfPqSpec)
     "q_ivfpq_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val cents = SimilarityOps.seedCentroids(emb, "vec_id", "embedding", 8)
-      val pqCb = SimilarityOps.pqTrain(emb.filter(col("vec_id") < 1024),
-                                       "vec_id", "embedding",
+      val res = SimilarityOps.ivfResiduals(
+        emb.filter(col("vec_id") < 1024), "vec_id", "embedding", cents)
+      val pqCb = SimilarityOps.pqTrain(res, "vec_id", "rvec",
                                        nsub = 8, codes = 16, iters = 1)
       val index = SimilarityOps.ivfPqBuild(emb, "vec_id", "embedding",
-                                           cents, pqCb)
+                                           cents, pqCb, residual = true)
       SimilarityOps.ivfPqTopK(index, cents, pqCb, emb,
                               "vec_id", "embedding",
-                              probeId = 0L, k = 10, nprobe = 3)
+                              probeId = 0L, k = 10, nprobe = 3,
+                              residual = true)
     }),
 
     // HLL sketch distinct (mergeable at 100 TB; no exact-SQL oracle)
