@@ -13,7 +13,7 @@ import graft.ops.CoreOps
 import graft.pipeline.TaxiPipeline
 import graft.similarity.SimilarityOps
 import graft.streaming.StreamingOps
-import graft.text.TextOps
+import graft.text.{QualityClassifier, TextOps}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the LLM-pipeline extension ops), each with an ANSI/DuckDB
@@ -464,6 +464,41 @@ object SparkEntry {
       TextOps.stratifiedSample(t(s, dir, "documents"), "source", "doc_id",
                                k = 20)
         .select(col("source"), col("doc_id"))),
+
+    // Bigram-LM corpus scoring (the CCNet perplexity-filter shape,
+    // Wenzek et al. LREC'20): train add-α bigram counts (minCount=2
+    // prunes the tail and bounds the model), score every document's
+    // TOTAL negative log-likelihood (+ n_bigrams, so the mean is
+    // derivable). Per-bigram log-probs round to the shared 1e-6 grid
+    // BEFORE the sum (the bm25 grid-collapse trick); the sum — never
+    // the mean — is what stays off round-half points in both engines
+    "q_lm_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.lmScore(docs, TextOps.lmTrain(docs, minCount = 2L))
+    }),
+
+    // Temperature-flattened language mix (α=0.5 — the mBERT/XLM-R
+    // exponential-smoothing rebalance): census of kept docs per lang
+    // with the group's deterministic md5-coin acceptance rate
+    "q_temperature_mix" -> ((s, dir) =>
+      TextOps.temperatureMix(t(s, dir, "documents"), "lang", alpha = 0.5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("kept"), max(col("rate")).as("rate"))),
+
+    // Distilled quality classifier (the fastText / FineWeb-Edu filter
+    // shape): weak labels from the heuristic score, hashed-BoW logistic
+    // regression trained by deterministic full-batch GD (weights fold
+    // into each pass as ONE array literal — no weight-table join), the
+    // whole corpus scored by the trained model. Rows-only: the model is
+    // iterative-GD internals (the k-means precedent); convergence,
+    // separability, and determinism are spec-pinned (QualityClassifierSpec)
+    "q_quality_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labels = docs.select(col("doc_id"),
+        (TextOps.qualityScore(col("text")) >= 0.5).cast("double").as("y"))
+      val w = QualityClassifier.train(docs, labels, dim = 64, iters = 8)
+      QualityClassifier.score(docs, w)
+    }),
 
     // Sequence packing: chunk stream → 512-token bins, sequential within
     // each language (per-key window, never a global sort)
@@ -1565,6 +1600,48 @@ object SparkEntry {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 20""".stripMargin,
+
+    "q_lm_score" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |bg AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM tk, unnest(range(1, len(toks))) AS u(i)),
+        |model AS (
+        |  SELECT w1, w2, count(*) AS c12 FROM bg
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ctx AS (SELECT w1, sum(c12) AS c1 FROM model GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM model)
+        |SELECT b.doc_id,
+        |       count(*) AS n_bigrams,
+        |       round(-sum(round(ln((coalesce(m.c12, 0) + 0.5) /
+        |                           (coalesce(c.c1, 0) + 0.5 * v.v)), 6)),
+        |             6) AS nll
+        |FROM bg b
+        |LEFT JOIN model m USING (w1, w2)
+        |LEFT JOIN ctx c USING (w1)
+        |CROSS JOIN v
+        |GROUP BY 1""".stripMargin,
+
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n_g
+        |           FROM documents
+        |           WHERE lang IS NOT NULL AND text IS NOT NULL
+        |           GROUP BY 1),
+        |t AS (SELECT sum(n_g) AS n_tot, sum(pow(n_g, 0.5)) AS z FROM c),
+        |r AS (SELECT lang,
+        |             round(least(1.0, pow(n_g, 0.5) / z * n_tot / n_g),
+        |                   6) AS rate
+        |      FROM c CROSS JOIN t)
+        |SELECT d.lang, count(*) AS kept, max(r.rate) AS rate
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE (strpos('0123456789abcdef', substr(md5(d.text),1,1))-1)*16
+        |      + (strpos('0123456789abcdef', substr(md5(d.text),2,1))-1)
+        |  < r.rate * 256.0
+        |GROUP BY 1""".stripMargin,
 
     "q_pack_chunks" ->
       """WITH tk AS (SELECT doc_id, lang,

@@ -1,0 +1,140 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Model-based document quality filtering: distill a cheap labeling
+  * signal into a linear classifier over hashed bag-of-words features and
+  * score the whole corpus with it — the fastText-classifier recipe
+  * behind GPT-3/LLaMA-style "looks like the reference corpus" filters
+  * and FineWeb-Edu's distilled educational-quality gate (label a small
+  * slice expensively, train a tiny model, filter 100 TB cheaply).
+  *
+  * Spark-native full-batch logistic regression:
+  *   - Features are sparse (doc, bucket, x) triples — hashing-trick
+  *     token counts, L1-normalized per document. The corpus never
+  *     densifies; a document costs O(distinct tokens) rows.
+  *   - The weight vector lives on the driver (dim+1 doubles, bias as
+  *     bucket=dim) and folds into each iteration's expressions as ONE
+  *     array literal — the IVF codebook-fold pattern — so the margin
+  *     pass is a narrow projection + one partial+final aggregate, no
+  *     join against a weight table.
+  *   - The gradient is the only other aggregate: triples ⋈ residuals
+  *     co-partitioned on the doc id (both sides hash-partitioned by the
+  *     same column, no extra exchange), then a bucket-keyed sum whose
+  *     output is ≤ dim+1 rows — the one collect, size-gated by
+  *     construction.
+  * Full-batch GD (not SGD) keeps training RNG-free and deterministic:
+  * same data → same model, re-derivable anywhere. Each iteration is two
+  * scans of the persisted triples; dim and iters are both small
+  * constants, so training cost is O(iters · corpus tokens) with O(dim)
+  * driver state — the part that must be tiny at 100 TB.
+  */
+object QualityClassifier {
+
+  /** Hashed bag-of-words features as sparse triples (id, bucket, x):
+    * Murmur3 token hash mod dim, counts L1-normalized per document (the
+    * per-doc window partitions on the doc id — a bounded group, at most
+    * dim rows). Lowercased whitespace tokens, the TextOps contract.
+    */
+  def hashedFeatures(df: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", dim: Int = 256): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2 (got $dim)")
+    val w = Window.partitionBy(col(idCol))
+    df.select(col(idCol),
+              explode(TextOps.tokens(lower(col(textCol)))).as("__term"))
+      .select(col(idCol), pmod(hash(col("__term")), lit(dim)).as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).cast("double").as("__cnt"))
+      .withColumn("x", col("__cnt") / sum(col("__cnt")).over(w))
+      .drop("__cnt")
+  }
+
+  /** Train by full-batch gradient descent on log-loss:
+    *   w ← w − lr · Xᵀ(σ(Xw) − y) / n
+    * `labels` is (idCol, labelCol ∈ {0.0, 1.0}); only labeled documents
+    * with ≥ 1 token train (the inner join — a doc with no tokens has no
+    * features and cannot move any weight). A per-doc bias feature
+    * (bucket = dim, x = 1) rides the same triples frame, so the bias
+    * trains through the identical two-aggregate path with no special
+    * case. Returns dim+1 weights, w(dim) = bias.
+    *
+    * CACHE OWNERSHIP: the triples pin is scoped here — released before
+    * returning (the CacheScope contract would outlive the loop; training
+    * is the only consumer).
+    */
+  def train(df: DataFrame, labels: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text", labelCol: String = "y",
+            dim: Int = 256, iters: Int = 10, lr: Double = 2.0)
+      : Array[Double] = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    val lab = labels.select(col(idCol), col(labelCol).cast("double").as("y"))
+      .filter(col("y").isNotNull)
+    val feats = hashedFeatures(df, idCol, textCol, dim)
+    val ids = feats.select(col(idCol)).distinct()
+    val bias = ids.select(col(idCol), lit(dim).as("bucket"), lit(1.0).as("x"))
+    val f = feats.unionByName(bias).join(lab, idCol)
+      .repartition(col(idCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = f.select(col(idCol)).distinct().count().toDouble
+      require(n > 0, "no labeled documents with tokens to train on")
+      var w = Array.fill(dim + 1)(0.0)
+      for (_ <- 0 until iters) {
+        val margin = f.groupBy(col(idCol))
+          .agg(sum(col("x") * element_at(lit(w), col("bucket") + 1))
+                 .as("m"),
+               max(col("y")).as("y"))
+          .withColumn("r",
+            lit(1.0) / (lit(1.0) + exp(-col("m"))) - col("y"))
+          .select(col(idCol), col("r"))
+        val grad = f.join(margin, idCol)
+          .groupBy(col("bucket"))
+          .agg(sum(col("x") * col("r")).as("g"))
+          .collect() // ≤ dim+1 rows by construction
+        val next = w.clone()
+        grad.foreach { row =>
+          val b = row.getInt(0)
+          next(b) -= lr * row.getDouble(1) / n
+        }
+        w = next
+      }
+      w
+    } finally f.unpersist()
+  }
+
+  /** Score every document: p = σ(w·x + bias), rounded to 1e-6. The
+    * model folds in as one array literal (no join); documents with no
+    * tokens have no features and drop out — the lmScore contract.
+    */
+  def score(df: DataFrame, model: Array[Double],
+            idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    val dim = model.length - 1
+    hashedFeatures(df, idCol, textCol, dim)
+      .groupBy(col(idCol))
+      .agg(sum(col("x") * element_at(lit(model), col("bucket") + 1))
+             .as("__m"))
+      .select(col(idCol),
+              round(lit(1.0) /
+                (lit(1.0) + exp(-(col("__m") + lit(model(dim))))), 6)
+                .as("p_good"))
+  }
+
+  /** Mean log-loss of a model over labeled documents (the training
+    * objective; monotone-decrease is the spec-level convergence check).
+    */
+  def logLoss(df: DataFrame, labels: DataFrame, model: Array[Double],
+              idCol: String = "doc_id", textCol: String = "text",
+              labelCol: String = "y"): Double = {
+    val lab = labels.select(col(idCol), col(labelCol).cast("double").as("y"))
+    val eps = 1e-12
+    score(df, model, idCol, textCol).join(lab, idCol)
+      .select(avg(-(col("y") * log(greatest(col("p_good"), lit(eps))) +
+        (lit(1.0) - col("y")) *
+          log(greatest(lit(1.0) - col("p_good"), lit(eps))))).as("l"))
+      .head().getDouble(0)
+  }
+}

@@ -459,6 +459,128 @@ object TextOps {
       .limit(k)
   }
 
+  /** Adjacent lowercased token pairs, one (w1, w2) row per bigram —
+    * the shared stream under `lmTrain`/`lmScore`. The zip_with lockstep
+    * walk is the q_bigrams formulation (4× over sequence+element_at:
+    * higher-order lambdas are interpreted, so per-element index lookups
+    * dominate at corpus scale); a null text yields a null pair array and
+    * explode drops it, so "no text → no bigrams" needs no extra filter.
+    */
+  private def bigramPairs(df: DataFrame, textCol: String,
+                          keep: Seq[Column]): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val pairs = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+                         (a, b) => struct(a.as("w1"), b.as("w2")))
+    df.select(keep :+ explode(pairs).as("__bg"): _*)
+      .select(keep :+ col("__bg.w1").as("w1") :+ col("__bg.w2").as("w2"): _*)
+  }
+
+  /** Bigram language-model training: the (w1, w2) count table a
+    * perplexity-style corpus filter scores against (the CCNet recipe —
+    * Wenzek et al. LREC 2020 — trains a small LM on a clean reference
+    * corpus and keeps low-perplexity documents of the raw crawl; the
+    * n-gram variant is the engine-portable, training-free core of it).
+    * One explode + one partial+final aggregate; `minCount` prunes the
+    * long tail, which is what bounds the model (and is standard n-gram
+    * practice — singleton bigrams carry no estimate anyway).
+    */
+  def lmTrain(df: DataFrame, textCol: String = "text",
+              minCount: Long = 1L): DataFrame =
+    bigramPairs(df, textCol, Nil)
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+
+  /** Score documents against a bigram LM: per-document TOTAL negative
+    * log-likelihood under add-α smoothing,
+    *   p(w2|w1) = (c12 + α) / (c1 + α·V),
+    * with c1 = Σ_w2 c12 (the model's own context totals) and V = the
+    * model's distinct-w2 vocabulary. The single formula handles every
+    * case — unseen bigram (c12→0), unseen context (c1→0 gives the
+    * uniform 1/V) — so no branch can diverge from the SQL twin.
+    * Documents with < 2 tokens have no bigrams and drop out; consumers
+    * derive the mean / perplexity exponent as nll / n_bigrams.
+    *
+    * The SUM (not the mean) is deliberate: per-bigram log-probs round
+    * to 1e-6 BEFORE summing and the sum re-rounds (the bm25TopK
+    * grid-collapse trick), and a sum of grid values sits a half-grid
+    * minus ~1e-14 away from every round-half point — stable. A MEAN
+    * divides the grid by n_bigrams and CAN land exactly on a .5e-6
+    * point, where C-libm-style rounding (DuckDB) and BigDecimal
+    * HALF_UP on the binary double (Spark) legitimately disagree —
+    * observed as a last-digit flip at sf0.01 before this was changed.
+    *
+    * Scale shape: the document side is one narrow explode; the model
+    * and its two derived frames are vocabulary-bounded (minCount-pruned
+    * — broadcast-eligible, AQE decides), and the per-doc aggregate is
+    * partial+final on the doc id.
+    */
+  def lmScore(df: DataFrame, model: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text", alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0 (got $alpha)")
+    // the model feeds THREE consumers (the score join, its context
+    // totals, its vocabulary scalar) — unpinned, each would re-derive
+    // it from raw text: two extra corpus passes. CACHE OWNERSHIP:
+    // caller releases (CacheScope / clearCache), the bm25TopK contract.
+    val m = model
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+    val ctx = m.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = m.agg(countDistinct(col("w2")).cast("double").as("v"))
+    bigramPairs(df, textCol, Seq(col(idCol)))
+      .join(m, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", round(log(
+        (coalesce(col("c12"), lit(0L)).cast("double") + lit(alpha)) /
+          (coalesce(col("c1"), lit(0L)).cast("double") +
+            lit(alpha) * col("v"))), 6))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+           round(-sum(col("lp")), 6).as("nll"))
+  }
+
+  /** Temperature-weighted mixture resampling: keep group g's documents
+    * at rate min(1, N·w_g/n_g) with w_g = n_g^α / Σ_h n_h^α — the
+    * multilingual rebalancing rule (mBERT / XLM-R exponential smoothing)
+    * that flattens a skewed source distribution toward uniform as α→0
+    * while never upsampling past a group's own size (acceptance sampling
+    * cannot replicate rows; rate caps at 1). α=1 is the identity mix.
+    *
+    * Deterministic md5-byte coin (`hashByte`), the mixSample contract:
+    * RNG-free, re-derivable, engine-portable; null-text rows have no
+    * coin and drop at every rate, null-group rows drop at the rate join.
+    * Scale shape: the census is one aggregate with n_groups output rows,
+    * the scalar totals fold in as a broadcast, the rate table broadcasts
+    * back, and the gate itself is a narrow filter — the corpus shuffles
+    * zero bytes. Rates are rounded to 1e-6 BEFORE the coin comparison so
+    * libm-vs-JVM `pow` drift cannot flip an accept/reject decision.
+    * Output keeps the group's `rate` attached.
+    */
+  def temperatureMix(df: DataFrame, groupCol: String, alpha: Double,
+                     textCol: String = "text"): DataFrame = {
+    require(alpha > 0 && alpha <= 1,
+      s"alpha must be in (0, 1] (got $alpha)")
+    // the census feeds BOTH the scalar totals and the rate table —
+    // unpinned, the corpus would aggregate twice. Output is n_groups
+    // rows, so the pin is tiny. CACHE OWNERSHIP: caller releases.
+    val counts = df
+      .filter(col(groupCol).isNotNull && col(textCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).cast("double").as("n_g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+    val tot = counts.agg(sum(col("n_g")).as("n_tot"),
+                         sum(pow(col("n_g"), lit(alpha))).as("z"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("rate", round(least(lit(1.0),
+        pow(col("n_g"), lit(alpha)) / col("z") *
+          col("n_tot") / col("n_g")), 6))
+      .select(col(groupCol), col("rate"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(hashByte(col(textCol)).cast("double") < col("rate") * lit(256.0))
+  }
+
   /** All text stats in one projection (one scan pass). */
   def withTextStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)

@@ -26,12 +26,13 @@ class EntrySpec extends SparkSpec {
 
   test("oracle coverage: SQL-expressible ops all have oracles") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // intentionally rows-only — ONLY hash/sketch/k-means/iterative-argmax
-    // internals remain (q_multimodal_features gained its oracle in r3)
+    // intentionally rows-only — ONLY hash/sketch/k-means/iterative-GD/
+    // iterative-argmax internals remain (q_multimodal_features gained
+    // its oracle in r3)
     val expected = Set("q_simhash_pairs", "q_fingerprints", "q_ann_topk",
                        "q_ivf_topk", "q_ivf_trained", "q_approx_users",
                        "q_lsh_cosine_pairs", "q_pq_topk", "q_ivfpq_topk",
-                       "q_bpe_vocab")
+                       "q_bpe_vocab", "q_quality_classifier")
     assert(noOracle === expected)
   }
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.{QualityClassifier, TextOps}
+
+/** Distilled quality classifier: hashed-BoW logistic regression trained
+  * by deterministic full-batch GD.
+  */
+class QualityClassifierSpec extends SparkSpec {
+
+  private def toy() = {
+    import spark.implicits._
+    val good = (1L to 20L).map(i => (i, "good great excellent fine", 1.0))
+    val bad = (21L to 40L).map(i => (i, "bad awful poor broken", 0.0))
+    val df = (good ++ bad).toDF("doc_id", "text", "y")
+    (df, df.select(col("doc_id"), col("y")))
+  }
+
+  test("separable toy corpus is classified correctly") {
+    val (docs, labels) = toy()
+    val w = QualityClassifier.train(docs, labels, dim = 256, iters = 30)
+    val p = QualityClassifier.score(docs, w)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert((1L to 20L).forall(p(_) > 0.5))
+    assert((21L to 40L).forall(p(_) < 0.5))
+  }
+
+  test("training reduces log-loss below the zero-model's ln 2") {
+    val (docs, labels) = toy()
+    val w0 = Array.fill(257)(0.0)
+    val w = QualityClassifier.train(docs, labels, dim = 256, iters = 10)
+    val l0 = QualityClassifier.logLoss(docs, labels, w0)
+    val l = QualityClassifier.logLoss(docs, labels, w)
+    assert(math.abs(l0 - math.log(2.0)) < 1e-6)
+    assert(l < l0)
+  }
+
+  test("training is deterministic (RNG-free, full-batch)") {
+    val (docs, labels) = toy()
+    val a = QualityClassifier.train(docs, labels, dim = 64, iters = 5)
+    val b = QualityClassifier.train(docs, labels, dim = 64, iters = 5)
+    assert(a.length === 65 && b.length === 65)
+    a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-12) }
+  }
+
+  test("features: L1-normalized per doc; docs without tokens drop") {
+    import spark.implicits._
+    val df = Seq((1L, "a a b"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val f = QualityClassifier.hashedFeatures(df, dim = 16)
+    assert(f.select(col("doc_id")).distinct().as[Long].collect().toSet
+      === Set(1L))
+    val tot = f.groupBy(col("doc_id")).agg(sum(col("x")).as("s"))
+      .head().getDouble(1)
+    assert(math.abs(tot - 1.0) < 1e-12)
+  }
+
+  test("bench corpus: heuristic labels distill into full-coverage scores") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val labels = docs.select(col("doc_id"),
+      (TextOps.qualityScore(col("text")) >= 0.5).cast("double").as("y"))
+    val w = QualityClassifier.train(docs, labels, dim = 64, iters = 4)
+    val scored = QualityClassifier.score(docs, w)
+    val withToks = docs
+      .filter(TextOps.tokenCount(col("text")) > 0).count()
+    assert(scored.count() === withToks)
+    assert(scored.filter(col("p_good") < 0 || col("p_good") > 1).count()
+      === 0L)
+  }
+}
