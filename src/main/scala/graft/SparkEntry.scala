@@ -500,6 +500,17 @@ object SparkEntry {
       QualityClassifier.score(docs, w)
     }),
 
+    // DSIR data selection (Xie et al. NeurIPS'23): src0 is the trusted
+    // reference slice, everything else is the raw crawl; keep the 200
+    // raw docs whose hashed-n-gram profile most resembles the target.
+    // Both corpus models are ≤ dim-row broadcasts; only (id, bucket, c)
+    // triples ever shuffle
+    "q_dsir_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.dsirSelect(docs.filter(col("source") =!= "src0"),
+                         docs.filter(col("source") === "src0"), k = 200)
+    }),
+
     // Sequence packing: chunk stream → 512-token bins, sequential within
     // each language (per-key window, never a global sort)
     "q_pack_chunks" -> ((s, dir) => {
@@ -1642,6 +1653,44 @@ object SparkEntry {
         |      + (strpos('0123456789abcdef', substr(md5(d.text),2,1))-1)
         |  < r.rate * 256.0
         |GROUP BY 1""".stripMargin,
+
+    "q_dsir_select" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id, source, toks[i] AS gram
+        |  FROM tk, unnest(range(1, len(toks) + 1)) AS u(i)
+        |  UNION ALL
+        |  SELECT doc_id, source, toks[i] || ' ' || toks[i + 1] AS gram
+        |  FROM tk, unnest(range(1, len(toks))) AS u(i)),
+        |b AS (
+        |  SELECT doc_id, source,
+        |         CAST('0x' || substr(md5(gram), 1, 4) AS BIGINT) % 1024
+        |           AS bucket,
+        |         CAST(count(*) AS DOUBLE) AS c
+        |  FROM g GROUP BY 1, 2, 3),
+        |cpt AS (SELECT bucket, sum(c) AS cp FROM b
+        |        WHERE source = 'src0' GROUP BY 1),
+        |cqt AS (SELECT bucket, sum(c) AS cq FROM b
+        |        WHERE source <> 'src0' GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(cp) FROM cpt) AS tp,
+        |               (SELECT sum(cq) FROM cqt) AS tq),
+        |lr AS (
+        |  SELECT coalesce(cpt.bucket, cqt.bucket) AS bucket,
+        |         round(ln((coalesce(cp, 0) + 1) / (tp + 1024.0)) -
+        |               ln((coalesce(cq, 0) + 1) / (tq + 1024.0)), 6) AS lr
+        |  FROM cpt FULL JOIN cqt ON cpt.bucket = cqt.bucket
+        |  CROSS JOIN tot)
+        |SELECT b.doc_id, CAST(sum(b.c) AS BIGINT) AS n_grams,
+        |       round(sum(b.c * lr.lr), 6) AS logw
+        |FROM b JOIN lr ON b.bucket = lr.bucket
+        |WHERE b.source <> 'src0'
+        |GROUP BY 1
+        |ORDER BY logw DESC, doc_id
+        |LIMIT 200""".stripMargin,
 
     "q_pack_chunks" ->
       """WITH tk AS (SELECT doc_id, lang,

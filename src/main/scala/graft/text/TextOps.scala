@@ -581,6 +581,91 @@ object TextOps {
       .filter(hashByte(col(textCol)).cast("double") < col("rate") * lit(256.0))
   }
 
+  /** Hashed unigram+bigram counts as sparse (id, bucket, c) triples —
+    * the DSIR feature space (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023: hashed n-gram
+    * bag-of-words generative models over 10k buckets; dim here is a
+    * parameter). The bucket hash is md5-derived (first 4 hex digits mod
+    * dim) rather than Murmur3 so the oracle SQL can reproduce it
+    * engine-portably — a production deployment would swap in `hash()`
+    * (codegen'd Murmur3) with no other change. One explode + one
+    * partial+final aggregate; null text yields no grams.
+    */
+  private def hashedGrams(df: DataFrame, idCol: String, textCol: String,
+                          dim: Int): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val bigrams = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+                           (a, b) => concat_ws(" ", a, b))
+    df.select(col(idCol), explode(concat(toks, bigrams)).as("__g"))
+      .select(col(idCol),
+              pmod(conv(substring(md5(col("__g")), 1, 4), 16, 10)
+                     .cast("long"), lit(dim.toLong)).as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).cast("double").as("c"))
+  }
+
+  /** DSIR importance weights: score every raw document by how much more
+    * likely its hashed-n-gram profile is under the target corpus than
+    * under the raw corpus,
+    *   logw(d) = Σ_b c_d[b] · ( ln p̂_target[b] − ln p̂_raw[b] ),
+    * with Laplace-smoothed bucket probabilities p̂[b] = (c[b]+1)/(T+dim).
+    * This is the data-selection recipe behind quality-targeted corpus
+    * construction: estimate two cheap bag-of-n-grams models, weight the
+    * raw crawl by the likelihood ratio, keep the highest-weight slice.
+    *
+    * Scale shape: both corpus-level count tables are ≤ dim rows (they
+    * broadcast); the totals fold in as a 1-row broadcast; the raw-side
+    * triples are persisted once for their two consumers (the corpus
+    * counts and the per-doc weight sum — CACHE OWNERSHIP: caller
+    * releases, the lmScore contract); the per-doc aggregate is
+    * partial+final on the doc id. The corpus text is scanned once per
+    * side and never shuffled — only (id, bucket, c) triples move.
+    *
+    * Per-bucket log-ratios round to the 1e-6 grid BEFORE the weighted
+    * sum (integer multiples of grid values stay on the grid — the
+    * lmScore stability argument), and the sum re-rounds.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, dim: Int = 1024,
+                  idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    require(dim >= 2, s"dim must be >= 2 (got $dim)")
+    val rawFeat = hashedGrams(raw, idCol, textCol, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+    val cq = rawFeat.groupBy(col("bucket")).agg(sum(col("c")).as("cq"))
+    val cp = hashedGrams(target, idCol, textCol, dim)
+      .groupBy(col("bucket")).agg(sum(col("c")).as("cp"))
+    val tot = cq.agg(sum(col("cq")).as("tq"))
+      .crossJoin(cp.agg(sum(col("cp")).as("tp")))
+    val lr = cq.join(cp, Seq("bucket"), "full_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), round(
+        log((coalesce(col("cp"), lit(0.0)) + lit(1.0)) /
+              (col("tp") + lit(dim.toDouble))) -
+          log((coalesce(col("cq"), lit(0.0)) + lit(1.0)) /
+                (col("tq") + lit(dim.toDouble))), 6).as("lr"))
+    rawFeat.join(broadcast(lr), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).cast("long").as("n_grams"),
+           round(sum(col("c") * col("lr")), 6).as("logw"))
+  }
+
+  /** DSIR selection: the k raw documents with the largest importance
+    * weight, doc-id tie-broken — the noise-free variant of the paper's
+    * Gumbel-top-k resampling (deterministic, re-derivable, and what the
+    * oracle can express; the Gumbel perturbation is one extra column if
+    * sampling diversity is ever needed). orderBy+limit plans as
+    * TakeOrderedAndProject: per-partition k-row heaps, never a global
+    * sort.
+    */
+  def dsirSelect(raw: DataFrame, target: DataFrame, k: Int,
+                 dim: Int = 1024, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    dsirWeights(raw, target, dim, idCol, textCol)
+      .orderBy(col("logw").desc, col(idCol))
+      .limit(k)
+
   /** All text stats in one projection (one scan pass). */
   def withTextStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)
