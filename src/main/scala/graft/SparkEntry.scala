@@ -511,6 +511,13 @@ object SparkEntry {
                          docs.filter(col("source") === "src0"), k = 200)
     }),
 
+    // Deterministic epoch shuffle: every doc's position under the
+    // seed-42 permutation. The rank is assembled from range partitions +
+    // broadcast offsets — the oracle's naive global window is exactly
+    // what the operator exists to avoid
+    "q_shuffle_order" -> ((s, dir) =>
+      TextOps.shuffleOrder(t(s, dir, "documents"), seed = "42")),
+
     // Sequence packing: chunk stream → 512-token bins, sequential within
     // each language (per-key window, never a global sort)
     "q_pack_chunks" -> ((s, dir) => {
@@ -1691,6 +1698,13 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY logw DESC, doc_id
         |LIMIT 200""".stripMargin,
+
+    "q_shuffle_order" ->
+      """SELECT doc_id,
+        |       row_number() OVER (
+        |         ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id)
+        |         - 1 AS pos
+        |FROM documents""".stripMargin,
 
     "q_pack_chunks" ->
       """WITH tk AS (SELECT doc_id, lang,

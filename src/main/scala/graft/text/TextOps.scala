@@ -666,6 +666,57 @@ object TextOps {
       .orderBy(col("logw").desc, col(idCol))
       .limit(k)
 
+  /** Deterministic global shuffle order for training: position of every
+    * document under the seeded permutation rank by (md5(seed|id), id) —
+    * the epoch-reshuffle primitive (seed = epoch number gives each epoch
+    * an independent, re-derivable order; no RNG state to checkpoint).
+    *
+    * The naive formulation — `row_number() OVER (ORDER BY key)` — is a
+    * single-partition global sort: every row through one task, dead at
+    * corpus scale. This one never materializes a global order:
+    *   1. project the NARROW (id, key) frame — the document text never
+    *      moves;
+    *   2. range-partition it by (key, id) — Spark's sampled boundaries,
+    *      one narrow exchange;
+    *   3. per-partition census → cumulative offsets (a ≤ P-row frame;
+    *      its cumsum window is single-partition over P rows, fine);
+    *   4. local row_number within each range partition (window keyed by
+    *      the stamped partition id — bounded groups) + the broadcast
+    *      offset.
+    * Global rank ≡ offset + local rank because range partitions tile the
+    * (key, id) total order. Consumers join `pos` back by id — a narrow
+    * sort-merge at scale — or feed it to packChunks as the bin order.
+    *
+    * The keyed frame is persisted for its two consumers (census + rank;
+    * CACHE OWNERSHIP: caller releases). Output: (idCol, pos), pos ∈
+    * [0, n), a bijection — spec-pinned against the naive global-window
+    * oracle.
+    */
+  def shuffleOrder(df: DataFrame, idCol: String = "doc_id",
+                   seed: String = "0", partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = if (partitions > 0) partitions
+            else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val keyed = df
+      .select(col(idCol),
+              md5(concat_ws("|", lit(seed), col(idCol).cast("string")))
+                .as("__k"))
+      .repartitionByRange(p, col("__k"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+    val offsets = keyed.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(
+        Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__k"), col(idCol))
+    keyed.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("pos", row_number().over(w).cast("long") + col("__off"))
+      .select(col(idCol), (col("pos") - 1L).as("pos"))
+  }
+
   /** All text stats in one projection (one scan pass). */
   def withTextStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** Deterministic global shuffle order: range-partition + offset rank
+  * assembly vs the naive single-partition global window.
+  */
+class ShuffleOrderSpec extends SparkSpec {
+
+  test("positions are a bijection onto [0, n)") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pos = TextOps.shuffleOrder(df, seed = "7", partitions = 8)
+      .select(col("pos")).as[Long].collect().sorted
+    assert(pos.toSeq === (0L until 500L))
+  }
+
+  test("assembled rank equals the naive global-window rank") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val got = TextOps.shuffleOrder(df, seed = "42", partitions = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = df
+      .select(col("doc_id"),
+              md5(concat_ws("|", lit("42"), col("doc_id").cast("string")))
+                .as("k"))
+      .withColumn("pos",
+        row_number().over(Window.orderBy(col("k"), col("doc_id")))
+          .cast("long") - 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === naive)
+  }
+
+  test("same seed reproduces the order; different seeds permute " +
+       "differently (epoch reshuffle)") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, s"x$i")).toDF("doc_id", "text")
+    val e0 = TextOps.shuffleOrder(df, seed = "epoch-0")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e0b = TextOps.shuffleOrder(df, seed = "epoch-0")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e1 = TextOps.shuffleOrder(df, seed = "epoch-1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e0 === e0b)
+    assert(e0 !== e1)
+    assert(e1.values.toSeq.sorted === (0L until 200L))
+  }
+
+  test("the big frame is range-partitioned, never single-partition") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val plan = TextOps.shuffleOrder(df, partitions = 8)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("rangepartitioning"))
+    // the only single-partition exchange allowed is the <= P-row offsets
+    // cumsum; the keyed frame's window partitions by the stamped pid
+    assert(plan.contains("partitionby".toLowerCase) ||
+           plan.contains("__pid"))
+  }
+}
