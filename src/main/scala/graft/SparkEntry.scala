@@ -518,6 +518,26 @@ object SparkEntry {
     "q_shuffle_order" -> ((s, dir) =>
       TextOps.shuffleOrder(t(s, dir, "documents"), seed = "42")),
 
+    // Gopher rule report (Rae et al. 2021 A1.1.2): per-doc booleans for
+    // the seven format/repetition rules + the conjunction, one narrow
+    // scan-speed projection
+    "q_gopher_rules" -> ((s, dir) =>
+      TextOps.gopherRules(t(s, dir, "documents"))),
+
+    // CCNet head/middle/tail: bigram-LM mean-nll terciles per language
+    // (exact percentiles, n_langs-row broadcast back)
+    "q_perplexity_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.perplexityBuckets(docs, TextOps.lmTrain(docs, minCount = 2L))
+    }),
+
+    // Token-budget sample: first ~10k tokens of the seed-42 shuffle
+    // order, global prefix sum assembled from range partitions +
+    // broadcast per-partition totals (integer-exact)
+    "q_token_budget" -> ((s, dir) =>
+      TextOps.tokenBudget(t(s, dir, "documents"), budget = 10000L,
+                          seed = "42")),
+
     // Sequence packing: chunk stream → 512-token bins, sequential within
     // each language (per-key window, never a global sort)
     "q_pack_chunks" -> ((s, dir) => {
@@ -1705,6 +1725,109 @@ object SparkEntry {
         |         ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id)
         |         - 1 AS pos
         |FROM documents""".stripMargin,
+
+    "q_gopher_rules" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'),
+        |                     x -> x <> '') AS toks,
+        |         list_filter(string_split(text, chr(10)),
+        |                     l -> trim(l) <> '') AS lines,
+        |         text
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |         len(toks) AS nw0,
+        |         nullif(CAST(len(toks) AS DOUBLE), 0) AS nw,
+        |         nullif(CAST(len(lines) AS DOUBLE), 0) AS nl,
+        |         CAST(list_sum(list_transform(toks, t -> length(t)))
+        |              AS DOUBLE) AS sumlen,
+        |         len(regexp_extract_all(text, '#|\.\.\.')) AS symbols,
+        |         len(list_filter(lines,
+        |             l -> regexp_matches(ltrim(l), '^[-*•]'))) AS bullets,
+        |         len(list_filter(lines, l -> l LIKE '%...')) AS ellips,
+        |         len(list_filter(toks,
+        |             t -> regexp_matches(t, '[A-Za-z]'))) AS alphas,
+        |         len(list_intersect(
+        |             list_distinct(list_transform(toks, t -> lower(t))),
+        |             ['the','be','to','of','and','that','have','with']))
+        |           AS stops
+        |  FROM f)
+        |SELECT doc_id,
+        |  coalesce(nw0 BETWEEN 50 AND 100000, false) AS r_word_count,
+        |  coalesce(sumlen / nw BETWEEN 3.0 AND 10.0, false)
+        |    AS r_mean_word_len,
+        |  coalesce(symbols / nw <= 0.1, false) AS r_symbol_ratio,
+        |  coalesce(bullets / nl < 0.9, false) AS r_bullet_lines,
+        |  coalesce(ellips / nl < 0.3, false) AS r_ellipsis_lines,
+        |  coalesce(alphas / nw >= 0.8, false) AS r_alpha_words,
+        |  coalesce(stops >= 2, false) AS r_stopwords,
+        |  coalesce(nw0 BETWEEN 50 AND 100000, false)
+        |    AND coalesce(sumlen / nw BETWEEN 3.0 AND 10.0, false)
+        |    AND coalesce(symbols / nw <= 0.1, false)
+        |    AND coalesce(bullets / nl < 0.9, false)
+        |    AND coalesce(ellips / nl < 0.3, false)
+        |    AND coalesce(alphas / nw >= 0.8, false)
+        |    AND coalesce(stops >= 2, false) AS pass
+        |FROM m""".stripMargin,
+
+    "q_perplexity_buckets" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |bg AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM tk, unnest(range(1, len(toks))) AS u(i)),
+        |model AS (
+        |  SELECT w1, w2, count(*) AS c12 FROM bg
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ctx AS (SELECT w1, sum(c12) AS c1 FROM model GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM model),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |         count(*) AS n_bigrams,
+        |         round(-sum(round(ln((coalesce(m.c12, 0) + 0.5) /
+        |                             (coalesce(c.c1, 0) + 0.5 * v.v)), 6)),
+        |               6) AS nll
+        |  FROM bg b
+        |  LEFT JOIN model m USING (w1, w2)
+        |  LEFT JOIN ctx c USING (w1)
+        |  CROSS JOIN v
+        |  GROUP BY 1),
+        |pp AS (
+        |  SELECT s.doc_id, d.lang, s.nll / s.n_bigrams AS ppl
+        |  FROM sc s JOIN documents d USING (doc_id)
+        |  WHERE d.lang IS NOT NULL),
+        |cuts AS (
+        |  SELECT lang, quantile_cont(ppl, 1.0/3) AS t1,
+        |         quantile_cont(ppl, 2.0/3) AS t2
+        |  FROM pp GROUP BY 1)
+        |SELECT pp.doc_id, pp.lang, pp.ppl,
+        |       CASE WHEN ppl <= t1 THEN 'head'
+        |            WHEN ppl <= t2 THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM pp JOIN cuts USING (lang)""".stripMargin,
+
+    "q_token_budget" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         coalesce(len(list_filter(
+        |           string_split_regex(trim(text), '\s+'),
+        |           x -> x <> '')), 0) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |         row_number() OVER (
+        |           ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id)
+        |           - 1 AS pos,
+        |         CAST(sum(n_tokens) OVER (
+        |           ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM tk)
+        |SELECT doc_id, pos, n_tokens, cum_tokens
+        |FROM o WHERE cum_tokens <= 10000""".stripMargin,
 
     "q_pack_chunks" ->
       """WITH tk AS (SELECT doc_id, lang,

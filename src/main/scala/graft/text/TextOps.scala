@@ -717,6 +717,142 @@ object TextOps {
       .select(col(idCol), (col("pos") - 1L).as("pos"))
   }
 
+  /** The Gopher stopword list (Rae et al. 2021, rule A1.1.2): a document
+    * must contain at least two of these to pass the stopword rule.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher repetition-and-format quality rules (Rae et al. 2021,
+    * §A1.1.2 — the rule set RedPajama/Dolma ship verbatim): per-document
+    * booleans for each rule plus the conjunction. One narrow projection
+    * over the scan — every rule is array/regex arithmetic on the text
+    * column, no shuffle, no UDF — so the report streams at scan speed.
+    *
+    * Rules (pass = keep): 50 ≤ word count ≤ 100k; mean word length in
+    * [3, 10]; symbol-to-word ratio (# or …) ≤ 0.1; < 90 % of lines
+    * bullet-led; < 30 % of lines ellipsis-ended; ≥ 80 % of words contain
+    * an alphabetic char; ≥ 2 distinct Gopher stopwords. Null/empty text
+    * coalesces every rule to false (no tokens → fails the word-count
+    * rule anyway; the oracle mirrors the same nullif/coalesce).
+    */
+  def gopherRules(df: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val c = col(textCol)
+    val toks = tokens(c)
+    val nw = nullif(size(toks).cast("double"), lit(0.0))
+    val lines = filter(split(c, "\n"), l => trim(l) =!= lit(""))
+    val nl = nullif(size(lines).cast("double"), lit(0.0))
+    val meanLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      .cast("double") / nw
+    val symbolRatio = regexp_count(c, lit("#|\\.\\.\\.")).cast("double") / nw
+    val bulletFrac = size(filter(lines,
+      l => regexp_like(ltrim(l), lit("^[-*•]")))).cast("double") / nl
+    val ellipsisFrac = size(filter(lines,
+      l => l.endsWith("..."))).cast("double") / nl
+    val alphaFrac = size(filter(toks,
+      t => regexp_like(t, lit("[A-Za-z]")))).cast("double") / nw
+    val stopHits = size(array_intersect(
+      array_distinct(transform(toks, t => lower(t))),
+      typedlit(GopherStopwords)))
+    def rule(cond: Column): Column = coalesce(cond, lit(false))
+    val rs = Seq(
+      "r_word_count" -> rule(size(toks).between(50, 100000)),
+      "r_mean_word_len" -> rule(meanLen.between(3.0, 10.0)),
+      "r_symbol_ratio" -> rule(symbolRatio <= 0.1),
+      "r_bullet_lines" -> rule(bulletFrac < 0.9),
+      "r_ellipsis_lines" -> rule(ellipsisFrac < 0.3),
+      "r_alpha_words" -> rule(alphaFrac >= 0.8),
+      "r_stopwords" -> rule(stopHits >= 2))
+    df.select(col(idCol) +: rs.map { case (n, e) => e.as(n) } :+
+      rs.map(_._2).reduce(_ && _).as("pass"): _*)
+  }
+
+  /** CCNet perplexity buckets (Wenzek et al. LREC 2020): score every
+    * document with the bigram LM, then split each language into
+    * head / middle / tail at the language's exact perplexity terciles —
+    * the quality tiers CCNet publishes and LLM data recipes sample from.
+    *
+    * The per-doc perplexity proxy is mean nll (nll / n_bigrams, monotone
+    * in true perplexity; left unrounded — both engines divide the same
+    * oracle-exact doubles, and IEEE division is bit-deterministic).
+    * Tercile thresholds are exact interpolated percentiles per language
+    * — an n_langs-row frame broadcast back, so the corpus never
+    * shuffles for the split itself. Bucket boundaries are ulp-robust:
+    * an interpolated threshold either equals a data point exactly
+    * (integer rank or tied neighbors) or falls strictly inside a gap
+    * containing no data, so engine-side interpolation drift cannot flip
+    * any document's bucket. Exact percentile buffers the group — the
+    * `adaptiveQualityGate(exact=false)` percentile_approx swap is the
+    * documented extreme-group variant.
+    */
+  def perplexityBuckets(df: DataFrame, model: DataFrame,
+                        langCol: String = "lang", idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val scored = lmScore(df, model, idCol, textCol)
+      .join(df.select(col(idCol), col(langCol)), Seq(idCol))
+      .withColumn("ppl", col("nll") / col("n_bigrams"))
+    val cuts = scored.groupBy(col(langCol))
+      .agg(percentile(col("ppl"), lit(1.0 / 3)).as("t1"),
+           percentile(col("ppl"), lit(2.0 / 3)).as("t2"))
+    scored.join(broadcast(cuts), Seq(langCol))
+      .select(col(idCol), col(langCol), col("ppl"),
+              when(col("ppl") <= col("t1"), "head")
+                .when(col("ppl") <= col("t2"), "middle")
+                .otherwise("tail").as("bucket"))
+  }
+
+  /** Token-budget corpus sampling: walk the seeded shuffle order and
+    * keep documents while the running token total stays within budget —
+    * "give me exactly ~N tokens of shuffled corpus", the standard way a
+    * training run pins its data size. Emits (id, pos, n_tokens,
+    * cum_tokens ≤ budget).
+    *
+    * The running total is a GLOBAL prefix sum, computed the same way
+    * shuffleOrder assembles its global rank — the naive window cumsum is
+    * a single-partition sort: range-partition the narrow (id, key, n)
+    * frame, local cumsum per partition, add the broadcast per-partition
+    * totals. Integer arithmetic end-to-end, so the oracle is exact by
+    * construction. The keyed frame persists for its two consumers
+    * (census + cumsum; CACHE OWNERSHIP: caller releases).
+    */
+  def tokenBudget(df: DataFrame, budget: Long, seed: String = "0",
+                  idCol: String = "doc_id", textCol: String = "text",
+                  partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0, s"budget must be >= 0 (got $budget)")
+    val p = if (partitions > 0) partitions
+            else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val keyed = df
+      .select(col(idCol),
+              md5(concat_ws("|", lit(seed), col(idCol).cast("string")))
+                .as("__k"),
+              greatest(tokenCount(col(textCol)), lit(0)).cast("long")
+                .as("n_tokens"))
+      .repartitionByRange(p, col("__k"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+    val offsets = keyed.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__n"), sum(col("n_tokens")).as("__t"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(
+        Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__toff", coalesce(sum(col("__t")).over(
+        Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"), col("__toff"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__k"), col(idCol))
+    keyed.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("pos",
+        row_number().over(w).cast("long") + col("__off") - 1L)
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)) + col("__toff"))
+      .filter(col("cum_tokens") <= budget)
+      .select(col(idCol), col("pos"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** All text stats in one projection (one scan pass). */
   def withTextStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** Gopher rule report, CCNet perplexity buckets, token-budget sampling. */
+class CurationRulesSpec extends SparkSpec {
+
+  private val goodText =
+    ("the data and model have converged with " * 8).trim // 64 words, all rules pass
+
+  test("gopherRules: each rule trips on its planted violator") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> goodText,
+      2L -> "too short to pass",                       // word count
+      3L -> (("a b c d e f g h " * 8).trim),           // mean word len < 3
+      4L -> ((goodText + " ") + ("# " * 20).trim),     // symbol ratio
+      5L -> (1 to 60).map(i => s"- bullet $i").mkString("\n"), // bullets
+      6L -> (1 to 60).map(i => s"line $i trails...").mkString("\n"), // ellipsis
+      7L -> (("42 13 " * 30).trim + " the be"),        // alpha-word ratio
+      8L -> (("data model compute scale " * 15).trim), // no 2 stopwords
+      9L -> null.asInstanceOf[String]
+    ).toDF("doc_id", "text")
+    val r = TextOps.gopherRules(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getBoolean(8), "good doc must pass overall")
+    assert(!r(2L).getBoolean(1) && !r(2L).getBoolean(8))
+    assert(!r(3L).getBoolean(2))
+    assert(!r(4L).getBoolean(3))
+    assert(!r(5L).getBoolean(4))
+    assert(!r(6L).getBoolean(5))
+    assert(!r(7L).getBoolean(6))
+    assert(!r(8L).getBoolean(7))
+    // null text: every rule false
+    assert((1 to 8).forall(i => !r(9L).getBoolean(i)))
+  }
+
+  test("perplexityBuckets: per-lang terciles, head = lowest mean nll") {
+    import spark.implicits._
+    val docs = ((1L to 12L).map(i => (i, "en", "the cat sat on the mat")) ++
+      (13L to 18L).map(i => (i, "en", s"rare gram soup $i variant mix")) ++
+      (19L to 30L).map(i => (i, "fr", "le chat dort bien ici"))
+    ).toDF("doc_id", "lang", "text")
+    val out = TextOps.perplexityBuckets(
+      docs, TextOps.lmTrain(docs, minCount = 2L))
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+                 r.getString(3)))
+    // every scored doc lands in exactly one bucket
+    assert(rows.map(_._1).distinct.length === rows.length)
+    assert(rows.forall(r => Set("head", "middle", "tail")(r._4)))
+    // within each lang, every head ppl <= every middle ppl <= every tail
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      val byB: Map[String, Seq[Double]] =
+        g.groupBy(_._4).map { case (k, v) => k -> v.map(_._3).toSeq }
+      val head = byB.getOrElse("head", Seq.empty)
+      val mid = byB.getOrElse("middle", Seq.empty)
+      val tail = byB.getOrElse("tail", Seq.empty)
+      for (h <- head; m <- mid) assert(h <= m)
+      for (m <- mid; t <- tail) assert(m <= t)
+    }
+    // the repeated-template docs are predictable: all of them head/middle,
+    // and the rare-gram docs occupy the tail
+    val en = rows.filter(_._2 == "en")
+    assert(en.filter(_._4 == "tail").forall(_._1 >= 13L))
+  }
+
+  test("tokenBudget: cumulative sums match the naive global window") {
+    import spark.implicits._
+    val docs = (1L to 100L)
+      .map(i => (i, ("w " * (i % 7 + 1).toInt).trim)).toDF("doc_id", "text")
+    val got = TextOps.tokenBudget(docs, budget = 150L, seed = "s",
+                                  partitions = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3))).sortBy(_._2)
+    val naive = docs
+      .select(col("doc_id"),
+              md5(concat_ws("|", lit("s"), col("doc_id").cast("string")))
+                .as("k"),
+              TextOps.tokenCount(col("text")).cast("long").as("n"))
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("k"), col("doc_id"))).cast("long") - 1L)
+      .withColumn("cum", sum(col("n")).over(
+        Window.orderBy(col("k"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cum") <= 150L)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(2),
+                           r.getLong(4))).sortBy(_._2)
+    assert(got.toSeq === naive.toSeq)
+    // the kept prefix is contiguous from pos 0 and within budget
+    assert(got.head._2 === 0L)
+    assert(got.map(_._2).toSeq === (0L until got.length.toLong))
+    assert(got.last._4 <= 150L)
+  }
+
+  test("tokenBudget: zero-token docs hold positions without spending") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, ""), (3L, null.asInstanceOf[String]),
+                   (4L, "d e")).toDF("doc_id", "text")
+    val all = TextOps.tokenBudget(docs, budget = 100L, partitions = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(all.length === 4)
+    assert(all.filter(r => r._1 == 2L || r._1 == 3L).forall(_._2 === 0L))
+    assert(all.map(_._3).max === 5L)
+  }
+}
