@@ -538,6 +538,15 @@ object SparkEntry {
       TextOps.tokenBudget(t(s, dir, "documents"), budget = 10000L,
                           seed = "42")),
 
+    // Data-recipe mix: 50/30/20 of a 1500-token budget across three
+    // sources, each spent along that source's own seed-42 shuffle order
+    // (grouped prefix sums; budgets 750/450/300 land as literals in the
+    // oracle)
+    "q_recipe_mix" -> ((s, dir) =>
+      TextOps.recipeMix(t(s, dir, "documents"),
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+        budget = 1500L, seed = "42")),
+
     // Sequence packing: chunk stream → 512-token bins, sequential within
     // each language (per-key window, never a global sort)
     "q_pack_chunks" -> ((s, dir) => {
@@ -1828,6 +1837,28 @@ object SparkEntry {
         |  FROM tk)
         |SELECT doc_id, pos, n_tokens, cum_tokens
         |FROM o WHERE cum_tokens <= 10000""".stripMargin,
+
+    "q_recipe_mix" ->
+      """WITH r(source, budget_g) AS (
+        |  VALUES ('src0', 750), ('src1', 450), ('src2', 300)),
+        |tk AS (
+        |  SELECT doc_id, source,
+        |         coalesce(len(list_filter(
+        |           string_split_regex(trim(text), '\s+'),
+        |           x -> x <> '')), 0) AS n_tokens
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+        |o AS (
+        |  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id)
+        |           - 1 AS pos_g,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY source
+        |           ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM tk)
+        |SELECT o.doc_id, o.source, o.pos_g, o.n_tokens, o.cum_tokens
+        |FROM o JOIN r ON o.source = r.source
+        |WHERE o.cum_tokens <= r.budget_g""".stripMargin,
 
     "q_pack_chunks" ->
       """WITH tk AS (SELECT doc_id, lang,

@@ -853,6 +853,72 @@ object TextOps {
       .select(col(idCol), col("pos"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Data-recipe execution: give each source its share of a token
+    * budget and keep documents along each source's seeded shuffle order
+    * until that share is spent — the "N% web, M% code, K% books" recipe
+    * step every LLM training run pins its mixture with. Sources absent
+    * from the recipe are dropped; per-source budgets are
+    * round(budget · w_g / Σw) computed driver-side (round, not floor, so
+    * an ulp of weight-sum drift cannot move a boundary).
+    *
+    * The per-group running total generalizes tokenBudget's global prefix
+    * sum: range-partition the narrow (group, key, id, n) frame by
+    * (group, key, id) — each group tiles a contiguous partition span —
+    * then local per-(partition, group) cumsums plus broadcast
+    * per-(partition, group) census offsets reassemble every group's
+    * exact prefix sums. Integer arithmetic end-to-end; the census frame
+    * is ≤ P·G rows and its cumsum windows partition by group (bounded).
+    * The keyed frame persists for its two consumers (CACHE OWNERSHIP:
+    * caller releases). Output: (id, group, pos_g, n_tokens, cum_tokens).
+    */
+  def recipeMix(df: DataFrame, weights: Map[String, Double], budget: Long,
+                groupCol: String = "source", seed: String = "0",
+                idCol: String = "doc_id", textCol: String = "text",
+                partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(weights.nonEmpty, "recipe must name at least one group")
+    require(weights.values.forall(_ > 0), "recipe weights must be > 0")
+    require(budget >= 0, s"budget must be >= 0 (got $budget)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wsum = weights.values.sum
+    val budgets = weights.toSeq
+      .map { case (g, w) => (g, math.round(budget * w / wsum)) }
+      .toDF(groupCol, "budget_g")
+    val p = if (partitions > 0) partitions
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val keyed = df
+      .filter(col(groupCol).isin(weights.keys.toSeq: _*))
+      .select(col(groupCol), col(idCol),
+              md5(concat_ws("|", lit(seed), col(idCol).cast("string")))
+                .as("__k"),
+              greatest(tokenCount(col(textCol)), lit(0)).cast("long")
+                .as("n_tokens"))
+      .repartitionByRange(p, col(groupCol), col("__k"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+    val grpW = Window.partitionBy(col(groupCol)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("__pid"), col(groupCol))
+      .agg(count(lit(1)).as("__n"), sum(col("n_tokens")).as("__t"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(grpW), lit(0L)))
+      .withColumn("__toff", coalesce(sum(col("__t")).over(grpW), lit(0L)))
+      .select(col("__pid"), col(groupCol), col("__off"), col("__toff"))
+    val w = Window.partitionBy(col("__pid"), col(groupCol))
+      .orderBy(col("__k"), col(idCol))
+    keyed.join(broadcast(offsets), Seq("__pid", groupCol))
+      .withColumn("pos_g",
+        row_number().over(w).cast("long") + col("__off") - 1L)
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)) + col("__toff"))
+      .join(broadcast(budgets), Seq(groupCol))
+      .filter(col("cum_tokens") <= col("budget_g"))
+      .select(col(idCol), col(groupCol), col("pos_g"), col("n_tokens"),
+              col("cum_tokens"))
+  }
+
   /** All text stats in one projection (one scan pass). */
   def withTextStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)

@@ -96,6 +96,42 @@ class CurationRulesSpec extends SparkSpec {
     assert(got.last._4 <= 150L)
   }
 
+  test("recipeMix: grouped budgets match naive per-group windows") {
+    import spark.implicits._
+    val docs = (1L to 60L).map { i =>
+      (i, s"s${(i % 3).toInt}", ("t " * (i % 5 + 1).toInt).trim)
+    }.toDF("doc_id", "source", "text")
+    val recipe = Map("s0" -> 0.5, "s1" -> 0.5)
+    val got = TextOps.recipeMix(docs, recipe, budget = 40L, seed = "x",
+                                partitions = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4)))
+      .sortBy(x => (x._2, x._3))
+    // s2 is not in the recipe: dropped entirely
+    assert(got.forall(_._2 != "s2"))
+    val naive = docs.filter(col("source").isin("s0", "s1"))
+      .select(col("doc_id"), col("source"),
+              md5(concat_ws("|", lit("x"), col("doc_id").cast("string")))
+                .as("k"),
+              TextOps.tokenCount(col("text")).cast("long").as("n"))
+      .withColumn("pos_g", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("k"), col("doc_id")))
+          .cast("long") - 1L)
+      .withColumn("cum", sum(col("n")).over(
+        Window.partitionBy(col("source")).orderBy(col("k"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cum") <= 20L) // round(40 * 0.5 / 1.0) per group
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(4), r.getLong(5)))
+      .sortBy(x => (x._2, x._3))
+    assert(got.toSeq === naive.toSeq)
+    // each group walks its own order from pos 0 and stays within budget
+    got.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).toSeq === (0L until g.length.toLong))
+      assert(g.map(_._4).max <= 20L)
+    }
+  }
+
   test("tokenBudget: zero-token docs hold positions without spending") {
     import spark.implicits._
     val docs = Seq((1L, "a b c"), (2L, ""), (3L, null.asInstanceOf[String]),
