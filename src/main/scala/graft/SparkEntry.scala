@@ -547,6 +547,23 @@ object SparkEntry {
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
         budget = 1500L, seed = "42")),
 
+    // Balanced shard export: 8 equal-token shards along the seed-42
+    // shuffle order, written as partition dirs, census read back from
+    // disk (token-mass boundaries — doc-count striping would let long
+    // docs unbalance shards)
+    "q_shard_export" -> ((s, dir) => {
+      val path = scratch(dir, "shard_export")
+      val docs = t(s, dir, "documents")
+      val assigned = TextOps.shardAssign(docs, nShards = 8, seed = "42")
+      Sinks.writePartitioned(
+        assigned.join(docs.select(col("doc_id"), col("text")), Seq("doc_id")),
+        "shard", path)
+      s.read.parquet(path)
+        // the partition dir reads back as int; the oracle census is long
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    }),
+
     // Sequence packing: chunk stream → 512-token bins, sequential within
     // each language (per-key window, never a global sort)
     "q_pack_chunks" -> ((s, dir) => {
@@ -1859,6 +1876,27 @@ object SparkEntry {
         |SELECT o.doc_id, o.source, o.pos_g, o.n_tokens, o.cum_tokens
         |FROM o JOIN r ON o.source = r.source
         |WHERE o.cum_tokens <= r.budget_g""".stripMargin,
+
+    "q_shard_export" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         coalesce(len(list_filter(
+        |           string_split_regex(trim(text), '\s+'),
+        |           x -> x <> '')), 0) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |         CAST(coalesce(sum(n_tokens) OVER (
+        |           ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS cum_before,
+        |         CAST((SELECT sum(n_tokens) FROM tk) AS BIGINT) AS total
+        |  FROM tk)
+        |SELECT least(cum_before * 8 // total, 7) AS shard,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM o
+        |GROUP BY 1""".stripMargin,
 
     "q_pack_chunks" ->
       """WITH tk AS (SELECT doc_id, lang,

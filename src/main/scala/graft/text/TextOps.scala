@@ -919,6 +919,64 @@ object TextOps {
               col("cum_tokens"))
   }
 
+  /** Balanced shard assignment: split the seeded shuffle order into
+    * nShards contiguous runs of ~equal TOKEN mass — the final layout
+    * step before training ("write 1024 shards a loader can stream
+    * round-robin"). Shard of a document = floor(cum_before · n / total),
+    * clamped to n−1: token-mass boundaries, so shard sizes differ by at
+    * most one document's tokens regardless of document-length skew
+    * (doc-count striping would let a few long documents unbalance
+    * shards). All-Long arithmetic — cum·n at 100 TB-scale token counts
+    * (~1e14) times practical shard counts stays far inside Long range —
+    * so the oracle is exact by construction.
+    *
+    * Rides the tokenBudget prefix-sum skeleton (range partitions +
+    * broadcast census offsets; the corpus text never moves) plus one
+    * 1-row total broadcast. Output: (id, shard, n_tokens). Feed to
+    * `Sinks.writePartitioned(..., "shard", path)` for the on-disk
+    * layout; a shard is a planning-time partition dir for any
+    * downstream reader.
+    */
+  def shardAssign(df: DataFrame, nShards: Int, seed: String = "0",
+                  idCol: String = "doc_id", textCol: String = "text",
+                  partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards >= 1, s"nShards must be >= 1 (got $nShards)")
+    val p = if (partitions > 0) partitions
+            else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val keyed = df
+      .select(col(idCol),
+              md5(concat_ws("|", lit(seed), col(idCol).cast("string")))
+                .as("__k"),
+              greatest(tokenCount(col(textCol)), lit(0)).cast("long")
+                .as("n_tokens"))
+      .repartitionByRange(p, col("__k"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+    val offsets = keyed.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("__t"))
+      .withColumn("__toff", coalesce(sum(col("__t")).over(
+        Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__toff"))
+    val total = keyed.agg(sum(col("n_tokens")).as("__total"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__k"), col(idCol))
+    keyed.join(broadcast(offsets), Seq("__pid"))
+      .crossJoin(broadcast(total))
+      .withColumn("__cum_before",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) +
+          col("__toff"))
+      // `div`, not `/`: Spark's / is always double division, and a
+      // floor(double) round-trip loses exactness past 2^53 — integral
+      // long division is what keeps the boundary oracle-exact at scale
+      .withColumn("shard", coalesce(least(
+        expr(s"(__cum_before * ${nShards.toLong}L) div __total"),
+        lit(nShards.toLong - 1)), lit(0L)))
+      .select(col(idCol), col("shard"), col("n_tokens"))
+  }
+
   /** All text stats in one projection (one scan pass). */
   def withTextStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val c = col(textCol)

@@ -132,6 +132,38 @@ class CurationRulesSpec extends SparkSpec {
     }
   }
 
+  test("shardAssign: contiguous runs, token-balanced within one doc") {
+    import spark.implicits._
+    val docs = (1L to 200L)
+      .map(i => (i, ("w " * (i % 9 + 1).toInt).trim)).toDF("doc_id", "text")
+    val n = 8
+    val out = TextOps.shardAssign(docs, n, seed = "s", partitions = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 200)
+    assert(out.map(_._2).toSet === (0L until n.toLong).toSet)
+    // shards are contiguous runs of the shuffle order
+    val keyOf = docs
+      .select(col("doc_id"),
+              md5(concat_ws("|", lit("s"), col("doc_id").cast("string")))
+                .as("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ordered = out.sortBy(x => (keyOf(x._1), x._1))
+    assert(ordered.map(_._2).toSeq === ordered.map(_._2).sorted.toSeq)
+    // token balance: every shard within one max-doc-tokens of total/n
+    val total = out.map(_._3).sum
+    val maxDoc = out.map(_._3).max
+    val byShard = out.groupBy(_._2).map { case (_, g) => g.map(_._3).sum }
+    byShard.foreach { s =>
+      assert(math.abs(s - total.toDouble / n) <= maxDoc + 1)
+    }
+    // shard boundary formula matches the naive exclusive-cumsum rule
+    var cum = 0L
+    ordered.foreach { case (_, shard, nt) =>
+      assert(shard === math.min(cum * n / total, n - 1L))
+      cum += nt
+    }
+  }
+
   test("tokenBudget: zero-token docs hold positions without spending") {
     import spark.implicits._
     val docs = Seq((1L, "a b c"), (2L, ""), (3L, null.asInstanceOf[String]),
