@@ -665,6 +665,15 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // Line-granular cross-document dedup (the CCNet/RefinedWeb
+    // boilerplate pass): a whole line occurring in ≥ 2 distinct docs
+    // keeps only its global first occurrence (min doc, min pos); docs
+    // reassemble in line order. Oracle-exact including the reassembled
+    // text (the q_span_removal precedent).
+    "q_line_dedup" -> ((s, dir) =>
+      DedupOps.lineDedup(t(s, dir, "documents"), "doc_id", "text",
+                         minDocs = 2)),
+
     // Duplicate CLUSTERS: near-dup pairs (LSH sketch path) → alternating
     // large-star/small-star connected components → per-cluster canonical
     // member + sorted member list. Closes the dedup loop: pairs alone
@@ -730,6 +739,15 @@ object SparkEntry {
     "q_cosine_pairs" -> ((s, dir) =>
       SimilarityOps.cosinePairs(t(s, dir, "embeddings"),
                                 "vec_id", "embedding", tau = 0.45)),
+
+    // SemDeDup (Abbas et al. 2023): seed-codebook clusters bound the
+    // pairwise cosine search; within each duplicate component the member
+    // with the LOWEST centroid cosine survives (the paper's keep rule).
+    // Oracle recomputes assignment + within-list pairs + recursive
+    // closure + keep rule in DuckDB.
+    "q_semdedup" -> ((s, dir) =>
+      SimilarityOps.semDeDup(t(s, dir, "embeddings"), "vec_id", "embedding",
+                             tau = 0.45, nlist = 4)),
 
     // LSH-bucketed ANN (scale path; recall measured in spec, no oracle)
     "q_ann_topk" -> ((s, dir) =>
@@ -2010,6 +2028,36 @@ object SparkEntry {
         |       clean_text
         |FROM clean""".stripMargin),
 
+    "q_line_dedup" ->
+      """WITH lines AS (
+        |  SELECT doc_id,
+        |    CAST(generate_subscripts(string_split(text, chr(10)), 1) - 1
+        |      AS BIGINT) AS pos,
+        |    unnest(string_split(text, chr(10))) AS line
+        |  FROM documents),
+        |stats AS (SELECT line, min(doc_id) AS fd
+        |          FROM lines GROUP BY 1
+        |          HAVING count(DISTINCT doc_id) >= 2),
+        |fp AS (SELECT s.line, s.fd, min(l.pos) AS fpos
+        |       FROM stats s JOIN lines l
+        |         ON l.line = s.line AND l.doc_id = s.fd
+        |       GROUP BY 1, 2),
+        |kept AS (SELECT l.doc_id, l.pos, l.line
+        |         FROM lines l LEFT JOIN fp f ON l.line = f.line
+        |         WHERE f.line IS NULL
+        |            OR (l.doc_id = f.fd AND l.pos = f.fpos)),
+        |ka AS (SELECT doc_id, count(*) AS n_kept,
+        |              string_agg(line, chr(10) ORDER BY pos) AS clean
+        |       FROM kept GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(len(string_split(d.text, chr(10))) AS BIGINT)
+        |         AS n_lines,
+        |       CAST(len(string_split(d.text, chr(10)))
+        |            - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+        |       CASE WHEN d.text IS NULL THEN NULL
+        |            ELSE coalesce(k.clean, '') END AS clean_text
+        |FROM documents d LEFT JOIN ka k ON k.doc_id = d.doc_id""".stripMargin,
+
     "q_cosine_topk" ->
       """WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
         |                     generate_subscripts(embedding,1) AS i
@@ -2039,6 +2087,55 @@ object SparkEntry {
         |FROM dots JOIN norms na ON na.vec_id = id_a
         |          JOIN norms nb ON nb.vec_id = id_b
         |WHERE dot/(na.nrm*nb.nrm) >= 0.45""".stripMargin,
+
+    "q_semdedup" ->
+      ("""WITH RECURSIVE flat AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |         generate_subscripts(embedding,1) AS i
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM flat GROUP BY 1),
+        |seeds AS (SELECT vec_id AS cid,
+        |            CAST(row_number() OVER (ORDER BY vec_id) - 1
+        |              AS INTEGER) AS list_id
+        |          FROM (SELECT vec_id FROM embeddings
+        |                ORDER BY vec_id LIMIT 4)),
+        |cflat AS (SELECT s.list_id, f.i, f.v
+        |          FROM seeds s JOIN flat f ON f.vec_id = s.cid),
+        |cnorm AS (SELECT s.list_id, n.nrm
+        |          FROM seeds s JOIN norms n ON n.vec_id = s.cid),
+        |csim AS (SELECT f.vec_id, c.list_id,
+        |           round(sum(f.v*c.v) / (max(n.nrm) * max(cn.nrm)), 6) AS s
+        |         FROM flat f JOIN cflat c ON c.i = f.i
+        |              JOIN norms n ON n.vec_id = f.vec_id
+        |              JOIN cnorm cn ON cn.list_id = c.list_id
+        |         GROUP BY 1,2),
+        |assign AS (SELECT vec_id, list_id, s FROM (
+        |             SELECT vec_id, list_id, s,
+        |                    row_number() OVER (PARTITION BY vec_id
+        |                      ORDER BY s DESC, list_id ASC) AS rn
+        |             FROM csim) WHERE rn = 1),
+        |dots AS (SELECT fa.vec_id AS id_a, fb.vec_id AS id_b,
+        |                sum(fa.v*fb.v) AS dot
+        |         FROM flat fa JOIN flat fb
+        |           ON fa.i = fb.i AND fa.vec_id < fb.vec_id
+        |         GROUP BY 1,2),
+        |pairs AS (SELECT d.id_a, d.id_b
+        |          FROM dots d
+        |          JOIN norms na ON na.vec_id = d.id_a
+        |          JOIN norms nb ON nb.vec_id = d.id_b
+        |          JOIN assign aa ON aa.vec_id = d.id_a
+        |          JOIN assign ab ON ab.vec_id = d.id_b
+        |          WHERE aa.list_id = ab.list_id
+        |            AND d.dot/(na.nrm*nb.nrm) >= 0.45),
+        |""".stripMargin +
+        closureCtes("pairs") + """,
+        |comp AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id),
+        |mem AS (SELECT c.id, c.comp, a.list_id, a.s
+        |        FROM comp c JOIN assign a ON a.vec_id = c.id)
+        |SELECT id AS vec_id, list_id, comp, s AS cent_sim,
+        |       row_number() OVER (PARTITION BY comp
+        |                          ORDER BY s ASC, id ASC) = 1 AS kept
+        |FROM mem""".stripMargin),
 
     "q_stream_rollup" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')

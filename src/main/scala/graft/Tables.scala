@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Central loader for the driver-generated testdata tables (TESTDATA.md).
   * One parquet file per table under the scale-factor dir passed by the
@@ -33,11 +33,18 @@ object Tables {
     if (spark.conf.getOption(NanosConf).forall(_ != "true"))
       spark.conf.set(NanosConf, "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
+    if (name == "events") df.schema("ts").dataType match {
       // `div` = integral division: ns/1000 through a double would round
       // (ns epoch values exceed the 53-bit mantissa) and can cross a
       // µs/ms boundary; floor-truncation matches DuckDB's behavior.
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // tz-less parquet µs timestamps read as TIMESTAMP_NTZ under Spark
+      // 4's inferTimestampNTZ default; normalize to TimestampType (the
+      // session TZ is pinned UTC, so the cast reinterprets the same
+      // wall-clock DuckDB's naive µs arithmetic sees) — watermarks and
+      // every window/bucket op require the LTZ type.
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    } else df
   }
 }

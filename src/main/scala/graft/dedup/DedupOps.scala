@@ -618,4 +618,68 @@ object DedupOps {
               col("a.pos").as("pa"), (col("a.pos") - col("b.pos")).as("diag"))
     spansFromAnchors(anchors, n, minLen)
   }
+
+  /** Line-granular cross-document dedup — the CCNet/RefinedWeb
+    * boilerplate pass (Wenzek et al. 2020 §3.1 dedups paragraph hashes
+    * across shards; Penedo et al. 2023 §3.3 repeats it line-wise):
+    * headers, cookie banners and navigation chrome repeat VERBATIM as
+    * whole lines across millions of pages, a shape document-level
+    * near-dup can't touch (each page is otherwise unique). A line
+    * occurring in >= `minDocs` DISTINCT documents keeps exactly its
+    * first occurrence — (min doc, then min position) — and every other
+    * occurrence corpus-wide is cut; lines below the threshold (and
+    * intra-doc repeats inside one document, which `dupLineFraction`
+    * gates separately) are untouched. Docs are reassembled in line
+    * order; a doc whose every line is cut survives as "" (census
+    * visible), and a null text stays null. Returns
+    * (id, n_lines, n_removed, clean_text) for EVERY input doc.
+    *
+    * Scale shape: the duplicate-line stats aggregate shuffles 16-byte
+    * line hashes, never line bytes; the line bytes themselves ride two
+    * bounded exchanges (the stats join keyed by hash, then the per-doc
+    * reassembly) — the same one-exchange-per-stage budget as
+    * removeSharedSpans, with map-side combine on both aggregates.
+    */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+                minDocs: Int = 2): DataFrame = {
+    val parts = docs.sparkSession.sparkContext.defaultParallelism
+    // pos is 0-based; split with limit -1 keeps trailing empty lines so
+    // "a\n" round-trips as ["a", ""] (the SQL twin's string_split shape)
+    val lines = docs
+      .repartition(parts, col(idCol)) // single-file inputs: spread the scan
+      .select(col(idCol),
+              posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+      .withColumn("lh", md5(col("line")))
+    // one aggregate keyed by the hash: document frequency + the global
+    // first occurrence as a lexicographic struct-min (min doc, min pos
+    // within it) — only lines at/over the threshold survive the filter,
+    // so the join side below is bounded by real boilerplate volume
+    val stats = lines
+      .groupBy(col("lh"))
+      .agg(countDistinct(col(idCol)).as("df"),
+           min(struct(col(idCol).as("d"), col("pos").as("p"))).as("first"))
+      .filter(col("df") >= minDocs)
+      .select(col("lh"), col("first"))
+    val kept = lines.join(stats, Seq("lh"), "left_outer")
+      .filter(col("first").isNull ||
+              (col(idCol) === col("first.d") && col("pos") === col("first.p")))
+    val cleanAgg = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+           array_join(
+             transform(
+               array_sort(collect_list(struct(col("pos"), col("line")))),
+               e => e.getField("line")),
+             "\n").as("clean"))
+    docs.select(col(idCol),
+                col(textCol),
+                size(split(col(textCol), "\n", -1)).cast("long")
+                  .as("n_lines"))
+      .join(cleanAgg, Seq(idCol), "left_outer")
+      .select(col(idCol),
+              col("n_lines"),
+              (col("n_lines") - coalesce(col("n_kept"), lit(0L)))
+                .as("n_removed"),
+              when(col(textCol).isNotNull, coalesce(col("clean"), lit("")))
+                .as("clean_text"))
+  }
 }

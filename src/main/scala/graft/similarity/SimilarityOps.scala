@@ -189,6 +189,71 @@ object SimilarityOps {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup at
+    * corpus scale. Clusters bound the pairwise search — cosine pairs form
+    * only WITHIN a cluster, so the join is Σ cluster² instead of n²
+    * (cosinePairs' documented quadratic contract), with recall loss only
+    * for near-dup pairs split across cluster boundaries (the paper
+    * accepts the same trade). Within each duplicate component the member
+    * with the LOWEST cosine to its own cluster centroid survives — the
+    * paper's diversity-preserving keep rule (keep the atypical example,
+    * drop the redundant core); ties break on id.
+    *
+    * `cents` defaults to the deterministic seed codebook, making the
+    * whole decision SQL-derivable (the oracle recomputes assignment,
+    * within-list pairs, closure, and the keep rule); production passes
+    * `ivfTrain(...)` output instead — same plan, trained clusters.
+    *
+    * Assignment is the zero-shuffle ivfAssignTo shape (folded broadcast
+    * codebook, per-row argmax) but over ROUNDED (1e-6) centroid sims:
+    * the argmax is then engine-portable — a sub-ulp dot difference
+    * cannot flip the winning list unless two centroids tie at 1e-6,
+    * which the deterministic list_id order then breaks. A degenerate
+    * (zero-norm) vector keeps the (-2.0, list 0) init and, having null
+    * cosine to everything, can never enter a component — it is
+    * implicitly kept, like every other pairless doc.
+    *
+    * Returns every member of a duplicate component:
+    * (id, list_id, comp, cent_sim, kept); docs in no component are
+    * implicitly kept and not emitted (output bounded by real duplicate
+    * volume, not corpus size).
+    */
+  def semDeDup(emb: DataFrame, idCol: String, vecCol: String,
+               tau: Double, nlist: Int,
+               cents: Option[DataFrame] = None): DataFrame = {
+    val cb = foldIvfCodebook(cents.getOrElse(
+      seedCentroids(emb, idCol, vecCol, nlist)))
+    val best = aggregate(
+      transform(col("__cb"), e =>
+        struct(e.getField("l").as("l"),
+               round(cosineSim(col(vecCol), e.getField("c")), 6).as("s"))),
+      struct(lit(0).as("l"), lit(-2.0).as("s")),
+      (acc, p) =>
+        when(p.getField("s") > acc.getField("s"), p).otherwise(acc))
+    val assigned = emb.crossJoin(broadcast(cb))
+      .select(col(idCol), col(vecCol),
+              best.getField("l").as("list_id"),
+              best.getField("s").as("cent_sim"))
+    val a = assigned.select(col("list_id"), col(idCol).as("id_a"),
+                            col(vecCol).as("va"))
+    val b = assigned.select(col("list_id").as("__lb"),
+                            col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val pairs = a
+      .join(b, col("list_id") === col("__lb") && col("id_a") < col("id_b"))
+      .filter(cosineSim(col("va"), col("vb")) >= tau)
+      .select(col("id_a"), col("id_b"))
+    val comps = graft.dedup.ConnectedComponents
+      .connectedComponents(pairs, "id_a", "id_b", assumeDistinct = true)
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(col("cent_sim").asc, col("id").asc)
+    comps
+      .join(assigned.select(col(idCol).as("id"), col("list_id"),
+                            col("cent_sim")), "id")
+      .withColumn("kept", row_number().over(w) === 1)
+      .select(col("id").as(idCol), col("list_id"), col("comp"),
+              col("cent_sim"), col("kept"))
+  }
+
   /** Deterministic seed codebook: the `nlist` lowest-id vectors, ranked
     * into list ids 0..nlist-1. The global window runs over nlist rows
     * only, never the data.

@@ -323,4 +323,57 @@ class SimilaritySpec extends SparkSpec {
     val f = fused.as[(Long, Option[Seq[Double]])].collect().sortBy(_._1)
     assert(l === f)
   }
+
+  test("semDeDup: paper keep rule on planted clusters — lowest centroid " +
+       "cosine survives; pairless and cross-cluster docs not emitted") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),    // seed → list 0 (centroid)
+      (1L, Array(0.0f, 1.0f, 0.0f)),    // seed → list 1 (centroid)
+      (2L, Array(0.99f, 0.14f, 0.0f)),  // list 0, ~dup of 0
+      (3L, Array(0.98f, 0.199f, 0.0f)), // list 0, ~dup of 0 and 2 (farthest)
+      (4L, Array(0.0f, 1.0f, 0.05f)),   // list 1, ~dup of 1
+      (5L, Array(0.3f, 0.3f, 0.9f)),    // pairless (off-plane) → not emitted
+      (6L, Array(0.72f, 0.69f, 0.0f)),  // list 0 ─┐ cosine ≈ .999 but split
+      (7L, Array(0.69f, 0.72f, 0.0f))   // list 1 ─┘ across lists → no pair
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps
+      .semDeDup(vecs, "vec_id", "embedding", tau = 0.95, nlist = 2)
+      .orderBy($"vec_id")
+      .as[(Long, Int, Long, Double, Boolean)].collect().toSeq
+    assert(got.map(_._1) === Seq(0L, 1L, 2L, 3L, 4L))
+    // component {0,2,3} on list 0: id 3 has the LOWEST centroid cosine
+    val c0 = got.filter(_._3 == 0L)
+    assert(c0.map(r => r._1 -> r._5).toMap ===
+           Map(0L -> false, 2L -> false, 3L -> true))
+    assert(c0.map(_._2).distinct === Seq(0))
+    // component {1,4} on list 1: id 4 is farther from the centroid
+    val c1 = got.filter(_._3 == 1L)
+    assert(c1.map(r => r._1 -> r._5).toMap ===
+           Map(1L -> false, 4L -> true))
+    // centroid sims are the rounded argmax values, descending with
+    // distance from the seed
+    val sims = got.map(r => r._1 -> r._4).toMap
+    assert(sims(0L) === 1.0 && sims(2L) < 1.0 && sims(3L) < sims(2L))
+  }
+
+  test("semDeDup with nlist=1 equals the global cosinePairs component " +
+       "structure and argmin-centroid election") {
+    val tau = 0.45
+    val pairs = SimilarityOps.cosinePairs(emb, "vec_id", "embedding", tau)
+    val comps = graft.dedup.ConnectedComponents
+      .connectedComponents(pairs, "id_a", "id_b", assumeDistinct = true)
+      .as[(Long, Long)].collect().toMap
+    val got = SimilarityOps
+      .semDeDup(emb, "vec_id", "embedding", tau, nlist = 1)
+      .as[(Long, Int, Long, Double, Boolean)].collect()
+    assert(got.map(r => r._1 -> r._3).toMap === comps)
+    assert(got.forall(_._2 == 0))
+    // exactly one keeper per component, and it's the argmin by
+    // (cent_sim, id)
+    got.groupBy(_._3).foreach { case (_, members) =>
+      val keeper = members.minBy(r => (r._4, r._1))
+      assert(members.count(_._5) === 1)
+      assert(members.find(_._5).get._1 === keeper._1)
+    }
+  }
 }

@@ -220,4 +220,51 @@ class TextDedupSpec extends SparkSpec {
     val r = DedupOps.exactStats(df, "text").as[(Long, Long)].head()
     assert(r === ((3L, 2L)))
   }
+
+  test("lineDedup: cross-doc boilerplate keeps only the global first " +
+       "occurrence; below-threshold and intra-doc repeats untouched") {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nunique one\nCOOKIE BANNER"),  // first occ + intra-doc repeat
+      (2L, "unique two\nCOOKIE BANNER\nonly here"),      // later occ → cut
+      (3L, "COOKIE BANNER\nunique three"),               // later occ → cut
+      (4L, "solo line\nsolo line two")                   // nothing duplicated
+    ).toDF("doc_id", "text")
+    val got = DedupOps.lineDedup(docs, "doc_id", "text", minDocs = 2)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got(0) === ((1L, 3L, 1L, "COOKIE BANNER\nunique one")))
+    assert(got(1) === ((2L, 3L, 1L, "unique two\nonly here")))
+    assert(got(2) === ((3L, 2L, 1L, "unique three")))
+    assert(got(3) === ((4L, 2L, 0L, "solo line\nsolo line two")))
+    // doc 1's intra-doc repeat at pos 2 is cut only because the LINE is
+    // cross-doc duplicated (global first = doc 1 pos 0); a line repeated
+    // inside ONE doc but nowhere else stays (df counts DISTINCT docs)
+    val intra = Seq((1L, "x\nx"), (2L, "y")).toDF("doc_id", "text")
+    val keep = DedupOps.lineDedup(intra, "doc_id", "text", minDocs = 2)
+      .filter($"doc_id" === 1L).select($"clean_text").as[String].head()
+    assert(keep === "x\nx")
+  }
+
+  test("lineDedup: fully-boilerplate doc survives empty; null text " +
+       "stays null; second pass is a no-op") {
+    val docs = Seq(
+      (1L, "dup a\ndup b"),
+      (2L, "dup a\ndup b"), // every line cut → ""
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = DedupOps.lineDedup(docs, "doc_id", "text", minDocs = 2)
+    val got = out.orderBy($"doc_id")
+      .as[(Long, Option[Long], Option[Long], Option[String])]
+      .collect().toSeq
+    assert(got(0) === ((1L, Some(2L), Some(0L), Some("dup a\ndup b"))))
+    assert(got(1) === ((2L, Some(2L), Some(2L), Some(""))))
+    assert(got(2) === ((3L, None, None, None)))
+    // after one pass every surviving line value occurs at most once
+    // corpus-wide, so a second pass removes nothing
+    val again = DedupOps.lineDedup(
+      out.filter($"clean_text".isNotNull)
+        .select($"doc_id", $"clean_text".as("text")),
+      "doc_id", "text", minDocs = 2)
+    assert(again.agg(sum($"n_removed")).as[Long].head() === 0L)
+  }
 }
