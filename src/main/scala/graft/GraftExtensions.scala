@@ -83,12 +83,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(e, "vector_sum",
       "vector_sum(vec) - elementwise sum of float/double arrays per group",
       1) { exprs => VectorSum(exprs.head) }
+    register(e, "bloom_agg",
+      "bloom_agg(hash, numBits, k) - OR-fold bigint hashes into a Bloom bitset",
+      3) { exprs =>
+        BloomFilterAgg(exprs.head,
+          GraftExtensions.longLiteral(exprs(1), "bloom_agg numBits"),
+          GraftExtensions.intLiteral(exprs(2), "bloom_agg k"))
+    }
+    register(e, "bloom_hit_count",
+      "bloom_hit_count(hashes, words, k) - #hashes whose k probe bits are all set",
+      3) { exprs =>
+        BloomHitCount(exprs(0), exprs(1),
+          GraftExtensions.intLiteral(exprs(2), "bloom_hit_count k"))
+    }
   }
 }
 
 object GraftExtensions {
   private def intLiteral(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def longLiteral(e: Expression, what: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
   }

@@ -632,6 +632,19 @@ object SparkEntry {
                              "doc_id", "text", n = 30)
     }),
 
+    // Bloom-screened decontamination: same contract as q_decontaminate
+    // (bit-identical result — the screen has no false negatives and the
+    // exact verify removes its false positives), but the reference gram
+    // set folds to Bloom BITS (~10/gram) instead of precise 64-bit
+    // hashes — the corpus-vs-corpus / blocklist scale path. Shares
+    // q_decontaminate's oracle SQL verbatim.
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DedupOps.contaminationScreened(docs.filter(col("source") =!= "src0"),
+                                     docs.filter(col("source") === "src0"),
+                                     "doc_id", "text", n = 30)
+    }),
+
     // Span-granular decontamination: the exact verbatim spans corpus
     // docs share with the src0 "benchmark" slice — the surgical cut
     // list (removeSharedSpans shape) where q_decontaminate only flags
@@ -1960,17 +1973,9 @@ object SparkEntry {
         |       count(DISTINCT o_orderstatus) AS n_status
         |FROM orders""".stripMargin,
 
-    "q_decontaminate" ->
-      """WITH idx AS (SELECT unnest(range(1,
-        |    (SELECT CAST(max(len(text)) AS BIGINT) FROM documents))) AS i),
-        |sh AS (SELECT DISTINCT doc_id, source,
-        |              substr(text, CAST(i AS INTEGER), 30) AS s
-        |       FROM documents JOIN idx ON i <= len(text)-29),
-        |bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0')
-        |SELECT c.doc_id, count(*) AS shared
-        |FROM sh c JOIN bench b ON c.s = b.s
-        |WHERE c.source <> 'src0'
-        |GROUP BY 1""".stripMargin,
+    "q_decontaminate" -> decontaminateOracle,
+    // bit-identical contract: screen + exact verify ≡ the exact join
+    "q_decontaminate_bloom" -> decontaminateOracle,
 
     "q_substring_dedup" ->
       ("WITH " + spanCtes(25, "documents", "documents",
@@ -2646,6 +2651,23 @@ object SparkEntry {
     * key's decimal string — the same closure truth as the cluster
     * oracle, then the trainSplit hex-digit partition on the cluster key.
     */
+  /** Shared by q_decontaminate and q_decontaminate_bloom — the Bloom
+    * screen is contract-identical to the exact join, so one oracle
+    * definition serves both (the spanCtes/curateKeptCtes no-drift
+    * discipline).
+    */
+  private val decontaminateOracle: String =
+    """WITH idx AS (SELECT unnest(range(1,
+      |    (SELECT CAST(max(len(text)) AS BIGINT) FROM documents))) AS i),
+      |sh AS (SELECT DISTINCT doc_id, source,
+      |              substr(text, CAST(i AS INTEGER), 30) AS s
+      |       FROM documents JOIN idx ON i <= len(text)-29),
+      |bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0')
+      |SELECT c.doc_id, count(*) AS shared
+      |FROM sh c JOIN bench b ON c.s = b.s
+      |WHERE c.source <> 'src0'
+      |GROUP BY 1""".stripMargin
+
   private val clusterSplitOracle: String =
     jaccardPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +
       closureCtes("pairs") +

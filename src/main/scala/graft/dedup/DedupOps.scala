@@ -385,6 +385,63 @@ object DedupOps {
       .filter(col("shared") >= minShared)
   }
 
+  /** Corpus-vs-corpus decontamination with a BLOOM SCREEN — the shape
+    * `contamination` takes when the reference side is itself too big
+    * for a precise broadcast (another corpus, a web-scale blocklist:
+    * 10⁹ grams = 8 GB of sorted hashes vs ~1.2 GB of Bloom bits at
+    * k=7, 10 bits/gram ≈ 1% fpp). Two phases:
+    *
+    *  1. SCREEN (zero corpus shuffle): the reference gram set OR-folds
+    *     into one Bloom bitset row (distributed build — map-side
+    *     partial bitsets merge by OR, the elements never collect
+    *     anywhere), broadcast; each corpus doc counts its gram hits
+    *     against the bits in one codegen'd pass. No false negatives,
+    *     so docs below `minShared` hits are PROVABLY clean and exit
+    *     here — at real contamination rates that is 99%+ of the corpus.
+    *  2. VERIFY (exact, candidates only): surviving docs re-join their
+    *     grams against the true reference gram set — a shuffle join
+    *     bounded by candidate volume, NOT corpus volume — removing the
+    *     screen's false positives.
+    *
+    * Result ≡ `contamination(corpus, reference, ...)` exactly; the
+    * Bloom parameters trade only intermediate candidate volume. The
+    * filter is sized from a one-number count action (`bitsPerGram` ×
+    * distinct grams, rounded up to words); fpp ≈ (1−e^(−k/bits))^k ≈
+    * 0.8% at the defaults.
+    */
+  def contaminationScreened(corpus: DataFrame, reference: DataFrame,
+                            idCol: String, textCol: String, n: Int,
+                            minShared: Long = 1L, bitsPerGram: Int = 10,
+                            k: Int = 7): DataFrame = {
+    import graft.functions.BloomExpressions
+    val refGrams = reference
+      .select(explode(ShingleExpressions.shingleHashes(col(textCol), n))
+        .as("sh"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+    // one scalar action sizes the filter; the gram set is already
+    // persisted for its two real consumers (bitset build, exact verify)
+    val m = math.max(refGrams.count(), 1L)
+    val numBits = math.max(64L, ((m * bitsPerGram + 63L) / 64L) * 64L)
+    val bloom = refGrams.agg(
+      BloomExpressions.bloomAgg(col("sh"), numBits, k).as("__bloom"))
+    val cand = corpus
+      .crossJoin(broadcast(bloom))
+      .filter(BloomExpressions.bloomHitCount(
+          ShingleExpressions.shingleHashes(col(textCol), n),
+          col("__bloom"), k) >= minShared)
+      .select(col(idCol), col(textCol))
+    cand
+      .select(col(idCol),
+              explode(ShingleExpressions.shingleHashes(col(textCol), n))
+                .as("sh"))
+      .join(refGrams, "sh") // NOT broadcast: the reference is big by premise
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** MinHash signature over STRING shingles: k hash slots from one base
     * xxhash64 per shingle, slot i = min over the set of (h·A_i + B_i) —
     * see graft.functions.MinHashSig (native, codegen'd, single pass).
