@@ -96,6 +96,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BloomHitCount(exprs(0), exprs(1),
           GraftExtensions.intLiteral(exprs(2), "bloom_hit_count k"))
     }
+    register(e, "cms_agg",
+      "cms_agg(hash, depth, width) - count-min sketch of bigint hashes",
+      3) { exprs =>
+        CmsAgg(exprs.head,
+          GraftExtensions.intLiteral(exprs(1), "cms_agg depth"),
+          GraftExtensions.intLiteral(exprs(2), "cms_agg width"))
+    }
+    register(e, "cms_estimate",
+      "cms_estimate(sketch, hash, depth, width) - min-over-rows count estimate",
+      4) { exprs =>
+        CmsEstimate(exprs(0), exprs(1),
+          GraftExtensions.intLiteral(exprs(2), "cms_estimate depth"),
+          GraftExtensions.intLiteral(exprs(3), "cms_estimate width"))
+    }
   }
 }
 

@@ -678,6 +678,13 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // Heavy-hitter 12-char grams by document frequency (boilerplate
+    // DISCOVERY): CMS screen + exact verify — result EXACT, the sketch
+    // only prunes, so the plain group-count oracle matches hash-exact.
+    "q_heavy_grams" -> ((s, dir) =>
+      DedupOps.heavyGrams(t(s, dir, "documents"), "doc_id", "text",
+                          n = 12, minDf = 10L)),
+
     // Line-granular cross-document dedup (the CCNet/RefinedWeb
     // boilerplate pass): a whole line occurring in ≥ 2 distinct docs
     // keeps only its global first occurrence (min doc, min pos); docs
@@ -2032,6 +2039,15 @@ object SparkEntry {
         |       CAST(orig_len - len(clean_text) AS BIGINT) AS removed_chars,
         |       clean_text
         |FROM clean""".stripMargin),
+
+    "q_heavy_grams" ->
+      """WITH idx AS (SELECT unnest(range(1,
+        |    (SELECT CAST(max(len(text)) AS BIGINT) FROM documents))) AS i),
+        |sh AS (SELECT DISTINCT doc_id,
+        |              substr(text, CAST(i AS INTEGER), 12) AS gram
+        |       FROM documents JOIN idx ON i <= len(text)-11)
+        |SELECT gram, count(*) AS df
+        |FROM sh GROUP BY 1 HAVING count(*) >= 10""".stripMargin,
 
     "q_line_dedup" ->
       """WITH lines AS (

@@ -442,6 +442,53 @@ object DedupOps {
       .filter(col("shared") >= minShared)
   }
 
+  /** Heavy-hitter n-grams by document frequency — boilerplate DISCOVERY
+    * (lineDedup removes known whole-line repeats; this FINDS the
+    * repeated fragments, whatever their framing) via a count–min sketch
+    * screen. Exact group-counting every distinct gram of a 100 TB corpus
+    * shuffles the full gram stream; here nothing unbounded ever
+    * shuffles:
+    *
+    *  1. one scan pass folds gram hashes into a depth×width CMS
+    *     (tiny, broadcast);
+    *  2. a second scan keeps only grams whose ESTIMATE ≥ minDf — CMS
+    *     never undercounts, so this candidate set is a superset of the
+    *     true heavy set, and (sized right: εN ≪ minDf) a small one;
+    *  3. candidates group-count EXACTLY (shuffle bounded by heavy-gram
+    *     occurrence volume, not corpus gram volume).
+    *
+    * Result is EXACT — the sketch only prunes; its parameters trade
+    * intermediate candidate volume, never correctness. Per-doc-distinct
+    * grams (the `shingles` contract) make count = document frequency.
+    */
+  def heavyGrams(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                 minDf: Long, depth: Int = 4,
+                 width: Int = 1 << 20): DataFrame = {
+    import graft.functions.CmsExpressions
+    def grams = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+                   col(idCol)) // single-file inputs: spread the scan
+      .select(explode(shingles(col(textCol), n)).as("gram"))
+    // deliberately NOT persisted: the exploded gram stream is
+    // corpus-sized — re-scanning the (column-pruned) source twice beats
+    // materializing it anywhere
+    val sketch = grams.agg(
+      CmsExpressions.cmsAgg(xxhash64(col("gram")), depth, width)
+        .as("__cms"))
+    val cand = grams
+      .crossJoin(broadcast(sketch))
+      .filter(CmsExpressions.cmsEstimate(col("__cms"), xxhash64(col("gram")),
+                                         depth, width) >= minDf)
+      .select(col("gram")).distinct()
+    // the heavy-hitter contract (minDf high enough to make heavies few)
+    // is what bounds this broadcast; a threshold low enough to make
+    // "heavy" grams corpus-sized belongs in a plain groupBy instead
+    grams.join(broadcast(cand), "gram")
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+  }
+
   /** MinHash signature over STRING shingles: k hash slots from one base
     * xxhash64 per shingle, slot i = min over the set of (h·A_i + B_i) —
     * see graft.functions.MinHashSig (native, codegen'd, single pass).
