@@ -287,6 +287,12 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"),
                 TextOps.langId(col("text")).as("lang_guess"))),
 
+    // Per-source corpus DATACARD (Gebru et al. 2021): volume, duplicate
+    // mass, language mix, token-length median — one datasheet row per
+    // source, all from one narrow scan + per-source aggregates.
+    "q_datacard" -> ((s, dir) =>
+      TextOps.dataCard(t(s, dir, "documents"))),
+
     // Composite quality score
     "q_quality_score" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -759,6 +765,15 @@ object SparkEntry {
     "q_cosine_pairs" -> ((s, dir) =>
       SimilarityOps.cosinePairs(t(s, dir, "embeddings"),
                                 "vec_id", "embedding", tau = 0.45)),
+
+    // Hard-negative mining (DPR/SimCSE): per anchor, top-3 most-similar
+    // corpus vectors with a DIFFERENT label — label filter BEFORE the
+    // ranking. Anchors = the 5 lowest vec_ids (batch ≪ corpus contract).
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.hardNegatives(emb.filter(col("vec_id") < 5), emb,
+                                  "vec_id", "embedding", "label", k = 3)
+    }),
 
     // SemDeDup (Abbas et al. 2023): seed-codebook clusters bound the
     // pairwise cosine search; within each duplicate component the member
@@ -2040,6 +2055,33 @@ object SparkEntry {
         |       clean_text
         |FROM clean""".stripMargin),
 
+    "q_datacard" ->
+      """WITH base AS (
+        |  SELECT source, lang,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |             x -> x <> '')) AS BIGINT) AS tok,
+        |    CAST(len(text) AS BIGINT) AS chars,
+        |    md5(text) AS fp
+        |  FROM documents),
+        |agg AS (
+        |  SELECT source, count(*) AS n_docs, sum(tok) AS n_tokens,
+        |         count(*) - count(DISTINCT fp) AS dup_docs,
+        |         count(DISTINCT lang) AS n_langs,
+        |         round(avg(chars), 6) AS avg_chars,
+        |         round(median(tok), 6) AS med_tokens
+        |  FROM base GROUP BY 1),
+        |lc AS (SELECT source, lang, count(*) AS n
+        |       FROM documents GROUP BY 1, 2),
+        |top AS (SELECT source, lang AS top_lang FROM (
+        |          SELECT source, lang, row_number() OVER (
+        |            PARTITION BY source
+        |            ORDER BY n DESC, lang ASC NULLS LAST) AS rn
+        |          FROM lc)
+        |        WHERE rn = 1)
+        |SELECT a.source, a.n_docs, a.n_tokens, a.dup_docs, a.n_langs,
+        |       a.avg_chars, a.med_tokens, t.top_lang
+        |FROM agg a JOIN top t USING (source)""".stripMargin,
+
     "q_heavy_grams" ->
       """WITH idx AS (SELECT unnest(range(1,
         |    (SELECT CAST(max(len(text)) AS BIGINT) FROM documents))) AS i),
@@ -2108,6 +2150,31 @@ object SparkEntry {
         |FROM dots JOIN norms na ON na.vec_id = id_a
         |          JOIN norms nb ON nb.vec_id = id_b
         |WHERE dot/(na.nrm*nb.nrm) >= 0.45""".stripMargin,
+
+    "q_hard_negatives" ->
+      """WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |                     generate_subscripts(embedding,1) AS i
+        |              FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM flat GROUP BY 1),
+        |anch AS (SELECT vec_id AS aid, label AS al FROM embeddings
+        |         WHERE vec_id < 5),
+        |aflat AS (SELECT a.aid, f.i, f.v
+        |          FROM anch a JOIN flat f ON f.vec_id = a.aid),
+        |dots AS (SELECT af.aid, f.vec_id AS nid, sum(af.v*f.v) AS dot
+        |         FROM aflat af JOIN flat f ON f.i = af.i
+        |         GROUP BY 1, 2),
+        |sims AS (SELECT d.aid, d.nid,
+        |                round(d.dot/(na.nrm*nb.nrm), 6) AS sim
+        |         FROM dots d
+        |         JOIN norms na ON na.vec_id = d.aid
+        |         JOIN norms nb ON nb.vec_id = d.nid
+        |         JOIN anch a ON a.aid = d.aid
+        |         JOIN embeddings e ON e.vec_id = d.nid
+        |         WHERE e.label <> a.al)
+        |SELECT aid AS anchor_id, nid AS neg_id, sim FROM (
+        |  SELECT aid, nid, sim, row_number() OVER (
+        |    PARTITION BY aid ORDER BY sim DESC, nid ASC) AS rn
+        |  FROM sims) WHERE rn <= 3""".stripMargin,
 
     "q_semdedup" ->
       ("""WITH RECURSIVE flat AS (

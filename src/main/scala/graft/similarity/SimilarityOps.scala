@@ -189,6 +189,39 @@ object SimilarityOps {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/SimCSE
+    * recipe — Karpukhin et al. 2020 §3.2): for every anchor, the top-k
+    * corpus items MOST similar to it among those with a DIFFERENT
+    * label — the negatives that actually move a contrastive loss,
+    * versus random in-batch ones. The label filter applies BEFORE the
+    * ranking (a knnJoin-then-filter would silently return fewer than k
+    * negatives whenever same-label neighbors crowd the top).
+    *
+    * Same scale contract as knnJoin: the anchor batch broadcasts
+    * (anchors ≪ corpus), the corpus is scanned once and never shuffled
+    * with payloads, and WindowGroupLimit bounds each map task to k rows
+    * per anchor before the exchange.
+    */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = broadcast(anchors.select(col(idCol).as("anchor_id"),
+                                     col(vecCol).as("__qv"),
+                                     col(labelCol).as("__ql")))
+    corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
+                   col(idCol)) // single-file inputs: spread the scan
+      .select(col(idCol).as("neg_id"), col(vecCol).as("__cv"),
+              col(labelCol).as("__cl"))
+      .crossJoin(q)
+      .filter(col("__cl") =!= col("__ql"))
+      .withColumn("sim", round(cosineSim(col("__qv"), col("__cv")), 6))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("anchor_id"))
+          .orderBy(col("sim").desc, col("neg_id").asc)))
+      .filter(col("__rn") <= k)
+      .select(col("anchor_id"), col("neg_id"), col("sim"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup at
     * corpus scale. Clusters bound the pairwise search — cosine pairs form
     * only WITHIN a cluster, so the join is Σ cluster² instead of n²

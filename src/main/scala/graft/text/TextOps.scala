@@ -988,4 +988,43 @@ object TextOps {
         stopwordCount(c, stopwords("en")).cast("long"))
       .withColumn("fingerprint", fingerprint(c))
   }
+
+  /** Per-source corpus DATACARD — the datasheet row a data team ships
+    * with a training corpus (Gebru et al. 2021 "Datasheets for
+    * Datasets"): volume (docs/tokens/chars), exact-duplicate mass,
+    * language mix, and the token-length median, one row per source.
+    *
+    * Shape at scale: one narrow projection (token count, length, md5 —
+    * all scan-speed) into one groupBy(source) carrying count-distinct
+    * and an exact median — the only wide state is per-source (n_sources
+    * rows); plus a (source, lang) census for the dominant language,
+    * whose window ranks n_sources·n_langs rows, never documents.
+    * Nullable langs rank NULLS LAST (both engines) so a null tie can't
+    * diverge.
+    */
+  def dataCard(docs: DataFrame, sourceCol: String = "source",
+               textCol: String = "text",
+               langCol: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(
+      col(sourceCol), col(langCol),
+      tokenCount(col(textCol)).cast("long").as("__tok"),
+      charCount(col(textCol)).cast("long").as("__chars"),
+      fingerprint(col(textCol)).as("__fp"))
+    val agg = base.groupBy(col(sourceCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("__tok")).as("n_tokens"),
+      (count(lit(1)) - countDistinct(col("__fp"))).as("dup_docs"),
+      countDistinct(col(langCol)).as("n_langs"),
+      round(avg(col("__chars")), 6).as("avg_chars"),
+      round(median(col("__tok")), 6).as("med_tokens"))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col("__n").desc, col(langCol).asc_nulls_last)
+    val top = docs.groupBy(col(sourceCol), col(langCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(sourceCol), col(langCol).as("top_lang"))
+    agg.join(top, Seq(sourceCol))
+  }
 }

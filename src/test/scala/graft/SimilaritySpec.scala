@@ -324,6 +324,47 @@ class SimilaritySpec extends SparkSpec {
     assert(l === f)
   }
 
+  test("hardNegatives: label filter precedes ranking; equals brute force") {
+    // anchor 0 (label 0): its most similar vectors are SAME-label (1, 2)
+    // and must be skipped in favor of farther different-label ones
+    val vecs = Seq(
+      (0L, 0, Array(1.0f, 0.0f, 0.0f)),
+      (1L, 0, Array(0.99f, 0.1f, 0.0f)),   // same label, very close
+      (2L, 0, Array(0.98f, 0.15f, 0.0f)),  // same label, close
+      (3L, 1, Array(0.9f, 0.4f, 0.0f)),    // diff label
+      (4L, 1, Array(0.5f, 0.85f, 0.0f)),   // diff label, farther
+      (5L, 2, Array(0.0f, 1.0f, 0.0f))     // diff label, orthogonal-ish
+    ).toDF("vec_id", "label", "embedding")
+    val got = SimilarityOps.hardNegatives(
+        vecs.filter($"vec_id" === 0L), vecs,
+        "vec_id", "embedding", "label", k = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    // brute force: diff-label sims to anchor 0 are 3 > 4 > 5
+    assert(got.map(_._2) === Seq(3L, 4L))
+    assert(got.map(_._1).distinct === Seq(0L))
+    assert(got(0)._3 > got(1)._3)
+    // full-batch parity with an independent driver-side brute force
+    val all = vecs.as[(Long, Int, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      BigDecimal(dot / (na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val batch = SimilarityOps.hardNegatives(vecs, vecs, "vec_id",
+                                            "embedding", "label", k = 2)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    all.foreach { case (aid, al, av) =>
+      val expect = all.filter(_._2 != al)
+        .map(c => (c._1, cos(av, c._3)))
+        .sortBy { case (nid, s) => (-s, nid) }
+        .take(2).map(_._1).toSeq
+      assert(batch(aid) === expect, s"anchor $aid")
+    }
+  }
+
   test("semDeDup: paper keep rule on planted clusters — lowest centroid " +
        "cosine survives; pairless and cross-cluster docs not emitted") {
     val vecs = Seq(

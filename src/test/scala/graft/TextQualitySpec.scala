@@ -57,4 +57,22 @@ class TextQualitySpec extends SparkSpec {
     assert(row.getString(1) === "reach <email> ok")
     assert(row.getLong(0) === 2L) // count sees both patterns pre-redaction
   }
+
+  test("dataCard: per-source volume, dup mass, lang mix, medians") {
+    val docs = Seq(
+      ("A", "en", "a b"), ("A", "en", "a b"), ("A", "es", "c d e"),
+      ("B", "fr", "x"), ("B", "de", "y y")
+    ).zipWithIndex.map { case ((s, l, t), i) => (i.toLong, s, l, t) }
+      .toDF("doc_id", "source", "lang", "text")
+    val got = TextOps.dataCard(docs)
+      .orderBy($"source")
+      .as[(String, Long, Long, Long, Long, Double, Double, String)]
+      .collect().toSeq
+    // A: 3 docs, 7 tokens, 1 exact dup, 2 langs, avg chars 11/3,
+    //    median tokens 2, dominant lang en (2 of 3)
+    assert(got(0) === (("A", 3L, 7L, 1L, 2L, 3.666667, 2.0, "en")))
+    // B: tie on lang counts (1 fr, 1 de) -> alphabetical first: de;
+    //    even count -> interpolated median (1+2)/2
+    assert(got(1) === (("B", 2L, 3L, 0L, 2L, 2.0, 1.5, "de")))
+  }
 }
