@@ -451,15 +451,19 @@ object DedupOps {
     *
     *  1. one scan pass folds gram hashes into a depth×width CMS
     *     (tiny, broadcast);
-    *  2. a second scan keeps only grams whose ESTIMATE ≥ minDf — CMS
-    *     never undercounts, so this candidate set is a superset of the
-    *     true heavy set, and (sized right: εN ≪ minDf) a small one;
-    *  3. candidates group-count EXACTLY (shuffle bounded by heavy-gram
-    *     occurrence volume, not corpus gram volume).
+    *  2. a second scan keeps only grams whose ESTIMATE ≥ minDf and
+    *     group-counts the survivors directly. The estimate filter is
+    *     DETERMINISTIC PER GRAM VALUE (all occurrences pass or none
+    *     do), so the surviving count IS the true document frequency —
+    *     counting the screened stream is itself the exact verify, no
+    *     third candidate-join pass needed. CMS never undercounts, so
+    *     the screened set is a superset of the true heavy set and the
+    *     final ≥ minDf filter on exact counts removes the impostors.
     *
     * Result is EXACT — the sketch only prunes; its parameters trade
-    * intermediate candidate volume, never correctness. Per-doc-distinct
-    * grams (the `shingles` contract) make count = document frequency.
+    * intermediate (shuffled) candidate volume, never correctness.
+    * Per-doc-distinct grams (the `shingles` contract) make count =
+    * document frequency.
     */
   def heavyGrams(docs: DataFrame, idCol: String, textCol: String, n: Int,
                  minDf: Long, depth: Int = 4,
@@ -470,20 +474,15 @@ object DedupOps {
                    col(idCol)) // single-file inputs: spread the scan
       .select(explode(shingles(col(textCol), n)).as("gram"))
     // deliberately NOT persisted: the exploded gram stream is
-    // corpus-sized — re-scanning the (column-pruned) source twice beats
+    // corpus-sized — re-scanning the (column-pruned) source beats
     // materializing it anywhere
     val sketch = grams.agg(
       CmsExpressions.cmsAgg(xxhash64(col("gram")), depth, width)
         .as("__cms"))
-    val cand = grams
+    grams
       .crossJoin(broadcast(sketch))
       .filter(CmsExpressions.cmsEstimate(col("__cms"), xxhash64(col("gram")),
                                          depth, width) >= minDf)
-      .select(col("gram")).distinct()
-    // the heavy-hitter contract (minDf high enough to make heavies few)
-    // is what bounds this broadcast; a threshold low enough to make
-    // "heavy" grams corpus-sized belongs in a plain groupBy instead
-    grams.join(broadcast(cand), "gram")
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
