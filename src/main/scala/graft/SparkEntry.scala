@@ -700,6 +700,12 @@ object SparkEntry {
       DedupOps.lineDedup(t(s, dir, "documents"), "doc_id", "text",
                          minDocs = 2)),
 
+    // WITHIN-doc duplicate-line removal (the dupLineFraction gate's
+    // ACTION): first occurrence kept, order preserved — a zero-shuffle
+    // narrow projection.
+    "q_dedup_lines_within" -> ((s, dir) =>
+      DedupOps.dedupLinesWithin(t(s, dir, "documents"), "doc_id", "text")),
+
     // Duplicate CLUSTERS: near-dup pairs (LSH sketch path) → alternating
     // large-star/small-star connected components → per-cluster canonical
     // member + sorted member list. Closes the dedup loop: pairs alone
@@ -2090,6 +2096,16 @@ object SparkEntry {
         |       FROM documents JOIN idx ON i <= len(text)-11)
         |SELECT gram, count(*) AS df
         |FROM sh GROUP BY 1 HAVING count(*) >= 10""".stripMargin,
+
+    "q_dedup_lines_within" ->
+      """SELECT doc_id,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(ls) - len(kept) AS BIGINT) AS n_removed,
+        |  array_to_string(kept, chr(10)) AS clean_text
+        |FROM (SELECT doc_id, ls,
+        |        list_filter(ls, (l, i) -> list_position(ls, l) = i) AS kept
+        |      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+        |            FROM documents))""".stripMargin,
 
     "q_line_dedup" ->
       """WITH lines AS (

@@ -442,6 +442,33 @@ object DedupOps {
       .filter(col("shared") >= minShared)
   }
 
+  /** WITHIN-document duplicate-line removal — the intra-doc twin of
+    * `lineDedup` (which needs corpus-wide state; repeated lines INSIDE
+    * one document — scraped nav menus, pagination artifacts, the thing
+    * `dupLineFraction` gates on — need none). Keeps each distinct
+    * line's FIRST occurrence, preserves order, reassembles. A pure
+    * narrow projection: array ops per row, ZERO shuffles, stacks
+    * inside the scan's codegen stage. The first-index test is
+    * O(lines²) per doc — lines per document are bounded small in
+    * practice, and the quadratic never leaves the row.
+    *
+    * Returns every doc as (id, n_lines, n_removed, clean_text) — the
+    * lineDedup schema, so the two compose/report identically.
+    */
+  def dedupLinesWithin(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n", -1)
+    // keep line i iff its first occurrence index is i (array_position
+    // is 1-based; the filter lambda index is 0-based)
+    val kept = filter(lines, (l, i) =>
+      array_position(lines, l) === i.cast("long") + 1L)
+    docs.select(
+      col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      (size(lines) - size(kept)).cast("long").as("n_removed"),
+      array_join(kept, "\n").as("clean_text"))
+  }
+
   /** Heavy-hitter n-grams by document frequency — boilerplate DISCOVERY
     * (lineDedup removes known whole-line repeats; this FINDS the
     * repeated fragments, whatever their framing) via a count–min sketch

@@ -245,6 +245,31 @@ class TextDedupSpec extends SparkSpec {
     assert(keep === "x\nx")
   }
 
+  test("dedupLinesWithin: first occurrence kept in order; cross-doc " +
+       "repeats untouched; null/empty preserved; kills dupLineFraction") {
+    val docs = Seq(
+      (1L, "menu\nbody one\nmenu\nfooter\nmenu"),
+      (2L, "menu\nbody two"), // cross-doc repeat of "menu": NOT touched here
+      (3L, ""),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = DedupOps.dedupLinesWithin(docs, "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, Option[Long], Option[Long], Option[String])]
+      .collect().toSeq
+    assert(got(0) === ((1L, Some(5L), Some(2L),
+                        Some("menu\nbody one\nfooter"))))
+    assert(got(1) === ((2L, Some(2L), Some(0L), Some("menu\nbody two"))))
+    assert(got(2) === ((3L, Some(1L), Some(0L), Some(""))))
+    assert(got(3) === ((4L, None, None, None)))
+    // the cleaned corpus has zero intra-doc duplicate lines
+    val frac = DedupOps.dedupLinesWithin(docs, "doc_id", "text")
+      .filter($"clean_text".isNotNull)
+      .select(TextOps.dupLineFraction($"clean_text").as("f"))
+      .agg(max($"f")).as[Double].head()
+    assert(frac === 0.0)
+  }
+
   test("lineDedup: fully-boilerplate doc survives empty; null text " +
        "stays null; second pass is a no-op") {
     val docs = Seq(
