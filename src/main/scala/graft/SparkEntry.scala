@@ -706,6 +706,12 @@ object SparkEntry {
     "q_dedup_lines_within" -> ((s, dir) =>
       DedupOps.dedupLinesWithin(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Length-bucketed batching (dynamic-batching layout): global
+    // (length, id) rank without a global sort → 32-seq batches →
+    // per-batch padding report.
+    "q_length_batches" -> ((s, dir) =>
+      TextOps.lengthBatches(t(s, dir, "documents"), batchSize = 32)),
+
     // Duplicate CLUSTERS: near-dup pairs (LSH sketch path) → alternating
     // large-star/small-star connected components → per-cluster canonical
     // member + sorted member list. Closes the dedup loop: pairs alone
@@ -2096,6 +2102,27 @@ object SparkEntry {
         |       FROM documents JOIN idx ON i <= len(text)-11)
         |SELECT gram, count(*) AS df
         |FROM sh GROUP BY 1 HAVING count(*) >= 10""".stripMargin,
+
+    "q_length_batches" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         CAST(coalesce(len(list_filter(
+        |           string_split_regex(trim(text), '\s+'),
+        |           x -> x <> '')), 0) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |        row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS pos
+        |      FROM tk)
+        |SELECT pos // 32 AS batch_id,
+        |       count(*) AS n_seqs,
+        |       min(n_tokens) AS min_tokens,
+        |       max(n_tokens) AS max_tokens,
+        |       sum(n_tokens) AS sum_tokens,
+        |       CASE WHEN max(n_tokens) = 0 THEN 0.0
+        |            ELSE round(1.0 - CAST(sum(n_tokens) AS DOUBLE)
+        |                   / (max(n_tokens) * count(*)), 6) END
+        |         AS padding_frac
+        |FROM r GROUP BY 1""".stripMargin,
 
     "q_dedup_lines_within" ->
       """SELECT doc_id,

@@ -853,6 +853,59 @@ object TextOps {
       .select(col(idCol), col("pos"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Length-bucketed batching — the dynamic-batching layout trick
+    * (pack sequences of SIMILAR length into each fixed-size batch so
+    * padding-to-batch-max wastes almost nothing; random batching at a
+    * skewed length distribution can waste half the FLOPs). Global rank
+    * by (token length, id) → batch = rank div batchSize → per-batch
+    * padding report (what the layout saved is visible, not asserted).
+    *
+    * The rank reuses tokenBudget's no-global-sort skeleton: range
+    * partition by (length, id), local row_number, broadcast
+    * per-partition census offsets — the naive single-partition window
+    * is exactly what this avoids. Output is one row per BATCH
+    * (corpus/batchSize rows), never per sequence.
+    */
+  def lengthBatches(df: DataFrame, batchSize: Int,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(batchSize >= 1, s"batchSize must be >= 1 (got $batchSize)")
+    val p = if (partitions > 0) partitions
+            else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val keyed = df
+      .select(col(idCol),
+              greatest(tokenCount(col(textCol)), lit(0)).cast("long")
+                .as("n_tokens"))
+      .repartitionByRange(p, col("n_tokens"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+    val offsets = keyed.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(
+        Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(col("n_tokens"), col(idCol))
+    keyed.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("__pos",
+        row_number().over(w).cast("long") + col("__off") - 1L)
+      // integral div (shardAssign discipline: / is double division)
+      .withColumn("batch_id", expr(s"__pos div $batchSize"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_seqs"),
+           min(col("n_tokens")).as("min_tokens"),
+           max(col("n_tokens")).as("max_tokens"),
+           sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("padding_frac",
+        when(col("max_tokens") === 0L, lit(0.0))
+          .otherwise(round(lit(1.0) -
+            col("sum_tokens").cast("double") /
+              (col("max_tokens") * col("n_seqs")), 6)))
+  }
+
   /** Data-recipe execution: give each source its share of a token
     * budget and keep documents along each source's seeded shuffle order
     * until that share is spent — the "N% web, M% code, K% books" recipe

@@ -60,4 +60,50 @@ class ShuffleOrderSpec extends SparkSpec {
     assert(plan.contains("partitionby".toLowerCase) ||
            plan.contains("__pid"))
   }
+
+  test("lengthBatches equals the naive global-window twin") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val got = TextOps.lengthBatches(docs, batchSize = 32)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    val naive = docs
+      .select($"doc_id",
+              greatest(TextOps.tokenCount($"text"), lit(0)).cast("long")
+                .as("n"))
+      .withColumn("pos", row_number().over(
+        Window.orderBy($"n", $"doc_id")).cast("long") - 1L)
+      .withColumn("batch_id", expr("pos div 32"))
+      .groupBy($"batch_id")
+      .agg(count(lit(1)).as("n_seqs"), min($"n").as("mn"),
+           max($"n").as("mx"), sum($"n").as("sm"))
+      .withColumn("pf", when($"mx" === 0L, lit(0.0))
+        .otherwise(round(lit(1.0) -
+          $"sm".cast("double") / ($"mx" * $"n_seqs"), 6)))
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(got === naive)
+    // batches tile the corpus: all full except possibly the highest id
+    val n = docs.count()
+    val sizes = got.toSeq.sortBy(_._1).map(_._2)
+    assert(sizes.init.forall(_ === 32L) &&
+           sizes.last === (n - 32 * (sizes.size - 1)))
+  }
+
+  test("lengthBatches: contiguous length runs; bimodal corpus packs " +
+       "with zero padding") {
+    import spark.implicits._
+    val docs = ((1L to 64L).map(i => (i, Seq.fill(5)("w").mkString(" "))) ++
+                (65L to 128L).map(i => (i, Seq.fill(50)("w").mkString(" "))))
+      .toDF("doc_id", "text")
+    val got = TextOps.lengthBatches(docs, batchSize = 32)
+      .orderBy($"batch_id")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got.size === 4)
+    // each batch is length-pure -> padding-free
+    assert(got.forall(b => b._3 === b._4 && b._6 === 0.0))
+    // batch length ranges are non-overlapping and monotone
+    got.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._4 <= b._3)
+    case _ => ()
+    }
+  }
 }
