@@ -103,6 +103,26 @@ object Bloom {
     }
     c
   }
+
+  /** long[] <-> packed bytes, shared by both sketch aggregates'
+    * partial→final serialization (one definition, one overflow check).
+    */
+  val MaxWords: Int = Int.MaxValue / 8 // ByteBuffer.allocate is Int-sized
+
+  def toBytes(buffer: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buffer.length)
+    var i = 0
+    while (i < buffer.length) { bb.putLong(buffer(i)); i += 1 }
+    bb.array()
+  }
+
+  def fromBytes(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong(); i += 1 }
+    out
+  }
 }
 
 /** OR-fold of long hashes into one Bloom bitset per group. The buffer is
@@ -122,8 +142,12 @@ case class BloomFilterAgg(
 
   require(numBits >= 64 && numBits % 64 == 0,
     s"numBits must be a positive multiple of 64, got $numBits")
-  require(numBits / 64 <= Int.MaxValue.toLong,
-    s"numBits $numBits exceeds the addressable bitset size")
+  // bound where the SERIALIZED form still fits a ByteBuffer (Int-sized):
+  // a filter any bigger would pass construction and then die in the
+  // partial->final shuffle
+  require(numBits / 64 <= Bloom.MaxWords.toLong,
+    s"numBits $numBits exceeds the serializable bitset size " +
+      s"(${Bloom.MaxWords.toLong * 64} bits)")
   require(k >= 1 && k <= 32, s"k must be in [1, 32], got $k")
 
   private def nWords: Int = (numBits / 64).toInt
@@ -158,20 +182,11 @@ case class BloomFilterAgg(
 
   override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
 
-  override def serialize(buffer: Array[Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(8 * buffer.length)
-    var i = 0
-    while (i < buffer.length) { bb.putLong(buffer(i)); i += 1 }
-    bb.array()
-  }
+  override def serialize(buffer: Array[Long]): Array[Byte] =
+    Bloom.toBytes(buffer)
 
-  override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    val out = new Array[Long](bytes.length / 8)
-    var i = 0
-    while (i < out.length) { out(i) = bb.getLong(); i += 1 }
-    out
-  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    Bloom.fromBytes(bytes)
 
   override def withNewMutableAggBufferOffset(offset: Int): BloomFilterAgg =
     copy(mutableAggBufferOffset = offset)

@@ -59,6 +59,15 @@ object Cms {
   }
 
   def estimate(sketch: ArrayData, h: Long, depth: Int, width: Int): Long = {
+    // dims are free parameters at every probe site (incl. the SQL
+    // surface) — a mismatch with the sketch's real layout would read
+    // wrong in-bounds counters and silently UNDERCOUNT, breaking the
+    // superset guarantee every screen builds on. Fail loudly instead
+    // (the vector_sum mismatched-length discipline).
+    if (sketch.numElements() != depth * width)
+      throw new IllegalArgumentException(
+        s"cms_estimate: sketch has ${sketch.numElements()} counters, " +
+          s"but depth=$depth width=$width expects ${depth * width}")
     var best = Long.MaxValue
     var i = 0
     while (i < depth) {
@@ -84,8 +93,10 @@ case class CmsAgg(
 
   require(depth >= 1 && depth <= 16, s"depth must be in [1, 16], got $depth")
   require(width >= 16, s"width must be >= 16, got $width")
-  require(depth.toLong * width <= (1L << 28),
-    s"sketch $depth x $width exceeds the 2 GiB buffer bound")
+  // bound where the SERIALIZED form still fits a ByteBuffer (Int-sized)
+  require(depth.toLong * width <= Bloom.MaxWords.toLong,
+    s"sketch $depth x $width exceeds the serializable counter bound " +
+      s"(${Bloom.MaxWords})")
 
   override def prettyName: String = "cms_agg"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -118,20 +129,11 @@ case class CmsAgg(
 
   override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
 
-  override def serialize(buffer: Array[Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(8 * buffer.length)
-    var i = 0
-    while (i < buffer.length) { bb.putLong(buffer(i)); i += 1 }
-    bb.array()
-  }
+  override def serialize(buffer: Array[Long]): Array[Byte] =
+    Bloom.toBytes(buffer)
 
-  override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    val out = new Array[Long](bytes.length / 8)
-    var i = 0
-    while (i < out.length) { out(i) = bb.getLong(); i += 1 }
-    out
-  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    Bloom.fromBytes(bytes)
 
   override def withNewMutableAggBufferOffset(offset: Int): CmsAgg =
     copy(mutableAggBufferOffset = offset)

@@ -263,10 +263,16 @@ object SimilarityOps {
       struct(lit(0).as("l"), lit(-2.0).as("s")),
       (acc, p) =>
         when(p.getField("s") > acc.getField("s"), p).otherwise(acc))
+    // three consumers (both pair-join sides + the member join): persist
+    // so the scan + per-row cosine-to-every-centroid argmax runs once
+    // (the hashedSets multi-consumer discipline; CacheScope owns the
+    // release)
     val assigned = emb.crossJoin(broadcast(cb))
       .select(col(idCol), col(vecCol),
               best.getField("l").as("list_id"),
               best.getField("s").as("cent_sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
     val a = assigned.select(col("list_id"), col(idCol).as("id_a"),
                             col(vecCol).as("va"))
     val b = assigned.select(col("list_id").as("__lb"),

@@ -1050,10 +1050,12 @@ object TextOps {
     * Shape at scale: one narrow projection (token count, length, md5 —
     * all scan-speed) into one groupBy(source) carrying count-distinct
     * and an exact median — the only wide state is per-source (n_sources
-    * rows); plus a (source, lang) census for the dominant language,
-    * whose window ranks n_sources·n_langs rows, never documents.
-    * Nullable langs rank NULLS LAST (both engines) so a null tie can't
-    * diverge.
+    * rows). The dominant-language census is a second pruned scan
+    * (source+lang columns only) whose window ranks n_sources·n_langs
+    * rows, never documents; the two scan branches differ in grouping so
+    * exchange reuse cannot merge them — two pruned passes is the honest
+    * cost of this report. Nullable langs rank NULLS LAST (both engines)
+    * so a null tie can't diverge.
     */
   def dataCard(docs: DataFrame, sourceCol: String = "source",
                textCol: String = "text",
@@ -1073,7 +1075,9 @@ object TextOps {
       round(median(col("__tok")), 6).as("med_tokens"))
     val w = Window.partitionBy(col(sourceCol))
       .orderBy(col("__n").desc, col(langCol).asc_nulls_last)
-    val top = docs.groupBy(col(sourceCol), col(langCol))
+    // census from the SAME projection as the aggregate (base already
+    // carries source + lang) — one scan of the corpus, not two
+    val top = base.groupBy(col(sourceCol), col(langCol))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -70,6 +70,21 @@ class CmsSpec extends SparkSpec {
     assert(boiler.sliding(12).forall(g => got.get(g).contains(30L)))
   }
 
+  test("cms_estimate rejects a dims/sketch mismatch loudly") {
+    // in-bounds but WRONG offsets would silently undercount and break
+    // the superset guarantee — must throw instead
+    val df = (0L until 10L).toDF("h")
+    val sk = df.agg(CmsExpressions.cmsAgg($"h", 4, 2048).as("s"))
+    val ex = intercept[Exception] {
+      df.crossJoin(sk)
+        .select(CmsExpressions.cmsEstimate($"s", $"h", 4, 1024))
+        .collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(ex).exists(m => m != null && m.contains("cms_estimate")))
+  }
+
   test("tiny width still yields the exact answer (pruning only)") {
     // width 16: massive collisions -> candidate superset balloons, but
     // the exact verify keeps the RESULT identical
