@@ -1282,6 +1282,38 @@ object SparkEntry {
              round(avg(col("gap_ms")), 6).as("avg_gap_ms"))),
 
     // Idempotent month-partition upsert: load month 3 twice via dynamic
+    // Row-level MERGE (CDC upsert): seed the customer table, merge a
+    // doubled-balance update batch for every 10th key TWICE (latest
+    // wins, idempotent), census the merged state. Complements
+    // q_partition_upsert's partition-granular idempotence.
+    "q_merge_upsert" -> ((s, dir) => {
+      val path = scratch(dir, "merge")
+      val cust = t(s, dir, "customer")
+      Sinks.replaceLoad(cust, path)
+      val updates = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") * 2)
+      Sinks.mergeByKey(updates, Seq("c_custkey"), path)
+      Sinks.mergeByKey(updates, Seq("c_custkey"), path) // idempotent
+      s.read.parquet(path).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("c_custkey") % 10 === 0, 1L).otherwise(0L))
+          .as("n_updated"),
+        round(sum(col("c_acctbal")), 4).as("balance"))
+    }),
+
+    // Small-file compaction: 64-file scatter -> 4 files, data-identical
+    // (census vs the source table; the file-count assert lives in the
+    // spec).
+    "q_compact" -> ((s, dir) => {
+      val path = scratch(dir, "compact")
+      t(s, dir, "documents").repartition(64)
+        .write.mode("overwrite").parquet(path)
+      Sinks.compact(s, path, 4)
+      s.read.parquet(path).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+    }),
+
     // partition overwrite — the count must equal ONE load (the at-scale
     // fix for the reference's duplicate-on-retry mode("append"))
     "q_partition_upsert" -> ((s, dir) => {
@@ -2483,6 +2515,20 @@ object SparkEntry {
         |FROM e a JOIN e b
         |  ON (a.ms < b.ms OR (a.ms = b.ms AND a.event_id < b.event_id))
         | AND b.ms - a.ms <= 60000""".stripMargin,
+
+    "q_merge_upsert" ->
+      """SELECT count(*) AS n,
+        |       CAST(sum(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_updated,
+        |       round(sum(CASE WHEN c_custkey % 10 = 0
+        |                      THEN c_acctbal * 2
+        |                      ELSE c_acctbal END), 4) AS balance
+        |FROM customer""".stripMargin,
+
+    "q_compact" ->
+      """SELECT count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents""".stripMargin,
 
     "q_partition_upsert" ->
       """SELECT count(*) AS n,

@@ -117,4 +117,71 @@ object Sinks {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol)
       .parquet(path)
+
+  /** Stage-and-swap: materialize `df` NEXT TO `path`, then swap
+    * directories. Spark (correctly) refuses to overwrite a path that
+    * feeds the very plan being written ("Cannot overwrite a path that
+    * is also being read from"); the staged write reads the old data to
+    * completion, and only then does the old directory vanish — a
+    * crash mid-write leaves the original intact (the swap is the last
+    * step), so the operation is restartable, never half-applied.
+    */
+  private def stageSwap(df: DataFrame, path: String): Unit = {
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__stage")
+    val fs = target.getFileSystem(hconf)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(target, true)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"stage swap failed: $tmp -> $target")
+  }
+
+  /** Row-level MERGE (CDC upsert, latest-wins): rows in `updates`
+    * REPLACE target rows sharing their key, unmatched target rows
+    * survive, new keys insert — the reference's append/replace
+    * dispositions plus `upsertPartition` only reach partition
+    * granularity; this closes the row-granular gap every warehouse
+    * needs for dimension maintenance. Key collisions INSIDE `updates`
+    * are the caller's contract to resolve (dedupKeyedFirstRow) — a
+    * multi-version merge would silently pick one.
+    *
+    * Shape at scale: one left-anti join of target vs the (small by CDC
+    * nature) distinct update keys — Catalyst broadcasts the key side
+    * when stats allow — then a unionByName write through `stageSwap`,
+    * so a crash leaves the pre-merge table intact. Cost is one full
+    * rewrite per merge batch, the honest price of sorted immutable
+    * parquet without a log-structured table format on top.
+    */
+  def mergeByKey(updates: DataFrame, keys: Seq[String],
+                 path: String): Unit = {
+    val spark = updates.sparkSession
+    val exists = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    if (!exists) updates.write.mode("overwrite").parquet(path)
+    else {
+      val target = spark.read.parquet(path)
+      val merged = target
+        .join(updates.select(keys.map(col): _*).distinct(),
+              keys, "left_anti")
+        .unionByName(updates)
+      stageSwap(merged, path)
+    }
+  }
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * `numFiles` files, data-identical. Streaming/incremental sinks
+    * accrete thousands of small files whose per-file open/footer cost
+    * eventually dominates scans (the classic small-files problem);
+    * compaction restores scan-sized files. `repartition` (not
+    * coalesce) so the rewrite both merges AND re-balances — coalesce
+    * of skewed small files yields skewed big ones. Staged swap: a
+    * crash leaves the original directory untouched.
+    */
+  def compact(spark: SparkSession, path: String, numFiles: Int): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1 (got $numFiles)")
+    stageSwap(spark.read.parquet(path).repartition(numFiles), path)
+  }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Sinks
+
+/** Row-level merge (CDC upsert) + small-file compaction — the table
+  * maintenance half of the sink surface.
+  */
+class SinkMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def listParts(path: String): Seq[String] = {
+    val dir = new java.io.File(path)
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(n => n.startsWith("part-")).toSeq
+  }
+
+  test("mergeByKey: updates replace, unmatched survive, new keys " +
+       "insert, re-merge is idempotent") {
+    val path = s"${Sinks.scratchRoot}/spec_merge"
+    val seed = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    Sinks.replaceLoad(seed, path)
+    val updates = Seq((2L, "b2", 99.0), (4L, "d", 40.0))
+      .toDF("k", "name", "bal")
+    Sinks.mergeByKey(updates, Seq("k"), path)
+    val expect = Set((1L, "a", 10.0), (2L, "b2", 99.0),
+                     (3L, "c", 30.0), (4L, "d", 40.0))
+    val got1 = spark.read.parquet(path)
+      .as[(Long, String, Double)].collect().toSet
+    assert(got1 === expect)
+    Sinks.mergeByKey(updates, Seq("k"), path)
+    val got2 = spark.read.parquet(path)
+      .as[(Long, String, Double)].collect().toSet
+    assert(got2 === expect)
+  }
+
+  test("mergeByKey onto a missing path bootstraps the table") {
+    val path = s"${Sinks.scratchRoot}/spec_merge_boot"
+    new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+    val updates = Seq((1L, "x", 1.0)).toDF("k", "name", "bal")
+    Sinks.mergeByKey(updates, Seq("k"), path)
+    assert(spark.read.parquet(path).count() === 1L)
+  }
+
+  test("compact: 64-file scatter becomes exactly numFiles files, " +
+       "data-identical") {
+    val path = s"${Sinks.scratchRoot}/spec_compact"
+    val df = (1L to 1000L).map(i => (i, s"row $i")).toDF("id", "v")
+    df.repartition(64).write.mode("overwrite").parquet(path)
+    assert(listParts(path).size === 64)
+    Sinks.compact(spark, path, 4)
+    assert(listParts(path).size === 4)
+    val got = spark.read.parquet(path).as[(Long, String)].collect().toSet
+    assert(got === (1L to 1000L).map(i => (i, s"row $i")).toSet)
+    // no stage directory left behind
+    assert(!new java.io.File(path + "__stage").exists())
+  }
+}
