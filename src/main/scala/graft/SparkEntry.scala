@@ -1301,6 +1301,20 @@ object SparkEntry {
         round(sum(col("c_acctbal")), 4).as("balance"))
     }),
 
+    // Targeted delete (GDPR/TTL rewrite): forget every 7th user, census
+    // the survivors against the source-side NOT-filter oracle.
+    "q_delete_where" -> ((s, dir) => {
+      val path = scratch(dir, "delete")
+      Sinks.replaceLoad(
+        t(s, dir, "events").select(col("user_id"), col("event_type"),
+                                   col("value")), path)
+      Sinks.deleteWhere(s, path, col("user_id") % 7 === 0)
+      s.read.parquet(path).agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 4).as("total_value"))
+    }),
+
     // Small-file compaction: 64-file scatter -> 4 files, data-identical
     // (census vs the source table; the file-count assert lives in the
     // spec).
@@ -2529,6 +2543,12 @@ object SparkEntry {
       """SELECT count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents""".stripMargin,
+
+    "q_delete_where" ->
+      """SELECT count(*) AS n,
+        |       count(DISTINCT user_id) AS n_users,
+        |       round(sum(value), 4) AS total_value
+        |FROM events WHERE NOT (user_id % 7 = 0)""".stripMargin,
 
     "q_partition_upsert" ->
       """SELECT count(*) AS n,

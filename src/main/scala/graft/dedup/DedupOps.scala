@@ -442,6 +442,44 @@ object DedupOps {
       .filter(col("shared") >= minShared)
   }
 
+  /** Streaming twin of the BLOOM screen — flag candidates ON INGEST.
+    * Stateless stream-static shape (the contaminationStream pattern):
+    * the reference's Bloom bitset broadcasts as ONE row of BITS
+    * (~bitsPerGram per gram vs 64 for the precise sorted-array fold —
+    * the only option when the reference is corpus-sized), and each
+    * arriving doc counts its gram hits in one codegen'd pass. No
+    * state, no watermark, no stream-side shuffle.
+    *
+    * Contract: SCREEN, not verdict. No false negatives (a clean
+    * verdict here is final); emitted candidates can include sketch
+    * false positives — route them to the batch exact verify
+    * (`contaminationScreened`'s second phase), since a stream has no
+    * stateless way to run the exact join. Works identically on a batch
+    * frame (spec pins the candidate set ⊇ the exact contamination
+    * flags).
+    */
+  def contaminationStreamBloom(docs: DataFrame, reference: DataFrame,
+                               idCol: String, textCol: String, n: Int,
+                               minShared: Long = 1L, bitsPerGram: Int = 10,
+                               k: Int = 7): DataFrame = {
+    import graft.functions.BloomExpressions
+    val refGrams = reference
+      .select(explode(ShingleExpressions.shingleHashes(col(textCol), n))
+        .as("sh"))
+      .distinct()
+    val m = math.max(refGrams.count(), 1L) // static side: sizing action ok
+    val numBits = math.max(64L, ((m * bitsPerGram + 63L) / 64L) * 64L)
+    val bloom = refGrams.agg(
+      BloomExpressions.bloomAgg(col("sh"), numBits, k).as("__bloom"))
+    docs
+      .crossJoin(broadcast(bloom))
+      .select(col(idCol),
+              BloomExpressions.bloomHitCount(
+                ShingleExpressions.shingleHashes(col(textCol), n),
+                col("__bloom"), k).cast("long").as("hits"))
+      .filter(col("hits") >= minShared)
+  }
+
   /** WITHIN-document duplicate-line removal — the intra-doc twin of
     * `lineDedup` (which needs corpus-wide state; repeated lines INSIDE
     * one document — scraped nav menus, pagination artifacts, the thing

@@ -171,6 +171,21 @@ object Sinks {
     }
   }
 
+  /** Targeted delete (GDPR right-to-be-forgotten / TTL retention):
+    * rewrite the table WITHOUT rows matching `predicate`, through the
+    * same crash-safe staged swap as merge/compact. Null-predicate rows
+    * are RETAINED (delete only what provably matches — dropping a row
+    * because the predicate couldn't evaluate would be silent data
+    * loss). Immutable parquet's honest delete is a rewrite; partition
+    * the table on the deletion dimension (e.g. user bucket) and this
+    * becomes per-partition rewrites instead.
+    */
+  def deleteWhere(spark: SparkSession, path: String,
+                  predicate: org.apache.spark.sql.Column): Unit =
+    stageSwap(
+      spark.read.parquet(path).filter(!coalesce(predicate, lit(false))),
+      path)
+
   /** Small-file compaction: rewrite a parquet directory into
     * `numFiles` files, data-identical. Streaming/incremental sinks
     * accrete thousands of small files whose per-file open/footer cost

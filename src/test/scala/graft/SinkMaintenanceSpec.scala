@@ -44,6 +44,19 @@ class SinkMaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() === 1L)
   }
 
+  test("deleteWhere: matching rows go, null-predicate rows are RETAINED") {
+    val path = s"${Sinks.scratchRoot}/spec_delete"
+    val seed = Seq((Some(1L), "a"), (Some(14L), "b"), (None, "c"),
+                   (Some(3L), "d"))
+      .toDF("k", "v")
+    Sinks.replaceLoad(seed, path)
+    Sinks.deleteWhere(spark, path, $"k" % 7 === 0)
+    val got = spark.read.parquet(path)
+      .as[(Option[Long], String)].collect().toSet
+    // 14 matches (deleted); null k cannot PROVE a match -> retained
+    assert(got === Set((Some(1L), "a"), (None, "c"), (Some(3L), "d")))
+  }
+
   test("compact: 64-file scatter becomes exactly numFiles files, " +
        "data-identical") {
     val path = s"${Sinks.scratchRoot}/spec_compact"
