@@ -393,6 +393,38 @@ object SparkEntry {
         reuseFreq = Some(DedupOps.shingleFreq(corpus)))
     }),
 
+    // Day-2 flagship: INCREMENTAL CORPUS REFRESH. A new batch (doc_id ≡
+    // 0 mod 3) lands against the standing warehouse (the rest): token
+    // floor → exact-content novelty (fingerprint anti-join vs the
+    // warehouse) → incremental near-dup screen (two-sided prefix join
+    // vs the standing corpus, corpus-side df reused) → crash-safe
+    // mergeByKey insert → per-source census of the refreshed warehouse.
+    // Every stage's logic already has an oracle; the composition chains
+    // them (the q_export_pipeline discipline).
+    "q_incremental_refresh" -> ((s, dir) => {
+      val path = scratch(dir, "refresh")
+      val docs = t(s, dir, "documents")
+      Sinks.replaceLoad(docs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+                        path)
+      val wh = s.read.parquet(path)
+      val nb = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val gated = nb
+        .filter(TextOps.tokenCount(col("text")) >= 20)
+        .join(wh.select(TextOps.fingerprint(col("text")).as("__fp"))
+                .distinct(),
+              TextOps.fingerprint(col("text")) === col("__fp"),
+              "left_anti")
+      val whSets = DedupOps.hashedSets(wh, "doc_id", "text", n = 12)
+      val flagged = DedupOps.ngramJaccardPairsBetween(
+          whSets, DedupOps.hashedSets(gated, "doc_id", "text", n = 12),
+          tau = 0.7, reuseFreq = Some(DedupOps.shingleFreq(whSets)))
+        .select(col("id_b").as("doc_id")).distinct()
+      Sinks.mergeByKey(gated.join(flagged, Seq("doc_id"), "left_anti"),
+                       Seq("doc_id"), path)
+      s.read.parquet(path)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    }),
+
     // Semantic-ONLY near-dups: embedding-cosine pairs the lexical
     // (n-gram Jaccard) join cannot see — the paraphrase/translation gap
     // lexical dedup leaves open. Composes two oracle-verified pair sets
@@ -1674,6 +1706,37 @@ object SparkEntry {
           |       CASE WHEN id_a % 2 = 0 THEN id_b ELSE id_a END AS id_b,
           |       jaccard
           |FROM pairs WHERE id_a % 2 <> id_b % 2""".stripMargin),
+
+    "q_incremental_refresh" ->
+      """WITH wh AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+        |nb AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+        |g1 AS (SELECT * FROM nb
+        |       WHERE len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                             x -> x <> '')) >= 20
+        |         AND md5(text) NOT IN (SELECT md5(text) FROM wh
+        |                               WHERE text IS NOT NULL)),
+        |idx AS (SELECT unnest(range(1,
+        |    (SELECT CAST(max(len(text)) AS BIGINT) FROM documents))) AS i),
+        |shw AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 12)
+        |          AS s
+        |        FROM wh JOIN idx ON i <= len(text)-11),
+        |shn AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 12)
+        |          AS s
+        |        FROM g1 JOIN idx ON i <= len(text)-11),
+        |szw AS (SELECT doc_id, count(*) AS n FROM shw GROUP BY 1),
+        |szn AS (SELECT doc_id, count(*) AS n FROM shn GROUP BY 1),
+        |common AS (SELECT w.doc_id AS id_a, b.doc_id AS id_b,
+        |                  count(*) AS c
+        |           FROM shw w JOIN shn b ON w.s = b.s GROUP BY 1,2),
+        |flagged AS (SELECT DISTINCT id_b FROM common
+        |            JOIN szw sa ON sa.doc_id = id_a
+        |            JOIN szn sb ON sb.doc_id = id_b
+        |            WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.7),
+        |keep AS (SELECT * FROM g1
+        |         WHERE doc_id NOT IN (SELECT id_b FROM flagged))
+        |SELECT source, count(*) AS n_docs
+        |FROM (SELECT source FROM wh UNION ALL SELECT source FROM keep)
+        |GROUP BY 1""".stripMargin,
 
     "q_semantic_dups" ->
       (jaccardPairsCte + ",\n" +

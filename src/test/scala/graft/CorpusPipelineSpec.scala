@@ -154,4 +154,38 @@ class CorpusPipelineSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("incremental refresh semantics: exact dup, near-dup and short " +
+       "docs rejected; only genuinely new content merges") {
+    import spark.implicits._
+    import graft.dedup.DedupOps
+    import graft.text.TextOps
+    val body = (1 to 30).map(i => s"warehouse sentence token$i").mkString(" ")
+    val path = s"${Sinks.scratchRoot}/spec_refresh"
+    val wh = Seq((2L, body)).toDF("doc_id", "text")
+    Sinks.replaceLoad(wh, path)
+    val fresh = (1 to 30).map(i => s"completely different topic w$i")
+      .mkString(" ")
+    val batch = Seq(
+      (3L, body),                                   // exact dup → rejected
+      (6L, body.replace("token7", "tweak7")),       // near-dup → rejected
+      (9L, "too short"),                            // token floor → rejected
+      (12L, fresh)                                  // new → merged
+    ).toDF("doc_id", "text")
+    val whDf = spark.read.parquet(path)
+    val gated = batch
+      .filter(TextOps.tokenCount($"text") >= 20)
+      .join(whDf.select(TextOps.fingerprint($"text").as("__fp")).distinct(),
+            TextOps.fingerprint($"text") === $"__fp", "left_anti")
+    val whSets = DedupOps.hashedSets(whDf, "doc_id", "text", n = 12)
+    val flagged = DedupOps.ngramJaccardPairsBetween(
+        whSets, DedupOps.hashedSets(gated, "doc_id", "text", n = 12),
+        tau = 0.7, reuseFreq = Some(DedupOps.shingleFreq(whSets)))
+      .select($"id_b".as("doc_id")).distinct()
+    Sinks.mergeByKey(gated.join(flagged, Seq("doc_id"), "left_anti"),
+                     Seq("doc_id"), path)
+    val ids = spark.read.parquet(path).select($"doc_id")
+      .as[Long].collect().toSet
+    assert(ids === Set(2L, 12L))
+  }
 }
