@@ -70,6 +70,33 @@ class CmsSpec extends SparkSpec {
     assert(boiler.sliding(12).forall(g => got.get(g).contains(30L)))
   }
 
+  test("cms_agg is a valid streaming aggregate: complete-mode sketch " +
+       "absorbs new files and never undercounts") {
+    val dir = "/root/repo/target/scratch/cms_stream"
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    val batch1 = (0L until 50L).flatMap(i => Seq.fill(3)(i)).toDF("h")
+    batch1.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch1.schema).parquet(dir)
+    val q = stream
+      .agg(CmsExpressions.cmsAgg($"h", 4, 4096).as("s"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_stream_test").start()
+    try {
+      q.processAllAvailable()
+      // second file lands mid-stream
+      (0L until 50L).flatMap(i => Seq.fill(2)(i)).toDF("h")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val sketch = spark.table("cms_stream_test").as[Seq[Long]].head()
+    val ad = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      sketch.toArray)
+    (0L until 50L).foreach { i =>
+      val est = graft.functions.Cms.estimate(ad, i, 4, 4096)
+      assert(est >= 5L, s"stream undercount at $i: $est < 5")
+    }
+  }
+
   test("cms_estimate rejects a dims/sketch mismatch loudly") {
     // in-bounds but WRONG offsets would silently undercount and break
     // the superset guarantee — must throw instead

@@ -270,6 +270,47 @@ class TextDedupSpec extends SparkSpec {
     assert(frac === 0.0)
   }
 
+  test("lineDedup and dedupLinesWithin match brute force on random " +
+       "corpora (seeded)") {
+    for (seed <- Seq(101, 202)) {
+      val rnd = new scala.util.Random(seed)
+      // small line alphabet → dense cross-doc and intra-doc collisions
+      def line() = s"L${rnd.nextInt(8)}"
+      val docs = (0L until 40L).map { i =>
+        (i, Seq.fill(1 + rnd.nextInt(6))(line()).mkString("\n"))
+      }
+      val df = docs.toDF("doc_id", "text")
+
+      // brute force lineDedup: global first occurrence per duplicated line
+      val all = docs.flatMap { case (id, t) =>
+        t.split("\n", -1).zipWithIndex.map { case (l, p) => (id, p, l) } }
+      val byLine = all.groupBy(_._3)
+      val expect1 = docs.map { case (id, t) =>
+        val kept = t.split("\n", -1).zipWithIndex.filter { case (l, p) =>
+          val occ = byLine(l)
+          occ.map(_._1).distinct.size < 2 || {
+            val first = occ.minBy(o => (o._1, o._2))
+            first._1 == id && first._2 == p
+          }
+        }.map(_._1)
+        (id, kept.mkString("\n"))
+      }.toMap
+      val got1 = DedupOps.lineDedup(df, "doc_id", "text")
+        .select($"doc_id", $"clean_text").as[(Long, String)]
+        .collect().toMap
+      assert(got1 === expect1, s"lineDedup seed $seed")
+
+      // brute force dedupLinesWithin: per-doc first occurrence
+      val expect2 = docs.map { case (id, t) =>
+        (id, t.split("\n", -1).distinct.mkString("\n"))
+      }.toMap
+      val got2 = DedupOps.dedupLinesWithin(df, "doc_id", "text")
+        .select($"doc_id", $"clean_text").as[(Long, String)]
+        .collect().toMap
+      assert(got2 === expect2, s"dedupLinesWithin seed $seed")
+    }
+  }
+
   test("lineDedup: fully-boilerplate doc survives empty; null text " +
        "stays null; second pass is a no-op") {
     val docs = Seq(
