@@ -396,11 +396,12 @@ object SparkEntry {
     // Day-2 flagship: INCREMENTAL CORPUS REFRESH. A new batch (doc_id ≡
     // 0 mod 3) lands against the standing warehouse (the rest): token
     // floor → exact-content novelty (fingerprint anti-join vs the
-    // warehouse) → incremental near-dup screen (two-sided prefix join
-    // vs the standing corpus, corpus-side df reused) → crash-safe
-    // mergeByKey insert → per-source census of the refreshed warehouse.
-    // Every stage's logic already has an oracle; the composition chains
-    // them (the q_export_pipeline discipline).
+    // warehouse) → WITHIN-batch near-dup election (pairs + CC +
+    // canonical-min, the curate shape — a batch can duplicate itself) →
+    // cross-corpus near-dup screen on the canonicals (two-sided prefix
+    // join, corpus-side df reused) → crash-safe mergeByKey insert →
+    // per-source census. Every stage's logic already has an oracle; the
+    // composition chains them (the q_export_pipeline discipline).
     "q_incremental_refresh" -> ((s, dir) => {
       val path = scratch(dir, "refresh")
       val docs = t(s, dir, "documents")
@@ -414,13 +415,23 @@ object SparkEntry {
                 .distinct(),
               TextOps.fingerprint(col("text")) === col("__fp"),
               "left_anti")
+      val gSets = DedupOps.hashedSets(gated, "doc_id", "text", n = 12)
+      val drops = ConnectedComponents.connectedComponents(
+          DedupOps.ngramJaccardPairsFromSets(gSets, tau = 0.7),
+          "id_a", "id_b", assumeDistinct = true)
+        .filter(col("id") =!= col("comp"))
+        .select(col("id"))
+      val canonSets = gSets.join(drops, Seq("id"), "left_anti")
       val whSets = DedupOps.hashedSets(wh, "doc_id", "text", n = 12)
       val flagged = DedupOps.ngramJaccardPairsBetween(
-          whSets, DedupOps.hashedSets(gated, "doc_id", "text", n = 12),
-          tau = 0.7, reuseFreq = Some(DedupOps.shingleFreq(whSets)))
+          whSets, canonSets, tau = 0.7,
+          reuseFreq = Some(DedupOps.shingleFreq(whSets)))
         .select(col("id_b").as("doc_id")).distinct()
-      Sinks.mergeByKey(gated.join(flagged, Seq("doc_id"), "left_anti"),
-                       Seq("doc_id"), path)
+      val survivors = gated
+        .join(drops.withColumnRenamed("id", "doc_id"),
+              Seq("doc_id"), "left_anti")
+        .join(flagged, Seq("doc_id"), "left_anti")
+      Sinks.mergeByKey(survivors, Seq("doc_id"), path)
       s.read.parquet(path)
         .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     }),
@@ -1708,7 +1719,7 @@ object SparkEntry {
           |FROM pairs WHERE id_a % 2 <> id_b % 2""".stripMargin),
 
     "q_incremental_refresh" ->
-      """WITH wh AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+      ("""WITH RECURSIVE wh AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
         |nb AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
         |g1 AS (SELECT * FROM nb
         |       WHERE len(list_filter(string_split_regex(trim(text), '\s+'),
@@ -1717,26 +1728,43 @@ object SparkEntry {
         |                               WHERE text IS NOT NULL)),
         |idx AS (SELECT unnest(range(1,
         |    (SELECT CAST(max(len(text)) AS BIGINT) FROM documents))) AS i),
-        |shw AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 12)
-        |          AS s
-        |        FROM wh JOIN idx ON i <= len(text)-11),
         |shn AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 12)
         |          AS s
         |        FROM g1 JOIN idx ON i <= len(text)-11),
-        |szw AS (SELECT doc_id, count(*) AS n FROM shw GROUP BY 1),
         |szn AS (SELECT doc_id, count(*) AS n FROM shn GROUP BY 1),
+        |commonb AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |                   count(*) AS c
+        |            FROM shn a JOIN shn b
+        |              ON a.s = b.s AND a.doc_id < b.doc_id
+        |            GROUP BY 1, 2),
+        |bprs AS (SELECT id_a, id_b FROM commonb
+        |         JOIN szn sa ON sa.doc_id = id_a
+        |         JOIN szn sb ON sb.doc_id = id_b
+        |         WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.7),
+        |""".stripMargin +
+        closureCtes("bprs") + """,
+        |drops AS (SELECT id FROM reach
+        |          GROUP BY id HAVING id <> min(lbl)),
+        |canon AS (SELECT * FROM g1
+        |          WHERE doc_id NOT IN (SELECT id FROM drops)),
+        |shw AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 12)
+        |          AS s
+        |        FROM wh JOIN idx ON i <= len(text)-11),
+        |szw AS (SELECT doc_id, count(*) AS n FROM shw GROUP BY 1),
         |common AS (SELECT w.doc_id AS id_a, b.doc_id AS id_b,
         |                  count(*) AS c
-        |           FROM shw w JOIN shn b ON w.s = b.s GROUP BY 1,2),
+        |           FROM shw w JOIN shn b ON w.s = b.s
+        |           WHERE b.doc_id IN (SELECT doc_id FROM canon)
+        |           GROUP BY 1, 2),
         |flagged AS (SELECT DISTINCT id_b FROM common
         |            JOIN szw sa ON sa.doc_id = id_a
         |            JOIN szn sb ON sb.doc_id = id_b
         |            WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.7),
-        |keep AS (SELECT * FROM g1
+        |keep AS (SELECT * FROM canon
         |         WHERE doc_id NOT IN (SELECT id_b FROM flagged))
         |SELECT source, count(*) AS n_docs
         |FROM (SELECT source FROM wh UNION ALL SELECT source FROM keep)
-        |GROUP BY 1""".stripMargin,
+        |GROUP BY 1""".stripMargin),
 
     "q_semantic_dups" ->
       (jaccardPairsCte + ",\n" +

@@ -155,10 +155,10 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
-  test("incremental refresh semantics: exact dup, near-dup and short " +
-       "docs rejected; only genuinely new content merges") {
+  test("incremental refresh semantics: exact dup, near-dup, short and " +
+       "batch-internal dup rejected; canonical new content merges") {
     import spark.implicits._
-    import graft.dedup.DedupOps
+    import graft.dedup.{ConnectedComponents, DedupOps}
     import graft.text.TextOps
     val body = (1 to 30).map(i => s"warehouse sentence token$i").mkString(" ")
     val path = s"${Sinks.scratchRoot}/spec_refresh"
@@ -167,23 +167,33 @@ class CorpusPipelineSpec extends SparkSpec {
     val fresh = (1 to 30).map(i => s"completely different topic w$i")
       .mkString(" ")
     val batch = Seq(
-      (3L, body),                                   // exact dup → rejected
-      (6L, body.replace("token7", "tweak7")),       // near-dup → rejected
+      (3L, body),                                   // exact dup of wh → rejected
+      (6L, body.replace("token7", "tweak7")),       // near-dup of wh → rejected
       (9L, "too short"),                            // token floor → rejected
-      (12L, fresh)                                  // new → merged
+      (12L, fresh),                                 // new, canonical → merged
+      (15L, fresh.replace("w3", "w3x"))             // near-dup of 12 → election drops
     ).toDF("doc_id", "text")
     val whDf = spark.read.parquet(path)
     val gated = batch
       .filter(TextOps.tokenCount($"text") >= 20)
       .join(whDf.select(TextOps.fingerprint($"text").as("__fp")).distinct(),
             TextOps.fingerprint($"text") === $"__fp", "left_anti")
+    val gSets = DedupOps.hashedSets(gated, "doc_id", "text", n = 12)
+    val drops = ConnectedComponents.connectedComponents(
+        DedupOps.ngramJaccardPairsFromSets(gSets, tau = 0.7),
+        "id_a", "id_b", assumeDistinct = true)
+      .filter($"id" =!= $"comp").select($"id")
+    val canonSets = gSets.join(drops, Seq("id"), "left_anti")
     val whSets = DedupOps.hashedSets(whDf, "doc_id", "text", n = 12)
     val flagged = DedupOps.ngramJaccardPairsBetween(
-        whSets, DedupOps.hashedSets(gated, "doc_id", "text", n = 12),
-        tau = 0.7, reuseFreq = Some(DedupOps.shingleFreq(whSets)))
+        whSets, canonSets, tau = 0.7,
+        reuseFreq = Some(DedupOps.shingleFreq(whSets)))
       .select($"id_b".as("doc_id")).distinct()
-    Sinks.mergeByKey(gated.join(flagged, Seq("doc_id"), "left_anti"),
-                     Seq("doc_id"), path)
+    val survivors = gated
+      .join(drops.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
+            "left_anti")
+      .join(flagged, Seq("doc_id"), "left_anti")
+    Sinks.mergeByKey(survivors, Seq("doc_id"), path)
     val ids = spark.read.parquet(path).select($"doc_id")
       .as[Long].collect().toSet
     assert(ids === Set(2L, 12L))
