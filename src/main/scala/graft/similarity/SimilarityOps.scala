@@ -849,6 +849,32 @@ object SimilarityOps {
     (spark.read.parquet(s"$path/lists"),
      spark.read.parquet(s"$path/codebook"))
 
+  /** INCREMENTAL index maintenance: assign a NEW vector batch against
+    * the SAVED codebook and append into the existing list directories —
+    * index freshness without retraining or touching the standing
+    * billions of rows (the production cadence: retrain the coarse
+    * quantizer rarely, append batches continuously). The append is one
+    * zero-shuffle assignment pass over the batch plus a write-side
+    * repartition on list_id (the saveIndex one-file-per-list
+    * discipline); dynamic partition append only creates/extends the
+    * directories the batch actually lands in.
+    *
+    * Drift contract: appended vectors quantize against the FROZEN
+    * codebook, so recall for them degrades as the data distribution
+    * drifts from it — the accepted trade every IVF deployment makes
+    * between freshness and retrain cost. The spec pins
+    * append-then-serve ≡ rebuild-then-serve for the same codebook.
+    */
+  def appendIndex(newEmb: DataFrame, idCol: String, vecCol: String,
+                  path: String): Unit = {
+    val spark = newEmb.sparkSession
+    val cents = spark.read.parquet(s"$path/codebook")
+    ivfAssignTo(newEmb, idCol, vecCol, cents)
+      .repartition(col("list_id"))
+      .write.mode("append").partitionBy("list_id")
+      .parquet(s"$path/lists")
+  }
+
   // ---------------------------------------------------------- IVF × PQ
 
   /** Build the COMPOSED IVF×PQ index (Jégou TPAMI'11 §IV: coarse

@@ -209,6 +209,31 @@ class SimilaritySpec extends SparkSpec {
       _.listFiles().count(_.getName.endsWith(".parquet")) === 1))
   }
 
+  test("appendIndex: append-then-serve equals rebuild-then-serve for " +
+       "the same frozen codebook") {
+    val path = "/root/repo/target/scratch/ivf_index_append"
+    val old = emb.filter($"vec_id" < 400)
+    val fresh = emb.filter($"vec_id" >= 400)
+    val cents = SimilarityOps.ivfTrain(old, "vec_id", "embedding",
+                                       nlist = 4, iters = 2)
+    SimilarityOps.saveIndex(
+      SimilarityOps.ivfAssignTo(old, "vec_id", "embedding", cents),
+      cents, path)
+    // rebuild truth BEFORE the append (same frozen codebook, full data)
+    val rebuilt = SimilarityOps.ivfTopK(
+        SimilarityOps.ivfAssignTo(emb, "vec_id", "embedding", cents),
+        cents, "vec_id", "embedding", 3L, k = 5, nprobe = 2)
+      .as[(Long, Double)].collect().toSeq
+    spark.catalog.clearCache() // release ivfTrain's codebook pin
+    SimilarityOps.appendIndex(fresh, "vec_id", "embedding", path)
+    val (lists, cb) = SimilarityOps.loadIndex(spark, path)
+    assert(lists.count() === emb.count())
+    val served = SimilarityOps.ivfTopK(lists, cb, "vec_id", "embedding",
+                                       3L, k = 5, nprobe = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(served === rebuilt)
+  }
+
   test("ivfAssignTo: a zero-norm vector lands in list 0, never a phantom list") {
     val rows = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
