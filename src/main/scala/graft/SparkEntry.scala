@@ -1324,7 +1324,6 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"),
              round(avg(col("gap_ms")), 6).as("avg_gap_ms"))),
 
-    // Idempotent month-partition upsert: load month 3 twice via dynamic
     // Row-level MERGE (CDC upsert): seed the customer table, merge a
     // doubled-balance update batch for every 10th key TWICE (latest
     // wins, idempotent), census the merged state. Complements
@@ -1371,6 +1370,7 @@ object SparkEntry {
         sum(col("n_chars")).as("total_chars"))
     }),
 
+    // Idempotent month-partition upsert: load month 3 twice via dynamic
     // partition overwrite — the count must equal ONE load (the at-scale
     // fix for the reference's duplicate-on-retry mode("append"))
     "q_partition_upsert" -> ((s, dir) => {
@@ -2636,10 +2636,14 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q_delete_where" ->
+      // the OR IS NULL arm mirrors deleteWhere's null-retention
+      // contract (delete only what PROVABLY matches) — NOT(NULL) would
+      // silently drop null-key rows from the oracle side
       """SELECT count(*) AS n,
         |       count(DISTINCT user_id) AS n_users,
         |       round(sum(value), 4) AS total_value
-        |FROM events WHERE NOT (user_id % 7 = 0)""".stripMargin,
+        |FROM events
+        |WHERE user_id % 7 <> 0 OR user_id IS NULL""".stripMargin,
 
     "q_partition_upsert" ->
       """SELECT count(*) AS n,

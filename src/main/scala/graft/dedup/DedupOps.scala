@@ -409,10 +409,14 @@ object DedupOps {
     * distinct grams, rounded up to words); fpp ≈ (1−e^(−k/bits))^k ≈
     * 0.8% at the defaults.
     */
-  def contaminationScreened(corpus: DataFrame, reference: DataFrame,
-                            idCol: String, textCol: String, n: Int,
-                            minShared: Long = 1L, bitsPerGram: Int = 10,
-                            k: Int = 7): DataFrame = {
+  /** Reference gram set (persisted — it feeds the sizing count, the
+    * bitset build, and possibly an exact verify) plus its one-row Bloom
+    * bitset, shared by the batch and streaming screens so the layout
+    * and sizing can never drift between them.
+    */
+  private def refGramsAndBloom(reference: DataFrame, textCol: String,
+                               n: Int, bitsPerGram: Int,
+                               k: Int): (DataFrame, DataFrame) = {
     import graft.functions.BloomExpressions
     val refGrams = reference
       .select(explode(ShingleExpressions.shingleHashes(col(textCol), n))
@@ -420,12 +424,22 @@ object DedupOps {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheScope.register)
-    // one scalar action sizes the filter; the gram set is already
-    // persisted for its two real consumers (bitset build, exact verify)
+    // one scalar action sizes the filter; the gram set is persisted for
+    // its other consumers
     val m = math.max(refGrams.count(), 1L)
     val numBits = math.max(64L, ((m * bitsPerGram + 63L) / 64L) * 64L)
-    val bloom = refGrams.agg(
-      BloomExpressions.bloomAgg(col("sh"), numBits, k).as("__bloom"))
+    (refGrams,
+     refGrams.agg(
+       BloomExpressions.bloomAgg(col("sh"), numBits, k).as("__bloom")))
+  }
+
+  def contaminationScreened(corpus: DataFrame, reference: DataFrame,
+                            idCol: String, textCol: String, n: Int,
+                            minShared: Long = 1L, bitsPerGram: Int = 10,
+                            k: Int = 7): DataFrame = {
+    import graft.functions.BloomExpressions
+    val (refGrams, bloom) =
+      refGramsAndBloom(reference, textCol, n, bitsPerGram, k)
     val cand = corpus
       .crossJoin(broadcast(bloom))
       .filter(BloomExpressions.bloomHitCount(
@@ -463,14 +477,9 @@ object DedupOps {
                                minShared: Long = 1L, bitsPerGram: Int = 10,
                                k: Int = 7): DataFrame = {
     import graft.functions.BloomExpressions
-    val refGrams = reference
-      .select(explode(ShingleExpressions.shingleHashes(col(textCol), n))
-        .as("sh"))
-      .distinct()
-    val m = math.max(refGrams.count(), 1L) // static side: sizing action ok
-    val numBits = math.max(64L, ((m * bitsPerGram + 63L) / 64L) * 64L)
-    val bloom = refGrams.agg(
-      BloomExpressions.bloomAgg(col("sh"), numBits, k).as("__bloom"))
+    // static side: the sizing action and persisted gram set are shared
+    // with the batch screen's builder (one explode+distinct, not two)
+    val (_, bloom) = refGramsAndBloom(reference, textCol, n, bitsPerGram, k)
     docs
       .crossJoin(broadcast(bloom))
       .select(col(idCol),

@@ -122,19 +122,48 @@ object Sinks {
     * directories. Spark (correctly) refuses to overwrite a path that
     * feeds the very plan being written ("Cannot overwrite a path that
     * is also being read from"); the staged write reads the old data to
-    * completion, and only then does the old directory vanish — a
-    * crash mid-write leaves the original intact (the swap is the last
-    * step), so the operation is restartable, never half-applied.
+    * completion before anything moves.
+    *
+    * The swap itself is rename–rename–delete, never delete-then-rename:
+    * target → __old, stage → target, drop __old. At every instant the
+    * data exists under SOME name, so a crash anywhere is recoverable —
+    * `recoverSwap` (run on entry by every maintenance op) heals the
+    * one observable crash state (target missing, __old present ⇒ the
+    * crash fell between the two renames; restore __old) and clears
+    * stale stage/old leftovers. The original delete-then-rename had a
+    * window where a crash lost the live table AND made mergeByKey's
+    * bootstrap branch silently rebuild it from the update batch alone.
     */
-  private def stageSwap(df: DataFrame, path: String): Unit = {
-    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+  private def fsFor(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private[io] def recoverSwap(spark: SparkSession, path: String): Unit = {
+    val fs = fsFor(spark, path)
     val target = new org.apache.hadoop.fs.Path(path)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__stage")
-    val fs = target.getFileSystem(hconf)
-    df.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(target, true)
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(s"stage swap failed: $tmp -> $target")
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    val stage = new org.apache.hadoop.fs.Path(path + "__stage")
+    if (!fs.exists(target) && fs.exists(old) && !fs.rename(old, target))
+      throw new java.io.IOException(s"swap recovery failed: $old -> $target")
+    fs.delete(stage, true) // a stage dir never outlives its swap attempt
+    if (fs.exists(target)) fs.delete(old, true)
+  }
+
+  private def stageSwap(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    recoverSwap(spark, path)
+    val fs = fsFor(spark, path)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    val stage = new org.apache.hadoop.fs.Path(path + "__stage")
+    df.write.mode("overwrite").parquet(stage.toString)
+    if (fs.exists(target) && !fs.rename(target, old))
+      throw new java.io.IOException(s"stage swap failed: $target -> $old")
+    if (!fs.rename(stage, target)) {
+      fs.rename(old, target) // restore; best-effort before failing loudly
+      throw new java.io.IOException(s"stage swap failed: $stage -> $target")
+    }
+    fs.delete(old, true)
   }
 
   /** Row-level MERGE (CDC upsert, latest-wins): rows in `updates`
@@ -156,17 +185,30 @@ object Sinks {
   def mergeByKey(updates: DataFrame, keys: Seq[String],
                  path: String): Unit = {
     val spark = updates.sparkSession
-    val exists = {
-      val p = new org.apache.hadoop.fs.Path(path)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    }
+    // heal any crashed prior swap BEFORE the exists-check: without this,
+    // a crash between the two swap renames would make the bootstrap
+    // branch silently replace the whole table with the update batch
+    recoverSwap(spark, path)
+    val exists = fsFor(spark, path)
+      .exists(new org.apache.hadoop.fs.Path(path))
     if (!exists) updates.write.mode("overwrite").parquet(path)
     else {
-      val target = spark.read.parquet(path)
+      // updates feeds the plan twice (key side + union side): persist so
+      // an expensive update pipeline (the refresh flagship's gated/
+      // screened survivors) executes once
+      val up = updates
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheScope.register)
+      val target = spark.read.parquet(path).as("t")
+      val upKeys = up.select(keys.map(col): _*).distinct().as("u")
+      // null-SAFE key equality: a null-key update row must REPLACE the
+      // target's null-key row, not accumulate a duplicate per merge
+      // (plain equi-join keys never match null to null)
+      val cond = keys.map(k => col(s"t.$k") <=> col(s"u.$k"))
+        .reduce(_ && _)
       val merged = target
-        .join(updates.select(keys.map(col): _*).distinct(),
-              keys, "left_anti")
-        .unionByName(updates)
+        .join(upKeys, cond, "left_anti")
+        .unionByName(up)
       stageSwap(merged, path)
     }
   }

@@ -864,12 +864,21 @@ object SimilarityOps {
     * drifts from it — the accepted trade every IVF deployment makes
     * between freshness and retrain cost. The spec pins
     * append-then-serve ≡ rebuild-then-serve for the same codebook.
+    *
+    * Retry safety: ids already present in the index are anti-joined
+    * away before the append (one scan of the index's ID column only —
+    * every other column prunes), so re-running a batch after a
+    * crashed-after-commit attempt cannot double-insert — plain
+    * mode("append") alone has exactly the duplicate-on-retry failure
+    * the incremental-loading notes call out for the reference.
     */
   def appendIndex(newEmb: DataFrame, idCol: String, vecCol: String,
                   path: String): Unit = {
     val spark = newEmb.sparkSession
     val cents = spark.read.parquet(s"$path/codebook")
-    ivfAssignTo(newEmb, idCol, vecCol, cents)
+    val existing = spark.read.parquet(s"$path/lists").select(col(idCol))
+    ivfAssignTo(newEmb.join(existing, Seq(idCol), "left_anti"),
+                idCol, vecCol, cents)
       .repartition(col("list_id"))
       .write.mode("append").partitionBy("list_id")
       .parquet(s"$path/lists")

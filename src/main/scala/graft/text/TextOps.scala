@@ -1075,8 +1075,9 @@ object TextOps {
       round(median(col("__tok")), 6).as("med_tokens"))
     val w = Window.partitionBy(col(sourceCol))
       .orderBy(col("__n").desc, col(langCol).asc_nulls_last)
-    // census from the SAME projection as the aggregate (base already
-    // carries source + lang) — one scan of the corpus, not two
+    // census from the SAME projection as the aggregate for consistency;
+    // physically it still plans its own pruned (source, lang) scan —
+    // the docstring's "two pruned passes" is the honest cost
     val top = base.groupBy(col(sourceCol), col(langCol))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__rn", row_number().over(w))

@@ -232,6 +232,15 @@ class SimilaritySpec extends SparkSpec {
                                        3L, k = 5, nprobe = 2)
       .as[(Long, Double)].collect().toSeq
     assert(served === rebuilt)
+    // retrying the SAME batch is a no-op: already-present ids are
+    // anti-joined away, so the count and the serve are unchanged
+    SimilarityOps.appendIndex(fresh, "vec_id", "embedding", path)
+    val (lists2, cb2) = SimilarityOps.loadIndex(spark, path)
+    assert(lists2.count() === emb.count())
+    val served2 = SimilarityOps.ivfTopK(lists2, cb2, "vec_id",
+                                        "embedding", 3L, k = 5, nprobe = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(served2 === rebuilt)
   }
 
   test("ivfAssignTo: a zero-norm vector lands in list 0, never a phantom list") {

@@ -44,6 +44,41 @@ class SinkMaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() === 1L)
   }
 
+  test("mergeByKey heals a crashed swap instead of silently replacing " +
+       "the table with the update batch") {
+    val path = s"${Sinks.scratchRoot}/spec_merge_crash"
+    val seed = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    Sinks.replaceLoad(seed, path)
+    // simulate the crash state between the two swap renames: the live
+    // table sits under __old, target is gone
+    val dir = new java.io.File(path)
+    val old = new java.io.File(path + "__old")
+    assert(dir.renameTo(old))
+    // stale stage leftovers from the dead attempt too
+    new java.io.File(path + "__stage").mkdirs()
+    val updates = Seq((2L, "b2")).toDF("k", "v")
+    Sinks.mergeByKey(updates, Seq("k"), path)
+    val got = spark.read.parquet(path).as[(Long, String)].collect().toSet
+    // the seed row (1, "a") SURVIVED the crash-retry — without recovery
+    // the bootstrap branch would have written only (2, "b2")
+    assert(got === Set((1L, "a"), (2L, "b2")))
+    assert(!old.exists() && !new java.io.File(path + "__stage").exists())
+  }
+
+  test("mergeByKey: a null-key update row REPLACES the target's " +
+       "null-key row (null-safe keys, idempotent)") {
+    val path = s"${Sinks.scratchRoot}/spec_merge_nullkey"
+    val seed = Seq((Some(1L), "a"), (None, "legacy"))
+      .toDF("k", "v")
+    Sinks.replaceLoad(seed, path)
+    val updates = Seq((Option.empty[Long], "fixed")).toDF("k", "v")
+    Sinks.mergeByKey(updates, Seq("k"), path)
+    Sinks.mergeByKey(updates, Seq("k"), path)
+    val got = spark.read.parquet(path)
+      .as[(Option[Long], String)].collect().toSet
+    assert(got === Set((Some(1L), "a"), (None, "fixed")))
+  }
+
   test("deleteWhere: matching rows go, null-predicate rows are RETAINED") {
     val path = s"${Sinks.scratchRoot}/spec_delete"
     val seed = Seq((Some(1L), "a"), (Some(14L), "b"), (None, "c"),
