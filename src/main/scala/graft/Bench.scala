@@ -66,11 +66,33 @@ object Bench {
     s"""{"metric":"total","value":${totalOf(results)},"unit":"sec","queries":$qs,"sf":${jsonQuote(sfDir)}}"""
   }
 
-  /** The short, total-only metric line (pure, spec'd). Printed LAST so the
-    * driver's stdout tail always contains one complete parseable object.
+  /** The short metric line (pure, spec'd). Printed LAST so the driver's
+    * stdout tail always contains one complete parseable object.
+    *
+    * The driver's tail window is ~2000 chars and it parses the FINAL
+    * stdout line, so the full named per-query map (~3.5 KB at 121
+    * queries) can never ride this channel — r5's driver file lost the
+    * alphabetically-early half of the suite to the truncation. Instead
+    * the short line carries `qv`: per-query seconds (3 decimals, -1 =
+    * failed) as a POSITIONAL array in name-ascending order (`order`
+    * says so, `nq` counts it) — ~6 bytes/query instead of ~28, so all
+    * ~121 queries fit with 2× headroom. Names are recovered by zipping
+    * with the sorted query-name set (CORRECTNESS_rN.json keys, or
+    * bench.json's named map, which remains the full-precision record).
+    * Fail-safe: if a future suite outgrows the window, qv is dropped
+    * rather than risk an unparseable final line.
     */
-  def renderShortJson(results: Seq[(String, Double)], sfDir: String): String =
-    s"""{"metric":"total","value":${totalOf(results)},"unit":"sec","sf":${jsonQuote(sfDir)}}"""
+  def renderShortJson(results: Seq[(String, Double)], sfDir: String): String = {
+    val total = totalOf(results)
+    val base =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":${jsonQuote(sfDir)}"""
+    val qv = results.sortBy(_._1).map { case (_, v) =>
+      if (v < 0) "-1"
+      else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    }.mkString("[", ",", "]")
+    val full = base + s""","nq":${results.size},"order":"name-asc","qv":$qv}"""
+    if (full.length <= 1900) full else base + "}"
+  }
 
   /** local[N] width: env override, else the machine's core count — a
     * hardcoded 32 oversubscribes smaller hosts and skews timings

@@ -466,10 +466,10 @@ object SparkEntry {
     // ','-joined for the compare (q_collect_arrays precedent: a raw
     // array column is unhashable in the driver's pandas sort).
     "q_quantize" -> ((s, dir) =>
-      SimilarityOps.quantizeInt8(t(s, dir, "embeddings"),
-                                 "vec_id", "embedding")
-        .withColumn("qvec",
-                    array_join(col("qvec").cast("array<string>"), ","))),
+      Verify.stringifyArrays(
+        SimilarityOps.quantizeInt8(t(s, dir, "embeddings"),
+                                   "vec_id", "embedding"),
+        "qvec")),
 
     // Quantized SERVING: top-10 cosine over the int8 codes (4×-compressed
     // corpus). Exactly oracle-checkable — cosine over codes is
@@ -572,6 +572,17 @@ object SparkEntry {
     // scan-speed projection
     "q_gopher_rules" -> ((s, dir) =>
       TextOps.gopherRules(t(s, dir, "documents"))),
+
+    // Content-safety blocklist gate (C4 §2.2 bad-words filter /
+    // RefinedWeb §3.1 blocklists): distinct blocklisted-term census per
+    // doc + gate boolean; the list folds to ONE broadcast row, zero
+    // corpus shuffle, exact string matching. Mixed-case/padded terms
+    // exercise the normalization contract.
+    "q_blocklist_gate" -> ((s, dir) => {
+      import s.implicits._
+      TextOps.blocklistGate(t(s, dir, "documents"),
+                            Seq("dup", "vector", " Leak ").toDF("term"))
+    }),
 
     // CCNet head/middle/tail: bigram-LM mean-nll terciles per language
     // (exact percentiles, n_langs-row broadcast back)
@@ -737,8 +748,10 @@ object SparkEntry {
     // Line-granular cross-document dedup (the CCNet/RefinedWeb
     // boilerplate pass): a whole line occurring in ≥ 2 distinct docs
     // keeps only its global first occurrence (min doc, min pos); docs
-    // reassemble in line order. Oracle-exact including the reassembled
-    // text (the q_span_removal precedent).
+    // reassemble in line order. Blank/whitespace-only lines (paragraph
+    // separators) are exempt from the cut — CCNet/RefinedWeb practice.
+    // Oracle-exact including the reassembled text (the q_span_removal
+    // precedent).
     "q_line_dedup" -> ((s, dir) =>
       DedupOps.lineDedup(t(s, dir, "documents"), "doc_id", "text",
                          minDocs = 2)),
@@ -764,12 +777,12 @@ object SparkEntry {
     // Member list ','-joined for the compare (q_collect_arrays
     // precedent: raw arrays are unhashable in the driver's pandas sort).
     "q_dup_clusters" -> ((s, dir) =>
-      ConnectedComponents.duplicateClusters(
-        DedupOps.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-                                 n = 12, k = 64, bands = 16, tau = 0.7),
-        assumeDistinct = true)
-        .withColumn("members",
-                    array_join(col("members").cast("array<string>"), ","))),
+      Verify.stringifyArrays(
+        ConnectedComponents.duplicateClusters(
+          DedupOps.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+                                   n = 12, k = 64, bands = 16, tau = 0.7),
+          assumeDistinct = true),
+        "members")),
 
     // SimHash near-dup pairs: 16-bit band candidates, hamming ≤ 3 verify.
     // 4 bands × 16 bits guarantee a band collision for hamming ≤ 3
@@ -852,6 +865,38 @@ object SparkEntry {
                                                cents)
       SimilarityOps.ivfTopK(assigned, cents, "vec_id", "embedding",
                             probeId = 0L, k = 10, nprobe = 3)
+    }),
+
+    // ANN quality dial: recall@10 vs the exact twin across the nprobe
+    // grid, one candidate pass for the whole grid. Rows-only (IVF
+    // internals); the nprobe=nlist ⇒ recall=1.0 endpoint and
+    // monotonicity are spec-pinned (AnnOpsSpec).
+    "q_ann_eval" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = SimilarityOps.seedCentroids(emb, "vec_id", "embedding", 8)
+      val assigned = SimilarityOps.ivfAssignTo(emb, "vec_id", "embedding",
+                                               cents)
+      SimilarityOps.annEval(assigned, cents, "vec_id", "embedding",
+                            probeIds = Seq(0L, 7L, 23L, 54L, 91L), k = 10,
+                            nprobes = Seq(1, 2, 4, 8))
+    }),
+
+    // Day-2 index ops: per-list drift report of an incoming batch vs
+    // the frozen saved codebook — the appendIndex "retrain now" signal.
+    // Rows-only (persisted-index internals); planted-drift behavior is
+    // spec-pinned (AnnOpsSpec).
+    "q_index_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val old = emb.filter(pmod(col("vec_id"), lit(4)) =!= 0)
+      val batch = emb.filter(pmod(col("vec_id"), lit(4)) === 0)
+      val path = scratch(dir, "drift_index")
+      val cents = SimilarityOps.ivfTrain(old, "vec_id", "embedding",
+                                         nlist = 8, iters = 1)
+      SimilarityOps.saveIndex(
+        SimilarityOps.ivfAssignTo(old, "vec_id", "embedding", cents),
+        cents, path)
+      SimilarityOps.indexDrift(batch, "vec_id", "embedding", path)
+        .orderBy(col("list_id"))
     }),
 
     // IVF with a TRAINED codebook: two spherical k-means iterations
@@ -973,6 +1018,18 @@ object SparkEntry {
     "q_export_pipeline" -> ((s, dir) =>
       graft.pipeline.CorpusPipeline.exportCorpus(
         t(s, dir, "documents"), scratch(dir, "export_pipeline"))),
+
+    // The export flagship under the PRODUCTION hash flag (xxhash64
+    // fingerprints/coins instead of md5 — Hashing scaladoc): same
+    // dataflow, no hex-string materialization on the hot paths. No
+    // DuckDB oracle by design (xxhash64 is not portable); rows-only
+    // driver check + HashingSpec's mode-equivalence pins, and the
+    // bench line q_export_hashprod vs q_export_pipeline IS the
+    // md5-tax measurement.
+    "q_export_hashprod" -> ((s, dir) =>
+      graft.pipeline.CorpusPipeline.exportCorpus(
+        t(s, dir, "documents"), scratch(dir, "export_hashprod"),
+        hashMode = graft.text.Hashing.Production)),
 
     // Embedding near-dup pairs via LSH buckets (scale path for
     // q_cosine_pairs; recall vs brute force measured in spec — no oracle)
@@ -1954,6 +2011,23 @@ object SparkEntry {
         |         - 1 AS pos
         |FROM documents""".stripMargin,
 
+    "q_blocklist_gate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_distinct(list_filter(
+        |           string_split_regex(lower(trim(text)), '\s+'),
+        |           x -> x <> ''))) AS tok
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id, count(*) AS n,
+        |         string_agg(tok, ',' ORDER BY tok) AS ht
+        |  FROM toks WHERE tok IN ('dup', 'vector', 'leak')
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+        |       coalesce(h.ht, '') AS hit_terms,
+        |       h.doc_id IS NOT NULL AS blocked
+        |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin,
+
     "q_gopher_rules" ->
       """WITH f AS (
         |  SELECT doc_id,
@@ -2213,7 +2287,8 @@ object SparkEntry {
         |    md5(text) AS fp
         |  FROM documents),
         |agg AS (
-        |  SELECT source, count(*) AS n_docs, sum(tok) AS n_tokens,
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(tok) AS BIGINT) AS n_tokens,
         |         count(*) - count(DISTINCT fp) AS dup_docs,
         |         count(DISTINCT lang) AS n_langs,
         |         round(avg(chars), 6) AS avg_chars,
@@ -2254,7 +2329,7 @@ object SparkEntry {
         |       count(*) AS n_seqs,
         |       min(n_tokens) AS min_tokens,
         |       max(n_tokens) AS max_tokens,
-        |       sum(n_tokens) AS sum_tokens,
+        |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
         |       CASE WHEN max(n_tokens) = 0 THEN 0.0
         |            ELSE round(1.0 - CAST(sum(n_tokens) AS DOUBLE)
         |                   / (max(n_tokens) * count(*)), 6) END
@@ -2279,7 +2354,8 @@ object SparkEntry {
         |    unnest(string_split(text, chr(10))) AS line
         |  FROM documents),
         |stats AS (SELECT line, min(doc_id) AS fd
-        |          FROM lines GROUP BY 1
+        |          FROM lines WHERE len(trim(line)) >= 1
+        |          GROUP BY 1
         |          HAVING count(DISTINCT doc_id) >= 2),
         |fp AS (SELECT s.line, s.fd, min(l.pos) AS fpos
         |       FROM stats s JOIN lines l

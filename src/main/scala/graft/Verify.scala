@@ -1,9 +1,22 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{array_join, col}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** ','-join array columns into their engine-portable string form — a
+    * raw array column is unhashable in the driver's pandas sort, so
+    * EVERY query that outputs an array must pass through this (oracle
+    * twin: `array_to_string(x, ',')` / `string_agg(...)`). Load-bearing
+    * in q_quantize, q_dup_clusters, q_collect_arrays; extracted so the
+    * next array-output query can't forget the discipline.
+    */
+  def stringifyArrays(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, array_join(col(c).cast("array<string>"), ","))
+    }
+
   def main(args: Array[String]): Unit = {
     // optional 3rd arg: comma-separated query names (fast local
     // single-query iteration); the driver always passes exactly two

@@ -408,6 +408,16 @@ object DedupOps {
     * filter is sized from a one-number count action (`bitsPerGram` ×
     * distinct grams, rounded up to words); fpp ≈ (1−e^(−k/bits))^k ≈
     * 0.8% at the defaults.
+    *
+    * Ceiling: the bitset serializes as ONE Int-sized ByteBuffer
+    * (`Bloom.MaxWords` ≈ 2.7e8 words ⇒ ~1.7e10 bits), which at the
+    * default 10 bits/gram bounds the reference at ~1.7e9 distinct
+    * grams — `BloomFilterAgg` throws at construction past that. For a
+    * larger reference, lower `bitsPerGram` (more verify-join traffic,
+    * same exact result — fpp at 5 bits/gram, k=3 is ~10%) rather than
+    * raising the buffer bound; a sharded multi-row bitset is the
+    * eventual scale path if a 10⁺⁹-gram reference with single-digit
+    * fpp ever becomes a real workload.
     */
   /** Reference gram set (persisted — it feeds the sizing count, the
     * bitset build, and possibly an exact verify) plus its one-row Bloom
@@ -811,6 +821,19 @@ object DedupOps {
     * visible), and a null text stays null. Returns
     * (id, n_lines, n_removed, clean_text) for EVERY input doc.
     *
+    * Structural lines are exempt: a line whose TRIMMED length is below
+    * `minChars` (default 1 — i.e. empty and whitespace-only lines) is
+    * never treated as boilerplate, matching CCNet/RefinedWeb practice.
+    * Without the guard, blank paragraph separators — verbatim-repeated
+    * in virtually every multi-paragraph document — would be cut
+    * corpus-wide down to one global survivor, collapsing paragraph
+    * structure everywhere. Raise `minChars` to also exempt trivial
+    * punctuation lines ("}", "---"). Because eligibility is a pure
+    * function of the line's content, ineligible lines are simply kept
+    * out of the duplicate-stats aggregate and can never match a cut
+    * key — which also removes the single heaviest skew key (the empty
+    * line, present in nearly every doc) from the stats shuffle.
+    *
     * Scale shape: the duplicate-line stats aggregate shuffles 16-byte
     * line hashes, never line bytes; the line bytes themselves ride two
     * bounded exchanges (the stats join keyed by hash, then the per-doc
@@ -818,7 +841,9 @@ object DedupOps {
     * removeSharedSpans, with map-side combine on both aggregates.
     */
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
-                minDocs: Int = 2): DataFrame = {
+                minDocs: Int = 2, minChars: Int = 1,
+                hashMode: graft.text.Hashing.Mode =
+                  graft.text.Hashing.OraclePortable): DataFrame = {
     val parts = docs.sparkSession.sparkContext.defaultParallelism
     // pos is 0-based; split with limit -1 keeps trailing empty lines so
     // "a\n" round-trips as ["a", ""] (the SQL twin's string_split shape)
@@ -826,12 +851,15 @@ object DedupOps {
       .repartition(parts, col(idCol)) // single-file inputs: spread the scan
       .select(col(idCol),
               posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
-      .withColumn("lh", md5(col("line")))
+      .withColumn("lh", graft.text.Hashing.fingerprint(col("line"), hashMode))
     // one aggregate keyed by the hash: document frequency + the global
     // first occurrence as a lexicographic struct-min (min doc, min pos
     // within it) — only lines at/over the threshold survive the filter,
-    // so the join side below is bounded by real boilerplate volume
+    // so the join side below is bounded by real boilerplate volume.
+    // Structural (sub-minChars) lines never enter: their hashes then
+    // can't appear in stats, so the left join below keeps them for free
     val stats = lines
+      .filter(length(trim(col("line"))) >= minChars)
       .groupBy(col("lh"))
       .agg(countDistinct(col(idCol)).as("df"),
            min(struct(col(idCol).as("d"), col("pos").as("p"))).as("first"))

@@ -208,13 +208,24 @@ case class BloomHitCount(left: Expression, right: Expression, k: Int)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "bloom_hit_count"
   override def checkInputDataTypes() = {
-    val bad = Seq(left, right).find(_.dataType match {
-      case ArrayType(LongType, _) => false; case _ => true
-    })
-    bad.map(e => TextExpressions.requireType(e, prettyName,
-        "array<bigint>")(_ => false))
-      .getOrElse(org.apache.spark.sql.catalyst.analysis
-        .TypeCheckResult.TypeCheckSuccess)
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    (left.dataType, right.dataType) match {
+      // hashes side: null slots are legal (skipped = "no element");
+      // words side: only a complete bitset is a valid filter —
+      // Bloom.contains reads words.getLong(i) unchecked, and
+      // ArrayData.getLong on a null slot silently yields garbage, so a
+      // hand-built array<bigint> with nulls must be rejected at analysis
+      // (the sketch aggregates' output is containsNull=false already)
+      case (ArrayType(LongType, _), ArrayType(LongType, false)) =>
+        TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, true)) =>
+        TypeCheckFailure(s"$prettyName filter argument must be " +
+          "array<bigint> without nulls (use bloom_agg output)")
+      case _ =>
+        TypeCheckFailure(s"$prettyName requires (array<bigint> hashes, " +
+          s"array<bigint> filter words), got ${left.dataType.catalogString}" +
+          s", ${right.dataType.catalogString}")
+    }
   }
 
   override def nullSafeEval(l: Any, r: Any): Any =

@@ -154,14 +154,20 @@ case class CmsEstimate(left: Expression, right: Expression,
   override def dataType: DataType = LongType
   override def prettyName: String = "cms_estimate"
   override def checkInputDataTypes() = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
     left.dataType match {
-      case ArrayType(LongType, _) => right.dataType match {
-        case LongType =>
-          org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-            .TypeCheckSuccess
+      // only a complete counter array is a valid sketch: Cms.estimate
+      // reads sketch.getLong(i) unchecked, and ArrayData.getLong on a
+      // null slot silently yields garbage — reject nullable arrays at
+      // analysis (cms_agg's output is containsNull=false already)
+      case ArrayType(LongType, false) => right.dataType match {
+        case LongType => TypeCheckSuccess
         case _ => TextExpressions.requireType(right, prettyName,
           "bigint")(_ => false)
       }
+      case ArrayType(LongType, true) =>
+        TypeCheckFailure(s"$prettyName sketch argument must be " +
+          "array<bigint> without nulls (use cms_agg output)")
       case _ => TextExpressions.requireType(left, prettyName,
         "array<bigint>")(_ => false)
     }

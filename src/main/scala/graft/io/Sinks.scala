@@ -149,7 +149,31 @@ object Sinks {
     if (fs.exists(target)) fs.delete(old, true)
   }
 
+  /** ATOMICITY ASSUMPTION: the crash-safety argument ("at every instant
+    * the data exists under SOME name") relies on `fs.rename` being
+    * atomic, which holds on HDFS and local filesystems but NOT on
+    * object stores (S3A "rename" is a non-atomic copy+delete): there a
+    * crash mid-swap can leave a partial target that `recoverSwap`
+    * cannot distinguish from a complete one. On S3/GCS, front the
+    * table with a log-structured format (Delta/Iceberg) or an
+    * HDFS-consistent layer instead of these maintenance ops — enforced
+    * below rather than documented-only, since a silent partial table is
+    * the worst failure mode a warehouse can have.
+    */
+  private def requireAtomicRename(spark: SparkSession, path: String): Unit = {
+    val scheme = Option(new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getUri.getScheme).getOrElse("file")
+    val nonAtomic = Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "abfs",
+                        "abfss", "oss", "cos", "swift")
+    require(!nonAtomic.contains(scheme.toLowerCase),
+      s"stageSwap requires atomic directory rename; '$scheme' is an " +
+        "object store where rename is copy+delete — use a log-structured " +
+        "table format (Delta/Iceberg) for merge/delete/compact there")
+  }
+
   private def stageSwap(df: DataFrame, path: String): Unit = {
+    requireAtomicRename(df.sparkSession, path)
     val spark = df.sparkSession
     recoverSwap(spark, path)
     val fs = fsFor(spark, path)

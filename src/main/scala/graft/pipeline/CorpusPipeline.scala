@@ -7,7 +7,7 @@ import org.apache.spark.storage.StorageLevel
 import graft.Tables
 import graft.dedup.DedupOps
 import graft.functions.ShingleExpressions
-import graft.text.TextOps
+import graft.text.{Hashing, TextOps}
 
 /** The training-data curation flagship (north-star scope): the standard
   * corpus-cleaning pass a 100 TB text pipeline runs before tokenization —
@@ -76,8 +76,9 @@ object CorpusPipeline {
     */
   def curate(docs: DataFrame, lang: String = "en",
              tau: Double = 0.7, minTokens: Int = 20,
-             sketchPairs: Boolean = true): DataFrame =
-    curateParts(docs, lang, tau, minTokens, sketchPairs)._1
+             sketchPairs: Boolean = true,
+             hashMode: Hashing.Mode = Hashing.OraclePortable): DataFrame =
+    curateParts(docs, lang, tau, minTokens, sketchPairs, hashMode)._1
 
   /** `curate` with its internal near-dup COMPONENT frame exposed — the
     * composition hook for consumers that need both the survivors and
@@ -90,7 +91,8 @@ object CorpusPipeline {
     */
   def curateParts(docs: DataFrame, lang: String = "en",
                   tau: Double = 0.7, minTokens: Int = 20,
-                  sketchPairs: Boolean = true)
+                  sketchPairs: Boolean = true,
+                  hashMode: Hashing.Mode = Hashing.OraclePortable)
       : (DataFrame, DataFrame) = {
     // Exact dedup on content fingerprint, deterministic survivor = the
     // whole row with the lowest doc_id. min_by-aggregate rather than a
@@ -103,7 +105,7 @@ object CorpusPipeline {
     // nothing it won't use (source/n_chars etc. would ride the whole way)
     val needed = docs.select(col("doc_id"), col("lang"), col("text"))
     val exactKept = needed
-      .groupBy(TextOps.fingerprint(col("text")).as("__fp"))
+      .groupBy(TextOps.fingerprint(col("text"), hashMode).as("__fp"))
       .agg(min_by(struct(needed.columns.map(col): _*), col("doc_id"))
              .as("__row"))
       .select(col("__fp"), col("__row.*"))
@@ -183,28 +185,38 @@ object CorpusPipeline {
     * touches document bytes.
     */
   def clusterSplit(docs: DataFrame, pairs: DataFrame,
-                   idCol: String = "doc_id"): DataFrame =
+                   idCol: String = "doc_id",
+                   hashMode: Hashing.Mode = Hashing.OraclePortable)
+      : DataFrame =
     clusterSplitFromComponents(docs,
       graft.dedup.ConnectedComponents
         .connectedComponents(pairs, "id_a", "id_b", assumeDistinct = true),
-      idCol)
+      idCol, hashMode)
 
   /** `clusterSplit` over an ALREADY-COMPUTED (id, comp) component frame
     * (e.g. curateParts' — the CC rounds run once per pipeline, not once
     * per consumer).
     */
   def clusterSplitFromComponents(docs: DataFrame, components: DataFrame,
-                                 idCol: String = "doc_id"): DataFrame = {
+                                 idCol: String = "doc_id",
+                                 hashMode: Hashing.Mode =
+                                   Hashing.OraclePortable): DataFrame = {
     val comp = components.withColumnRenamed("id", idCol)
     val key = coalesce(col("comp"), col(idCol))
-    val h = substring(md5(key.cast("string")), 1, 1)
+    // otherwise-arm = "test", not null: the oracle's CASE ELSE assigns
+    // "test" unconditionally, and a null id must not fall out of all
+    // three splits silently (key is non-null whenever the id is)
+    val split = hashMode match {
+      case Hashing.OraclePortable =>
+        val h = substring(md5(key.cast("string")), 1, 1)
+        when(h < "e", "train").when(h === "e", "val").otherwise("test")
+      case Hashing.Production =>
+        val a = pmod(xxhash64(key.cast("string")), lit(16L))
+        when(a < 14L, "train").when(a === 14L, "val").otherwise("test")
+    }
     docs.join(comp, Seq(idCol), "left")
       .withColumn("cluster_key", key)
-      .withColumn("split",
-        // otherwise, not when(h.isNotNull): the oracle's CASE ELSE arm
-        // assigns "test" unconditionally, and a null id must not fall
-        // out of all three splits silently
-        when(h < "e", "train").when(h === "e", "val").otherwise("test"))
+      .withColumn("split", split)
       .drop("comp")
   }
 
@@ -233,14 +245,18 @@ object CorpusPipeline {
   def exportCorpus(docs: DataFrame, outPath: String,
                    lang: String = "en", tau: Double = 0.7,
                    minTokens: Int = 20, chunkTokens: Int = 50,
-                   overlap: Int = 10, budget: Int = 512): DataFrame = {
+                   overlap: Int = 10, budget: Int = 512,
+                   hashMode: Hashing.Mode = Hashing.OraclePortable)
+      : DataFrame = {
     val spark = docs.sparkSession
     // ONE curation pass supplies both the survivors and the component
     // frame the split rides — re-deriving either would re-shingle the
     // corpus and re-run the CC rounds the curation already paid for
-    val (curated, comp) = curateParts(docs, lang, tau, minTokens)
+    val (curated, comp) =
+      curateParts(docs, lang, tau, minTokens, hashMode = hashMode)
     val assigned = clusterSplitFromComponents(
-      curated.select(col("doc_id"), col("lang")), comp)
+      curated.select(col("doc_id"), col("lang")), comp,
+      hashMode = hashMode)
       .select(col("doc_id"), col("lang"), col("split"))
     val chunks = TextOps.chunkDocs(
       assigned.select(col("doc_id"))
@@ -284,9 +300,11 @@ object CorpusPipeline {
     */
   def curateStream(docs: DataFrame, lang: String = "en",
                    minTokens: Int = 20, maxRepetition: Double = 1.0,
-                   lateness: String = "10 minutes"): DataFrame = {
+                   lateness: String = "10 minutes",
+                   hashMode: Hashing.Mode = Hashing.OraclePortable)
+      : DataFrame = {
     val withFp = docs
-      .withColumn("fingerprint", TextOps.fingerprint(col("text")))
+      .withColumn("fingerprint", TextOps.fingerprint(col("text"), hashMode))
     val deduped =
       if (withFp.isStreaming)
         // ingest-time watermark: a duplicate arriving within `lateness`

@@ -3,6 +3,7 @@ package graft.similarity
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.VectorExpressions.cosineSim
 
@@ -1034,4 +1035,138 @@ object SimilarityOps {
                       path: String): Boolean =
     try spark.read.parquet(s"$path/meta").head().getBoolean(0)
     catch { case _: org.apache.spark.sql.AnalysisException => false }
+
+  // ------------------------------------------------------ quality / ops
+
+  /** Recall@k of the IVF index across an `nprobes` grid, against the
+    * EXACT brute-force twin — the ANN quality dial as a QUERY instead
+    * of a fixed spec point: "what does nprobe buy me on MY data" is the
+    * number every IVF deployment tunes against (the recall/latency
+    * curve in Jégou TPAMI'11 §V; faiss publishes the same sweep).
+    *
+    * One row per grid point: (nprobe, k, n_probes, recall) with recall
+    * = mean over probes of |approx top-k ∩ exact top-k| / |exact
+    * top-k| (the denominator is min(k, corpus−1), so tiny corpora
+    * don't deflate the metric). Probes absent from the index
+    * contribute nothing.
+    *
+    * Scale shape — the grid does NOT multiply corpus passes:
+    *  1. the (tiny) codebook is ranked ONCE per probe (rl = 1..nlist by
+    *     assignment cosine — the ivfPqTopK pruning geometry);
+    *  2. ONE candidate pass joins each corpus row to just the probes
+    *     whose rl ≤ max(grid) lists include it — bounded by the
+    *     largest grid point's probe volume, never |corpus|·|probes| —
+    *     and the scored candidate frame persists (CACHE OWNERSHIP:
+    *     caller releases);
+    *  3. each grid point re-ranks that SAME cached frame (per-probe
+    *     window, WindowGroupLimit-bounded) and joins the also-cached
+    *     exact top-k — work proportional to candidates, not corpus;
+    *  4. ground truth is one batched `knnJoin` (corpus scanned once).
+    */
+  def annEval(assigned: DataFrame, cents: DataFrame, idCol: String,
+              vecCol: String, probeIds: Seq[Long], k: Int,
+              nprobes: Seq[Int]): DataFrame = {
+    require(probeIds.nonEmpty, "annEval needs at least one probe id")
+    require(nprobes.nonEmpty && nprobes.forall(_ >= 1),
+            s"nprobes must be >= 1, got $nprobes")
+    val maxProbe = nprobes.max
+    val probeAny = probeIds.map(_.asInstanceOf[Any])
+    val probes = assigned.filter(col(idCol).isin(probeAny: _*))
+      .select(col(idCol).as("pid"), col(vecCol).as("__pv"))
+    // rank the codebook per probe — a |probes|·nlist frame, tiny by
+    // construction, so the window over it is principled
+    val probeLists = broadcast(
+      cents.crossJoin(broadcast(probes))
+        .withColumn("rl", row_number().over(
+          Window.partitionBy(col("pid"))
+            .orderBy(cosineSim(col("cvec"), col("__pv")).desc,
+                     col("list_id").asc)))
+        .filter(col("rl") <= maxProbe)
+        .select(col("pid"), col("__pv"),
+                col("list_id").cast("int").as("lid"), col("rl")))
+    val cand = assigned
+      .join(probeLists, col("list_id").cast("int") === col("lid"))
+      .filter(col(idCol) =!= col("pid"))
+      .select(col("pid"), col("rl"), col(idCol).as("nid"),
+              round(cosineSim(col(vecCol), col("__pv")), 6).as("sim"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+    // exact twin, self-matches excluded then re-ranked to k (knnJoin's
+    // window includes the query itself at sim 1.0)
+    val exact = knnJoin(probes.select(col("pid").as(idCol),
+                                      col("__pv").as(vecCol)),
+                        assigned.select(col(idCol), col(vecCol)),
+                        idCol, vecCol, k + 1)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id").asc)))
+      .filter(col("__rn") <= k)
+      .select(col("query_id").as("pid"), col("neighbor_id").as("nid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+    val exactCnt = exact.groupBy(col("pid")).agg(count(lit(1)).as("__ec"))
+    nprobes.distinct.sorted.map { n =>
+      val approx = cand.filter(col("rl") <= n)
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("pid"))
+            .orderBy(col("sim").desc, col("nid").asc)))
+        .filter(col("__rn") <= k)
+        .select(col("pid"), col("nid"))
+      val hits = approx.join(exact, Seq("pid", "nid"))
+        .groupBy(col("pid")).agg(count(lit(1)).as("__h"))
+      exactCnt.join(hits, Seq("pid"), "left_outer")
+        .select((coalesce(col("__h"), lit(0L)).cast("double") /
+                   col("__ec")).as("__r"))
+        .agg(count(lit(1)).as("n_probes"),
+             round(avg(col("__r")), 6).as("recall"))
+        .select(lit(n).as("nprobe"), lit(k).as("k"),
+                col("n_probes"), col("recall"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Per-list DRIFT report for a saved IVF index vs an incoming batch —
+    * the "retrain now" signal `appendIndex`'s freshness contract
+    * promises: appended vectors quantize against the FROZEN codebook,
+    * so as the data distribution drifts, the batch's
+    * assignment quality (cosine to its assigned centroid) degrades
+    * relative to the standing corpus that shaped the codebook. One row
+    * per list: member counts and mean assignment cosine for the
+    * standing index and for the batch (as it WOULD be assigned), and
+    * `drift` = sim_index − sim_batch — positive drift on a list means
+    * new data fits it worse than the old; sustained positive drift
+    * across lists (or mass concentrating in few lists) is the retrain
+    * trigger. Run it BEFORE `appendIndex` on each batch and store the
+    * report next to the index for a drift time-series.
+    *
+    * Scale shape: two scans (standing lists, batch), each a zero-
+    * shuffle broadcast-codebook cosine projection; the per-list
+    * aggregate ships (list_id, sim) pairs with map-side combine — the
+    * corpus vectors never shuffle. Degenerate vectors (null cosine)
+    * are excluded from the means.
+    */
+  def indexDrift(newEmb: DataFrame, idCol: String, vecCol: String,
+                 path: String): DataFrame = {
+    val spark = newEmb.sparkSession
+    val (lists, cents) = loadIndex(spark, path)
+    val cb = broadcast(
+      cents.select(col("list_id").cast("int").as("__lid"), col("cvec")))
+    def perList(df: DataFrame, nName: String, simName: String) = df
+      .join(cb, col("list_id").cast("int") === col("__lid"))
+      .select(col("__lid").as("list_id"),
+              cosineSim(col(vecCol), col("cvec")).as("__s"))
+      .filter(col("__s").isNotNull)
+      .groupBy(col("list_id"))
+      .agg(count(lit(1)).as(nName), round(avg(col("__s")), 6).as(simName))
+    val standing = perList(lists, "n_index", "sim_index")
+    val batch = perList(ivfAssignTo(newEmb, idCol, vecCol, cents),
+                        "n_batch", "sim_batch")
+    standing.join(batch, Seq("list_id"), "full_outer")
+      .select(col("list_id"),
+              coalesce(col("n_index"), lit(0L)).as("n_index"),
+              col("sim_index"),
+              coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+              col("sim_batch"),
+              round(col("sim_index") - col("sim_batch"), 6).as("drift"))
+  }
 }

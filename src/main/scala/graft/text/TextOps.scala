@@ -88,10 +88,14 @@ object TextOps {
       (lit(1.0) - least(punctR * lit(10.0), lit(1.0))) * lit(0.2), 6)
   }
 
-  /** Content fingerprint (md5 — byte-identical across engines, so exact
-    * dedup on it is oracle-checkable; see DedupOps.exactStats).
+  /** Content fingerprint (md5 by default — byte-identical across
+    * engines, so exact dedup on it is oracle-checkable; see
+    * DedupOps.exactStats). `Hashing.Production` swaps in the 2×xxhash64
+    * 128-bit variant with no schema change.
     */
-  def fingerprint(text: Column): Column = md5(text)
+  def fingerprint(text: Column,
+                  mode: Hashing.Mode = Hashing.OraclePortable): Column =
+    Hashing.fingerprint(text, mode)
 
   /** Adaptive per-group quality gate: keep documents STRICTLY above
     * their own group's median quality score — the relative gate a mixed
@@ -262,23 +266,21 @@ object TextOps {
     * STRING comparison ('0'..'9' < 'a'..'f') is engine-portable, so the
     * assignment is oracle-checkable.
     */
-  def trainSplit(text: Column): Column = {
-    val h = substring(fingerprint(text), 1, 1)
-    // the final arm tests isNotNull rather than being otherwise(): a null
-    // document must assign to NO split (null), not silently concentrate
-    // in the 6.25% test partition (every comparison on a null hash falls
-    // through all when() branches)
-    when(h < "e", "train").when(h === "e", "val")
-      .when(h.isNotNull, "test")
-  }
+  def trainSplit(text: Column,
+                 mode: Hashing.Mode = Hashing.OraclePortable): Column =
+    // a null document must assign to NO split (null), not silently
+    // concentrate in the 6.25% test partition — both modes guarantee it
+    // (Hashing's null contract)
+    Hashing.splitArm(text, mode)
 
   /** Deterministic sampling coin: first md5 byte of the content as an
     * int in [0,256). RNG-free (re-derivable from data alone, the same
     * property trainSplit leans on) and engine-portable (hex → int is
     * exact in both engines).
     */
-  def hashByte(text: Column): Column =
-    conv(substring(fingerprint(text), 1, 2), 16, 10).cast("int")
+  def hashByte(text: Column,
+               mode: Hashing.Mode = Hashing.OraclePortable): Column =
+    Hashing.hashByte(text, mode)
 
   /** Corpus mixing: per-group deterministic downsampling to target
     * rates — how a training mix reweights sources (cap the boilerplate
@@ -294,12 +296,12 @@ object TextOps {
     * to keep null-text rows must route them around the sampler.
     */
   def mixSample(df: DataFrame, keyCol: String, rates: Map[String, Double],
-                defaultRate: Double = 1.0,
-                textCol: String = "text"): DataFrame = {
+                defaultRate: Double = 1.0, textCol: String = "text",
+                mode: Hashing.Mode = Hashing.OraclePortable): DataFrame = {
     val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
       case (acc, (k, v)) => when(col(keyCol) === k, lit(v)).otherwise(acc)
     }
-    df.filter(hashByte(col(textCol)).cast("double") < rate * lit(256.0))
+    df.filter(hashByte(col(textCol), mode).cast("double") < rate * lit(256.0))
   }
 
   /** Stratified sample: EXACTLY k rows per group (fewer only when the
@@ -315,11 +317,13 @@ object TextOps {
     * carries O(tasks·k) rows per group, never the group.
     */
   def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
-                       k: Int): DataFrame = {
+                       k: Int,
+                       mode: Hashing.Mode = Hashing.OraclePortable)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k must be >= 1 (got $k)")
     val w = Window.partitionBy(col(groupCol))
-      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+      .orderBy(Hashing.idCoin(col(idCol), mode).asc, col(idCol).asc)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .drop("__rn")
@@ -592,15 +596,16 @@ object TextOps {
     * partial+final aggregate; null text yields no grams.
     */
   private def hashedGrams(df: DataFrame, idCol: String, textCol: String,
-                          dim: Int): DataFrame = {
+                          dim: Int,
+                          mode: Hashing.Mode = Hashing.OraclePortable)
+      : DataFrame = {
     val toks = tokens(lower(col(textCol)))
     val n1 = greatest(size(toks) - 1, lit(0))
     val bigrams = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
                            (a, b) => concat_ws(" ", a, b))
     df.select(col(idCol), explode(concat(toks, bigrams)).as("__g"))
       .select(col(idCol),
-              pmod(conv(substring(md5(col("__g")), 1, 4), 16, 10)
-                     .cast("long"), lit(dim.toLong)).as("bucket"))
+              Hashing.bucket(col("__g"), dim, mode).as("bucket"))
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).cast("double").as("c"))
   }
@@ -627,14 +632,15 @@ object TextOps {
     * lmScore stability argument), and the sum re-rounds.
     */
   def dsirWeights(raw: DataFrame, target: DataFrame, dim: Int = 1024,
-                  idCol: String = "doc_id", textCol: String = "text")
+                  idCol: String = "doc_id", textCol: String = "text",
+                  mode: Hashing.Mode = Hashing.OraclePortable)
       : DataFrame = {
     require(dim >= 2, s"dim must be >= 2 (got $dim)")
-    val rawFeat = hashedGrams(raw, idCol, textCol, dim)
+    val rawFeat = hashedGrams(raw, idCol, textCol, dim, mode)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheScope.register)
     val cq = rawFeat.groupBy(col("bucket")).agg(sum(col("c")).as("cq"))
-    val cp = hashedGrams(target, idCol, textCol, dim)
+    val cp = hashedGrams(target, idCol, textCol, dim, mode)
       .groupBy(col("bucket")).agg(sum(col("c")).as("cp"))
     val tot = cq.agg(sum(col("cq")).as("tq"))
       .crossJoin(cp.agg(sum(col("cp")).as("tp")))
@@ -661,8 +667,9 @@ object TextOps {
     */
   def dsirSelect(raw: DataFrame, target: DataFrame, k: Int,
                  dim: Int = 1024, idCol: String = "doc_id",
-                 textCol: String = "text"): DataFrame =
-    dsirWeights(raw, target, dim, idCol, textCol)
+                 textCol: String = "text",
+                 mode: Hashing.Mode = Hashing.OraclePortable): DataFrame =
+    dsirWeights(raw, target, dim, idCol, textCol, mode)
       .orderBy(col("logw").desc, col(idCol))
       .limit(k)
 
@@ -693,14 +700,15 @@ object TextOps {
     * oracle.
     */
   def shuffleOrder(df: DataFrame, idCol: String = "doc_id",
-                   seed: String = "0", partitions: Int = 0): DataFrame = {
+                   seed: String = "0", partitions: Int = 0,
+                   mode: Hashing.Mode = Hashing.OraclePortable)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val p = if (partitions > 0) partitions
             else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val keyed = df
       .select(col(idCol),
-              md5(concat_ws("|", lit(seed), col(idCol).cast("string")))
-                .as("__k"))
+              Hashing.orderCoin(seed, col(idCol), mode).as("__k"))
       .repartitionByRange(p, col("__k"), col(idCol))
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -768,6 +776,102 @@ object TextOps {
       rs.map(_._2).reduce(_ && _).as("pass"): _*)
   }
 
+  /** Content-safety blocklist gate — the standard curation stage every
+    * production corpus pipeline runs alongside the Gopher rules: C4
+    * (Raffel et al. 2020, §2.2) drops any page containing a term from a
+    * public bad-words list; RefinedWeb (Penedo et al. 2023, §3.1) and
+    * FineWeb gate on URL/domain blocklists the same way. Domain gating
+    * on a key column is a plain anti-join (the q_anti_join precedent);
+    * this op is the TERM gate: per-document census of which blocklisted
+    * terms appear, for every input doc.
+    *
+    * Returns (id, n_hits, hit_terms, blocked): distinct blocklisted
+    * terms present (count + comma-joined sorted list — the audit trail
+    * reviewers need before a corpus-wide drop), and the gate boolean.
+    * Matching is on lowercased whitespace tokens vs lowercased trimmed
+    * terms; null/empty text yields (0, "", false).
+    *
+    * Scale shape (the `contaminationScreened` economics): the blocklist
+    * — thousands of terms, a few hundred KB — folds into ONE broadcast
+    * row (sorted distinct array), and each doc intersects its distinct
+    * token set against it in a single codegen'd narrow projection:
+    * zero corpus shuffle, exact string equality (no hash fpp to
+    * verify away). For a blocklist too big to broadcast precisely
+    * (10⁹ URLs/domains), `blocklistScreened` below is the Bloom path.
+    */
+  def blocklistGate(df: DataFrame, blocklist: DataFrame,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val termCol = blocklist.columns.head
+    val fold = blocklist
+      .agg(sort_array(collect_set(lower(trim(col(termCol))))).as("__terms"))
+    df.crossJoin(broadcast(fold))
+      .select(col(idCol),
+              array_sort(array_intersect(
+                array_distinct(tokens(lower(col(textCol)))),
+                col("__terms"))).as("__hits"))
+      .select(col(idCol),
+              coalesce(size(col("__hits")), lit(0)).cast("long")
+                .as("n_hits"),
+              coalesce(array_join(col("__hits"), ","), lit(""))
+                .as("hit_terms"),
+              coalesce(size(col("__hits")) > 0, lit(false)).as("blocked"))
+  }
+
+  /** Bloom-screened twin of `blocklistGate` for a CORPUS-SIZED blocklist
+    * (web-scale URL/domain lists: 10⁹ entries = 8 GB of exact hashes vs
+    * ~1.2 GB of Bloom bits — the `contaminationScreened` argument,
+    * including its `Bloom.MaxWords` serialization ceiling). Two phases:
+    * the term set OR-folds into one Bloom bitset row (distributed
+    * build), broadcast, and each doc counts token hits against the bits
+    * in one codegen'd pass — no false negatives, so hit-free docs are
+    * PROVABLY clean and exit with zero shuffle; surviving candidates
+    * (blocked docs + fpp) re-join the true term set by string equality,
+    * a shuffle bounded by candidate volume, never corpus volume.
+    * Result ≡ `blocklistGate` bit-for-bit (spec-pinned).
+    */
+  def blocklistScreened(df: DataFrame, blocklist: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        bitsPerTerm: Int = 10, k: Int = 7): DataFrame = {
+    import graft.functions.BloomExpressions
+    import org.apache.spark.storage.StorageLevel
+    val termCol = blocklist.columns.head
+    val terms = blocklist
+      .select(lower(trim(col(termCol))).as("__term")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+    // one scalar action sizes the filter (the refGramsAndBloom pattern)
+    val m = math.max(terms.count(), 1L)
+    val numBits = math.max(64L, ((m * bitsPerTerm + 63L) / 64L) * 64L)
+    val bloom = terms
+      .agg(BloomExpressions.bloomAgg(xxhash64(col("__term")), numBits, k)
+        .as("__bloom"))
+    val cand = df
+      .crossJoin(broadcast(bloom))
+      .filter(BloomExpressions.bloomHitCount(
+          transform(array_distinct(tokens(lower(col(textCol)))),
+                    t => xxhash64(t)),
+          col("__bloom"), k) >= 1)
+      .select(col(idCol), col(textCol))
+    val verified = cand
+      .select(col(idCol),
+              explode(array_distinct(tokens(lower(col(textCol)))))
+                .as("__term"))
+      .join(terms, "__term") // exact: kills Bloom fpp AND hash collisions
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"),
+           array_join(sort_array(collect_list(col("__term"))), ",")
+             .as("__hits"))
+    // hits frame is bounded by blocked-doc volume — broadcast-joinable —
+    // so the full-corpus census below shuffles nothing
+    df.select(col(idCol))
+      .join(broadcast(verified), Seq(idCol), "left_outer")
+      .select(col(idCol),
+              coalesce(col("__n"), lit(0L)).as("n_hits"),
+              coalesce(col("__hits"), lit("")).as("hit_terms"),
+              col("__n").isNotNull.as("blocked"))
+  }
+
   /** CCNet perplexity buckets (Wenzek et al. LREC 2020): score every
     * document with the bigram LM, then split each language into
     * head / middle / tail at the language's exact perplexity terciles —
@@ -788,13 +892,20 @@ object TextOps {
     */
   def perplexityBuckets(df: DataFrame, model: DataFrame,
                         langCol: String = "lang", idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
+                        textCol: String = "text", exact: Boolean = true,
+                        accuracy: Int = 10000): DataFrame = {
     val scored = lmScore(df, model, idCol, textCol)
       .join(df.select(col(idCol), col(langCol)), Seq(idCol))
       .withColumn("ppl", col("nll") / col("n_bigrams"))
+    // exact percentile buffers each language group; at extreme per-lang
+    // cardinalities pass exact = false for the percentile_approx sketch
+    // (buffer bounded at the sketch size; EXACT whenever a group has
+    // ≤ accuracy rows) — the adaptiveQualityGate swap, same plan shape
+    def cut(f: Double) =
+      if (exact) percentile(col("ppl"), lit(f))
+      else percentile_approx(col("ppl"), lit(f), lit(accuracy))
     val cuts = scored.groupBy(col(langCol))
-      .agg(percentile(col("ppl"), lit(1.0 / 3)).as("t1"),
-           percentile(col("ppl"), lit(2.0 / 3)).as("t2"))
+      .agg(cut(1.0 / 3).as("t1"), cut(2.0 / 3).as("t2"))
     scored.join(broadcast(cuts), Seq(langCol))
       .select(col(idCol), col(langCol), col("ppl"),
               when(col("ppl") <= col("t1"), "head")
@@ -818,15 +929,15 @@ object TextOps {
     */
   def tokenBudget(df: DataFrame, budget: Long, seed: String = "0",
                   idCol: String = "doc_id", textCol: String = "text",
-                  partitions: Int = 0): DataFrame = {
+                  partitions: Int = 0,
+                  mode: Hashing.Mode = Hashing.OraclePortable): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget >= 0, s"budget must be >= 0 (got $budget)")
     val p = if (partitions > 0) partitions
             else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val keyed = df
       .select(col(idCol),
-              md5(concat_ws("|", lit(seed), col(idCol).cast("string")))
-                .as("__k"),
+              Hashing.orderCoin(seed, col(idCol), mode).as("__k"),
               greatest(tokenCount(col(textCol)), lit(0)).cast("long")
                 .as("n_tokens"))
       .repartitionByRange(p, col("__k"), col(idCol))
@@ -927,7 +1038,8 @@ object TextOps {
   def recipeMix(df: DataFrame, weights: Map[String, Double], budget: Long,
                 groupCol: String = "source", seed: String = "0",
                 idCol: String = "doc_id", textCol: String = "text",
-                partitions: Int = 0): DataFrame = {
+                partitions: Int = 0,
+                mode: Hashing.Mode = Hashing.OraclePortable): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(weights.nonEmpty, "recipe must name at least one group")
     require(weights.values.forall(_ > 0), "recipe weights must be > 0")
@@ -943,8 +1055,7 @@ object TextOps {
     val keyed = df
       .filter(col(groupCol).isin(weights.keys.toSeq: _*))
       .select(col(groupCol), col(idCol),
-              md5(concat_ws("|", lit(seed), col(idCol).cast("string")))
-                .as("__k"),
+              Hashing.orderCoin(seed, col(idCol), mode).as("__k"),
               greatest(tokenCount(col(textCol)), lit(0)).cast("long")
                 .as("n_tokens"))
       .repartitionByRange(p, col(groupCol), col("__k"), col(idCol))
@@ -992,15 +1103,15 @@ object TextOps {
     */
   def shardAssign(df: DataFrame, nShards: Int, seed: String = "0",
                   idCol: String = "doc_id", textCol: String = "text",
-                  partitions: Int = 0): DataFrame = {
+                  partitions: Int = 0,
+                  mode: Hashing.Mode = Hashing.OraclePortable): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nShards >= 1, s"nShards must be >= 1 (got $nShards)")
     val p = if (partitions > 0) partitions
             else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val keyed = df
       .select(col(idCol),
-              md5(concat_ws("|", lit(seed), col(idCol).cast("string")))
-                .as("__k"),
+              Hashing.orderCoin(seed, col(idCol), mode).as("__k"),
               greatest(tokenCount(col(textCol)), lit(0)).cast("long")
                 .as("n_tokens"))
       .repartitionByRange(p, col("__k"), col(idCol))

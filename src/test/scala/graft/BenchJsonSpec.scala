@@ -42,19 +42,36 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(node.get("sf").asText() === nasty)
   }
 
-  test("short line: total-only, same total, stays tiny at suite scale") {
-    val results = (1 to 80).map(i => f"q_query_number_$i%03d" -> 1.25)
-    val short = Bench.renderShortJson(results, "/root/testdata/sf0.1")
+  test("short line: positional qv in name order, fits the tail window") {
+    val results = (1 to 130).map(i => f"q_query_number_$i%03d" -> (i * 0.0625))
+    val short = Bench.renderShortJson(results.reverse, "/root/testdata/sf0.1")
     val node = mapper.readTree(short)
     assert(node.get("metric").asText() === "total")
-    assert(math.abs(node.get("value").asDouble() - 100.0) < 1e-9)
+    assert(math.abs(node.get("value").asDouble() - results.map(_._2).sum) < 1e-9)
     assert(node.get("queries") == null)
     assert(!short.contains("\n"))
-    // the whole point: survives any plausible stdout tail window even at
-    // several times today's query count
-    assert(short.length < 200)
-    // same poisoned-total semantics as the detailed line
+    // positional per-query seconds, name-ascending regardless of input order
+    assert(node.get("order").asText() === "name-asc")
+    assert(node.get("nq").asInt() === 130)
+    assert(node.get("qv").size() === 130)
+    assert(math.abs(node.get("qv").get(0).asDouble() - 0.063) < 1e-12)
+    assert(math.abs(node.get("qv").get(129).asDouble() - 8.125) < 1e-12)
+    // the whole point: survives the driver's ~2000-char stdout tail even
+    // at slightly above today's query count
+    assert(short.length < 1900)
+    // same poisoned-total semantics as the detailed line; failed query = -1
     val poisoned = Bench.renderShortJson(Seq("q" -> -1.0), "sf")
-    assert(mapper.readTree(poisoned).get("value").asDouble() >= 1e9)
+    val pnode = mapper.readTree(poisoned)
+    assert(pnode.get("value").asDouble() >= 1e9)
+    assert(pnode.get("qv").get(0).asDouble() === -1.0)
+  }
+
+  test("short line: a suite too big for the window drops qv, stays valid") {
+    val huge = (1 to 400).map(i => f"q_$i%03d" -> 1.0)
+    val short = Bench.renderShortJson(huge, "sf")
+    val node = mapper.readTree(short)
+    assert(node.get("qv") == null)
+    assert(math.abs(node.get("value").asDouble() - 400.0) < 1e-9)
+    assert(short.length < 200)
   }
 }

@@ -60,6 +60,24 @@ class BloomSpec extends SparkSpec {
     assert(probeHits === 500)
   }
 
+  test("nullable filter array rejected at analysis; nullable hashes ok") {
+    // Bloom.contains reads words.getLong(i) unchecked — a null slot would
+    // silently read garbage, so the analyzer must refuse it outright
+    val df = Seq((Seq(1L, 2L), Seq(Option(1L), None))).toDF("hs", "w")
+    val ex = intercept[Exception] {
+      df.select(BloomExpressions.bloomHitCount($"hs", $"w", 3)).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("without nulls"))
+    // hashes-side nulls remain legal: skipped, not counted
+    val inserted = Seq(5L, 6L)
+    val hits = Seq((Seq(Option(5L), None, Option(99L)), 0))
+      .toDF("hs", "ignore")
+      .crossJoin(buildFilter(inserted, 4096, 5))
+      .select(BloomExpressions.bloomHitCount($"hs", $"w", 5))
+      .as[Int].head()
+    assert(hits === 1)
+  }
+
   test("static helper agrees with the expression path") {
     val words = new Array[Long](64)
     val hs = Seq(42L, -7L, Long.MaxValue, Long.MinValue, 0L)

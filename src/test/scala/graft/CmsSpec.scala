@@ -112,6 +112,16 @@ class CmsSpec extends SparkSpec {
     assert(chain(ex).exists(m => m != null && m.contains("cms_estimate")))
   }
 
+  test("a nullable sketch array is rejected at analysis") {
+    // Cms.estimate reads sketch.getLong unchecked — a null slot would
+    // silently read garbage, so the analyzer must refuse nullable arrays
+    val df = Seq((Seq(Option(1L), None), 7L)).toDF("s", "h")
+    val ex = intercept[Exception] {
+      df.select(CmsExpressions.cmsEstimate($"s", $"h", 1, 16)).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("without nulls"))
+  }
+
   test("tiny width still yields the exact answer (pruning only)") {
     // width 16: massive collisions -> candidate superset balloons, but
     // the exact verify keeps the RESULT identical

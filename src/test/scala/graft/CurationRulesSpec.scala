@@ -38,6 +38,46 @@ class CurationRulesSpec extends SparkSpec {
     assert((1 to 8).forall(i => !r(9L).getBoolean(i)))
   }
 
+  test("blocklistGate: planted violators flagged with exact term audit; " +
+       "clean/null/empty docs pass; normalization on both sides") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a perfectly clean document about data"),
+      (2L, "contains one BADWORD in the middle"),       // case-folded hit
+      (3L, "slur1 appears and slur2 appears slur1 again"), // 2 distinct hits
+      (4L, "badword-ish is NOT a token match badwording"), // substrings don't hit
+      (5L, ""),
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val bl = Seq("BadWord", " slur1 ", "slur2", "absent").toDF("term")
+    val got = TextOps.blocklistGate(docs, bl).orderBy($"doc_id")
+      .as[(Long, Long, String, Boolean)].collect().toSeq
+    assert(got(0) === ((1L, 0L, "", false)))
+    assert(got(1) === ((2L, 1L, "badword", true)))
+    assert(got(2) === ((3L, 2L, "slur1,slur2", true)))
+    assert(got(3) === ((4L, 0L, "", false)))
+    assert(got(4) === ((5L, 0L, "", false)))
+    assert(got(5) === ((6L, 0L, "", false)))
+  }
+
+  test("blocklistScreened ≡ blocklistGate bit-for-bit on the bench corpus " +
+       "(screen has no false negatives; verify kills fp)") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val bl = Seq("dup", "vector", " Leak ").toDF("term")
+    val exact = TextOps.blocklistGate(docs, bl)
+      .as[(Long, Long, String, Boolean)].collect().toSet
+    // tiny filter (high fpp) stresses the verify phase specifically
+    val screened = TextOps.blocklistScreened(docs, bl,
+        bitsPerTerm = 10, k = 2)
+      .as[(Long, Long, String, Boolean)].collect().toSet
+    assert(screened === exact)
+    // at sf0.001: 393 docs contain "dup" and/or "vector", 17 contain
+    // both; " Leak " normalizes to a vocabulary miss (DuckDB-verified)
+    assert(exact.count(_._4) === 393)
+    assert(exact.count(_._2 == 2L) === 17)
+  }
+
   test("perplexityBuckets: per-lang terciles, head = lowest mean nll") {
     import spark.implicits._
     val docs = ((1L to 12L).map(i => (i, "en", "the cat sat on the mat")) ++
@@ -66,6 +106,36 @@ class CurationRulesSpec extends SparkSpec {
     // and the rare-gram docs occupy the tail
     val en = rows.filter(_._2 == "en")
     assert(en.filter(_._4 == "tail").forall(_._1 >= 13L))
+  }
+
+  test("perplexityBuckets approx swap: identical buckets on integral-" +
+       "rank groups, identical plan shape (the quality-gate precedent)") {
+    import spark.implicits._
+    // group sizes ≡ 1 (mod 3) make both tercile ranks integral, where
+    // exact interpolation and the sketch's data-point pick PROVABLY
+    // coincide (and percentile_approx is exact under `accuracy` rows) —
+    // the same sub-accuracy-equality contract QualityGateSpec pins
+    val docs = ((1L to 13L).map(i =>
+        (i, "en", s"the cat sat ${"the cat sat " * (i % 4).toInt}on mat")) ++
+      (14L to 23L).map(i => (i, "fr", s"le chat ${i % 3} dort bien ici"))
+    ).toDF("doc_id", "lang", "text")
+    val model = TextOps.lmTrain(docs, minCount = 2L)
+    def buckets(exact: Boolean) =
+      TextOps.perplexityBuckets(docs, model, exact = exact)
+        .select($"doc_id", $"bucket").as[(Long, String)].collect().toSet
+    assert(buckets(exact = false) === buckets(exact = true))
+    // same dataflow, only the aggregate differs: exchange/join skeleton
+    // identical after masking the aggregate call
+    def shape(e: Boolean): String =
+      TextOps.perplexityBuckets(docs, model, exact = e)
+        .queryExecution.executedPlan.toString
+        .linesIterator
+        .map(_.replaceAll("#\\d+", "").replaceAll("plan_id=\\d+", "")
+          .replaceAll("(?i)percentile_approx\\([^)]*\\)|percentile\\([^)]*\\)",
+                      "AGG"))
+        .filter(l => l.contains("Exchange") || l.contains("Join"))
+        .mkString("\n")
+    assert(shape(true) === shape(false))
   }
 
   test("tokenBudget: cumulative sums match the naive global window") {

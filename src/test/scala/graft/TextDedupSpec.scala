@@ -245,6 +245,29 @@ class TextDedupSpec extends SparkSpec {
     assert(keep === "x\nx")
   }
 
+  test("lineDedup: blank/whitespace-only lines exempt from the cut; " +
+       "minChars widens the exemption to trivial punctuation lines") {
+    val docs = Seq(
+      (1L, "para one\n\npara two\n \n}"),
+      (2L, "para three\n\npara four\n \n}"),
+      (3L, "para one\n}")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.lineDedup(docs, "doc_id", "text", minDocs = 2)
+      .orderBy($"doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    // the blank and whitespace-only paragraph separators — duplicated in
+    // every doc — are NEVER cut; eligible duplicates ("para one", "}")
+    // still collapse to their global first occurrence
+    assert(got(0) === ((1L, 5L, 0L, "para one\n\npara two\n \n}")))
+    assert(got(1) === ((2L, 5L, 1L, "para three\n\npara four\n ")))
+    assert(got(2) === ((3L, 2L, 2L, "")))
+    // minChars = 2 additionally exempts one-char punctuation lines
+    val wide = DedupOps.lineDedup(docs, "doc_id", "text",
+                                  minDocs = 2, minChars = 2)
+      .orderBy($"doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(wide(1) === ((2L, 5L, 0L, "para three\n\npara four\n \n}")))
+    assert(wide(2) === ((3L, 2L, 1L, "}")))
+  }
+
   test("dedupLinesWithin: first occurrence kept in order; cross-doc " +
        "repeats untouched; null/empty preserved; kills dupLineFraction") {
     val docs = Seq(
@@ -274,8 +297,13 @@ class TextDedupSpec extends SparkSpec {
        "corpora (seeded)") {
     for (seed <- Seq(101, 202)) {
       val rnd = new scala.util.Random(seed)
-      // small line alphabet → dense cross-doc and intra-doc collisions
-      def line() = s"L${rnd.nextInt(8)}"
+      // small line alphabet → dense cross-doc and intra-doc collisions;
+      // ~20% structural (blank/whitespace) lines to exercise the exemption
+      def line() = rnd.nextInt(10) match {
+        case 0 => ""
+        case 1 => " "
+        case _ => s"L${rnd.nextInt(8)}"
+      }
       val docs = (0L until 40L).map { i =>
         (i, Seq.fill(1 + rnd.nextInt(6))(line()).mkString("\n"))
       }
@@ -288,7 +316,7 @@ class TextDedupSpec extends SparkSpec {
       val expect1 = docs.map { case (id, t) =>
         val kept = t.split("\n", -1).zipWithIndex.filter { case (l, p) =>
           val occ = byLine(l)
-          occ.map(_._1).distinct.size < 2 || {
+          l.trim.isEmpty || occ.map(_._1).distinct.size < 2 || {
             val first = occ.minBy(o => (o._1, o._2))
             first._1 == id && first._2 == p
           }

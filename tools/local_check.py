@@ -6,8 +6,10 @@ Usage: python3 tools/local_check.py [sfdir] [outdir]
 Reads each <outdir>/<name> parquet written by graft.Verify, runs the
 matching SQL from <outdir>/oracle_sql.json in DuckDB (bare table names
 resolved to <sfdir>/<table>.parquet views), sorts columns by name and rows
-by all columns, and compares values exactly (floats to 1e-9 rel as a
-fallback diagnostic).
+by all columns, and compares values the way the driver's hash does:
+repr-stringified, type-sensitive (Decimal('62') != 62, 1.0 != 1). A
+value-equal-but-type-different result is reported as HASH-FAIL, not EXACT.
+Floats to 1e-9 rel remain a fallback diagnostic only.
 """
 import json
 import math
@@ -84,9 +86,17 @@ def main():
             results[name] = f"ROWCOUNT-MISMATCH spark={len(sr)} duck={len(dr)}"
             n_fail += 1
             continue
-        if sr == dr:
+        # driver-identical strictness: repr is type-sensitive where == is not
+        # (Decimal('62') == 62 but repr differs, and the driver hash fails)
+        if [tuple(map(repr, t)) for t in sr] == [tuple(map(repr, t)) for t in dr]:
             results[name] = f"EXACT rows={len(sr)}"
             n_exact += 1
+            continue
+        if sr == dr:
+            results[name] = (
+                f"HASH-FAIL rows={len(sr)} (values == but repr/type differs "
+                f"— driver hash would FAIL; check oracle CASTs)")
+            n_fail += 1
             continue
         # value-level diff
         bad = []
