@@ -96,6 +96,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BloomHitCount(exprs(0), exprs(1),
           GraftExtensions.intLiteral(exprs(2), "bloom_hit_count k"))
     }
+    register(e, "bloom_hit_count_sharded",
+      "bloom_hit_count_sharded(hashes, shards, k) - sharded-bitset Bloom membership count",
+      3) { exprs =>
+        BloomHitCountSharded(exprs(0), exprs(1),
+          GraftExtensions.intLiteral(exprs(2), "bloom_hit_count_sharded k"))
+    }
     register(e, "cms_agg",
       "cms_agg(hash, depth, width) - count-min sketch of bigint hashes",
       3) { exprs =>

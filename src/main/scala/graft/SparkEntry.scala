@@ -881,6 +881,21 @@ object SparkEntry {
                             nprobes = Seq(1, 2, 4, 8))
     }),
 
+    // The bits half of the ANN quality grid (annEval sweeps nprobe):
+    // recall@10 per PQ codebook config vs the exact L2 twin. Rows-only
+    // (k-means internals); saturation ⇒ 1.0 and the hand-built-sweep
+    // equality are spec-pinned (AnnOpsSpec).
+    "q_pq_eval" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val fine = SimilarityOps.pqTrain(emb, "vec_id", "embedding",
+                                       nsub = 8, codes = 16, iters = 1)
+      val coarse = SimilarityOps.pqTrain(emb, "vec_id", "embedding",
+                                         nsub = 8, codes = 2, iters = 1)
+      SimilarityOps.pqEval(emb, "vec_id", "embedding",
+                           Seq("8x16" -> fine, "8x2" -> coarse),
+                           probeIds = Seq(0L, 23L, 91L), k = 10)
+    }),
+
     // Day-2 index ops: per-list drift report of an incoming batch vs
     // the frozen saved codebook — the appendIndex "retrain now" signal.
     // Rows-only (persisted-index internals); planted-drift behavior is

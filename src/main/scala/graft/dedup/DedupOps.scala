@@ -409,15 +409,17 @@ object DedupOps {
     * distinct grams, rounded up to words); fpp ≈ (1−e^(−k/bits))^k ≈
     * 0.8% at the defaults.
     *
-    * Ceiling: the bitset serializes as ONE Int-sized ByteBuffer
+    * Ceiling: each bitset serializes as ONE Int-sized ByteBuffer
     * (`Bloom.MaxWords` ≈ 2.7e8 words ⇒ ~1.7e10 bits), which at the
-    * default 10 bits/gram bounds the reference at ~1.7e9 distinct
-    * grams — `BloomFilterAgg` throws at construction past that. For a
-    * larger reference, lower `bitsPerGram` (more verify-join traffic,
-    * same exact result — fpp at 5 bits/gram, k=3 is ~10%) rather than
-    * raising the buffer bound; a sharded multi-row bitset is the
-    * eventual scale path if a 10⁺⁹-gram reference with single-digit
-    * fpp ever becomes a real workload.
+    * default 10 bits/gram bounds an UNSHARDED filter at ~1.7e9
+    * distinct grams — `BloomFilterAgg` throws at construction past
+    * that. Past the bound, pass `shards = S`: elements partition by
+    * pmod(hash, S) into S independently-bounded sub-filters
+    * (bloomFold), probed by the sharded native expression in the same
+    * zero-shuffle pass — capacity S × 1.7e9 grams at unchanged fpp
+    * (~10¹¹ at S=64). Alternatively lower `bitsPerGram` (more
+    * verify-join traffic, same exact result — fpp at 5 bits/gram, k=3
+    * is ~10%).
     */
   /** Reference gram set (persisted — it feeds the sizing count, the
     * bitset build, and possibly an exact verify) plus its one-row Bloom
@@ -425,9 +427,8 @@ object DedupOps {
     * and sizing can never drift between them.
     */
   private def refGramsAndBloom(reference: DataFrame, textCol: String,
-                               n: Int, bitsPerGram: Int,
-                               k: Int): (DataFrame, DataFrame) = {
-    import graft.functions.BloomExpressions
+                               n: Int, bitsPerGram: Int, k: Int,
+                               shards: Int = 1): (DataFrame, DataFrame) = {
     val refGrams = reference
       .select(explode(ShingleExpressions.shingleHashes(col(textCol), n))
         .as("sh"))
@@ -437,24 +438,67 @@ object DedupOps {
     // one scalar action sizes the filter; the gram set is persisted for
     // its other consumers
     val m = math.max(refGrams.count(), 1L)
-    val numBits = math.max(64L, ((m * bitsPerGram + 63L) / 64L) * 64L)
-    (refGrams,
-     refGrams.agg(
-       BloomExpressions.bloomAgg(col("sh"), numBits, k).as("__bloom")))
+    (refGrams, bloomFold(refGrams, "sh", m, bitsPerGram, k, shards))
+  }
+
+  /** OR-fold a column of long hashes into ONE broadcastable Bloom row.
+    * `shards = 1` (default): a single bitset (col __bloom:
+    * array<bigint>, probe with bloom_hit_count). `shards = S > 1`:
+    * elements partition by pmod(hash, S) into S independently-sized
+    * sub-filters folded as array<array<bigint>> (probe with
+    * bloom_hit_count_sharded) — each sub-filter stays inside the
+    * single-ByteBuffer serialization bound, so capacity scales to
+    * S × ~1.7e9 elements at 10 bits/element (the contaminationScreened
+    * ceiling, lifted). Empty shards materialize as all-zero bitsets so
+    * the probe's positional indexing is always complete; fpp matches
+    * the unsharded filter when pmod spreads elements evenly (any
+    * decent 64-bit hash does).
+    */
+  private[graft] def bloomFold(hashed: DataFrame, hashCol: String, m: Long,
+                               bitsPerElem: Int, k: Int,
+                               shards: Int): DataFrame = {
+    import graft.functions.BloomExpressions
+    require(shards >= 1, s"shards must be >= 1 (got $shards)")
+    if (shards == 1) {
+      val numBits = math.max(64L, ((m * bitsPerElem + 63L) / 64L) * 64L)
+      hashed.agg(
+        BloomExpressions.bloomAgg(col(hashCol), numBits, k).as("__bloom"))
+    } else {
+      val perElems = (m + shards - 1) / shards
+      val perBits = math.max(64L, ((perElems * bitsPerElem + 63L) / 64L) * 64L)
+      val nWords = (perBits / 64L).toInt
+      val sub = hashed
+        .groupBy(pmod(col(hashCol), lit(shards.toLong)).as("__shard"))
+        .agg(BloomExpressions.bloomAgg(col(hashCol), perBits, k).as("__w"))
+      hashed.sparkSession.range(shards)
+        .select(col("id").as("__shard"))
+        .join(sub, Seq("__shard"), "left_outer")
+        .select(col("__shard"),
+                coalesce(col("__w"), array_repeat(lit(0L), lit(nWords)))
+                  .as("__w"))
+        .agg(transform(
+               array_sort(collect_list(struct(col("__shard").as("s"),
+                                              col("__w").as("w")))),
+               e => e.getField("w")).as("__bloom"))
+    }
   }
 
   def contaminationScreened(corpus: DataFrame, reference: DataFrame,
                             idCol: String, textCol: String, n: Int,
                             minShared: Long = 1L, bitsPerGram: Int = 10,
-                            k: Int = 7): DataFrame = {
+                            k: Int = 7, shards: Int = 1): DataFrame = {
     import graft.functions.BloomExpressions
     val (refGrams, bloom) =
-      refGramsAndBloom(reference, textCol, n, bitsPerGram, k)
+      refGramsAndBloom(reference, textCol, n, bitsPerGram, k, shards)
+    val gramHashes = ShingleExpressions.shingleHashes(col(textCol), n)
+    val hits =
+      if (shards == 1)
+        BloomExpressions.bloomHitCount(gramHashes, col("__bloom"), k)
+      else
+        BloomExpressions.bloomHitCountSharded(gramHashes, col("__bloom"), k)
     val cand = corpus
       .crossJoin(broadcast(bloom))
-      .filter(BloomExpressions.bloomHitCount(
-          ShingleExpressions.shingleHashes(col(textCol), n),
-          col("__bloom"), k) >= minShared)
+      .filter(hits >= minShared)
       .select(col(idCol), col(textCol))
     cand
       .select(col(idCol),

@@ -46,6 +46,19 @@ object BloomExpressions {
   def bloomHitCount(hashes: Column, words: Column, k: Int): Column =
     Bridge.toColumn(BloomHitCount(
       Bridge.toExpression(hashes), Bridge.toExpression(words), k))
+
+  /** Sharded probe: `shards` is S bitsets (array-of-arrays, index =
+    * shard id); element h tests ONLY shard pmod(h, S) — the build side
+    * partitions elements the same way, so each sub-filter stays inside
+    * the single-buffer serialization bound and total capacity scales to
+    * S × Bloom.MaxWords·64 bits (~10¹¹ grams at 64 shards, 10
+    * bits/gram). fpp is unchanged when shards are sized per their
+    * element share (uniform under pmod of a good hash).
+    */
+  def bloomHitCountSharded(hashes: Column, shards: Column,
+                           k: Int): Column =
+    Bridge.toColumn(BloomHitCountSharded(
+      Bridge.toExpression(hashes), Bridge.toExpression(shards), k))
 }
 
 /** Static probe/insert logic — the single source of truth for the bit
@@ -88,6 +101,26 @@ object Bloom {
       i += 1
     }
     true
+  }
+
+  /** Sharded twin of `hitCount`: element h probes only sub-filter
+    * pmod(h, S). The shard selector MUST match the build-side
+    * partitioner (DedupOps.shardOf / pmod(hash, S)).
+    */
+  def hitCountSharded(hashes: ArrayData, shards: ArrayData, k: Int): Int = {
+    val s = shards.numElements()
+    val n = hashes.numElements()
+    var i = 0; var c = 0
+    while (i < n) {
+      if (!hashes.isNullAt(i)) {
+        val h = hashes.getLong(i)
+        // pmod: Java % is negative for negative h
+        val shard = ((h % s) + s) % s
+        if (contains(shards.getArray(shard.toInt), h, k)) c += 1
+      }
+      i += 1
+    }
+    c
   }
 
   /** #elements of `hashes` contained in the filter (null slots skipped —
@@ -238,4 +271,47 @@ case class BloomHitCount(left: Expression, right: Expression, k: Int)
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): BloomHitCount = copy(l, r)
+}
+
+/** Sharded membership count: the right side is S complete bitsets
+  * (array<array<bigint>>, outer index = shard id); element h probes only
+  * sub-filter pmod(h, S). Lifts `BloomFilterAgg`'s single-ByteBuffer
+  * serialization ceiling to S× while keeping one codegen'd static call
+  * per row. Both levels must be containsNull=false — a null shard or a
+  * null word slot would read garbage bits (the BloomHitCount argument).
+  */
+case class BloomHitCountSharded(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+
+  require(k >= 1 && k <= 32, s"k must be in [1, 32], got $k")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "bloom_hit_count_sharded"
+  override def checkInputDataTypes() = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _),
+            ArrayType(ArrayType(LongType, false), false)) =>
+        TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(ArrayType(LongType, _), _)) =>
+        TypeCheckFailure(s"$prettyName shards argument must be " +
+          "array<array<bigint>> without nulls at either level")
+      case _ =>
+        TypeCheckFailure(s"$prettyName requires (array<bigint> hashes, " +
+          s"array<array<bigint>> shards), got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    }
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    Bloom.hitCountSharded(l.asInstanceOf[ArrayData],
+                          r.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Bloom.hitCountSharded($a, $b, $k);")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): BloomHitCountSharded = copy(l, r)
 }

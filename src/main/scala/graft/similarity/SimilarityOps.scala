@@ -1125,6 +1125,79 @@ object SimilarityOps {
     }.reduce(_ unionByName _)
   }
 
+  /** Recall@k across PQ CODEBOOK configurations — the bits half of the
+    * ANN quality grid (annEval sweeps nprobe): "what do nsub/codes buy
+    * me on MY data" for the compression/recall trade (Jégou TPAMI'11
+    * §V sweeps exactly this). Caller trains the codebooks (pqTrain
+    * with different nsub/codes — they're independent write-time jobs);
+    * pqEval scores each against the EXACT L2 twin. One row per config:
+    * (config, k, n_probes, recall), recall = mean over probes of
+    * |ADC top-k ∩ exact top-k| / |exact top-k|.
+    *
+    * Scale shape: the exact ground truth is ONE batched pass (probe
+    * batch broadcast, corpus scanned once, WindowGroupLimit-bounded
+    * per-probe top-k — the knnJoin economics, cached for the whole
+    * grid). Each config costs one encode pass over the corpus against
+    * its folded codebook plus per-probe ADC table lookups — corpus
+    * passes scale with |configs| (different codebooks genuinely
+    * re-encode), never with |probes|.
+    */
+  def pqEval(emb: DataFrame, idCol: String, vecCol: String,
+             codebooks: Seq[(String, DataFrame)], probeIds: Seq[Long],
+             k: Int): DataFrame = {
+    require(codebooks.nonEmpty, "pqEval needs at least one codebook")
+    require(probeIds.nonEmpty, "pqEval needs at least one probe id")
+    import graft.functions.VectorExpressions.dotProduct
+    val probeAny = probeIds.map(_.asInstanceOf[Any])
+    val dvec = transform(col(vecCol), x => x.cast("double"))
+    val probes = emb.filter(col(idCol).isin(probeAny: _*))
+      .select(col(idCol).as("pid"), dvec.as("__pv"))
+    // exact L2 ground truth (rounded, id tie-break — the pqTopK
+    // determinism discipline), one batched pass, cached for the grid
+    val exact = emb.select(col(idCol).as("nid"), dvec.as("__cv"))
+      .crossJoin(broadcast(probes))
+      .filter(col("nid") =!= col("pid"))
+      .withColumn("d2", round(
+        dotProduct(col("__cv"), col("__cv")) -
+          lit(2.0) * dotProduct(col("__cv"), col("__pv")) +
+          dotProduct(col("__pv"), col("__pv")), 6))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("pid"))
+          .orderBy(col("d2").asc, col("nid").asc)))
+      .filter(col("__rn") <= k)
+      .select(col("pid"), col("nid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+    val exactCnt = exact.groupBy(col("pid")).agg(count(lit(1)).as("__ec"))
+    codebooks.map { case (label, cb) =>
+      val (nsub, dsub) = pqShape(cb)
+      val codes = emb.filter(size(col(vecCol)) === nsub * dsub)
+        .crossJoin(broadcast(foldPqCodebook(cb)))
+        .select(col(idCol).as("nid"),
+                pqCodesExpr(transform(col(vecCol), x => x.cast("double")),
+                            col("__pqcb"), nsub, dsub).as("pq_codes"))
+      val approx = codes
+        .crossJoin(adcFoldedTable(cb, probes, dsub, Seq("pid")))
+        .filter(col("nid") =!= col("pid"))
+        .select(col("pid"), col("nid"), adcDist2(nsub).as("dist2"))
+        .filter(col("dist2").isNotNull)
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("pid"))
+            .orderBy(col("dist2").asc, col("nid").asc)))
+        .filter(col("__rn") <= k)
+        .select(col("pid"), col("nid"))
+      val hits = approx.join(exact, Seq("pid", "nid"))
+        .groupBy(col("pid")).agg(count(lit(1)).as("__h"))
+      exactCnt.join(hits, Seq("pid"), "left_outer")
+        .select((coalesce(col("__h"), lit(0L)).cast("double") /
+                   col("__ec")).as("__r"))
+        .agg(count(lit(1)).as("n_probes"),
+             round(avg(col("__r")), 6).as("recall"))
+        .select(lit(label).as("config"), lit(k).as("k"),
+                col("n_probes"), col("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Per-list DRIFT report for a saved IVF index vs an incoming batch —
     * the "retrain now" signal `appendIndex`'s freshness contract
     * promises: appended vectors quantize against the FROZEN codebook,

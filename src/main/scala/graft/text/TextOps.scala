@@ -832,7 +832,8 @@ object TextOps {
     */
   def blocklistScreened(df: DataFrame, blocklist: DataFrame,
                         idCol: String = "doc_id", textCol: String = "text",
-                        bitsPerTerm: Int = 10, k: Int = 7): DataFrame = {
+                        bitsPerTerm: Int = 10, k: Int = 7,
+                        shards: Int = 1): DataFrame = {
     import graft.functions.BloomExpressions
     import org.apache.spark.storage.StorageLevel
     val termCol = blocklist.columns.head
@@ -840,18 +841,23 @@ object TextOps {
       .select(lower(trim(col(termCol))).as("__term")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheScope.register)
-    // one scalar action sizes the filter (the refGramsAndBloom pattern)
+    // one scalar action sizes the filter; shards > 1 lifts the
+    // single-buffer bitset ceiling (the contaminationScreened knob —
+    // DedupOps.bloomFold scaladoc)
     val m = math.max(terms.count(), 1L)
-    val numBits = math.max(64L, ((m * bitsPerTerm + 63L) / 64L) * 64L)
-    val bloom = terms
-      .agg(BloomExpressions.bloomAgg(xxhash64(col("__term")), numBits, k)
-        .as("__bloom"))
+    val bloom = graft.dedup.DedupOps.bloomFold(
+      terms.select(xxhash64(col("__term")).as("__h")), "__h", m,
+      bitsPerTerm, k, shards)
+    val tokHashes = transform(array_distinct(tokens(lower(col(textCol)))),
+                              t => xxhash64(t))
+    val hits =
+      if (shards == 1)
+        BloomExpressions.bloomHitCount(tokHashes, col("__bloom"), k)
+      else
+        BloomExpressions.bloomHitCountSharded(tokHashes, col("__bloom"), k)
     val cand = df
       .crossJoin(broadcast(bloom))
-      .filter(BloomExpressions.bloomHitCount(
-          transform(array_distinct(tokens(lower(col(textCol)))),
-                    t => xxhash64(t)),
-          col("__bloom"), k) >= 1)
+      .filter(hits >= 1)
       .select(col(idCol), col(textCol))
     val verified = cand
       .select(col(idCol),

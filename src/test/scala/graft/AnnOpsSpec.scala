@@ -54,6 +54,75 @@ class AnnOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("pqEval: saturated codebook scores recall 1.0; a coarse codebook " +
+       "scores no higher; each config matches a hand-built pqTopK sweep") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val fine = SimilarityOps.pqTrain(emb, "vec_id", "embedding",
+                                     nsub = 8, codes = 16, iters = 1)
+    val coarse = SimilarityOps.pqTrain(emb, "vec_id", "embedding",
+                                       nsub = 8, codes = 2, iters = 1)
+    val got = SimilarityOps.pqEval(emb, "vec_id", "embedding",
+        Seq("8x16" -> fine, "8x2" -> coarse), probeIds, k = 10)
+      .as[(String, Int, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet === Set("8x16", "8x2"))
+    assert(got.values.forall(r => r._2 === 10 &&
+                                  r._3 === probeIds.size.toLong))
+    assert(got.values.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+    assert(got("8x2")._4 <= got("8x16")._4 + 1e-9,
+           s"2-code recall ${got("8x2")._4} vs 16-code ${got("8x16")._4}")
+
+    // every config's recall equals the slow per-probe pqTopK sweep
+    import graft.functions.VectorExpressions.dotProduct
+    for ((label, cb) <- Seq("8x16" -> fine, "8x2" -> coarse)) {
+      val mean = probeIds.map { p =>
+        val exact = emb.as("a")
+          .filter($"a.vec_id" =!= p)
+          .crossJoin(emb.filter($"vec_id" === p).select(
+            transform($"embedding", x => x.cast("double")).as("pv")))
+          .select($"a.vec_id".as("nid"),
+                  round(dotProduct(transform($"a.embedding",
+                                             x => x.cast("double")),
+                                   transform($"a.embedding",
+                                             x => x.cast("double")))
+                    - lit(2.0) * dotProduct(transform($"a.embedding",
+                                                      x => x.cast("double")),
+                                            $"pv")
+                    + dotProduct($"pv", $"pv"), 6).as("d2"))
+          .orderBy($"d2".asc, $"nid".asc).limit(10)
+          .select($"nid").as[Long].collect().toSet
+        val approx = SimilarityOps.pqTopK(emb, "vec_id", "embedding", cb,
+                                          probeId = p, k = 10)
+          .select($"vec_id").as[Long].collect().toSet
+        approx.intersect(exact).size.toDouble / exact.size
+      }.sum / probeIds.size
+      assert(math.abs(got(label)._4 - mean) < 1e-6,
+             s"$label: pqEval ${got(label)._4} vs hand-built $mean")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("pqEval: a truly saturated codebook on a tiny vocabulary corpus " +
+       "hits exactly 1.0") {
+    // 2 distinct subvectors per subspace, codes = 2 → zero distortion →
+    // ADC ranking ≡ exact L2 ranking (the PqSpec saturation theorem),
+    // so recall@k must be exactly 1.0
+    val a = Array(1.0f, 2.0f); val b = Array(-1.0f, 0.5f)
+    val c = Array(3.0f, 0.0f); val e = Array(0.0f, 4.0f)
+    def cat(x: Array[Float], y: Array[Float]) = x ++ y
+    val rows = Seq(
+      (0L, cat(a, c)), (1L, cat(b, e)), (2L, cat(b, c)),
+      (3L, cat(a, e)), (4L, cat(a, c))
+    ).toDF("vec_id", "embedding")
+    val cb = SimilarityOps.pqTrain(rows, "vec_id", "embedding",
+                                   nsub = 2, codes = 2, iters = 2)
+    val got = SimilarityOps.pqEval(rows, "vec_id", "embedding",
+        Seq("sat" -> cb), probeIds = Seq(0L, 1L), k = 3)
+      .as[(String, Int, Long, Double)].head()
+    assert(got === (("sat", 3, 2L, 1.0)))
+    spark.catalog.clearCache()
+  }
+
   test("indexDrift: in-distribution batch drifts ~0; a planted " +
        "off-distribution batch shows positive drift on its landing list") {
     // two tight clusters on orthogonal axes; the index is trained on

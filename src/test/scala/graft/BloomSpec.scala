@@ -110,6 +110,58 @@ class BloomSpec extends SparkSpec {
     assert(flagged === Seq(900001L))
   }
 
+  test("sharded filter: no false negatives across shards (incl. negative " +
+       "hashes), empty shards safe, SQL ≡ Column API") {
+    GraftExtensions.registerAll(spark)
+    val rnd = new scala.util.Random(17)
+    // negative longs exercise the pmod shard selector; shards = 7 with
+    // hashes drawn so at least one shard stays EMPTY (all ≡ 0 mod 7)
+    val inserted = Seq.fill(600)(rnd.nextLong()).distinct
+      .filter(h => ((h % 7) + 7) % 7 != 3)
+    val hashedDf = inserted.toDF("sh")
+    val fold = graft.dedup.DedupOps.bloomFold(
+      hashedDf, "sh", inserted.size.toLong, bitsPerElem = 10, k = 5,
+      shards = 7)
+    val hits = inserted.toDF("h")
+      .agg(collect_list($"h").as("hs"))
+      .crossJoin(fold)
+      .select(graft.functions.BloomExpressions
+        .bloomHitCountSharded($"hs", $"__bloom", 5))
+      .as[Int].head()
+    assert(hits === inserted.size, "every inserted hash must be found")
+    // probes landing in the empty shard are definitively clean
+    val emptyShardProbes = Seq.fill(200)(rnd.nextLong())
+      .map(h => h - (((h % 7) + 7) % 7) + 3) // force shard 3
+    val fp = emptyShardProbes.toDF("h")
+      .agg(collect_list($"h").as("hs"))
+      .crossJoin(fold)
+      .select(graft.functions.BloomExpressions
+        .bloomHitCountSharded($"hs", $"__bloom", 5))
+      .as[Int].head()
+    assert(fp === 0, "an empty shard must report zero members")
+    // SQL registration matches the Column API
+    hashedDf.createOrReplaceTempView("shard_in")
+    fold.createOrReplaceTempView("shard_fold")
+    val viaSql = spark.sql(
+      """SELECT bloom_hit_count_sharded(hs, __bloom, 5) FROM
+        |  (SELECT collect_list(sh) AS hs FROM shard_in), shard_fold"""
+        .stripMargin).as[Int].head()
+    assert(viaSql === inserted.size)
+  }
+
+  test("contaminationScreened(shards = 4) ≡ exact ≡ unsharded") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val corpus = docs.filter($"source" =!= "src0")
+    val ref = docs.filter($"source" === "src0")
+    val exact = DedupOps.contamination(corpus, ref, "doc_id", "text", n = 30)
+      .as[(Long, Long)].collect().toSet
+    val sharded = DedupOps.contaminationScreened(
+        corpus, ref, "doc_id", "text", n = 30, shards = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(sharded === exact)
+    spark.catalog.clearCache()
+  }
+
   test("empty reference set screens everything out") {
     val corpus = Seq((1L, "some document text that is long enough here"))
       .toDF("doc_id", "text")

@@ -72,10 +72,38 @@ class CurationRulesSpec extends SparkSpec {
         bitsPerTerm = 10, k = 2)
       .as[(Long, Long, String, Boolean)].collect().toSet
     assert(screened === exact)
+    // sharded bitset (the capacity-ceiling knob): same contract
+    val sharded = TextOps.blocklistScreened(docs, bl, shards = 3)
+      .as[(Long, Long, String, Boolean)].collect().toSet
+    assert(sharded === exact)
     // at sf0.001: 393 docs contain "dup" and/or "vector", 17 contain
     // both; " Leak " normalizes to a vocabulary miss (DuckDB-verified)
     assert(exact.count(_._4) === 393)
     assert(exact.count(_._2 == 2L) === 17)
+  }
+
+  test("blocklistGate is stateless and gates a real stream on ingest") {
+    import spark.implicits._
+    // the gate is a static-fold broadcast + one narrow projection, so it
+    // applies to a readStream unchanged — content safety ON INGEST, no
+    // state, no watermark (the contaminationStream shape)
+    val dir = graft.io.Sinks.scratchRoot + "/blocklist_stream"
+    val docs = Seq(
+      (1L, "a clean document about nothing in particular"),
+      (2L, "this one mentions the banned thing badword here")
+    ).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(dir)
+    val bl = Seq("badword").toDF("term")
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = TextOps.blocklistGate(stream, bl)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("blocklist_stream_test").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("blocklist_stream_test")
+      .as[(Long, Long, String, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 0L, "", false)))
+    assert(got(2L) === ((2L, 1L, "badword", true)))
   }
 
   test("perplexityBuckets: per-lang terciles, head = lowest mean nll") {

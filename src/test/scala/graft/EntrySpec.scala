@@ -34,7 +34,8 @@ class EntrySpec extends SparkSpec {
                        "q_ivf_topk", "q_ivf_trained", "q_approx_users",
                        "q_lsh_cosine_pairs", "q_pq_topk", "q_ivfpq_topk",
                        "q_bpe_vocab", "q_quality_classifier",
-                       "q_export_hashprod", "q_ann_eval", "q_index_drift")
+                       "q_export_hashprod", "q_ann_eval", "q_index_drift",
+                       "q_pq_eval")
     assert(noOracle === expected)
   }
 }
