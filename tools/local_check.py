@@ -69,9 +69,13 @@ def main():
             n_missing += 1
             continue
         try:
-            cur = con.execute(oracle[name])
-            d_cols = [c.lower() for c in [d[0] for d in cur.description]]
-            d_rows = cur.fetchall()
+            # fetch through ARROW, the driver's path: duckdb's native
+            # fetchall() coerces HUGEINT->int and hides exactly the
+            # typing bugs the driver's hash trips on (HUGEINT arrives
+            # as decimal128 -> Decimal under arrow)
+            d_tbl = con.execute(oracle[name]).fetch_arrow_table()
+            d_cols = [c.lower() for c in d_tbl.column_names]
+            d_rows = [tuple(r.values()) for r in d_tbl.to_pylist()]
         except Exception as e:
             results[name] = f"ORACLE-ERROR {e}"
             n_fail += 1
