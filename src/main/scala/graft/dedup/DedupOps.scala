@@ -895,7 +895,13 @@ object DedupOps {
       .repartition(parts, col(idCol)) // single-file inputs: spread the scan
       .select(col(idCol),
               posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
-      .withColumn("lh", graft.text.Hashing.fingerprint(col("line"), hashMode))
+      // unhex: the fingerprint's 32-char hex STRING would ship 32 bytes
+      // per line through the stats shuffle; the binary form is the
+      // advertised 16 bytes (both modes emit 128-bit hex, so the key
+      // stays collision-safe and mode-independent in width)
+      .withColumn("lh",
+                  unhex(graft.text.Hashing.fingerprint(col("line"),
+                                                       hashMode)))
     // one aggregate keyed by the hash: document frequency + the global
     // first occurrence as a lexicographic struct-min (min doc, min pos
     // within it) — only lines at/over the threshold survive the filter,
