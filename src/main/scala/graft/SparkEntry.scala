@@ -1210,6 +1210,16 @@ object SparkEntry {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"))),
 
+    // trainSplit's generalization: caller-chosen fractions at 1/65536
+    // coin granularity (thresholds computed once driver-side, embedded
+    // as the same literals in the oracle — engine float arithmetic
+    // never decides a document)
+    "q_split_fractions" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(TextOps.splitByFractions(col("text"),
+            Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)).as("split"))
+        .agg(count(lit(1)).as("n_docs"))),
+
     // Leakage-proof split: near-dup clusters (LSH sketch path, the same
     // exact-verified pair truth as q_dup_clusters) assign as ONE unit —
     // no near-duplicate pair can straddle train/test. Census by split:
@@ -2532,6 +2542,16 @@ object SparkEntry {
         |            ELSE 'test' END AS split,
         |       count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // thresholds 58982/62259 = floor(cum * 65536) for 0.9/0.05/0.05,
+    // the exact doubles splitByFractions computes driver-side
+    "q_split_fractions" ->
+      """SELECT CASE WHEN c < 58982 THEN 'train'
+        |            WHEN c < 62259 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       count(*) AS n_docs
+        |FROM (SELECT CAST('0x' || substr(md5(text), 1, 4) AS INTEGER) AS c
+        |      FROM documents) GROUP BY 1""".stripMargin,
 
     "q_cluster_split" -> clusterSplitOracle,
     "q_export_pipeline" -> exportPipelineOracle,

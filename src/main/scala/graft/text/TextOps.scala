@@ -273,6 +273,46 @@ object TextOps {
     // (Hashing's null contract)
     Hashing.splitArm(text, mode)
 
+  /** Deterministic assignment to NAMED splits with caller-chosen
+    * fractions — `trainSplit`'s generalization (that op's 14:1:1 is a
+    * special case: with fractions 14/16, 1/16, 1/16 the two agree
+    * BIT-FOR-BIT in md5 mode, spec-pinned — the first hex digit IS the
+    * coin's high nibble; in Production mode the two ops draw different
+    * xxhash bit ranges and are independent assignments). The coin is the first 4 hex digits of
+    * md5(text) as an int in [0, 65536) — 1/65536 granularity, engine-
+    * portable (`CAST('0x'||substr(md5(text),1,4) AS INTEGER)` in the
+    * oracle); split i owns [floor(65536·cum_{i-1}), floor(65536·cum_i)),
+    * with the LAST split as the unconditional catch-all arm so double
+    * rounding in the cumulative sum can never orphan the top coin
+    * values. Null text → null split (the trainSplit null contract).
+    * `Hashing.Production` swaps the coin for pmod(xxhash64, 65536) —
+    * same thresholds, different (equally re-derivable) assignment.
+    */
+  def splitByFractions(text: Column, splits: Seq[(String, Double)],
+                       mode: Hashing.Mode = Hashing.OraclePortable)
+      : Column = {
+    require(splits.size >= 2, "need at least two splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+            "split names must be distinct")
+    require(splits.forall(_._2 > 0), "fractions must be > 0")
+    val total = splits.map(_._2).sum
+    val coin = mode match {
+      case Hashing.OraclePortable =>
+        conv(substring(md5(text), 1, 4), 16, 10).cast("int")
+      case Hashing.Production =>
+        when(text.isNull, lit(null))
+          .otherwise(pmod(xxhash64(text), lit(65536L)).cast("int"))
+    }
+    // integer thresholds computed ONCE driver-side — the oracle embeds
+    // the same literals, so engine float arithmetic never decides a doc
+    val bounds = splits.map(_._2).scanLeft(0.0)(_ + _ / total).tail
+      .map(c => math.floor(c * 65536.0).toLong)
+    splits.init.zip(bounds.init).foldRight(
+      when(coin.isNotNull, splits.last._1)) {
+      case (((name, _), b), els) => when(coin < b, name).otherwise(els)
+    }
+  }
+
   /** Deterministic sampling coin: first md5 byte of the content as an
     * int in [0,256). RNG-free (re-derivable from data alone, the same
     * property trainSplit leans on) and engine-portable (hex → int is

@@ -82,6 +82,44 @@ class CurationRulesSpec extends SparkSpec {
     assert(exact.count(_._2 == 2L) === 17)
   }
 
+  test("splitByFractions: 14:1:1 reproduces trainSplit bit-for-bit; " +
+       "fractions respected; null text unassigned; production mode valid") {
+    import spark.implicits._
+    import graft.text.Hashing
+    val docs = Tables.load(spark, sfDir, "documents")
+    // the special-case theorem: first-hex-digit < 'e' IS coin < 57344
+    val disagree = docs.select(
+        TextOps.trainSplit($"text").as("a"),
+        TextOps.splitByFractions($"text",
+          Seq("train" -> 14.0, "val" -> 1.0, "test" -> 1.0)).as("b"))
+      .filter(not($"a" <=> $"b")).count()
+    assert(disagree === 0L)
+    // 90/5/5 lands near its design point on 500 docs
+    val census = docs.groupBy(TextOps.splitByFractions($"text",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)).as("s"))
+      .count().as[(String, Long)].collect().toMap
+    assert(census.keySet === Set("train", "val", "test"))
+    assert(census("train") > 400 && census("train") < 480)
+    // null text has no coin, in both modes
+    for (m <- Seq(Hashing.OraclePortable, Hashing.Production)) {
+      val row = Seq(Option.empty[String]).toDF("text")
+        .select(TextOps.splitByFractions($"text",
+          Seq("a" -> 0.5, "b" -> 0.5), m)).collect()(0)
+      assert(row.isNullAt(0), s"mode $m")
+    }
+    // production mode: total, deterministic, and a different assignment
+    val prod = docs.select($"doc_id", TextOps.splitByFractions($"text",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+        Hashing.Production).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(prod.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(prod.size === 500)
+    val md5Side = docs.select($"doc_id", TextOps.splitByFractions($"text",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(prod !== md5Side)
+  }
+
   test("blocklistGate is stateless and gates a real stream on ingest") {
     import spark.implicits._
     // the gate is a static-fold broadcast + one narrow projection, so it
