@@ -914,6 +914,33 @@ object SparkEntry {
         .orderBy(col("list_id"))
     }),
 
+    // The drift signal's ACTION: seed-codebook index on the even half,
+    // appendIndex the odd half against the frozen codebook, then
+    // reindex (retrain on the index's own contents + atomic root swap)
+    // and serve with nprobe = nlist. ORACLE-EXACT against the
+    // brute-force cosine top-k over the whole table: exactness proves
+    // the append inserted each id exactly once, the rebuild preserved
+    // the corpus bit-for-bit through the swap, and nprobe=all ≡ exact —
+    // the k-means internals never touch the served VALUES, only the
+    // pruning layout.
+    "q_reindex" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val base = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val batch = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      val path = scratch(dir, "reindex")
+      val cents = SimilarityOps.seedCentroids(base, "vec_id", "embedding",
+                                              nlist = 8)
+      SimilarityOps.saveIndex(
+        SimilarityOps.ivfAssignTo(base, "vec_id", "embedding", cents),
+        cents, path)
+      SimilarityOps.appendIndex(batch, "vec_id", "embedding", path)
+      SimilarityOps.reindex(s, path, "vec_id", "embedding",
+                            nlist = 8, iters = 2)
+      val (lists, cb) = SimilarityOps.loadIndex(s, path)
+      SimilarityOps.ivfTopK(lists, cb, "vec_id", "embedding",
+                            probeId = 0L, k = 10, nprobe = 8)
+    }),
+
     // IVF with a TRAINED codebook: two spherical k-means iterations
     // (assign → per-dimension mean → repeat, all distributed), then the
     // per-list census. Rows-only (k-means isn't reasonably
@@ -1232,6 +1259,21 @@ object SparkEntry {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"),
              countDistinct(col("cluster_key")).as("n_clusters"))),
+
+    // Eval-contamination AUDIT (clusterSplit's measurement twin): the
+    // exact near-dup pair truth joined with the per-document hash split
+    // — every pair straddling two splits is an eval document the
+    // per-doc split leaks into train. Fully oracle-checked (pair CTE +
+    // split CASE); auditing clusterSplit's own assignment returns zero
+    // rows by construction, spec-pinned.
+    "q_leakage_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.pipeline.CorpusPipeline.leakageAudit(
+        docs.select(col("doc_id"),
+                    TextOps.trainSplit(col("text")).as("split")),
+        DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+                                   n = 12, tau = 0.7))
+    }),
 
     // Okapi BM25 top-10 for a fixed query-term set — retrieval-scored
     // corpus mining (per-term weights rounded to 1e-6 pre-sum; ranking by
@@ -1790,6 +1832,7 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q_ngram_jaccard" -> jaccardOracle,
+    "q_leakage_audit" -> leakageAuditOracle,
     "q_minhash_lsh" -> jaccardOracle,
     "q_dup_clusters" -> dupClustersOracle,
 
@@ -2402,22 +2445,13 @@ object SparkEntry {
         |            ELSE coalesce(k.clean, '') END AS clean_text
         |FROM documents d LEFT JOIN ka k ON k.doc_id = d.doc_id""".stripMargin,
 
-    "q_cosine_topk" ->
-      """WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-        |                     generate_subscripts(embedding,1) AS i
-        |              FROM embeddings),
-        |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM flat GROUP BY 1),
-        |probe AS (SELECT i, v FROM flat WHERE vec_id = 0),
-        |pnorm AS (SELECT nrm FROM norms WHERE vec_id = 0),
-        |dots AS (SELECT f.vec_id, sum(f.v*p.v) AS dot
-        |         FROM flat f JOIN probe p ON f.i = p.i
-        |         WHERE f.vec_id <> 0 GROUP BY 1)
-        |SELECT d.vec_id,
-        |       round(d.dot/(n.nrm*(SELECT nrm FROM pnorm)), 6) AS sim
-        |FROM dots d JOIN norms n ON n.vec_id = d.vec_id
-        |ORDER BY round(d.dot/(n.nrm*(SELECT nrm FROM pnorm)), 6) DESC,
-        |         d.vec_id ASC
-        |LIMIT 10""".stripMargin,
+    "q_cosine_topk" -> cosineTopkOracle,
+
+    // q_reindex serves nprobe = nlist off the appended-then-rebuilt
+    // index, so its contract IS the brute-force top-10 over the whole
+    // table — the same oracle, checking the whole append/retrain/swap
+    // chain preserved the corpus exactly
+    "q_reindex" -> cosineTopkOracle,
 
     "q_cosine_pairs" ->
       """WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -2903,6 +2937,45 @@ object SparkEntry {
 
   private val jaccardOracle: String =
     jaccardPairsCte + "\nSELECT id_a, id_b, jaccard FROM pairs"
+
+  /** The q_leakage_audit truth: the shared jaccard pair CTE joined with
+    * the q_train_split CASE — pairs whose members hash to different
+    * splits.
+    */
+  private val leakageAuditOracle: String =
+    jaccardPairsCte +
+      """,
+        |sp AS (SELECT doc_id,
+        |              CASE WHEN substr(md5(text), 1, 1) < 'e' THEN 'train'
+        |                   WHEN substr(md5(text), 1, 1) = 'e' THEN 'val'
+        |                   ELSE 'test' END AS split
+        |       FROM documents)
+        |SELECT p.id_a, p.id_b, p.jaccard,
+        |       sa.split AS split_a, sb.split AS split_b
+        |FROM pairs p JOIN sp sa ON sa.doc_id = p.id_a
+        |             JOIN sp sb ON sb.doc_id = p.id_b
+        |WHERE sa.split <> sb.split""".stripMargin
+
+  /** Brute-force cosine top-10 for probe 0 — the contract of BOTH
+    * q_cosine_topk (the direct exact twin) and q_reindex (served at
+    * nprobe = nlist off the rebuilt index, which must equal it).
+    */
+  private val cosineTopkOracle: String =
+    """WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |                     generate_subscripts(embedding,1) AS i
+      |              FROM embeddings),
+      |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM flat GROUP BY 1),
+      |probe AS (SELECT i, v FROM flat WHERE vec_id = 0),
+      |pnorm AS (SELECT nrm FROM norms WHERE vec_id = 0),
+      |dots AS (SELECT f.vec_id, sum(f.v*p.v) AS dot
+      |         FROM flat f JOIN probe p ON f.i = p.i
+      |         WHERE f.vec_id <> 0 GROUP BY 1)
+      |SELECT d.vec_id,
+      |       round(d.dot/(n.nrm*(SELECT nrm FROM pnorm)), 6) AS sim
+      |FROM dots d JOIN norms n ON n.vec_id = d.vec_id
+      |ORDER BY round(d.dot/(n.nrm*(SELECT nrm FROM pnorm)), 6) DESC,
+      |         d.vec_id ASC
+      |LIMIT 10""".stripMargin
 
   /** Recursive min-label transitive closure over a pair relation
     * (id_a, id_b) — the `reach` fixpoint terminates because the

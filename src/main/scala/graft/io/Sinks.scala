@@ -172,15 +172,30 @@ object Sinks {
         "table format (Delta/Iceberg) for merge/delete/compact there")
   }
 
-  private def stageSwap(df: DataFrame, path: String): Unit = {
-    requireAtomicRename(df.sparkSession, path)
-    val spark = df.sparkSession
+  private def stageSwap(df: DataFrame, path: String): Unit =
+    stagedReplace(df.sparkSession, path) { stage =>
+      df.write.mode("overwrite").parquet(stage)
+    }
+
+  /** The swap skeleton behind `stageSwap`, generalized to ANY writer:
+    * `write(stagePath)` materializes the replacement (it may — and for
+    * index rebuilds does — read the CURRENT `path` to completion, since
+    * nothing moves until it returns), then target → __old, stage →
+    * target, drop __old. Same crash contract and atomic-rename
+    * requirement as `stageSwap`; exposed `private[graft]` so operators
+    * that own multi-directory layouts (SimilarityOps.reindex's
+    * lists/ + codebook/) can swap their whole root atomically instead
+    * of replacing the pieces one rename apart.
+    */
+  private[graft] def stagedReplace(spark: SparkSession, path: String)(
+      write: String => Unit): Unit = {
+    requireAtomicRename(spark, path)
     recoverSwap(spark, path)
     val fs = fsFor(spark, path)
     val target = new org.apache.hadoop.fs.Path(path)
     val old = new org.apache.hadoop.fs.Path(path + "__old")
     val stage = new org.apache.hadoop.fs.Path(path + "__stage")
-    df.write.mode("overwrite").parquet(stage.toString)
+    write(stage.toString)
     if (fs.exists(target) && !fs.rename(target, old))
       throw new java.io.IOException(s"stage swap failed: $target -> $old")
     if (!fs.rename(stage, target)) {

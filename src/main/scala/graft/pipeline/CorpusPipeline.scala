@@ -193,6 +193,38 @@ object CorpusPipeline {
         .connectedComponents(pairs, "id_a", "id_b", assumeDistinct = true),
       idCol, hashMode)
 
+  /** Eval-contamination AUDIT — the measurement twin of `clusterSplit`'s
+    * guarantee. Given a per-document split assignment (`splits`: one row
+    * per id with a split label — e.g. `TextOps.trainSplit` over text,
+    * which does NOT know about near-duplicates) and the near-dup pair
+    * truth (`pairs`: id_a < id_b rows from any of the near-dup joins),
+    * report every pair that STRADDLES two splits: the eval documents a
+    * per-document hash split silently leaks into train. Run it before
+    * training; a non-empty train/test arm is the signal to switch to
+    * `clusterSplit` — whose own assignment this audit certifies as
+    * leak-free by construction (spec-pinned: auditing clusterSplit's
+    * output returns zero rows, because a component shares one coin).
+    *
+    * Scale shape: `pairs` is already candidate-bounded by its generator
+    * (LSH bands / df-ordered prefixes); the audit adds two narrow hash
+    * joins on the 8-byte id column — Catalyst broadcasts the pair side
+    * when it is small, and nothing here touches document bytes. Output
+    * keeps every pair column (jaccard rides along for triage) plus
+    * split_a/split_b.
+    */
+  def leakageAudit(splits: DataFrame, pairs: DataFrame,
+                   idCol: String = "doc_id",
+                   splitCol: String = "split"): DataFrame = {
+    val sa = splits.select(col(idCol).as("id_a"),
+                           col(splitCol).as("split_a"))
+    val sb = splits.select(col(idCol).as("id_b"),
+                           col(splitCol).as("split_b"))
+    pairs.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(pairs.columns.map(col) ++
+                Seq(col("split_a"), col("split_b")): _*)
+  }
+
   /** `clusterSplit` over an ALREADY-COMPUTED (id, comp) component frame
     * (e.g. curateParts' — the CC rounds run once per pipeline, not once
     * per consumer).

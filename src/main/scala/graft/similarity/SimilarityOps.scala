@@ -476,10 +476,15 @@ object SimilarityOps {
       .join(targetLists, col("list_id") === col("lid"))
       .filter(col(idCol) =!= probeId)
       .crossJoin(probe)
-      .withColumn("sim", cosineSim(col(vecCol), col("__probe")))
+      // rank on the ROUNDED sim with the id tie-break — the
+      // topKNeighbors determinism convention, and what makes the
+      // nprobe=nlist endpoint EQUAL the exact twin on rounded ties at
+      // the k-boundary (ranking raw could pick a different sub-ulp
+      // neighbor than the rounded oracle ordering)
+      .withColumn("sim", round(cosineSim(col(vecCol), col("__probe")), 6))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
-      .select(col(idCol), round(col("sim"), 6).as("sim"))
+      .select(col(idCol), col("sim"))
   }
 
   // ------------------------------------------------------------------ PQ
@@ -884,6 +889,36 @@ object SimilarityOps {
       .write.mode("append").partitionBy("list_id")
       .parquet(s"$path/lists")
   }
+
+  /** Day-2 closure of the `appendIndex` drift contract: RETRAIN the
+    * coarse quantizer on the index's own current contents and rebuild
+    * the lists, swapping the whole index root atomically — `indexDrift`
+    * is the trigger signal ("retrain now?"), this is the action. The
+    * training passes and the rebuild read the standing `lists/` to
+    * completion BEFORE anything moves (the stagedReplace contract:
+    * stage-write, then target → __old, stage → target), so a crash at
+    * any instant leaves either the old or the new index serving —
+    * never a partial one — and concurrent readers of the old index
+    * stay correct throughout the rebuild.
+    *
+    * Scale shape: `ivfTrain` is iters scan passes over the index (each
+    * a zero-shuffle folded-codebook assignment plus ONE partial
+    * aggregation — its scaladoc); the rebuild is one more assignment
+    * pass plus saveIndex's write-side repartition on list_id. Nothing
+    * is collected and the corpus is never memory-resident, so the cost
+    * is iters+1 scans — the retrain cadence every IVF deployment
+    * amortizes against appendIndex's recall decay.
+    */
+  def reindex(spark: org.apache.spark.sql.SparkSession, path: String,
+              idCol: String, vecCol: String, nlist: Int,
+              iters: Int): Unit =
+    graft.io.Sinks.stagedReplace(spark, path) { stage =>
+      val emb = spark.read.parquet(s"$path/lists")
+        .select(col(idCol), col(vecCol))
+      val cents = ivfTrain(emb, idCol, vecCol, nlist, iters)
+      saveIndex(ivfAssignTo(emb, idCol, vecCol, cents), cents, stage)
+      cents.unpersist(false)
+    }
 
   // ---------------------------------------------------------- IVF × PQ
 

@@ -63,6 +63,32 @@ class RetrievalSplitSpec extends SparkSpec {
     assert(out.values.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("leakageAudit: reports exactly the cross-split pairs with their " +
+       "arms; clusterSplit's own assignment audits to zero") {
+    import spark.implicits._
+    val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L, 0.9), (3L, 4L, 0.8), (5L, 6L, 0.75))
+      .toDF("id_a", "id_b", "jaccard")
+    // hand-pin a split frame: pair (1,2) straddles, (3,4) agrees,
+    // (5,6) straddles
+    val splits = Seq((1L, "train"), (2L, "test"), (3L, "val"), (4L, "val"),
+                     (5L, "test"), (6L, "train")).toDF("doc_id", "split")
+    val got = CorpusPipeline.leakageAudit(splits, pairs)
+      .orderBy(col("id_a"))
+      .as[(Long, Long, Double, String, String)].collect().toSeq
+    assert(got === Seq((1L, 2L, 0.9, "train", "test"),
+                       (5L, 6L, 0.75, "test", "train")))
+    // pair columns ride through untouched (jaccard present for triage)
+    // and the same-split pair (3,4) is NOT reported — checked above by
+    // the exact sequence equality
+    // clusterSplit's guarantee, certified by the audit: assigning by
+    // component makes every pair same-split, so the audit is EMPTY
+    val cs = CorpusPipeline.clusterSplit(docs,
+        pairs.select(col("id_a"), col("id_b")))
+      .select(col("doc_id"), col("split"))
+    assert(CorpusPipeline.leakageAudit(cs, pairs).count() === 0L)
+  }
+
   test("clusterSplit split arm matches the md5 hex-digit contract") {
     import spark.implicits._
     val docs = Seq((42L, "x")).toDF("doc_id", "text")

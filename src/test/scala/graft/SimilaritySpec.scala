@@ -243,6 +243,53 @@ class SimilaritySpec extends SparkSpec {
     assert(served2 === rebuilt)
   }
 
+  test("reindex: retrain-and-swap preserves the corpus exactly, serves " +
+       "brute-force-equal at nprobe = nlist, cleans its swap dirs, and " +
+       "is rerun-stable") {
+    val path = "/root/repo/target/scratch/ivf_reindex"
+    val base = emb.filter($"vec_id" % 2 === 0)
+    val batch = emb.filter($"vec_id" % 2 === 1)
+    val cents = SimilarityOps.seedCentroids(base, "vec_id", "embedding", 4)
+    SimilarityOps.saveIndex(
+      SimilarityOps.ivfAssignTo(base, "vec_id", "embedding", cents),
+      cents, path)
+    SimilarityOps.appendIndex(batch, "vec_id", "embedding", path)
+    SimilarityOps.reindex(spark, path, "vec_id", "embedding",
+                          nlist = 4, iters = 2)
+    spark.catalog.clearCache() // release ivfTrain's codebook pin
+    val (lists, cb) = SimilarityOps.loadIndex(spark, path)
+    // the corpus survived the append + rebuild + swap bit-for-bit:
+    // exact id set, and the codebook is full-rank
+    val ids = lists.select($"vec_id").as[Long].collect().toSet
+    assert(ids === emb.select($"vec_id").as[Long].collect().toSet)
+    assert(cb.count() === 4L)
+    // nprobe = nlist off the rebuilt index ≡ the exact twin — k-means
+    // moved only the PRUNING layout, never the served values (the
+    // q_reindex oracle contract)
+    val served = SimilarityOps.ivfTopK(lists, cb, "vec_id", "embedding",
+                                       3L, k = 5, nprobe = 4)
+      .as[(Long, Double)].collect().toSeq
+    val brute = SimilarityOps.topKNeighbors(emb, "vec_id", "embedding",
+                                            probeId = 3L, k = 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(served === brute)
+    // rename–rename–delete left no stage/old residue next to the root
+    assert(!new java.io.File(path + "__stage").exists)
+    assert(!new java.io.File(path + "__old").exists)
+    // reindexing again from the already-retrained state is stable: same
+    // id set, same served result (ivfTrain is deterministic given the
+    // index contents — seedCentroids takes the lowest ids)
+    SimilarityOps.reindex(spark, path, "vec_id", "embedding",
+                          nlist = 4, iters = 2)
+    spark.catalog.clearCache()
+    val (lists2, cb2) = SimilarityOps.loadIndex(spark, path)
+    assert(lists2.select($"vec_id").as[Long].collect().toSet === ids)
+    val served2 = SimilarityOps.ivfTopK(lists2, cb2, "vec_id", "embedding",
+                                        3L, k = 5, nprobe = 4)
+      .as[(Long, Double)].collect().toSeq
+    assert(served2 === brute)
+  }
+
   test("ivfAssignTo: a zero-norm vector lands in list 0, never a phantom list") {
     val rows = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
