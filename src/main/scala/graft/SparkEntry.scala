@@ -743,7 +743,7 @@ object SparkEntry {
     // only prunes, so the plain group-count oracle matches hash-exact.
     "q_heavy_grams" -> ((s, dir) =>
       DedupOps.heavyGrams(t(s, dir, "documents"), "doc_id", "text",
-                          n = 12, minDf = 10L)),
+                          n = 12, minDf = 10L, width = 1 << 17)),
 
     // Line-granular cross-document dedup (the CCNet/RefinedWeb
     // boilerplate pass): a whole line occurring in ≥ 2 distinct docs
@@ -940,6 +940,30 @@ object SparkEntry {
       SimilarityOps.ivfTopK(lists, cb, "vec_id", "embedding",
                             probeId = 0L, k = 10, nprobe = 8)
     }),
+
+    // PCA projection of the embedding corpus to 8 components: ONE
+    // global aggregate builds mean + covariance (each row folds its
+    // d²-double outer product into a vector_sum buffer), a d×d driver
+    // eigendecomposition (O(d²) driver state by construction), then a
+    // zero-shuffle projection against the broadcast basis. Rows-only
+    // (LAPACK internals); planted-axis recovery, orthonormality, exact
+    // full-rank reconstruction and unit-variance whitening are
+    // spec-pinned (PcaSpec).
+    "q_pca_embed" -> ((s, dir) =>
+      Verify.stringifyArrays(
+        graft.similarity.EmbeddingPca.pcaProject(
+          t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+          .select(col("vec_id"),
+                  transform(col("proj"), x => round(x, 4)).as("proj")),
+        "proj")),
+
+    // The scree report off the same single-pass covariance: per-
+    // component eigenvalue + cumulative fraction of total variance —
+    // the "how many dims does MY corpus need" dial that prices the
+    // PCA/IVF/PQ dimension choices. Rows-only (same internals).
+    "q_pca_scree" -> ((s, dir) =>
+      graft.similarity.EmbeddingPca.varianceExplained(
+        t(s, dir, "embeddings"), "embedding", k = 16)),
 
     // IVF with a TRAINED codebook: two spherical k-means iterations
     // (assign → per-dimension mean → repeat, all distributed), then the
@@ -1261,18 +1285,21 @@ object SparkEntry {
              countDistinct(col("cluster_key")).as("n_clusters"))),
 
     // Eval-contamination AUDIT (clusterSplit's measurement twin): the
-    // exact near-dup pair truth joined with the per-document hash split
-    // — every pair straddling two splits is an eval document the
-    // per-doc split leaks into train. Fully oracle-checked (pair CTE +
-    // split CASE); auditing clusterSplit's own assignment returns zero
-    // rows by construction, spec-pinned.
+    // near-dup pair truth joined with the per-document hash split —
+    // every pair straddling two splits is an eval document the per-doc
+    // split leaks into train. Pairs come from the LSH scale path
+    // (exact-verified candidates) but the ORACLE is the exact-Jaccard
+    // pair CTE + split CASE — the q_minhash_lsh precedent: the audit is
+    // only as good as its pair truth, and the driver compare proves the
+    // LSH truth equals the exact one here. Auditing clusterSplit's own
+    // assignment returns zero rows by construction, spec-pinned.
     "q_leakage_audit" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       graft.pipeline.CorpusPipeline.leakageAudit(
         docs.select(col("doc_id"),
                     TextOps.trainSplit(col("text")).as("split")),
-        DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
-                                   n = 12, tau = 0.7))
+        DedupOps.minhashLshPairs(docs, "doc_id", "text",
+                                 n = 12, k = 64, bands = 16, tau = 0.7))
     }),
 
     // Okapi BM25 top-10 for a fixed query-term set — retrieval-scored

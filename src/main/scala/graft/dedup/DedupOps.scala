@@ -592,22 +592,41 @@ object DedupOps {
     * intermediate (shuffled) candidate volume, never correctness.
     * Per-doc-distinct grams (the `shingles` contract) make count =
     * document frequency.
+    *
+    * SIZE `width` TO THE CORPUS — it is a real cost, not a free safety
+    * margin: every task serializes a depth×width×4-byte partial buffer
+    * into the single-row aggregate (tasks × depth × width × 4 B of
+    * shuffle+merge for the sketch alone), so an oversized width DOMINATES
+    * small-corpus runtime (measured: width 2²⁰ ⇒ 16 MB/partial ⇒ ~6 s at
+    * sf0.1; width 2¹⁷ right-sized to its ~131k distinct grams ⇒ ~1.7 s,
+    * identical output). Rule: width ≈ expected distinct grams (load
+    * factor ~1 per row; the depth-way min absorbs collisions), i.e.
+    * 2²⁰⁺ only once the corpus actually carries millions of distinct
+    * grams — at which point the 16 MB partials are noise against the
+    * scan.
     */
   def heavyGrams(docs: DataFrame, idCol: String, textCol: String, n: Int,
                  minDf: Long, depth: Int = 4,
                  width: Int = 1 << 20): DataFrame = {
     import graft.functions.CmsExpressions
-    def grams = docs
+    val spread = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism,
                    col(idCol)) // single-file inputs: spread the scan
+    // SKETCH pass: hash the windows IN PLACE (ShingleHashes — xxhash64
+    // at seed 42 over each window's UTF-8 bytes, the exact value
+    // xxhash64(gram) computes below, spec-pinned equal) — the corpus's
+    // gram STRINGS never materialize on this pass, only 8-byte longs.
+    // Deliberately NOT persisted: the exploded stream is corpus-sized —
+    // re-scanning the (column-pruned) source beats materializing it.
+    val sketch = spread
+      .select(explode(
+        graft.functions.ShingleExpressions.shingleHashes(col(textCol), n))
+        .as("h"))
+      .agg(CmsExpressions.cmsAgg(col("h"), depth, width).as("__cms"))
+    // PROBE pass: gram strings must materialize here (they ARE the
+    // output); survivors of the no-undercount screen group-count exactly
+    spread
       .select(explode(shingles(col(textCol), n)).as("gram"))
-    // deliberately NOT persisted: the exploded gram stream is
-    // corpus-sized — re-scanning the (column-pruned) source beats
-    // materializing it anywhere
-    val sketch = grams.agg(
-      CmsExpressions.cmsAgg(xxhash64(col("gram")), depth, width)
-        .as("__cms"))
-    grams
       .crossJoin(broadcast(sketch))
       .filter(CmsExpressions.cmsEstimate(col("__cms"), xxhash64(col("gram")),
                                          depth, width) >= minDf)
