@@ -116,6 +116,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           GraftExtensions.intLiteral(exprs(2), "cms_estimate depth"),
           GraftExtensions.intLiteral(exprs(3), "cms_estimate width"))
     }
+    register(e, "hll_agg",
+      "hll_agg(hash, p) - HyperLogLog sketch (2^p byte registers) of bigint hashes",
+      2) { exprs =>
+        HllAgg(exprs.head, GraftExtensions.intLiteral(exprs(1), "hll_agg p"))
+    }
+    register(e, "hll_merge",
+      "hll_merge(sketch, p) - union previously-built HLL sketches (register max)",
+      2) { exprs =>
+        HllMergeAgg(exprs.head,
+          GraftExtensions.intLiteral(exprs(1), "hll_merge p"))
+    }
+    register(e, "hll_count",
+      "hll_count(sketch, p) - cardinality estimate of an HLL sketch",
+      2) { exprs =>
+        HllCount(exprs.head,
+          GraftExtensions.intLiteral(exprs(1), "hll_count p"))
+    }
+    // variadic: 1..MaxDims int bucket columns
+    e.injectFunction((FunctionIdentifier("interleave_bits"),
+      info("interleave_bits",
+        "interleave_bits(b0, b1, ...) - Morton z-value of int bucket indexes"),
+      (exprs: Seq[Expression]) => InterleaveBits(exprs)))
   }
 }
 

@@ -1538,6 +1538,95 @@ object SparkEntry {
       s.read.parquet(path)
         .agg(count(lit(1)).as("n"),
              countDistinct(col("ship_month")).as("n_months"))
+    }),
+
+    // Per-source frequency cap (C4/FineWeb domain capping): survivors
+    // elected by seeded deterministic coin, WindowGroupLimit keeps the
+    // shuffle at <= cap rows per (map task, source)
+    "q_source_cap" -> ((s, dir) =>
+      TextOps.sourceCap(t(s, dir, "documents"), cap = 20)),
+
+    // Referential-integrity audit over the star schema: one row per FK
+    // constraint, orphans counted by anti-join against broadcast
+    // distinct parent keysets
+    "q_fk_orphans" -> ((s, dir) => {
+      import graft.quality.Quality
+      import graft.quality.Quality.FkConstraint
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
+      val pt = t(s, dir, "part"); val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      Quality.referentialOrphans(Seq(
+        FkConstraint("lineitem_orders", li, "l_orderkey", o, "o_orderkey"),
+        FkConstraint("lineitem_part", li, "l_partkey", pt, "p_partkey"),
+        FkConstraint("lineitem_supplier", li, "l_suppkey", su, "s_suppkey"),
+        FkConstraint("orders_customer", o, "o_custkey", c, "c_custkey"),
+        FkConstraint("customer_nation", c, "c_nationkey", n, "n_nationkey"),
+        FkConstraint("supplier_nation", su, "s_nationkey", n, "n_nationkey"),
+        FkConstraint("nation_region", n, "n_regionkey", r, "r_regionkey")))
+    }),
+
+    // Distribution-shift report (day-2 drift monitor): event-type mix,
+    // first half of the month vs second — per-value JSD contributions
+    // in bits, full-outer so novel categories stay finite
+    "q_dist_shift" -> ((s, dir) => {
+      import graft.quality.Quality
+      val ev = t(s, dir, "events")
+      Quality.distributionShift(
+        ev.filter(dayofmonth(col("ts")) <= 15),
+        ev.filter(dayofmonth(col("ts")) > 15),
+        "event_type", count(lit(1)))
+    }),
+
+    // Persistable-HLL distinct timeline: per-day actives + running
+    // to-date distinct from the 2^p-byte sketch table alone (no oracle
+    // by design — register internals; HllSpec pins incremental ==
+    // one-shot bit-for-bit and <5% error vs exact)
+    "q_user_sketch" -> ((s, dir) =>
+      graft.ops.SketchOps.distinctTimeline(
+        graft.ops.SketchOps.dailySketches(t(s, dir, "events")), p = 12)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+                col("daily_users"), col("users_to_date"))),
+
+    // Day-2 sketch-table maintenance flagship: bootstrap the daily HLL
+    // table from the first 20 days, fold in the remainder as an
+    // incremental batch — re-delivered VERBATIM a second time, which
+    // must be an exact no-op (register max absorbs at-least-once
+    // delivery) — then serve the timeline from the merged kilobyte
+    // table alone, never rescanning events (rows-only: register
+    // internals; HllSpec pins incremental == one-shot bit-for-bit)
+    "q_sketch_append" -> ((s, dir) => {
+      import graft.ops.SketchOps
+      val path = scratch(dir, "sketches")
+      val p0 = new org.apache.hadoop.fs.Path(path)
+      p0.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(p0, true)
+      val ev = t(s, dir, "events")
+      SketchOps.appendDailySketches(s, path,
+        ev.filter(dayofmonth(col("ts")) <= 20))
+      val late = ev.filter(dayofmonth(col("ts")) > 20)
+      SketchOps.appendDailySketches(s, path, late)
+      SketchOps.appendDailySketches(s, path, late) // at-least-once
+      SketchOps.distinctTimeline(s.read.parquet(path), p = 12)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+                col("daily_users"), col("users_to_date"))
+    }),
+
+    // Z-order clustered layout (Delta OPTIMIZE ZORDER analog): write
+    // events range-partitioned+sorted on the (user_id, value) Morton
+    // key, read back the census — the layout must be data-invariant
+    // (the q_compact contract); per-dimension file-pruning quality is
+    // spec-pinned in ZOrderSpec
+    "q_zorder_layout" -> ((s, dir) => {
+      val path = scratch(dir, "zorder")
+      Sinks.zorderWrite(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+                                   col("value")),
+        Seq("user_id", "value"), path, 16)
+      s.read.parquet(path).agg(
+        count(lit(1)).as("n"),
+        sum(col("user_id")).as("uid_sum"),
+        round(sum(col("value")), 4).as("v"))
     })
   )
 
@@ -2920,7 +3009,102 @@ object SparkEntry {
         |  md5(text) AS fingerprint
         |FROM kept
         |WHERE lang = 'en'
-        |  AND len(list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '')) >= 20""".stripMargin)
+        |  AND len(list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '')) >= 20""".stripMargin),
+
+    // survivors of the per-source cap: same md5 coin, same tie-break
+    "q_source_cap" ->
+      """SELECT doc_id, source, CAST(rn AS BIGINT) AS cap_rank
+        |FROM (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY md5('cap|' || CAST(doc_id AS VARCHAR)), doc_id)
+        |          AS rn
+        |      FROM documents) t
+        |WHERE rn <= 20""".stripMargin,
+
+    "q_fk_orphans" ->
+      """SELECT fk, child_rows, null_keys, orphan_rows,
+        |       orphan_rows = 0 AS ok
+        |FROM (
+        |  SELECT 'lineitem_orders' AS fk,
+        |    (SELECT count(*) FROM lineitem) AS child_rows,
+        |    (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)
+        |      AS null_keys,
+        |    (SELECT count(*) FROM lineitem l
+        |     WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+        |       (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |      AS orphan_rows
+        |  UNION ALL SELECT 'lineitem_part',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem WHERE l_partkey IS NULL),
+        |    (SELECT count(*) FROM lineitem l
+        |     WHERE l.l_partkey IS NOT NULL AND NOT EXISTS
+        |       (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |  UNION ALL SELECT 'lineitem_supplier',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem WHERE l_suppkey IS NULL),
+        |    (SELECT count(*) FROM lineitem l
+        |     WHERE l.l_suppkey IS NOT NULL AND NOT EXISTS
+        |       (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        |  UNION ALL SELECT 'orders_customer',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+        |    (SELECT count(*) FROM orders o
+        |     WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+        |       (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |  UNION ALL SELECT 'customer_nation',
+        |    (SELECT count(*) FROM customer),
+        |    (SELECT count(*) FROM customer WHERE c_nationkey IS NULL),
+        |    (SELECT count(*) FROM customer c
+        |     WHERE c.c_nationkey IS NOT NULL AND NOT EXISTS
+        |       (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+        |  UNION ALL SELECT 'supplier_nation',
+        |    (SELECT count(*) FROM supplier),
+        |    (SELECT count(*) FROM supplier WHERE s_nationkey IS NULL),
+        |    (SELECT count(*) FROM supplier s
+        |     WHERE s.s_nationkey IS NOT NULL AND NOT EXISTS
+        |       (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+        |  UNION ALL SELECT 'nation_region',
+        |    (SELECT count(*) FROM nation),
+        |    (SELECT count(*) FROM nation WHERE n_regionkey IS NULL),
+        |    (SELECT count(*) FROM nation n
+        |     WHERE n.n_regionkey IS NOT NULL AND NOT EXISTS
+        |       (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+        |) audits""".stripMargin,
+
+    "q_dist_shift" ->
+      """WITH a AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS w
+        |           FROM events WHERE date_part('day', ts) <= 15
+        |           GROUP BY 1),
+        |     b AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS w
+        |           FROM events WHERE date_part('day', ts) > 15
+        |           GROUP BY 1),
+        |     pa AS (SELECT event_type, w / (SELECT sum(w) FROM a)
+        |              AS share_a FROM a),
+        |     pb AS (SELECT event_type, w / (SELECT sum(w) FROM b)
+        |              AS share_b FROM b),
+        |     j AS (SELECT coalesce(pa.event_type, pb.event_type)
+        |             AS event_type,
+        |             coalesce(share_a, 0) AS share_a,
+        |             coalesce(share_b, 0) AS share_b
+        |           FROM pa FULL OUTER JOIN pb
+        |             ON pa.event_type = pb.event_type)
+        |SELECT event_type,
+        |       round(share_a, 6) AS share_a,
+        |       round(share_b, 6) AS share_b,
+        |       round((CASE WHEN share_a > 0 THEN
+        |                share_a * log2(share_a / ((share_a + share_b)/2))
+        |                  * 0.5 ELSE 0 END)
+        |           + (CASE WHEN share_b > 0 THEN
+        |                share_b * log2(share_b / ((share_a + share_b)/2))
+        |                  * 0.5 ELSE 0 END), 6) AS js_bits
+        |FROM j""".stripMargin,
+
+    // layout is physical — the readable contract is an exact census
+    "q_zorder_layout" ->
+      """SELECT count(*) AS n,
+        |       CAST(sum(user_id) AS BIGINT) AS uid_sum,
+        |       round(sum(value), 4) AS v
+        |FROM events""".stripMargin
   )
 
   /** Shared truth for both top-k strategies (window row_number and the

@@ -280,4 +280,69 @@ object Sinks {
     require(numFiles >= 1, s"numFiles must be >= 1 (got $numFiles)")
     stageSwap(spark.read.parquet(path).repartition(numFiles), path)
   }
+
+  /** Z-order clustered write (the public technique behind Delta's
+    * OPTIMIZE ZORDER; Morton 1966): range-partition and sort files by
+    * the Morton interleave of the given numeric columns' rank buckets,
+    * so EVERY clustered dimension gets tight per-file min/max
+    * envelopes and parquet footer stats prune files for predicates on
+    * any of them — a single-column sort only ever serves one.
+    *
+    * Bucketing is by RANK (quantile boundaries folded into the plan as
+    * codegen reference objects — the broadcast-dims discipline); null
+    * dimension values land at the curve's origin deterministically.
+    * The write is `repartitionByRange` on the z-value — Spark's
+    * sampled range boundaries keep output files balanced even when the
+    * interleaved space is skewed.
+    */
+  def zorderWrite(df: DataFrame, zCols: Seq[String], path: String,
+                  numFiles: Int): Unit = {
+    import graft.functions.{ZOrder, ZOrderExpressions}
+    require(zCols.nonEmpty && zCols.size <= ZOrder.MaxDims,
+      s"zorderWrite takes 1..${ZOrder.MaxDims} columns, got ${zCols.size}")
+    require(numFiles >= 1, s"numFiles must be >= 1 (got $numFiles)")
+    zCols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"zorderWrite column $c must be numeric, got ${dt.catalogString}")
+    }
+    // RANK buckets (quantile boundaries), not linear min/max spans: a
+    // skewed column's mass must spread evenly over bucket indexes or
+    // the z-key cannot discriminate inside the heavy region and the
+    // curve clusters nothing. 2^12 buckets per dim — resolution far
+    // past any file count; the boundary arrays (<= 4095 doubles each)
+    // fold into the plan as codegen reference objects. One multi-column
+    // approxQuantile pass (Greenwald–Khanna, mergeable partials) + one
+    // write pass.
+    val bits = math.min(ZOrder.bitsPerDim(zCols.size), 12)
+    val nb = 1 << bits
+    val probs = (1 until nb).map(_.toDouble / nb).toArray
+    val castCols = zCols.map(c => col(c).cast("double").as(c))
+    val allBounds = df.select(castCols: _*)
+      .stat.approxQuantile(zCols.toArray, probs, 1.0 / (4 * nb))
+    val bucketCols = zCols.zip(allBounds).map { case (c, rawBounds) =>
+      // constant columns dedupe to one boundary; all-null to none
+      val bounds = rawBounds.distinct.sorted
+      val b =
+        if (bounds.isEmpty) lit(0)
+        else {
+          val raw = graft.functions.ZOrderExpressions.rankBucket(
+            col(c).cast("double"), bounds)
+          // rescale to the COMMON bit width: a low-cardinality column
+          // dedupes to few boundaries, and without rescaling its high
+          // bits would be constant zero — the MSB-first interleave
+          // would then sort (high-cardinality)-major and scatter this
+          // dimension across every file
+          floor(raw.cast("double") * lit(nb - 1) / lit(bounds.length))
+            .cast("int")
+        }
+      // null dimension value → the curve's origin, deterministically
+      coalesce(b, lit(0))
+    }
+    df.withColumn("__z", ZOrderExpressions.interleaveBits(bucketCols))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

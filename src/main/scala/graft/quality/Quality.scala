@@ -1,6 +1,6 @@
 package graft.quality
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The reference's runtime data-quality gates as first-class values
@@ -36,6 +36,86 @@ object Quality {
     val bad = df.filter(anyNull).limit(1).count()
     if (bad == 0) Right(df)
     else Left(QualityError("no_nulls", s"NULL values in key fields: ${cols.mkString(",")}"))
+  }
+
+  /** One foreign-key constraint for [[Quality.referentialOrphans]]. */
+  final case class FkConstraint(name: String, child: DataFrame,
+                                childKey: String, parent: DataFrame,
+                                parentKey: String)
+
+  /** Referential-integrity audit (extension beyond the reference's null
+    * gates): one row per FK constraint with the orphan census. SQL FK
+    * semantics — a NULL child key asserts nothing (counted separately
+    * as `null_keys`, never as an orphan).
+    *
+    * Scale: each constraint costs one left-anti join of the child's key
+    * column (narrow projection — key only, no payload) against the
+    * DISTINCT parent keyset. Parent keysets here are dimension-sized
+    * and explicitly broadcast; for a fact-sized parent drop the
+    * broadcast hint and the same plan degrades gracefully to a shuffled
+    * anti-join on the key. Output is one scalar row per constraint —
+    * nothing wide ever leaves the executors.
+    */
+  def referentialOrphans(constraints: Seq[FkConstraint]): DataFrame = {
+    require(constraints.nonEmpty, "referentialOrphans: no constraints")
+    val per = constraints.map { fk =>
+      val childKeys = fk.child.select(col(fk.childKey).as("__k"))
+      val parents = fk.parent.select(col(fk.parentKey).as("__k")).distinct()
+      val orphans = childKeys.filter(col("__k").isNotNull)
+        .join(broadcast(parents), Seq("__k"), "left_anti")
+        .agg(count(lit(1)).as("orphan_rows"))
+      val base = childKeys.agg(
+        count(lit(1)).as("child_rows"),
+        // coalesce: sum over zero rows is NULL (the nullCensus rule)
+        coalesce(sum(when(col("__k").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("null_keys"))
+      base.crossJoin(orphans)
+        .select(lit(fk.name).as("fk"), col("child_rows"), col("null_keys"),
+                col("orphan_rows"), (col("orphan_rows") === 0L).as("ok"))
+    }
+    per.reduce(_.unionByName(_))
+  }
+
+  /** Distribution-shift report (day-2 drift monitoring): compare how a
+    * weight is distributed over a dimension in two snapshots. Emits one
+    * row per dimension value with both shares and that value's
+    * contribution to the Jensen–Shannon divergence (base-2 bits;
+    * the per-value terms sum to the total JSD, which is bounded in
+    * [0, 1] — alarm thresholds are portable across dimensions). JSD
+    * over KL because it is symmetric and finite when a value exists in
+    * only one snapshot (KL would be infinite there, which is exactly
+    * the novel-category case a drift monitor must survive).
+    *
+    * Scale: each snapshot reduces to one |dim|-row aggregate
+    * (map-side-combined); totals fold as one-row cross joins; the
+    * full-outer join runs over |dim| rows. Nothing is ever shuffled at
+    * corpus volume beyond the two aggregates.
+    */
+  def distributionShift(a: DataFrame, b: DataFrame, dim: String,
+                        weight: Column): DataFrame = {
+    def shares(df: DataFrame, share: String): DataFrame = {
+      val g = df.groupBy(col(dim)).agg(weight.cast("double").as("__w"))
+      val tot = g.agg(sum(col("__w")).as("__t"))
+      g.crossJoin(broadcast(tot))
+        .select(col(dim), (col("__w") / col("__t")).as(share))
+    }
+    val pa = shares(a, "share_a")
+    val pb = shares(b, "share_b")
+    // 0·log(0) := 0 — a value absent from one snapshot contributes only
+    // through the other side's term (JSD's finiteness guarantee)
+    def term(p: Column, m: Column): Column =
+      when(p > 0d, p * log2(p / m) * 0.5).otherwise(lit(0d))
+    pa.join(pb, Seq(dim), "full_outer")
+      .select(col(dim),
+              coalesce(col("share_a"), lit(0d)).as("share_a"),
+              coalesce(col("share_b"), lit(0d)).as("share_b"))
+      .withColumn("__m",
+        (col("share_a") + col("share_b")) / 2d)
+      .select(col(dim),
+              round(col("share_a"), 6).as("share_a"),
+              round(col("share_b"), 6).as("share_b"),
+              round(term(col("share_a"), col("__m")) +
+                    term(col("share_b"), col("__m")), 6).as("js_bits"))
   }
 
   /** A3 — warn-level null census; never fails (the reference only logs it,

@@ -765,6 +765,34 @@ object TextOps {
       .select(col(idCol), (col("pos") - 1L).as("pos"))
   }
 
+  /** Per-source frequency cap (the C4/Common-Crawl "domain cap" stage:
+    * FineWeb and RefinedWeb both bound how much any single domain may
+    * contribute, because at web scale a handful of boilerplate-heavy
+    * hosts would otherwise dominate the corpus). Keeps at most `cap`
+    * documents per source, electing survivors by a seeded deterministic
+    * coin with the doc id as tie-break — so the kept subset is a
+    * uniform, re-derivable sample: reruns, retries, and incremental
+    * batches all agree on who survives.
+    *
+    * Scale: one shuffle keyed by source. The `rank <= cap` filter over
+    * the row_number window is planned by Spark 4 as WindowGroupLimit —
+    * a partial per-group limit BELOW the exchange — so each map task
+    * ships at most `cap` rows per source, never whole groups (the
+    * q_topk_per_group machinery). Skewed mega-sources therefore cost
+    * `cap · tasks` shuffle rows, not their full document count.
+    */
+  def sourceCap(docs: DataFrame, cap: Int, seed: String = "cap",
+                idCol: String = "doc_id", sourceCol: String = "source",
+                mode: Hashing.Mode = Hashing.OraclePortable): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(Hashing.orderCoin(seed, col(idCol), mode), col(idCol))
+    docs.select(col(idCol), col(sourceCol))
+      .withColumn("cap_rank", row_number().over(w).cast("long"))
+      .filter(col("cap_rank") <= cap)
+  }
+
   /** The Gopher stopword list (Rae et al. 2021, rule A1.1.2): a document
     * must contain at least two of these to pass the stopword rule.
     */

@@ -37,7 +37,8 @@ class EntrySpec extends SparkSpec {
                        "q_lsh_cosine_pairs", "q_pq_topk", "q_ivfpq_topk",
                        "q_bpe_vocab", "q_quality_classifier",
                        "q_export_hashprod", "q_ann_eval", "q_index_drift",
-                       "q_pq_eval", "q_pca_embed", "q_pca_scree")
+                       "q_pq_eval", "q_pca_embed", "q_pca_scree",
+                       "q_user_sketch", "q_sketch_append")
     assert(noOracle === expected)
   }
 }
