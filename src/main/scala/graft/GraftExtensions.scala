@@ -133,6 +133,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         HllCount(exprs.head,
           GraftExtensions.intLiteral(exprs(1), "hll_count p"))
     }
+    register(e, "kmv_agg",
+      "kmv_agg(hash, k) - k-minimum-values sketch of bigint hashes",
+      2) { exprs =>
+        KmvAgg(exprs.head, GraftExtensions.intLiteral(exprs(1), "kmv_agg k"))
+    }
+    register(e, "kmv_merge",
+      "kmv_merge(sketch, k) - union KMV sketches (k smallest of the set union)",
+      2) { exprs =>
+        KmvMergeAgg(exprs.head,
+          GraftExtensions.intLiteral(exprs(1), "kmv_merge k"))
+    }
+    register(e, "kmv_count",
+      "kmv_count(sketch, k) - distinct estimate (exact below saturation)",
+      2) { exprs =>
+        KmvCount(exprs.head,
+          GraftExtensions.intLiteral(exprs(1), "kmv_count k"))
+    }
+    register(e, "kmv_intersect",
+      "kmv_intersect(a, b, k) - intersection-size estimate of two KMV sketches",
+      3) { exprs =>
+        KmvIntersect(exprs(0), exprs(1),
+          GraftExtensions.intLiteral(exprs(2), "kmv_intersect k"))
+    }
+    register(e, "kmv_jaccard",
+      "kmv_jaccard(a, b, k) - Jaccard estimate of two KMV sketches",
+      3) { exprs =>
+        KmvJaccard(exprs(0), exprs(1),
+          GraftExtensions.intLiteral(exprs(2), "kmv_jaccard k"))
+    }
     // variadic: 1..MaxDims int bucket columns
     e.injectFunction((FunctionIdentifier("interleave_bits"),
       info("interleave_bits",

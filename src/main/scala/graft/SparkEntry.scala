@@ -1588,6 +1588,19 @@ object SparkEntry {
         .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
                 col("daily_users"), col("users_to_date"))),
 
+    // Day-over-day retention from KMV cohort sketches (set-algebra
+    // sketch: intersections, not just unions): at sf0.01 every day has
+    // ~134 < k=512 distinct users, so the sketch IS the distinct-hash
+    // set and dau/returned/retention are EXACT — oracle-checked; the
+    // identical code path degrades to the (k-1)/U(k) estimator above
+    // saturation (KmvSpec pins both regimes)
+    "q_retention" -> ((s, dir) =>
+      graft.ops.SketchOps.retentionReport(
+        graft.ops.SketchOps.dailyKmvSketches(t(s, dir, "events")), k = 512)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+                col("dau"), col("next_dau"), col("returned"),
+                col("retention_rate"))),
+
     // Day-2 sketch-table maintenance flagship: bootstrap the daily HLL
     // table from the first 20 days, fold in the remainder as an
     // incremental batch — re-delivered VERBATIM a second time, which
@@ -3098,6 +3111,25 @@ object SparkEntry {
         |                share_b * log2(share_b / ((share_a + share_b)/2))
         |                  * 0.5 ELSE 0 END), 6) AS js_bits
         |FROM j""".stripMargin,
+
+    // the exact-below-saturation regime: KMV sketches at k=512 hold
+    // every day's full distinct-hash set at sf0.01, so the sketch
+    // arithmetic must reproduce exact SQL set algebra
+    "q_retention" ->
+      """WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |           FROM events WHERE user_id IS NOT NULL),
+        |c AS (SELECT day, count(*) AS dau FROM d GROUP BY 1),
+        |r AS (SELECT a.day AS day, count(*) AS returned
+        |      FROM d a JOIN d b ON b.day = a.day + INTERVAL 1 DAY
+        |                       AND b.user_id = a.user_id
+        |      GROUP BY 1)
+        |SELECT strftime(c1.day, '%Y-%m-%d') AS day,
+        |       c1.dau AS dau, c2.dau AS next_dau,
+        |       CAST(coalesce(r.returned, 0) AS BIGINT) AS returned,
+        |       round(CAST(coalesce(r.returned, 0) AS DOUBLE) / c1.dau, 6)
+        |         AS retention_rate
+        |FROM c c1 JOIN c c2 ON c2.day = c1.day + INTERVAL 1 DAY
+        |LEFT JOIN r ON r.day = c1.day""".stripMargin,
 
     // layout is physical — the readable contract is an exact census
     "q_zorder_layout" ->

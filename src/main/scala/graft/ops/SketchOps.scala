@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.HllExpressions.{hllAgg, hllCount, hllMerge}
+import graft.functions.KmvExpressions.{kmvAgg, kmvCount, kmvIntersect, kmvJaccard}
 
 /** Persistable-sketch operators: turn "distinct over an ever-growing
   * history" from a rescan problem into a merge problem.
@@ -87,5 +88,55 @@ object SketchOps {
           .agg(hllMerge(col("sketch"), p).as("sketch"))
     }
     graft.io.Sinks.mergeByKey(merged, Seq("day"), path)
+  }
+
+  /** Per-day KMV key sketch table: like [[dailySketches]] but the
+    * sketch supports SET algebra (intersection/Jaccard), so any
+    * cohort-overlap question between already-sketched days is
+    * answerable later from kilobytes. Below k distinct keys per day
+    * the sketch is the exact distinct-hash set (the oracle-checkable
+    * regime); above, the same columns degrade to (k−1)/U(k) estimates.
+    */
+  def dailyKmvSketches(events: DataFrame, keyCol: String = "user_id",
+                       tsCol: String = "ts", k: Int = 512): DataFrame =
+    events
+      .filter(col(keyCol).isNotNull)
+      .select(to_date(col(tsCol)).as("day"), xxhash64(col(keyCol)).as("__h"))
+      .groupBy(col("day"))
+      .agg(kmvAgg(col("__h"), k).as("sketch"))
+
+  /** Day-over-day retention from the KMV sketch table ALONE: for each
+    * consecutive-day pair, both days' actives, how many returned, and
+    * the retention rate — the product question cohort sketches exist
+    * to answer without rescanning events. The self-join runs over the
+    * |days|-row sketch table, never the event history.
+    */
+  def retentionReport(sketches: DataFrame, k: Int = 512): DataFrame = {
+    val a = sketches.select(col("day").as("day"), col("sketch").as("__sa"))
+    val b = sketches.select(col("day").as("__nd"), col("sketch").as("__sb"))
+    a.join(b, col("__nd") === date_add(col("day"), 1))
+      .select(col("day"),
+              kmvCount(col("__sa"), k).as("dau"),
+              kmvCount(col("__sb"), k).as("next_dau"),
+              kmvIntersect(col("__sa"), col("__sb"), k).as("returned"))
+      .withColumn("retention_rate",
+        round(col("returned").cast("double") / col("dau"), 6))
+  }
+
+  /** Pairwise overlap matrix between arbitrary sketched cohorts:
+    * |cohorts|² sketch pairs, each answered in O(k) — audience-overlap
+    * analytics from kilobytes.
+    */
+  def overlapMatrix(sketches: DataFrame, dimCol: String,
+                    k: Int = 512): DataFrame = {
+    val a = sketches.select(col(dimCol).as("cohort_a"),
+                            col("sketch").as("__sa"))
+    val b = sketches.select(col(dimCol).as("cohort_b"),
+                            col("sketch").as("__sb"))
+    a.join(b, col("cohort_a") < col("cohort_b"))
+      .select(col("cohort_a"), col("cohort_b"),
+              kmvIntersect(col("__sa"), col("__sb"), k).as("overlap"),
+              round(kmvJaccard(col("__sa"), col("__sb"), k), 6)
+                .as("jaccard"))
   }
 }
