@@ -369,6 +369,32 @@ object SparkEntry {
       DedupOps.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
                                  n = 12, tau = 0.7)),
 
+    // Directed n-gram CONTAINMENT self-join (|a∩b|/|a| ≥ τ): the
+    // asymmetric near-dup measure — reports which doc is the quotee.
+    // On this corpus every symmetric near-dup pair surfaces twice
+    // (once per direction); the asymmetric catch is q_containment_join.
+    "q_containment_pairs" -> ((s, dir) =>
+      DedupOps.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+                                n = 12, tau = 0.8)),
+
+    // R-S containment join: 150-char snippets (cut from every 7th doc,
+    // re-keyed +100000) screened for gram-level inclusion inside corpus
+    // documents — the quote-detection shape. Each snippet is found in
+    // its source doc at containment exactly 1.0 AND in the source's
+    // near-dup partners; a Jaccard threshold would pair NONE of these
+    // (J ≈ |snippet|/|doc| ≈ 0.05).
+    "q_containment_join" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val snips = docs
+        .filter(pmod(col("doc_id"), lit(7)) === 0 &&
+                length(col("text")) >= 250)
+        .select((col("doc_id") + 100000).as("doc_id"),
+                substring(col("text"), 51, 150).as("text"))
+      DedupOps.containmentJoin(
+        DedupOps.hashedSets(snips, "doc_id", "text", n = 12),
+        DedupOps.hashedSets(docs, "doc_id", "text", n = 12), tau = 0.9)
+    }),
+
     // MinHash+LSH near-dup join, exact-verified — must equal the Jaccard
     // oracle wherever LSH recall holds (k=64,b=16,r=4: P(miss)@s=0.75 ≈
     // 2e-3, and the planted pairs sit at ≥0.75 with a gap below)
@@ -1961,6 +1987,37 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q_ngram_jaccard" -> jaccardOracle,
+
+    "q_containment_pairs" ->
+      """WITH idx AS (SELECT unnest(range(1,
+        |    (SELECT CAST(max(len(text)) AS BIGINT) FROM documents))) AS i),
+        |sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 12) AS s
+        |       FROM documents JOIN idx ON i <= len(text)-11),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |           GROUP BY 1,2)
+        |SELECT id_a, id_b, round(CAST(c AS DOUBLE)/sa.n, 6) AS containment
+        |FROM common JOIN sizes sa ON sa.doc_id = id_a
+        |WHERE CAST(c AS DOUBLE)/sa.n >= 0.8""".stripMargin,
+
+    "q_containment_join" ->
+      """WITH snip AS (SELECT doc_id + 100000 AS doc_id,
+        |                     substr(text, 51, 150) AS text
+        |              FROM documents
+        |              WHERE doc_id % 7 = 0 AND len(text) >= 250),
+        |idx AS (SELECT unnest(range(1,
+        |    (SELECT CAST(max(len(text)) AS BIGINT) FROM documents))) AS i),
+        |sha AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 12) AS s
+        |        FROM snip JOIN idx ON i <= len(text)-11),
+        |shb AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 12) AS s
+        |        FROM documents JOIN idx ON i <= len(text)-11),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sha GROUP BY 1),
+        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |           FROM sha a JOIN shb b ON a.s = b.s GROUP BY 1,2)
+        |SELECT id_a, id_b, round(CAST(c AS DOUBLE)/sa.n, 6) AS containment
+        |FROM common JOIN sizes sa ON sa.doc_id = id_a
+        |WHERE CAST(c AS DOUBLE)/sa.n >= 0.9""".stripMargin,
     "q_leakage_audit" -> leakageAuditOracle,
     "q_minhash_lsh" -> jaccardOracle,
     "q_dup_clusters" -> dupClustersOracle,

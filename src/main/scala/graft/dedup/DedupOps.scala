@@ -317,6 +317,147 @@ object DedupOps {
     verifyPairs(cand, tagged.select(col("id"), col("hs"), col("sz")), tau)
   }
 
+  /** Exact n-gram CONTAINMENT verification: C(a→b) = |a∩b| / |a| ≥ τ,
+    * a the CONTAINED side. Same semi-join-reduce + shuffle-hash shape
+    * as `verifyPairs` (the long comments there apply).
+    */
+  private def verifyContainment(cand: DataFrame, sets: DataFrame,
+                                tau: Double): DataFrame = {
+    val candIds = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
+    val needed = sets.join(candIds, Seq("id"), "left_semi")
+    cand
+      .join(needed.hint("shuffle_hash")
+              .select(col("id").as("id_a"), col("hs").as("set_a"),
+                      col("sz").as("sz_a")), "id_a")
+      .join(needed.hint("shuffle_hash")
+              .select(col("id").as("id_b"), col("hs").as("set_b"),
+                      col("sz").as("sz_b")), "id_b")
+      .withColumn("common", ShingleExpressions.sortedLongIntersectCount(
+        col("set_a"), col("set_b")))
+      .withColumn("containment",
+        col("common").cast("double") / col("sz_a").cast("double"))
+      .filter(col("containment") >= tau)
+      .select(col("id_a"), col("id_b"),
+              round(col("containment"), 6).as("containment"))
+  }
+
+  /** Shared candidate generation for the containment joins. `prefixA`
+    * carries the CONTAINED side's probing prefixes, `contAll` the
+    * container side's FULL ranked postings (both (id, sh, sz, rn) in the
+    * same global (df, sh) order); `idCond` is the pair-shape condition
+    * (≠ for the self-join, true for disjoint R-S sides).
+    */
+  private def containmentCandidates(prefixA: DataFrame, contAll: DataFrame,
+                                    idCond: Column, tau: Double)
+      : DataFrame = {
+    // Container postings semi-join-reduce to grams that occur in SOME
+    // probing prefix: rarest-first prefixes keep boilerplate grams out of
+    // the probe set, so the join shuffles matched-posting volume, never
+    // the container side's full gram volume.
+    val postB = contAll.join(prefixA.select("sh").distinct(),
+                             Seq("sh"), "left_semi")
+    // positional filter: any shared gram at ranks (rn_a, rn_b) bounds
+    //   |a∩b| ≤ min(rn_a, rn_b) + min(sz_a−rn_a, sz_b−rn_b)
+    // (the ngramJaccardPairsFromSets derivation verbatim) while C ≥ τ
+    // needs |a∩b| ≥ τ·sz_a; and |a∩b| ≤ min(sz) forces sz_b ≥ τ·sz_a
+    // (NO upper bound on sz_b — a tiny doc inside a huge one is the
+    // point of the asymmetric measure). 1e-9 guards keep FP rounding of
+    // τ·sz from dropping exact-boundary pairs — the safe direction.
+    val overlapBound =
+      least(col("a.rn"), col("b.rn")) +
+        least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn"))
+    prefixA.as("a")
+      .join(postB.as("b"),
+            col("a.sh") === col("b.sh") && idCond &&
+              col("b.sz") >= lit(tau) * col("a.sz") - lit(1e-9) &&
+              overlapBound >= lit(tau) * col("a.sz") - lit(1e-9))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** The contained side's probing prefix bound: if |a∩b| ≥ ⌈τ·sz⌉, at
+    * most sz − ⌈τ·sz⌉ of a's grams precede its first shared gram in the
+    * global order, so that gram sits within the first sz − ⌈τ·sz⌉ + 1.
+    * The 1e-9 guard can only LENGTHEN the prefix (keeps extras, never
+    * loses) when τ·sz is mathematically integral.
+    */
+  private def containPrefixBound(tau: Double): Column =
+    col("sz") - ceil(lit(tau) * col("sz") - lit(1e-9)).cast("int") + 1
+
+  /** Exact n-gram CONTAINMENT self-join: directed pairs (a, b), a ≠ b,
+    * with C(a→b) = |grams(a) ∩ grams(b)| / |grams(a)| ≥ τ. The
+    * asymmetric near-dup measure: a short document wholly quoted inside
+    * a much longer one scores C ≈ 1 where Jaccard ≈ |a|/|b| ≈ 0 — the
+    * pairs a J-threshold dedup structurally CANNOT see. Both directions
+    * are reported when both hold (symmetric near-dups appear twice, once
+    * per direction — the direction tells which doc is the quotee).
+    *
+    * Prefix filtering adapts to the asymmetry: only the CONTAINED side
+    * prefix-filters (first shared gram within sz − ⌈τ·sz⌉ + 1 of its
+    * rarest-first order); the container side cannot be length-bounded
+    * (its matching grams sit arbitrarily deep), so it is instead
+    * semi-join-reduced to the probe set's grams. All bounds lossless —
+    * q_containment_join is oracle-exact against the plain quadratic SQL.
+    *
+    * Output: (id_a contained, id_b container, containment round 6).
+    * CACHE OWNERSHIP: as elsewhere (CacheScope).
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 12, tau: Double = 0.9): DataFrame = {
+    val sets = hashedSets(docs, idCol, textCol, n)
+    val postings = sets.select(col("id"), col("sz"),
+                               explode(col("hs")).as("sh"))
+    val freq = postings.groupBy("sh").agg(count(lit(1)).as("df"))
+    val ranked = postings.join(freq, "sh")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("df").asc, col("sh").asc)))
+      .select("id", "sh", "sz", "rn")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+    val cand = containmentCandidates(
+      ranked.filter(col("rn") <= containPrefixBound(tau)), ranked,
+      col("a.id") =!= col("b.id"), tau)
+    verifyContainment(cand, sets, tau)
+  }
+
+  /** Two-sided (R-S) containment join: every (a ∈ A, b ∈ B) with
+    * C(a→b) = |a∩b|/|a| ≥ τ, A the CONTAINED side — the quote-detection
+    * deployment shape: screen a snippet/eval/benchmark side (A) for
+    * verbatim-ish inclusion inside corpus documents (B) at gram
+    * granularity, where `contamination` counts raw shared grams and
+    * `sharedSpansBetween` demands positional adjacency. Same machinery
+    * as `containmentPairs`; the global df order is computed over A ∪ B
+    * so both sides rank consistently (any ONE total order is lossless).
+    * Contract: disjoint id domains, inputs from `hashedSets`.
+    */
+  def containmentJoin(setsA: DataFrame, setsB: DataFrame,
+                      tau: Double): DataFrame = {
+    val tagged = setsA
+      .select(lit(0).as("side"), col("id"), col("hs"), col("sz"))
+      .unionByName(setsB
+        .select(lit(1).as("side"), col("id"), col("hs"), col("sz")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+    val postings = tagged.select(col("side"), col("id"), col("sz"),
+                                 explode(col("hs")).as("sh"))
+    val freq = postings.groupBy("sh").agg(count(lit(1)).as("df"))
+    val ranked = postings.join(freq, "sh")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("side"), col("id"))
+          .orderBy(col("df").asc, col("sh").asc)))
+      .select("side", "id", "sh", "sz", "rn")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+    val cand = containmentCandidates(
+      ranked.filter(col("side") === 0 &&
+                    col("rn") <= containPrefixBound(tau)),
+      ranked.filter(col("side") === 1), lit(true), tau)
+    verifyContainment(cand, tagged.select(col("id"), col("hs"), col("sz")),
+                      tau)
+  }
+
   /** Benchmark decontamination: per corpus doc, the number of DISTINCT
     * character n-grams it shares with ANY benchmark doc (≥ `minShared`
     * to appear). A training pipeline runs this corpus-vs-eval-set before

@@ -117,6 +117,73 @@ class NgramPropertySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  /** Directed containment truth: (a, b, |a∩b|/|a|) for a ≠ b. */
+  private def bruteContainment(docs: Seq[(Long, String)], n: Int,
+                               tau: Double): Set[(Long, Long, Double)] = {
+    val df = docs.toDF("doc_id", "text")
+      .select($"doc_id", ShingleExpressions.shingleHashes($"text", n).as("hs"))
+    val sets = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a != b
+      sa = sets(a); sb = sets(b) if sa.nonEmpty
+      c = (sa & sb).size.toDouble / sa.size
+      if c >= tau
+    } yield (a, b, math.rint(c * 1e6) / 1e6)).toSet
+  }
+
+  for ((seed, tau) <- Seq((42, 0.7), (7, 0.5), (2026, 0.9))) {
+    test(s"containment self-join ≡ brute force (seed=$seed, tau=$tau)") {
+      val docs = corpus(seed, nDocs = 120, nTemplates = 8)
+      val got = DedupOps.containmentPairs(
+          docs.toDF("doc_id", "text"), "doc_id", "text", n = 8, tau = tau)
+        .as[(Long, Long, Double)].collect().toSet
+      val want = bruteContainment(docs, n = 8, tau = tau)
+      val missed = want.map(t => (t._1, t._2)) -- got.map(t => (t._1, t._2))
+      assert(missed.isEmpty, s"filter dropped true pairs: $missed")
+      assert(got === want)
+      assert(want.nonEmpty, "degenerate corpus: no pairs above tau")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("containment catches the short-doc-quoted-in-long-doc pair Jaccard cannot") {
+    // doc 1 is doc 0's 3rd..6th tokens verbatim: C(1→0) = 1.0 while
+    // J(0,1) ≈ |1|/|0| sits far below any dedup threshold — the
+    // structural blind spot the asymmetric measure exists to cover.
+    val long = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima",
+      "alpha2", "bravo2", "charlie2", "delta2", "echo2").mkString(" ")
+    val short = long.split(" ").slice(2, 6).mkString(" ")
+    val docs = Seq(0L -> long, 1L -> short)
+    val cont = DedupOps.containmentPairs(
+        docs.toDF("doc_id", "text"), "doc_id", "text", n = 8, tau = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cont === Set((1L, 0L, 1.0)),
+      s"expected exactly the directed quotee pair, got $cont")
+    val jac = DedupOps.ngramJaccardPairs(
+        docs.toDF("doc_id", "text"), "doc_id", "text", n = 8, tau = 0.3)
+      .collect()
+    assert(jac.isEmpty, "jaccard at 0.3 should not see the asymmetric pair")
+    spark.catalog.clearCache()
+  }
+
+  test("R-S containment join ≡ brute-force cross pairs, direction fixed A→B") {
+    val docs = corpus(seed = 42, nDocs = 120, nTemplates = 8)
+    val sets = DedupOps.hashedSets(docs.toDF("doc_id", "text"),
+                                   "doc_id", "text", n = 8)
+    val got = DedupOps.containmentJoin(
+        sets.filter(pmod($"id", lit(2)) === 0),
+        sets.filter(pmod($"id", lit(2)) === 1), tau = 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    // contained side A = even ids only; truth restricted to a even, b odd
+    val want = bruteContainment(docs, n = 8, tau = 0.6)
+      .filter { case (a, b, _) => a % 2 == 0 && b % 2 == 1 }
+    assert(got === want)
+    assert(want.nonEmpty, "degenerate corpus: no cross pairs")
+    spark.catalog.clearCache()
+  }
+
   test("minhash LSH is sound on a random corpus: surfaced ⊆ truth, exact values") {
     val docs = corpus(seed = 13, nDocs = 120, nTemplates = 8)
     val want = bruteForce(docs, n = 8, tau = 0.7)
