@@ -487,6 +487,18 @@ object SparkEntry {
                             "vec_id", "embedding", k = 3)
     }),
 
+    // Margin-based pair mining (CCMatrix/LASER ratio margin): pairs
+    // (even-id x, odd-id y) where cos(x,y) beats the MEAN of both
+    // endpoints' top-4 cross-side neighborhoods by ≥ 1.1× — the
+    // density-normalized selection an absolute τ can't express
+    "q_margin_mine" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      SimilarityOps.marginMine(
+        e.filter(pmod(col("vec_id"), lit(2)) === 0),
+        e.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding", k = 4, tau = 1.1)
+    }),
+
     // Int8 embedding quantization (4× ANN memory cut); explicit
     // round-half-up keeps the codes engine-portable. The code vector is
     // ','-joined for the compare (q_collect_arrays precedent: a raw
@@ -2115,6 +2127,34 @@ object SparkEntry {
         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
         |             ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
         |SELECT query_id, neighbor_id, sim FROM ranked WHERE rn <= 3""".stripMargin,
+
+    "q_margin_mine" ->
+      """WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |                     generate_subscripts(embedding,1) AS i
+        |              FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM flat GROUP BY 1),
+        |sims AS (SELECT fa.vec_id AS id_a, fb.vec_id AS id_b,
+        |                round(sum(fa.v*fb.v) /
+        |                      (any_value(na.nrm)*any_value(nb.nrm)), 6) AS sim
+        |         FROM flat fa JOIN flat fb ON fa.i = fb.i
+        |              AND fa.vec_id % 2 = 0 AND fb.vec_id % 2 = 1
+        |         JOIN norms na ON na.vec_id = fa.vec_id
+        |         JOIN norms nb ON nb.vec_id = fb.vec_id
+        |         GROUP BY 1, 2),
+        |fwd AS (SELECT *, row_number() OVER (PARTITION BY id_a
+        |                    ORDER BY sim DESC, id_b ASC) AS rn FROM sims),
+        |bwd AS (SELECT *, row_number() OVER (PARTITION BY id_b
+        |                    ORDER BY sim DESC, id_a ASC) AS rn FROM sims),
+        |den_a AS (SELECT id_a, avg(sim) AS da FROM fwd WHERE rn <= 4
+        |          GROUP BY 1),
+        |den_b AS (SELECT id_b, avg(sim) AS db FROM bwd WHERE rn <= 4
+        |          GROUP BY 1)
+        |SELECT id_a, id_b, sim, margin FROM (
+        |  SELECT f.id_a, f.id_b, f.sim,
+        |         round(f.sim/((da+db)/2), 6) AS margin
+        |  FROM fwd f JOIN den_a USING (id_a) JOIN den_b USING (id_b)
+        |  WHERE f.rn <= 4)
+        |WHERE margin >= 1.1""".stripMargin,
 
     "q_quantize" ->
       """SELECT vec_id,

@@ -89,6 +89,49 @@ object SimilarityOps {
       .select(col("query_id"), col("neighbor_id"), col("sim"))
   }
 
+  /** Margin-based pair mining (Artetxe & Schwenk ACL'19 "ratio" margin —
+    * the CCMatrix/CCAligned bitext-mining criterion). For a candidate
+    * pair (x ∈ A, y ∈ B):
+    *
+    *   margin(x, y) = cos(x, y) / ((avgK(x, B) + avgK(y, A)) / 2)
+    *
+    * where avgK = mean cosine to the k nearest neighbors on the OTHER
+    * side. An absolute cosine threshold over-collects in dense embedding
+    * regions and under-collects in sparse ones; the margin normalizes
+    * each pair by its local neighborhood density, keeping only pairs
+    * that stand OUT of their neighborhoods (margin > 1 ⇔ closer to each
+    * other than to their average near neighbors). Candidates are the
+    * forward top-k pairs (y ∈ kNN(x, B)).
+    *
+    * Physical shape: two `knnJoin`s (each ONE scan of its corpus side,
+    * per-query candidates bounded by WindowGroupLimit before the
+    * exchange), denominators as k-row per-id averages, then two narrow
+    * id-keyed joins of 2-column frames — vectors never ride a shuffle.
+    * Contract: A is the batch/smaller side (both knnJoins broadcast
+    * their query side); at index scale swap the exact knnJoin for
+    * `ivfPqTopK` per batch — the margin arithmetic is unchanged.
+    * Portability: sims are rounded to 6 BEFORE averaging and the margin
+    * is rounded to 6 before the τ compare (grid-value sums sit off
+    * round-half points — the lmTrain discipline), so the selection is
+    * engine-portable and q_margin_mine is oracle-exact.
+    */
+  def marginMine(setA: DataFrame, setB: DataFrame, idCol: String,
+                 vecCol: String, k: Int, tau: Double): DataFrame = {
+    val fwd = knnJoin(setA, setB, idCol, vecCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+    val bwd = knnJoin(setB, setA, idCol, vecCol, k)
+    val denA = fwd.groupBy("query_id").agg(avg(col("sim")).as("den_a"))
+    val denB = bwd.groupBy("query_id").agg(avg(col("sim")).as("den_b"))
+      .withColumnRenamed("query_id", "neighbor_id")
+    fwd.join(denA, "query_id").join(denB, "neighbor_id")
+      .withColumn("margin",
+        round(col("sim") / ((col("den_a") + col("den_b")) / 2), 6))
+      .filter(col("margin") >= tau)
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
+              col("sim"), col("margin"))
+  }
+
   /** All-pairs cosine above a threshold. Quadratic by nature; kept exact
     * here (the oracle-checkable contract). The scale path for corpus-level
     * near-dup is `lshBuckets` + within-bucket pairs.

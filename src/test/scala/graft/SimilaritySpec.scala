@@ -498,4 +498,66 @@ class SimilaritySpec extends SparkSpec {
       assert(members.find(_._5).get._1 === keeper._1)
     }
   }
+
+  test("marginMine equals a driver-side brute-force margin computation") {
+    val k = 3
+    val a = emb.filter($"vec_id" < 20)
+    val b = emb.filter($"vec_id" >= 20 && $"vec_id" < 60)
+    val got = SimilarityOps.marginMine(a, b, "vec_id", "embedding",
+                                       k = k, tau = 1.0)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val vecs = emb.filter($"vec_id" < 60)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      val (dx, dy) = (x.map(_.toDouble), y.map(_.toDouble))
+      val d = dx.zip(dy).map { case (p, q) => p * q }.sum
+      math.rint(d / (math.sqrt(dx.map(v => v * v).sum) *
+                     math.sqrt(dy.map(v => v * v).sum)) * 1e6) / 1e6
+    }
+    val aIds = vecs.keys.filter(_ < 20).toSeq.sorted
+    val bIds = vecs.keys.filter(_ >= 20).toSeq.sorted
+    def topk(x: Long, side: Seq[Long]): Seq[(Long, Double)] =
+      side.map(y => y -> cos(vecs(x), vecs(y)))
+        .sortBy { case (y, s) => (-s, y) }.take(k)
+    val denA = aIds.map(x => x -> topk(x, bIds).map(_._2).sum / k).toMap
+    val denB = bIds.map(y => y -> topk(y, aIds).map(_._2).sum / k).toMap
+    val want = (for {
+      x <- aIds; (y, s) <- topk(x, bIds)
+      m = math.rint(s / ((denA(x) + denB(y)) / 2) * 1e6) / 1e6
+      if m >= 1.0
+    } yield (x, y, s, m)).toSet
+    assert(got === want)
+    assert(want.nonEmpty, "degenerate: no pairs above margin 1.0")
+  }
+
+  test("margin normalizes by density: an isolated pair beats dense-cluster " +
+       "pairs of EQUAL absolute similarity") {
+    def unit(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    // A: three vectors inside a dense 0-5° region + one isolated at 90°;
+    // B: three at 2-4° + one at 92°. Both the dense pair (0°,2°) and the
+    // isolated pair (90°,92°) sit at cos 2° — identical absolute sim —
+    // but the dense pair's neighborhoods are saturated (margin ≈ 1)
+    // while the isolated pair stands out (margin ≈ 2.8).
+    val aSide = Seq(0L -> unit(0), 2L -> unit(1), 4L -> unit(5),
+                    6L -> unit(90)).toDF("vec_id", "embedding")
+    val bSide = Seq(1L -> unit(2), 3L -> unit(3), 5L -> unit(4),
+                    7L -> unit(92)).toDF("vec_id", "embedding")
+    val mined = SimilarityOps.marginMine(aSide, bSide, "vec_id",
+                                         "embedding", k = 3, tau = 1.5)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(mined.map(r => (r._1, r._2)).toSet === Set((6L, 7L)),
+      s"only the isolated pair should clear margin 1.5, got ${mined.toSeq}")
+    assert(mined.head._4 > 2.5 && mined.head._4 < 3.0)
+    // the dense pair it out-margins has the SAME rounded absolute sim
+    val dense = SimilarityOps.marginMine(aSide, bSide, "vec_id",
+                                         "embedding", k = 3, tau = 0.0)
+      .as[(Long, Long, Double, Double)].collect()
+      .find(r => r._1 == 0L && r._2 == 1L).get
+    assert(dense._3 === mined.head._3, "absolute sims should tie")
+    assert(dense._4 < 1.1, s"dense-pair margin should hug 1, got $dense")
+  }
 }
