@@ -605,6 +605,12 @@ object SparkEntry {
     "q_shuffle_order" -> ((s, dir) =>
       TextOps.shuffleOrder(t(s, dir, "documents"), seed = "42")),
 
+    // Curriculum order (easy→hard by n_chars, 4 tiers, seeded shuffle
+    // WITHIN tiers): two rangeRank passes, never a global sort
+    "q_curriculum" -> ((s, dir) =>
+      TextOps.curriculumOrder(t(s, dir, "documents"), "doc_id",
+                              "n_chars", nTiers = 4, seed = "7")),
+
     // Gopher rule report (Rae et al. 2021 A1.1.2): per-doc booleans for
     // the seven format/repetition rules + the conjunction, one narrow
     // scan-speed projection
@@ -2304,6 +2310,17 @@ object SparkEntry {
         |         ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id)
         |         - 1 AS pos
         |FROM documents""".stripMargin,
+
+    "q_curriculum" ->
+      """WITH r AS (SELECT doc_id,
+        |             row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rk,
+        |             count(*) OVER () AS n
+        |           FROM documents),
+        |t AS (SELECT doc_id, CAST((rk * 4) // n AS INTEGER) AS tier FROM r)
+        |SELECT doc_id, tier,
+        |       row_number() OVER (ORDER BY tier,
+        |         md5('7|' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+        |FROM t""".stripMargin,
 
     "q_blocklist_gate" ->
       """WITH toks AS (

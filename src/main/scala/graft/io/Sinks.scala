@@ -12,9 +12,15 @@ import org.apache.spark.sql.types.StructType
 object Sinks {
 
   /** Scratch root for sink round-trip queries. Absolute (driver may invoke
-    * from any cwd) and inside the repo per the env contract.
+    * from any cwd) and inside the repo per the env contract by DEFAULT;
+    * SPARK_GRAFT_SCRATCH overrides for local experiments (e.g. a tmpfs
+    * like /dev/shm to take disk write pressure out of a bench run —
+    * sink-query timings then measure the operators, not the box's page
+    * cache). The driver's own runs never set it, so driver results always
+    * exercise the real-disk path.
     */
-  val scratchRoot = "/root/repo/target/scratch"
+  val scratchRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_SCRATCH", "/root/repo/target/scratch")
 
   /** S5 — single-file CSV sink with header, overwrite.
     * Ref: spark-apps/clean_nyc_taxi_pipeline.py:19

@@ -742,14 +742,33 @@ object TextOps {
   def shuffleOrder(df: DataFrame, idCol: String = "doc_id",
                    seed: String = "0", partitions: Int = 0,
                    mode: Hashing.Mode = Hashing.OraclePortable)
+      : DataFrame =
+    rangeRank(
+      df.select(col(idCol),
+                Hashing.orderCoin(seed, col(idCol), mode).as("__k")),
+      Seq("__k", idCol), "pos", partitions)
+      .select(col(idCol), col("pos"))
+
+  /** The no-global-sort rank skeleton, parameterized: 0-based global
+    * rank of every row of `narrow` under the ASCENDING lexicographic
+    * order of `orderCols` (which must be a strict total order — end
+    * with the id). Range-partition by the keys → per-partition census →
+    * broadcast cumulative offsets → local row_number; global rank ≡
+    * offset + local rank because range partitions tile the key order.
+    * Every column of `narrow` survives (plus `posName`); keep `narrow`
+    * narrow — this frame rides the range exchange. CACHE OWNERSHIP:
+    * internally persisted, caller releases (CacheScope).
+    */
+  private[text] def rangeRank(narrow: DataFrame, orderCols: Seq[String],
+                              posName: String, partitions: Int = 0)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val p = if (partitions > 0) partitions
-            else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val keyed = df
-      .select(col(idCol),
-              Hashing.orderCoin(seed, col(idCol), mode).as("__k"))
-      .repartitionByRange(p, col("__k"), col(idCol))
+            else narrow.sparkSession.conf
+                   .get("spark.sql.shuffle.partitions").toInt
+    val keys = orderCols.map(col)
+    val keyed = narrow
+      .repartitionByRange(p, keys: _*)
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheScope.register)
@@ -759,10 +778,46 @@ object TextOps {
         Window.orderBy(col("__pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__off"))
-    val w = Window.partitionBy(col("__pid")).orderBy(col("__k"), col(idCol))
+    val w = Window.partitionBy(col("__pid")).orderBy(keys: _*)
     keyed.join(broadcast(offsets), Seq("__pid"))
-      .withColumn("pos", row_number().over(w).cast("long") + col("__off"))
-      .select(col(idCol), (col("pos") - 1L).as("pos"))
+      .withColumn(posName,
+        row_number().over(w).cast("long") + col("__off") - 1L)
+      .drop("__pid", "__off")
+  }
+
+  /** Curriculum training order (Bengio et al. ICML'09, the
+    * easy-to-hard schedule): documents rank easy→hard by `scoreCol`
+    * (ascending = easiest first), are cut into `nTiers` equal-count
+    * difficulty tiers, and are SHUFFLED within each tier by a seeded
+    * deterministic coin — the curriculum consumes tiers in order but
+    * must not correlate adjacent batches with the raw score (a
+    * straight score sort makes every batch near-identical in
+    * difficulty AND leaks dataset order; the within-tier shuffle
+    * restores mixing).
+    *
+    * Two applications of the `rangeRank` skeleton — never a global
+    * sort: (1) rank by (score, id) → tier = rank·nTiers div n (integral
+    * `div`; the 1-row total broadcasts); (2) rank by (tier, coin, id) →
+    * the final position. Output: (idCol, tier ∈ [0, nTiers), pos ∈
+    * [0, n) a bijection, tiers contiguous in pos). Oracle-exact
+    * (q_curriculum); spec-pinned ≡ the naive two-window twin.
+    */
+  def curriculumOrder(docs: DataFrame, idCol: String = "doc_id",
+                      scoreCol: String = "n_chars", nTiers: Int = 4,
+                      seed: String = "0", partitions: Int = 0,
+                      mode: Hashing.Mode = Hashing.OraclePortable)
+      : DataFrame = {
+    require(nTiers >= 1, s"nTiers must be >= 1, got $nTiers")
+    val narrow = docs.select(col(idCol), col(scoreCol).as("__s"))
+    val ranked = rangeRank(narrow, Seq("__s", idCol), "__rk", partitions)
+    val total = ranked.agg(count(lit(1)).as("__n"))
+    val tiered = ranked.crossJoin(broadcast(total))
+      .withColumn("tier",
+        expr(s"(__rk * ${nTiers.toLong}L) div __n").cast("int"))
+      .withColumn("__coin", Hashing.orderCoin(seed, col(idCol), mode))
+      .select(col(idCol), col("tier"), col("__coin"))
+    rangeRank(tiered, Seq("tier", "__coin", idCol), "pos", partitions)
+      .select(col(idCol), col("tier"), col("pos"))
   }
 
   /** Per-source frequency cap (the C4/Common-Crawl "domain cap" stage:

@@ -106,4 +106,46 @@ class ShuffleOrderSpec extends SparkSpec {
     case _ => ()
     }
   }
+
+  test("curriculumOrder equals the naive two-window twin; tiers are " +
+       "contiguous equal cuts; within-tier order is the seeded coin") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val got = TextOps.curriculumOrder(docs, "doc_id", "n_chars",
+                                      nTiers = 4, seed = "7")
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    // naive twin: global windows (fine at spec scale)
+    val naive = docs
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"n_chars", $"doc_id")).cast("long") - 1L)
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy()))
+      .withColumn("tier", expr("(rk * 4L) div n").cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.orderBy($"tier",
+          md5(concat_ws("|", lit("7"), $"doc_id".cast("string"))),
+          $"doc_id")).cast("long") - 1L)
+      .select($"doc_id", $"tier", $"pos")
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(got === naive)
+    // pos is a bijection onto [0, n)
+    val n = got.length
+    assert(got.map(_._3).sorted.toSeq === (0L until n).toSeq)
+    // tiers tile pos contiguously in tier order, sizes within 1 of n/4
+    val byTier = got.groupBy(_._2).toSeq.sortBy(_._1)
+    assert(byTier.map(_._1) === Seq(0, 1, 2, 3))
+    byTier.foreach { case (_, rows) =>
+      assert(math.abs(rows.length - n / 4.0) <= 1.0)
+      val ps = rows.map(_._3).sorted
+      assert(ps.last - ps.head === ps.length - 1, "tier not contiguous")
+    }
+    // a tier boundary respects difficulty: every tier-0 doc's n_chars <=
+    // every tier-3 doc's n_chars
+    val chars = docs.select($"doc_id", $"n_chars")
+      .as[(Long, Long)].collect().toMap
+    val t0max = got.filter(_._2 == 0).map(r => chars(r._1)).max
+    val t3min = got.filter(_._2 == 3).map(r => chars(r._1)).min
+    assert(t0max <= t3min)
+    spark.catalog.clearCache()
+  }
 }
