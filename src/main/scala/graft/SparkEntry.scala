@@ -552,6 +552,14 @@ object SparkEntry {
                                k = 20)
         .select(col("source"), col("doc_id"))),
 
+    // Weighted sample WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    // 100 docs ∝ n_chars via the u^(1/w) key race — one scan + a
+    // TakeOrderedAndProject, re-derivable on any retry
+    "q_weighted_sample" -> ((s, dir) =>
+      TextOps.weightedSample(t(s, dir, "documents"), k = 100,
+                             idCol = "doc_id", weightCol = "n_chars",
+                             seed = "11")),
+
     // Bigram-LM corpus scoring (the CCNet perplexity-filter shape,
     // Wenzek et al. LREC'20): train add-α bigram counts (minCount=2
     // prunes the tail and bounds the model), score every document's
@@ -2223,6 +2231,17 @@ object SparkEntry {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 20""".stripMargin,
+
+    "q_weighted_sample" ->
+      """SELECT doc_id, weight, skey FROM (
+        |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+        |         round(pow(
+        |           (CAST('0x' || substr(md5('11|' ||
+        |              CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) + 0.5)
+        |             / 4503599627370496.0,
+        |           1.0 / CAST(n_chars AS DOUBLE)), 9) AS skey
+        |  FROM documents WHERE n_chars > 0)
+        |ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin,
 
     "q_lm_score" ->
       """WITH tk AS (

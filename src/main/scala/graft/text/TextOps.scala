@@ -820,6 +820,55 @@ object TextOps {
       .select(col(idCol), col("tier"), col("pos"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    * IPL'06, the A-ES one-pass scheme): each row draws a deterministic
+    * uniform u ∈ (0,1) from the seeded coin and keys itself with
+    * u^(1/w); the k LARGEST keys are the sample, and inclusion
+    * probabilities match sequential weighted draws without replacement.
+    * The training-mix use: sample k documents ∝ quality weight for
+    * curation/inspection, re-derivable on any retry — no RNG state, no
+    * second pass over weights (the naive alternative — normalize then
+    * inverse-CDF — needs a global prefix sum PER DRAW).
+    *
+    * Scale shape: one narrow projection (id, w, key) then a top-k —
+    * orderBy+limit plans as TakeOrderedAndProject (per-partition k-row
+    * heaps, never a global sort); the whole op is one scan + one k-row
+    * exchange. Mergeable by construction: the same keys select the same
+    * sample under any partitioning or incremental union (max-k of
+    * max-ks).
+    *
+    * Portability: u = (first 13 md5 hex digits + 0.5) / 2^52 — +0.5
+    * keeps u strictly inside (0,1) so key ∈ (0,1) and w→∞ ⇒ key→1
+    * monotonically. The key is rounded to 9 BEFORE selection with the
+    * id tie-break (the knnJoin rounded-selection discipline: pow may
+    * differ by an ulp across libms; at 1e-9 granularity both engines
+    * rank identically) — q_weighted_sample is oracle-exact. Rows with
+    * null or non-positive weight are excluded (no mass, no draw).
+    * Production mode swaps the coin for pmod(xxhash64, 2^52).
+    */
+  def weightedSample(df: DataFrame, k: Int, idCol: String = "doc_id",
+                     weightCol: String = "n_chars", seed: String = "0",
+                     mode: Hashing.Mode = Hashing.OraclePortable)
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val twoTo52 = 4503599627370496.0 // 2^52, exact in double
+    val bits = mode match {
+      case Hashing.OraclePortable =>
+        conv(substring(md5(concat_ws("|", lit(seed),
+          col(idCol).cast("string"))), 1, 13), 16, 10).cast("double")
+      case Hashing.Production =>
+        pmod(xxhash64(lit(seed), col(idCol)),
+             lit(4503599627370496L)).cast("double")
+    }
+    val u = (bits + lit(0.5)) / lit(twoTo52)
+    df.select(col(idCol), col(weightCol).cast("double").as("weight"))
+      .filter(col("weight") > 0)
+      .withColumn("skey",
+        round(pow(u, lit(1.0) / col("weight")), 9))
+      .orderBy(col("skey").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Per-source frequency cap (the C4/Common-Crawl "domain cap" stage:
     * FineWeb and RefinedWeb both bound how much any single domain may
     * contribute, because at web scale a handful of boilerplate-heavy

@@ -216,4 +216,61 @@ class CurationOpsSpec extends SparkSpec {
       .as[(Long, String, Double)].collect().toSeq.sortBy(_._2)
     assert(got.map(_._2) === Seq("a", "b"))
   }
+
+  test("weightedSample equals the driver-side A-ES key race; heavy " +
+       "weights dominate inclusion") {
+    import java.security.MessageDigest
+    val docs = (1L to 400L)
+      .map(i => (i, if (i <= 4) 1000000L else 1L))
+      .toDF("doc_id", "w")
+    val got = TextOps.weightedSample(docs, k = 50, idCol = "doc_id",
+                                     weightCol = "w", seed = "3")
+      .as[(Long, Double, Double)].collect()
+    // driver-side truth: identical key formula
+    def key(id: Long, w: Double): Double = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(s"3|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4503599627370496.0
+      math.rint(math.pow(u, 1.0 / w) * 1e9) / 1e9
+    }
+    val want = (1L to 400L)
+      .map(i => (i, if (i <= 4) 1e6 else 1.0))
+      .map { case (i, w) => (i, w, key(i, w)) }
+      .sortBy { case (i, _, s) => (-s, i) }.take(50)
+    assert(got.toSeq.sortBy(r => (-r._3, r._1)) === want)
+    // the four heavy docs (weight 1e6 vs 1) must all be sampled: each
+    // key is u^1e-6 ≈ 1 while light keys are uniform on (0,1)
+    assert((1L to 4L).forall(i => got.exists(_._1 == i)))
+    // determinism + seed sensitivity
+    val again = TextOps.weightedSample(docs, k = 50, idCol = "doc_id",
+                                       weightCol = "w", seed = "3")
+      .as[(Long, Double, Double)].collect()
+    assert(again.toSet === got.toSet)
+    val other = TextOps.weightedSample(docs, k = 50, idCol = "doc_id",
+                                       weightCol = "w", seed = "4")
+      .as[(Long, Double, Double)].collect()
+    assert(other.map(_._1).toSet !== got.map(_._1).toSet)
+  }
+
+  test("weightedSample: k > n returns every positive-weight row; null " +
+       "and non-positive weights are excluded; plan is a bounded top-k") {
+    val docs = Seq((1L, Some(5L)), (2L, Some(0L)), (3L, None),
+                   (4L, Some(-2L)), (5L, Some(7L)))
+      .toDF("doc_id", "w")
+    val got = TextOps.weightedSample(docs, k = 100, idCol = "doc_id",
+                                     weightCol = "w", seed = "0")
+    assert(got.select("doc_id").as[Long].collect().toSet === Set(1L, 5L))
+    // bounded top-k, never a global sort (k < n so the limit survives
+    // optimization — EliminateLimits folds a k ≥ maxRows limit away)
+    val big = (1L to 200L).map(i => (i, i)).toDF("doc_id", "w")
+    val plan = TextOps.weightedSample(big, k = 10, idCol = "doc_id",
+                                      weightCol = "w", seed = "0")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // production mode is a valid (different) deterministic selection
+    val prod = TextOps.weightedSample(docs, k = 100, idCol = "doc_id",
+      weightCol = "w", seed = "0", mode = graft.text.Hashing.Production)
+    assert(prod.select("doc_id").as[Long].collect().toSet === Set(1L, 5L))
+  }
 }
