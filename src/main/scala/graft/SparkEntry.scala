@@ -293,6 +293,31 @@ object SparkEntry {
     "q_datacard" -> ((s, dir) =>
       TextOps.dataCard(t(s, dir, "documents"))),
 
+    // Corpus snapshot diff (day-2): v1 = ids not ≡0 mod 5, v2 = ids not
+    // ≡0 mod 7 with every ≡0-mod-3 doc's text amended — per-(source,
+    // status) census of added/removed/changed/unchanged + char deltas
+    "q_corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v1 = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val v2 = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(3)) === 0,
+               concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      TextOps.corpusDiff(v1, v2)
+    }),
+
+    // Cross-source duplication matrix (mirror detection): a planted
+    // 'mirror' source re-hosting every 10th doc must pair with exactly
+    // the sources those ids live in, 25 shared fingerprints each
+    "q_cross_source_dup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val mirror = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+                lit("mirror").as("source"))
+      TextOps.crossSourceDup(docs.unionByName(mirror))
+    }),
+
     // Composite quality score
     "q_quality_score" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -2607,6 +2632,45 @@ object SparkEntry {
         |       CAST(orig_len - len(clean_text) AS BIGINT) AS removed_chars,
         |       clean_text
         |FROM clean""".stripMargin),
+
+    "q_corpus_diff" ->
+      """WITH o AS (SELECT doc_id, source, md5(text) AS fp,
+        |                  coalesce(len(text), 0) AS chars
+        |           FROM documents WHERE doc_id % 5 <> 0),
+        |n AS (SELECT doc_id, source,
+        |             md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
+        |                      ELSE text END) AS fp,
+        |             coalesce(len(CASE WHEN doc_id % 3 = 0
+        |                      THEN text || ' v2' ELSE text END), 0) AS chars
+        |      FROM documents WHERE doc_id % 7 <> 0),
+        |j AS (SELECT o.doc_id AS o_id, n.doc_id AS n_id,
+        |             o.source AS o_src, n.source AS n_src,
+        |             o.fp AS o_fp, n.fp AS n_fp,
+        |             o.chars AS o_chars, n.chars AS n_chars
+        |      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT coalesce(n_src, o_src) AS source,
+        |       CASE WHEN o_id IS NULL THEN 'added'
+        |            WHEN n_id IS NULL THEN 'removed'
+        |            WHEN o_fp IS DISTINCT FROM n_fp THEN 'changed'
+        |            ELSE 'unchanged' END AS status,
+        |       count(*) AS n_docs,
+        |       CAST(sum(coalesce(n_chars, 0) - coalesce(o_chars, 0))
+        |            AS BIGINT) AS char_delta
+        |FROM j GROUP BY 1, 2""".stripMargin,
+
+    "q_cross_source_dup" ->
+      """WITH un AS (SELECT doc_id, text, source FROM documents
+        |            UNION ALL
+        |            SELECT doc_id + 10000, text, 'mirror'
+        |            FROM documents WHERE doc_id % 10 = 0),
+        |fps AS (SELECT md5(text) AS fp, source, count(*) AS n
+        |        FROM un WHERE md5(text) IS NOT NULL GROUP BY 1, 2)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |       count(*) AS shared_fps,
+        |       CAST(sum(a.n) AS BIGINT) AS docs_a,
+        |       CAST(sum(b.n) AS BIGINT) AS docs_b
+        |FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_datacard" ->
       """WITH base AS (

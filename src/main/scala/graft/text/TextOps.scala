@@ -1374,4 +1374,82 @@ object TextOps {
       .select(col(sourceCol), col(langCol).as("top_lang"))
     agg.join(top, Seq(sourceCol))
   }
+
+  /** Corpus SNAPSHOT DIFF — the day-2 "what changed between crawl v1
+    * and v2" report. Keyed by doc id; a doc present in both snapshots
+    * counts as `changed` when its content fingerprint differs
+    * (null-safe: two null texts are `unchanged`), else `unchanged`;
+    * ids only in the new snapshot are `added`, only in the old are
+    * `removed`. One row per (source, status): doc count and the signed
+    * character-mass delta (added/changed gain new chars, removed/
+    * changed lose old chars).
+    *
+    * Shape at scale: each side reduces to a narrow (id, source, fp,
+    * chars) projection at scan speed — document text never rides the
+    * join — then ONE full-outer sort-merge join on the id and a
+    * per-(source, status) aggregate with map-side combine. Sources
+    * come from the surviving side (new wins for `changed` — a doc that
+    * moved sources reports under its new home).
+    */
+  def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 sourceCol: String = "source",
+                 mode: Hashing.Mode = Hashing.OraclePortable)
+      : DataFrame = {
+    def narrow(df: DataFrame, tag: String): DataFrame =
+      df.select(col(idCol).as(s"${tag}_id"),
+                col(sourceCol).as(s"${tag}_src"),
+                Hashing.fingerprint(col(textCol), mode).as(s"${tag}_fp"),
+                coalesce(charCount(col(textCol)).cast("long"), lit(0L))
+                  .as(s"${tag}_chars"))
+    val joined = narrow(oldSnap, "o")
+      .join(narrow(newSnap, "n"), col("o_id") === col("n_id"),
+            "full_outer")
+    joined
+      .withColumn("status",
+        when(col("o_id").isNull, lit("added"))
+          .when(col("n_id").isNull, lit("removed"))
+          .when(not(col("o_fp") <=> col("n_fp")), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .withColumn("__src", coalesce(col("n_src"), col("o_src")))
+      .groupBy(col("__src").as(sourceCol), col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(coalesce(col("n_chars"), lit(0L)) -
+               coalesce(col("o_chars"), lit(0L))).as("char_delta"))
+  }
+
+  /** Cross-source duplication matrix — which sources copy each other
+    * (mirror detection, the step before sourceCap/dedup policy): for
+    * every source pair (src_a < src_b), the number of DISTINCT content
+    * fingerprints present in BOTH, and how many docs of each side carry
+    * those shared fingerprints. Null-text docs have no fingerprint and
+    * are excluded (no content, no duplication evidence).
+    *
+    * Shape at scale: documents reduce to distinct (fp, source) pairs
+    * (16-byte hashes — one aggregate with map-side combine), the
+    * self-join runs on the fp key (shared fps ≪ corpus), and per-side
+    * doc counts join back as source-level partial aggregates. Nothing
+    * document-sized is ever shuffled.
+    */
+  def crossSourceDup(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text",
+                     sourceCol: String = "source",
+                     mode: Hashing.Mode = Hashing.OraclePortable)
+      : DataFrame = {
+    val fps = docs
+      .select(Hashing.fingerprint(col(textCol), mode).as("__fp"),
+              col(sourceCol).as("__src"))
+      .filter(col("__fp").isNotNull)
+      .groupBy(col("__fp"), col("__src"))
+      .agg(count(lit(1)).as("__n"))
+    fps.select(col("__fp"), col("__src").as("src_a"),
+               col("__n").as("__na"))
+      .join(fps.select(col("__fp"), col("__src").as("src_b"),
+                       col("__n").as("__nb")), "__fp")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared_fps"),
+           sum(col("__na")).as("docs_a"),
+           sum(col("__nb")).as("docs_b"))
+  }
 }

@@ -131,4 +131,57 @@ class AuditOpsSpec extends SparkSpec {
     val total = rows.map(_.getAs[Double]("js_bits")).sum
     assert(total >= -1e-9 && total <= 1.0 + 1e-9)
   }
+
+  // ------------------------------------------------------- corpusDiff
+
+  test("corpusDiff classifies added/removed/changed/unchanged with " +
+       "null-safe fingerprints and signed char deltas") {
+    val v1 = Seq((1L, Option("a"), "s1"), (2L, Option("b"), "s1"),
+                 (3L, Option.empty[String], "s2"), (4L, Option("gone"), "s2"))
+      .toDF("doc_id", "text", "source")
+    val v2 = Seq((1L, Option("a"), "s1"),   // unchanged
+                 (2L, Option("b2"), "s1"),  // changed, +1 char
+                 (3L, Option.empty[String], "s2"), // null == null: unchanged
+                 (5L, Option("new!"), "s2")) // added; 4 is removed
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.corpusDiff(v1, v2)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("s1", "unchanged", 1L, 0L), ("s1", "changed", 1L, 1L),
+      ("s2", "unchanged", 1L, 0L), ("s2", "removed", 1L, -4L),
+      ("s2", "added", 1L, 4L)))
+  }
+
+  test("corpusDiff: a doc that moves sources reports under its new home; " +
+       "null→text and text→null count as changed") {
+    val v1 = Seq((1L, Option("x"), "sA"), (2L, Option.empty[String], "sA"),
+                 (3L, Option("y"), "sA"))
+      .toDF("doc_id", "text", "source")
+    val v2 = Seq((1L, Option("x"), "sB"), (2L, Option("now!"), "sA"),
+                 (3L, Option.empty[String], "sA"))
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.corpusDiff(v1, v2)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("sB", "unchanged", 1L, 0L),
+      ("sA", "changed", 2L, 4L - 1L))) // +4 (null→"now!") −1 ("y"→null)
+  }
+
+  // --------------------------------------------------- crossSourceDup
+
+  test("crossSourceDup counts distinct shared fingerprints and per-side " +
+       "doc mass; null text carries no evidence") {
+    val docs = Seq(
+      (1L, Option("d"), "s1"), (2L, Option("d"), "s1"),
+      (3L, Option("e"), "s1"),
+      (4L, Option("d"), "s2"), (5L, Option("e"), "s2"),
+      (6L, Option("e"), "s2"),
+      (7L, Option("solo"), "s3"), (8L, Option.empty[String], "s3"),
+      (9L, Option.empty[String], "s1")) // null-null never pairs
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.crossSourceDup(docs)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    // s1 vs s2 share {d, e}: s1 carries 2 d's + 1 e, s2 1 d + 2 e's
+    assert(got === Set(("s1", "s2", 2L, 3L, 3L)))
+  }
 }
