@@ -420,6 +420,20 @@ object SparkEntry {
         DedupOps.hashedSets(docs, "doc_id", "text", n = 12), tau = 0.9)
     }),
 
+    // The containment ACTION: host-corpus + planted snippets; every
+    // snippet (contained in its source at C=1.0) and the smaller member
+    // of each symmetric near-dup pair is dropped, hosts survive
+    "q_remove_contained" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val snips = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(7)) === 0 &&
+                length(col("text")) >= 250)
+        .select((col("doc_id") + 100000).as("doc_id"),
+                substring(col("text"), 51, 150).as("text"))
+      DedupOps.removeContained(docs.unionByName(snips), "doc_id", "text",
+                               n = 12, tau = 0.9)
+    }),
+
     // MinHash+LSH near-dup join, exact-verified — must equal the Jaccard
     // oracle wherever LSH recall holds (k=64,b=16,r=4: P(miss)@s=0.75 ≈
     // 2e-3, and the planted pairs sit at ≥0.75 with a gap below)
@@ -2166,6 +2180,28 @@ object SparkEntry {
         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
         |             ORDER BY sim DESC, neighbor_id) AS rn FROM scored)
         |SELECT query_id, neighbor_id, sim FROM ranked WHERE rn <= 3""".stripMargin,
+
+    "q_remove_contained" ->
+      """WITH un AS (SELECT doc_id, text FROM documents
+        |            UNION ALL
+        |            SELECT doc_id + 100000, substr(text, 51, 150)
+        |            FROM documents
+        |            WHERE doc_id % 7 = 0 AND len(text) >= 250),
+        |idx AS (SELECT unnest(range(1,
+        |    (SELECT CAST(max(len(text)) AS BIGINT) FROM un))) AS i),
+        |sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 12) AS s
+        |       FROM un JOIN idx ON i <= len(text)-11),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |           GROUP BY 1,2),
+        |removed AS (SELECT DISTINCT c.id_a FROM common c
+        |            JOIN sizes sa ON sa.doc_id = c.id_a
+        |            JOIN sizes sb ON sb.doc_id = c.id_b
+        |            WHERE CAST(c.c AS DOUBLE)/sa.n >= 0.9
+        |              AND (sb.n > sa.n OR (sb.n = sa.n AND c.id_b < c.id_a)))
+        |SELECT doc_id, text FROM un
+        |WHERE doc_id NOT IN (SELECT id_a FROM removed)""".stripMargin,
 
     "q_margin_mine" ->
       """WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,

@@ -458,6 +458,35 @@ object DedupOps {
                       tau)
   }
 
+  /** The containment-dedup ACTION: drop every document gram-contained
+    * (C(a→b) ≥ τ) in a LARGER document — the quotee loses, the host
+    * survives. "Larger" is the strict total order (sz, -id): a doc is
+    * removed iff SOME container beats it in that order, so mutual
+    * containments (exact/near-exact dups) keep exactly the larger-or-
+    * lower-id member, and the rule is one non-iterative pass (the
+    * greedy-by-size containment dedup; a chain A⊆B⊆C drops A and B —
+    * each has a strictly larger container — and keeps C). Returns the
+    * surviving docs frame (all original columns).
+    *
+    * Scale shape: `containmentPairs` bounds the pair search (prefix +
+    * semi-join-reduce); the removal set is a narrow id anti-join.
+    */
+  def removeContained(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 12, tau: Double = 0.9): DataFrame = {
+    val pairs = containmentPairs(docs, idCol, textCol, n, tau)
+    val szs = docs.select(col(idCol).as("__id"),
+      size(ShingleExpressions.shingleHashes(col(textCol), n)).as("__sz"))
+    val removed = pairs
+      .join(szs.select(col("__id").as("id_a"), col("__sz").as("sz_a")),
+            "id_a")
+      .join(szs.select(col("__id").as("id_b"), col("__sz").as("sz_b")),
+            "id_b")
+      .filter(col("sz_b") > col("sz_a") ||
+              (col("sz_b") === col("sz_a") && col("id_b") < col("id_a")))
+      .select(col("id_a").as(idCol)).distinct()
+    docs.join(removed, Seq(idCol), "left_anti")
+  }
+
   /** Benchmark decontamination: per corpus doc, the number of DISTINCT
     * character n-grams it shares with ANY benchmark doc (≥ `minShared`
     * to appear). A training pipeline runs this corpus-vs-eval-set before

@@ -184,6 +184,45 @@ class NgramPropertySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("removeContained equals the brute-force greedy-by-size rule on a " +
+       "random corpus") {
+    val docs = corpus(seed = 42, nDocs = 120, nTemplates = 8)
+    val got = DedupOps.removeContained(
+        docs.toDF("doc_id", "text"), "doc_id", "text", n = 8, tau = 0.7)
+      .select($"doc_id").as[Long].collect().toSet
+    val df = docs.toDF("doc_id", "text")
+      .select($"doc_id", ShingleExpressions.shingleHashes($"text", 8).as("hs"))
+    val sets = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val removed = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a != b
+      sa = sets(a); sb = sets(b) if sa.nonEmpty
+      if (sa & sb).size.toDouble / sa.size >= 0.7
+      if sb.size > sa.size || (sb.size == sa.size && b < a)
+    } yield a).toSet
+    assert(got === docs.map(_._1).toSet -- removed)
+    assert(removed.nonEmpty, "degenerate corpus: nothing removed")
+    spark.catalog.clearCache()
+  }
+
+  test("removeContained: a chain A⊆B⊆C keeps only C; an exact dup pair " +
+       "keeps the lower id; unrelated and null docs survive") {
+    val c = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima").mkString(" ")
+    val b = c.split(" ").slice(0, 8).mkString(" ")  // ⊆ C
+    val a = c.split(" ").slice(2, 6).mkString(" ")  // ⊆ B (and C)
+    val docs = Seq(1L -> a, 2L -> b, 3L -> c,
+                   4L -> "zulu yankee xray whiskey victor uniform",
+                   5L -> "zulu yankee xray whiskey victor uniform",
+                   6L -> "totally unrelated content with nothing shared",
+                   7L -> null.asInstanceOf[String])
+    val got = DedupOps.removeContained(
+        docs.toDF("doc_id", "text"), "doc_id", "text", n = 8, tau = 0.9)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got === Set(3L, 4L, 6L, 7L))
+    spark.catalog.clearCache()
+  }
+
   test("minhash LSH is sound on a random corpus: surfaced ⊆ truth, exact values") {
     val docs = corpus(seed = 13, nDocs = 120, nTemplates = 8)
     val want = bruteForce(docs, n = 8, tau = 0.7)
