@@ -404,8 +404,16 @@ object DedupOps {
     * CACHE OWNERSHIP: as elsewhere (CacheScope).
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-                       n: Int = 12, tau: Double = 0.9): DataFrame = {
-    val sets = hashedSets(docs, idCol, textCol, n)
+                       n: Int = 12, tau: Double = 0.9): DataFrame =
+    containmentPairsFromSets(hashedSets(docs, idCol, textCol, n), tau)
+
+  /** `containmentPairs` over a pre-built (id, hs, sz) sets frame — the
+    * share-one-materialization entry point (`removeContained` reuses
+    * the sets for pair search AND size lookup; the jaccard twin is
+    * `ngramJaccardPairsFromSets`). `sets` should be persisted by the
+    * caller (hashedSets does).
+    */
+  def containmentPairsFromSets(sets: DataFrame, tau: Double): DataFrame = {
     val postings = sets.select(col("id"), col("sz"),
                                explode(col("hs")).as("sh"))
     val freq = postings.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -473,13 +481,16 @@ object DedupOps {
     */
   def removeContained(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 12, tau: Double = 0.9): DataFrame = {
-    val pairs = containmentPairs(docs, idCol, textCol, n, tau)
-    val szs = docs.select(col(idCol).as("__id"),
-      size(ShingleExpressions.shingleHashes(col(textCol), n)).as("__sz"))
+    // ONE shingling pass: the persisted sets frame feeds the pair
+    // search AND the size lookups (re-shingling for sizes measured ~4 s
+    // of the 10 s q_remove_contained at sf0.1 before this reuse)
+    val sets = hashedSets(docs, idCol, textCol, n)
+    val pairs = containmentPairsFromSets(sets, tau)
+    val szs = sets.select(col("id"), col("sz"))
     val removed = pairs
-      .join(szs.select(col("__id").as("id_a"), col("__sz").as("sz_a")),
+      .join(szs.select(col("id").as("id_a"), col("sz").as("sz_a")),
             "id_a")
-      .join(szs.select(col("__id").as("id_b"), col("__sz").as("sz_b")),
+      .join(szs.select(col("id").as("id_b"), col("sz").as("sz_b")),
             "id_b")
       .filter(col("sz_b") > col("sz_a") ||
               (col("sz_b") === col("sz_a") && col("id_b") < col("id_a")))
