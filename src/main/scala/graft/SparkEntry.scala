@@ -9,7 +9,7 @@ import graft.dedup.{ConnectedComponents, DedupOps}
 import graft.functions.TextExpressions
 import graft.io.Sinks
 import graft.multimodal.MultimodalOps
-import graft.ops.CoreOps
+import graft.ops.{CoreOps, Funnel}
 import graft.pipeline.TaxiPipeline
 import graft.similarity.SimilarityOps
 import graft.streaming.StreamingOps
@@ -1270,6 +1270,14 @@ object SparkEntry {
     // graft.streaming.Sessionize, spec-verified)
     "q_sessionize" -> ((s, dir) =>
       graft.streaming.Sessionize.batch(t(s, dir, "events"), 30)),
+
+    // Ordered conversion funnel view → click → purchase, 72 h gaps:
+    // first-touch semantics, k narrow per-user min-aggregates — never
+    // an event-list collect or a whole-history window
+    "q_funnel" -> ((s, dir) =>
+      Funnel.funnel(t(s, dir, "events"),
+                    Seq("view", "click", "purchase"),
+                    maxGapHours = Some(72))),
 
     // ROLLUP subtotal lattice (grouping-set aggregates come free from
     // Catalyst once exposed; partial aggregation still applies)
@@ -3212,6 +3220,31 @@ object SparkEntry {
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'view'
+        |              AND user_id IS NOT NULL AND ts IS NOT NULL
+        |            GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t
+        |         AND e.ts <= s1.t + INTERVAL 72 HOURS
+        |       GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        |         AND e.ts <= s2.t + INTERVAL 72 HOURS
+        |       GROUP BY 1),
+        |census AS (SELECT 1 AS step, 'view' AS event_type,
+        |                  count(*) AS n FROM s1
+        |           UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |           UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        |SELECT c.step, c.event_type, CAST(c.n AS BIGINT) AS n_users,
+        |       round(CAST(c.n AS DOUBLE) /
+        |             nullif(CAST(coalesce(p.n, c.n) AS DOUBLE), 0), 6)
+        |         AS conversion
+        |FROM census c LEFT JOIN census p ON p.step = c.step - 1""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, date_trunc('milliseconds', ts) AS tsm
