@@ -1279,6 +1279,31 @@ object SparkEntry {
                     Seq("view", "click", "purchase"),
                     maxGapHours = Some(72))),
 
+    // Last-touch attribution: every purchase credits the latest click
+    // at-or-before it (per user) — the as-of join composition; channel
+    // derived from the click's props, no prior click → 'direct'
+    "q_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev
+        .filter(col("event_type") === "purchase" &&
+                col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts").as("pts"),
+                col("value"))
+      val clicks = ev
+        .filter(col("event_type") === "click" &&
+                col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("ts").as("cts"),
+                col("event_id").as("click_id"),
+                concat(lit("ch"),
+                  pmod(get_json_object(col("props"), "$.k").cast("long"),
+                       lit(4)).cast("string")).as("channel"))
+      graft.ops.AsOfJoin
+        .asofJoin(purchases, clicks, "user_id", "pts", "cts", "click_id")
+        .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+             round(sum(coalesce(col("value"), lit(0.0))), 4).as("revenue"))
+    }),
+
     // ROLLUP subtotal lattice (grouping-set aggregates come free from
     // Catalyst once exposed; partial aggregation still applies)
     "q_rollup" -> ((s, dir) =>
@@ -3220,6 +3245,25 @@ object SparkEntry {
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, ts AS pts, value FROM events
+        |           WHERE event_type = 'purchase'
+        |             AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT user_id, ts AS cts, event_id AS click_id,
+        |             'ch' || CAST(TRY_CAST(json_extract_string(props, '$.k')
+        |                     AS BIGINT) % 4 AS VARCHAR) AS channel
+        |      FROM events WHERE event_type = 'click'
+        |        AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |last_click AS (
+        |  SELECT p.event_id, p.value, c.channel,
+        |         row_number() OVER (PARTITION BY p.event_id
+        |           ORDER BY c.cts DESC, c.click_id DESC) AS rn
+        |  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.cts <= p.pts)
+        |SELECT coalesce(channel, 'direct') AS channel,
+        |       count(*) AS n_purchases,
+        |       round(sum(coalesce(value, 0)), 4) AS revenue
+        |FROM last_click WHERE rn = 1 GROUP BY 1""".stripMargin,
 
     "q_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events

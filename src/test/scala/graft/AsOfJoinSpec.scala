@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions._
+
 import graft.ops.AsOfJoin
 
 class AsOfJoinSpec extends SparkSpec {
@@ -44,5 +46,25 @@ class AsOfJoinSpec extends SparkSpec {
                                 "quote_id")
       .select($"quote_id").as[Long].head()
     assert(got === 9L)
+  }
+
+  test("last-touch attribution composition: latest at-or-before click " +
+       "wins, no prior click credits 'direct'") {
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // purchase u1@5: clicks chA@1, chB@3 → chB; purchase u2@2: click
+    // chC@2 (same instant, inclusive) → chC; purchase u3@1: click only
+    // AFTER (@2) → direct
+    val purchases = Seq((100L, 1L, ts(5), 10.0), (101L, 2L, ts(2), 20.0),
+                        (102L, 3L, ts(1), 40.0))
+      .toDF("event_id", "user_id", "pts", "value")
+    val clicks = Seq((1L, ts(1), 11L, "chA"), (1L, ts(3), 12L, "chB"),
+                     (2L, ts(2), 13L, "chC"), (3L, ts(2), 14L, "chD"))
+      .toDF("user_id", "cts", "click_id", "channel")
+    val got = AsOfJoin
+      .asofJoin(purchases, clicks, "user_id", "pts", "cts", "click_id")
+      .groupBy(coalesce($"channel", lit("direct")).as("channel"))
+      .agg(sum($"value").as("revenue"))
+      .as[(String, Double)].collect().toSet
+    assert(got === Set(("chB", 10.0), ("chC", 20.0), ("direct", 40.0)))
   }
 }
