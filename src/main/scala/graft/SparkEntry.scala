@@ -1279,6 +1279,19 @@ object SparkEntry {
                     Seq("view", "click", "purchase"),
                     maxGapHours = Some(72))),
 
+    // SCD Type-2 history: collapse each user's value-tier change stream
+    // into validity intervals — per-key windows only, no global sort
+    "q_scd2" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("tier", floor(col("value") / 40).cast("int"))
+      graft.ops.Scd2
+        .scd2(ev, Seq("user_id"), Seq("tier"), "ts", "event_id")
+        .select(col("user_id"), col("tier"),
+                unix_millis(col("valid_from")).as("valid_from_ms"),
+                unix_millis(col("valid_to")).as("valid_to_ms"),
+                col("is_current"))
+    }),
+
     // Last-touch attribution: every purchase credits the latest click
     // at-or-before it (per user) — the as-of join composition; channel
     // derived from the click's props, no prior click → 'direct'
@@ -3245,6 +3258,24 @@ object SparkEntry {
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_scd2" ->
+      """WITH base AS (SELECT user_id,
+        |                     CAST(floor(value / 40) AS INTEGER) AS tier,
+        |                     ts, event_id
+        |              FROM events WHERE ts IS NOT NULL),
+        |marked AS (SELECT *, CASE WHEN row_number() OVER w = 1
+        |                            OR tier IS DISTINCT FROM lag(tier) OVER w
+        |                          THEN 1 ELSE 0 END AS opens
+        |           FROM base
+        |           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |v AS (SELECT user_id, tier, ts, event_id FROM marked WHERE opens = 1)
+        |SELECT user_id, tier,
+        |       CAST(epoch_ms(ts) AS BIGINT) AS valid_from_ms,
+        |       CAST(epoch_ms(lead(ts) OVER w2) AS BIGINT) AS valid_to_ms,
+        |       (lead(ts) OVER w2) IS NULL AS is_current
+        |FROM v
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
 
     "q_attribution" ->
       """WITH p AS (SELECT event_id, user_id, ts AS pts, value FROM events
