@@ -1279,6 +1279,19 @@ object SparkEntry {
                     Seq("view", "click", "purchase"),
                     maxGapHours = Some(72))),
 
+    // Hopping (sliding) 1 h windows every 30 min — the overlap a
+    // tumbling rollup can't express; one definition serves readStream
+    "q_hopping_rollup" -> ((s, dir) =>
+      graft.streaming.StreamingOps.hoppingRollup(
+        t(s, dir, "events"), "1 hour", "30 minutes")),
+
+    // Per-user trailing-24 h rolling count/mean as a VALUE-RANGE frame
+    // over epoch micros — no self-join, no row-frame density artifacts
+    "q_rolling_avg" -> ((s, dir) =>
+      graft.ops.TimeSeries.rollingAgg(
+        t(s, dir, "events"), "event_id", "user_id", "ts", "value",
+        hours = 24)),
+
     // SCD Type-2 history: collapse each user's value-tier change stream
     // into validity intervals — per-key windows only, no global sort
     "q_scd2" -> ((s, dir) => {
@@ -3258,6 +3271,27 @@ object SparkEntry {
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_hopping_rollup" ->
+      """WITH hops AS (SELECT unnest([0, 1]) AS k),
+        |e AS (SELECT ts, event_type, value FROM events
+        |      WHERE ts IS NOT NULL),
+        |asg AS (SELECT make_timestamp(
+        |                 (epoch_ms(ts) // 1800000 - k) * 1800000000)
+        |               AS ws, event_type, value
+        |        FROM e, hops)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+        |       count(*) AS n, round(sum(value), 4) AS v
+        |FROM asg GROUP BY 1, 2""".stripMargin,
+
+    "q_rolling_avg" ->
+      """SELECT event_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+        |       CAST(count(value) OVER w AS BIGINT) AS trail_n,
+        |       round(avg(value) OVER w, 6) AS trail_avg
+        |FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 86400000000 PRECEDING
+        |             AND CURRENT ROW)""".stripMargin,
 
     "q_scd2" ->
       """WITH base AS (SELECT user_id,

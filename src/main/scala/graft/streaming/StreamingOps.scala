@@ -29,6 +29,30 @@ object StreamingOps {
               col("event_type"), col("n"), col("v"))
   }
 
+  /** HOPPING (sliding) window rollup — `windowedRollup` generalized to
+    * overlapping windows: every event lands in windowDur/slideDur
+    * windows (Spark's `window(ts, dur, slide)` explodes the assignment
+    * inside codegen; state per open window is still
+    * watermark-bounded on a stream). The overlap is what a tumbling
+    * rollup cannot express: a 1 h metric refreshed every 15 min sees a
+    * spike up to 45 min sooner than the 1 h tumble that contains it.
+    * One definition serves batch and readStream unchanged (the
+    * windowedRollup discipline).
+    */
+  def hoppingRollup(events: DataFrame, windowDur: String = "1 hour",
+                    slideDur: String = "30 minutes",
+                    lateness: String = "30 minutes"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", lateness)
+      else events
+    withWm
+      .groupBy(window(col("ts"), windowDur, slideDur), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("v"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+                .as("win_start"),
+              col("event_type"), col("n"), col("v"))
+  }
+
   /** Streaming dedup on key columns. On a stream, state is bounded by the
     * watermark (`dropDuplicatesWithinWatermark`): a duplicate arriving
     * within `lateness` of the original is dropped, and state for expired
