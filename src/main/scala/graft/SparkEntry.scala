@@ -1292,6 +1292,17 @@ object SparkEntry {
         t(s, dir, "events"), "event_id", "user_id", "ts", "value",
         hours = 24)),
 
+    // LINEAR multi-touch attribution (the last-touch complement):
+    // purchase value split equally over ALL clicks in the trailing
+    // 72 h — the window match is a BINNED interval join (two equi-bin
+    // joins), never a theta nested-loop
+    "q_linear_attribution" -> ((s, dir) =>
+      Funnel.linearAttribution(
+        t(s, dir, "events"), windowHours = 72,
+        channelCol = concat(lit("ch"),
+          pmod(get_json_object(col("props"), "$.k").cast("long"),
+               lit(4)).cast("string")))),
+
     // SCD Type-2 history: collapse each user's value-tier change stream
     // into validity intervals — per-key windows only, no global sort
     "q_scd2" -> ((s, dir) => {
@@ -3292,6 +3303,31 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 86400000000 PRECEDING
         |             AND CURRENT ROW)""".stripMargin,
+
+    "q_linear_attribution" ->
+      """WITH p AS (SELECT event_id AS pid, user_id,
+        |                  CAST(epoch_ms(ts) AS BIGINT) AS pms,
+        |                  coalesce(value, 0) AS val
+        |           FROM events WHERE event_type = 'purchase'
+        |             AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS cms,
+        |             'ch' || CAST(TRY_CAST(json_extract_string(props, '$.k')
+        |                     AS BIGINT) % 4 AS VARCHAR) AS channel
+        |      FROM events WHERE event_type = 'click'
+        |        AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |m AS (SELECT p.pid, p.val, c.channel FROM p JOIN c
+        |      ON c.user_id = p.user_id AND c.cms <= p.pms
+        |         AND c.cms > p.pms - 259200000),
+        |pn AS (SELECT pid, count(*) AS n FROM m GROUP BY 1),
+        |ch AS (SELECT channel, count(*) AS touches,
+        |              round(sum(val / n), 4) AS credit
+        |       FROM m JOIN pn USING (pid) GROUP BY 1),
+        |d AS (SELECT 'direct' AS channel, count(*) AS touches,
+        |             round(sum(val), 4) AS credit
+        |      FROM p WHERE pid NOT IN (SELECT pid FROM m))
+        |SELECT channel, CAST(touches AS BIGINT) AS touches, credit FROM ch
+        |UNION ALL
+        |SELECT channel, CAST(touches AS BIGINT), credit FROM d""".stripMargin,
 
     "q_scd2" ->
       """WITH base AS (SELECT user_id,

@@ -80,4 +80,71 @@ object Funnel {
       .select(col("step"), col("event_type"), col("n_users"),
               col("conversion"))
   }
+
+  /** LINEAR multi-touch attribution: every conversion splits its value
+    * equally across ALL touch events in its trailing window
+    * ((t − window, t] per user) — the complement of last-touch (the
+    * as-of composition in q_attribution), which hands the whole credit
+    * to one click. Conversions with no in-window touch report under
+    * 'direct'.
+    *
+    * Scale shape: the trailing-window match is a bounded-interval join,
+    * NOT a theta-join — both sides bin into window-wide time buckets
+    * and an in-window pair can only land in the same or previous bucket
+    * (the RangeJoin.pairsWithin composition, keyed here by
+    * (user, bin)), so Catalyst plans two equi-joins instead of a
+    * nested-loop product; candidates are O(events · per-user window
+    * density). Credit arithmetic is two narrow aggregates (per-
+    * conversion touch count, per-channel sum).
+    *
+    * Output: (channel, touches, credit round 4) — touches = credited
+    * touch events for a channel row / uncredited conversions for the
+    * 'direct' row; the 'direct' row appears (0, null) even when empty,
+    * in both engines.
+    */
+  def linearAttribution(events: DataFrame, windowHours: Int,
+                        channelCol: org.apache.spark.sql.Column,
+                        convType: String = "purchase",
+                        touchType: String = "click",
+                        userCol: String = "user_id", tsCol: String = "ts",
+                        idCol: String = "event_id",
+                        valCol: String = "value"): DataFrame = {
+    require(windowHours >= 1, s"windowHours must be >= 1")
+    val delta = windowHours.toLong * 3600L * 1000L
+    val base = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .withColumn("__ms",
+        unix_millis(date_trunc("millisecond", col(tsCol))))
+      .withColumn("__bin", expr(s"__ms div ${delta}L"))
+    val p = base.filter(col("event_type") === convType)
+      .select(col(idCol).as("__pid"), col(userCol).as("__u"),
+              col("__ms").as("__pms"), col("__bin").as("__pbin"),
+              coalesce(col(valCol), lit(0.0)).as("__val"))
+    val c = base.filter(col("event_type") === touchType)
+      .select(col(userCol).as("__u"), col("__ms").as("__cms"),
+              col("__bin").as("__cbin"), channelCol.as("channel"))
+    val bound = col("__cms") <= col("__pms") &&
+                col("__cms") > col("__pms") - delta
+    val keep = Seq(col("__pid"), col("__val"), col("channel"))
+    val m0 = p.join(c, p("__u") === c("__u") &&
+                       col("__cbin") === col("__pbin") && bound)
+      .select(keep: _*)
+    val m1 = p.join(c, p("__u") === c("__u") &&
+                       col("__cbin") === col("__pbin") - 1 && bound)
+      .select(keep: _*)
+    val m = m0.unionByName(m1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+    val perConv = m.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+    val channelRows = m.join(perConv, "__pid")
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("touches"),
+           round(sum(col("__val") / col("__n")), 4).as("credit"))
+    val direct = p
+      .join(m.select(col("__pid")).distinct(), Seq("__pid"), "left_anti")
+      .agg(count(lit(1)).as("touches"),
+           round(sum(col("__val")), 4).as("credit"))
+      .select(lit("direct").as("channel"), col("touches"), col("credit"))
+    channelRows.unionByName(direct)
+  }
 }

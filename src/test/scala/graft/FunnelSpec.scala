@@ -72,6 +72,54 @@ class FunnelSpec extends SparkSpec {
       (3, "purchase", 0L, None)))  // 0/0: null, never NaN
   }
 
+  test("linearAttribution splits credit equally inside the window, " +
+       "ignores out-of-window touches, and conserves total value") {
+    import graft.ops.Funnel
+    val events = Seq(
+      // purchase u1@10:00 value 100: clicks chA@09:30, chB@09:45 → 50/50
+      (1L, 1L, "click", "2024-01-01 09:30:00", 0.0, "chA"),
+      (2L, 1L, "click", "2024-01-01 09:45:00", 0.0, "chB"),
+      (3L, 1L, "purchase", "2024-01-01 10:00:00", 100.0, null),
+      // u2: click 73h before → OUTSIDE the 72h window → direct
+      (4L, 2L, "click", "2023-12-29 08:00:00", 0.0, "chA"),
+      (5L, 2L, "purchase", "2024-01-01 09:00:00", 40.0, null),
+      // u3: one in-window click chA gets the whole 60
+      (6L, 3L, "click", "2024-01-01 01:00:00", 0.0, "chA"),
+      (7L, 3L, "purchase", "2024-01-01 02:00:00", 60.0, null))
+      .map { case (id, u, t, s, v, ch) =>
+        (id, u, t, java.sql.Timestamp.valueOf(s), v, ch) }
+      .toDF("event_id", "user_id", "event_type", "ts", "value", "chan")
+    val got = Funnel.linearAttribution(events, windowHours = 72,
+                                       channelCol = col("chan"))
+      .as[(String, Long, Option[Double])].collect().toSet
+    assert(got === Set(
+      ("chA", 2L, Some(110.0)),  // 50 from u1 + 60 from u3
+      ("chB", 1L, Some(50.0)),
+      ("direct", 1L, Some(40.0))))
+    // conservation: channel credits + direct = total purchase value
+    val total = got.flatMap(_._3).sum
+    assert(math.abs(total - 200.0) < 1e-9)
+  }
+
+  test("linearAttribution credit conserves on the real events table") {
+    import graft.ops.Funnel
+    val events = Tables.load(spark, sfDir, "events")
+    val chan = concat(lit("ch"),
+      pmod(get_json_object(col("props"), "$.k").cast("long"),
+           lit(4)).cast("string"))
+    val rows = Funnel.linearAttribution(events, 72, chan)
+      .as[(String, Long, Option[Double])].collect()
+    val credited = rows.flatMap(_._3).sum
+    val totalVal = events
+      .filter($"event_type" === "purchase" && $"user_id".isNotNull &&
+              $"ts".isNotNull)
+      .agg(sum(coalesce($"value", lit(0.0)))).as[Double].head()
+    // rounding at 1e-4 per channel row bounds the drift
+    assert(math.abs(credited - totalVal) < 1e-2 * rows.length)
+    assert(rows.exists(_._1 == "direct"))
+    spark.catalog.clearCache()
+  }
+
   test("funnel on the events table matches an independent per-user walk") {
     val events = Tables.load(spark, sfDir, "events")
     val got = Funnel.funnel(events, Seq("view", "click", "purchase"),
