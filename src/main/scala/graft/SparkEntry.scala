@@ -1292,6 +1292,12 @@ object SparkEntry {
         t(s, dir, "events"), "event_id", "user_id", "ts", "value",
         hours = 24)),
 
+    // DAU / trailing-7-day WAU / stickiness per observed day — sliding
+    // distinct count via contribution explosion over the DEDUPLICATED
+    // (user, day) pairs, never a per-day re-scan of raw events
+    "q_active_users" -> ((s, dir) =>
+      graft.ops.TimeSeries.activeUsers(t(s, dir, "events"), days = 7)),
+
     // LINEAR multi-touch attribution (the last-touch complement):
     // purchase value split equally over ALL clicks in the trailing
     // 72 h — the window match is a BINNED interval join (two equi-bin
@@ -3303,6 +3309,21 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 86400000000 PRECEDING
         |             AND CURRENT ROW)""".stripMargin,
+
+    "q_active_users" ->
+      """WITH pairs AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+        |               FROM events
+        |               WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |obs AS (SELECT DISTINCT d FROM pairs),
+        |contrib AS (SELECT u, d + CAST(k AS INTEGER) AS d
+        |            FROM pairs, (SELECT unnest(range(0, 7)) AS k)),
+        |wau AS (SELECT c.d, count(DISTINCT u) AS wau
+        |        FROM contrib c JOIN obs ON obs.d = c.d GROUP BY 1),
+        |dau AS (SELECT d, count(*) AS dau FROM pairs GROUP BY 1)
+        |SELECT strftime(d, '%Y-%m-%d') AS day,
+        |       CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+        |       round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+        |FROM dau JOIN wau USING (d)""".stripMargin,
 
     "q_linear_attribution" ->
       """WITH p AS (SELECT event_id AS pid, user_id,

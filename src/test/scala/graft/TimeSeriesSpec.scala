@@ -83,6 +83,35 @@ class TimeSeriesSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("activeUsers equals a brute-force trailing-window distinct count " +
+       "on the real events table; dau <= wau; stickiness in (0, 1]") {
+    val events = Tables.load(spark, sfDir, "events")
+    val got = TimeSeries.activeUsers(events, days = 7)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val pairs = events
+      .filter($"user_id".isNotNull && $"ts".isNotNull)
+      .select($"user_id", to_date($"ts").as("d"))
+      .distinct()
+      .as[(Long, java.sql.Date)].collect()
+      .map { case (u, d) => (u, d.toLocalDate) }
+    val days = pairs.map(_._2).distinct
+    assert(got.keySet === days.map(_.toString).toSet)
+    days.foreach { d =>
+      val dau = pairs.count(_._2 == d).toLong
+      val wau = pairs.filter { case (_, a) =>
+        !a.isAfter(d) && a.isAfter(d.minusDays(7)) }
+        .map(_._1).distinct.length.toLong
+      val (gd, gw, gs) = got(d.toString)
+      assert(gd === dau && gw === wau, s"day $d")
+      assert(gd <= gw && gs > 0.0 && gs <= 1.0)
+      assert(math.abs(gs - math.rint(dau.toDouble / wau * 1e6) / 1e6)
+               < 1e-12)
+    }
+    assert(days.length > 7, "degenerate: need more than one window span")
+    spark.catalog.clearCache()
+  }
+
   test("rollingAgg on a hand-built tie: equal timestamps share one frame") {
     val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
     val ev = Seq((1L, 7L, t0, 10.0), (2L, 7L, t0, 30.0))
