@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.{col, lit}
+
 import graft.dedup.DedupOps
 import graft.pipeline.CorpusPipeline
 import graft.streaming.StreamingOps
@@ -65,5 +67,70 @@ class EdgeCaseSpec extends SparkSpec {
                                      60000L).count() === 0)
     val emptyUsers = Seq.empty[(Long, Timestamp)].toDF("user_id", "ts")
     assert(graft.streaming.Sessionize.batch(emptyUsers, 30).count() === 0)
+  }
+
+  test("containment joins and removeContained: empty / single / " +
+       "too-short-to-shingle inputs flow through") {
+    assert(DedupOps.containmentPairs(emptyDocs, "doc_id", "text",
+                                     n = 12, tau = 0.9).count() === 0)
+    val single = docs((1L, "a reasonable english sentence here", "en"))
+    assert(DedupOps.containmentPairs(single, "doc_id", "text",
+                                     n = 12, tau = 0.9).count() === 0)
+    val short = docs((1L, "tiny", "en"), (2L, "also tiny", "en"))
+    assert(DedupOps.containmentPairs(short, "doc_id", "text",
+                                     n = 12, tau = 0.5).count() === 0)
+    // the ACTION keeps every doc when nothing pairs — including the
+    // un-shingleable ones
+    assert(DedupOps.removeContained(short, "doc_id", "text",
+                                    n = 12, tau = 0.5).count() === 2)
+    assert(DedupOps.removeContained(emptyDocs, "doc_id", "text")
+             .count() === 0)
+  }
+
+  test("event analytics ops: empty event streams produce the " +
+       "semantically-right degenerate output") {
+    import graft.ops.{Funnel, Scd2, TimeSeries}
+    val empty = Seq.empty[(Long, Long, String, Timestamp, Double)]
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    // funnel: every step row present with n_users = 0
+    val f = Funnel.funnel(empty, Seq("view", "click"))
+      .as[(Int, String, Long, Option[Double])].collect().toSet
+    assert(f.map(r => (r._1, r._3)) === Set((1, 0L), (2, 0L)))
+    // scd2 / rolling / active users: empty
+    assert(Scd2.scd2(empty, Seq("user_id"), Seq("value"), "ts",
+                     "event_id").count() === 0)
+    assert(TimeSeries.rollingAgg(empty, "event_id", "user_id", "ts",
+                                 "value", 24).count() === 0)
+    assert(TimeSeries.activeUsers(empty).count() === 0)
+    // linear attribution: only the (empty) direct row
+    val la = Funnel.linearAttribution(empty, 72,
+                                      channelCol = col("event_type"))
+      .as[(String, Long, Option[Double])].collect().toSeq
+    assert(la === Seq(("direct", 0L, None)))
+  }
+
+  test("corpus audits and sampling ops on empty inputs") {
+    import graft.text.TextOps
+    val emptySrc = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    assert(TextOps.corpusDiff(emptySrc, emptySrc).count() === 0)
+    assert(TextOps.crossSourceDup(emptySrc).count() === 0)
+    // one-sided diff: everything added / everything removed
+    val one = Seq((1L, "hello world", "s1")).toDF("doc_id", "text", "source")
+    val added = TextOps.corpusDiff(emptySrc, one)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(added === Seq(("s1", "added", 1L, 11L)))
+    val removed = TextOps.corpusDiff(one, emptySrc)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(removed === Seq(("s1", "removed", 1L, -11L)))
+    assert(TextOps.weightedSample(
+      Seq.empty[(Long, Long)].toDF("doc_id", "n_chars"), k = 5)
+        .count() === 0)
+    assert(TextOps.curriculumOrder(emptySrc.withColumn("n_chars", lit(1L)))
+             .count() === 0)
+    assert(graft.similarity.SimilarityOps.marginMine(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 3, tau = 1.0).count() === 0)
   }
 }
