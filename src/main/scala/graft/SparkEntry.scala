@@ -675,6 +675,16 @@ object SparkEntry {
                             Seq("dup", "vector", " Leak ").toDF("term"))
     }),
 
+    // Per-doc curation REASON report (the "why was my doc dropped"
+    // audit): C4-style gates — lang allowlist, blocklist, token floor,
+    // exact-dup canonical, null text — with a sorted reason list
+    "q_curation_report" -> ((s, dir) => {
+      import s.implicits._
+      graft.pipeline.CorpusPipeline.curationReport(
+        t(s, dir, "documents"), Seq("dup").toDF("term"),
+        langs = Seq("en", "es"), minTokens = 40)
+    }),
+
     // CCNet head/middle/tail: bigram-LM mean-nll terciles per language
     // (exact percentiles, n_langs-row broadcast back)
     "q_perplexity_buckets" -> ((s, dir) => {
@@ -2539,6 +2549,38 @@ object SparkEntry {
         |    AND coalesce(alphas / nw >= 0.8, false)
         |    AND coalesce(stops >= 2, false) AS pass
         |FROM m""".stripMargin,
+
+    "q_curation_report" ->
+      """WITH blt AS (SELECT doc_id, unnest(list_distinct(list_filter(
+        |          string_split_regex(lower(trim(text)), '\s+'),
+        |          x -> x <> ''))) AS tok
+        |        FROM documents),
+        |bl AS (SELECT DISTINCT doc_id FROM blt WHERE tok IN ('dup')),
+        |base AS (SELECT doc_id, text IS NOT NULL AS text_ok,
+        |                coalesce(lang IN ('en', 'es'), false) AS lang_ok,
+        |                coalesce(len(list_filter(
+        |                  string_split_regex(trim(text), '\s+'),
+        |                  x -> x <> '')) >= 40, false) AS token_floor,
+        |                md5(text) AS fp
+        |         FROM documents),
+        |canon AS (SELECT fp, min(doc_id) AS cid FROM base
+        |          WHERE fp IS NOT NULL GROUP BY 1),
+        |r AS (SELECT b.doc_id, b.text_ok, b.lang_ok,
+        |             bl.doc_id IS NOT NULL AS blocked, b.token_floor,
+        |             b.fp IS NULL OR b.doc_id = c.cid AS canonical
+        |      FROM base b LEFT JOIN bl ON bl.doc_id = b.doc_id
+        |      LEFT JOIN canon c ON c.fp = b.fp)
+        |SELECT doc_id, text_ok, lang_ok, blocked, token_floor, canonical,
+        |       text_ok AND lang_ok AND NOT blocked AND token_floor
+        |         AND canonical AS keep,
+        |       coalesce(array_to_string(list_sort(list_filter(
+        |         [CASE WHEN NOT text_ok THEN 'null_text' END,
+        |          CASE WHEN NOT lang_ok THEN 'lang' END,
+        |          CASE WHEN blocked THEN 'blocklist' END,
+        |          CASE WHEN NOT token_floor THEN 'short' END,
+        |          CASE WHEN NOT canonical THEN 'duplicate' END],
+        |         x -> x IS NOT NULL)), ','), '') AS reasons
+        |FROM r""".stripMargin,
 
     "q_perplexity_buckets" ->
       """WITH tk AS (

@@ -355,4 +355,59 @@ object CorpusPipeline {
       .filter(col("lang") === lang && col("n_tokens") >= minTokens &&
                 col("rep_ratio") <= maxRepetition)
   }
+
+  /** Per-document CURATION REASON REPORT — the "why was my document
+    * dropped" tool every production corpus pipeline grows: one row per
+    * doc with each C4-style gate's verdict (null text, language
+    * allowlist, term blocklist, token floor, exact-dup canonical
+    * election), the final keep decision, and a deterministic
+    * ','-joined sorted reason list for the drops. The gates are the
+    * same operators the curate flagship applies — this is their
+    * auditable projection, so report and pipeline can never disagree
+    * on a verdict. (The Gopher rule battery has its own per-rule
+    * report, `TextOps.gopherRules` / q_gopher_rules.)
+    *
+    * Scale shape: the blocklist folds to one broadcast row
+    * (blocklistGate), the canonical election is one fingerprint-keyed
+    * aggregate joined back narrow, every other gate is per-row
+    * arithmetic on the scan. Null text fingerprints as null and is NOT
+    * a duplicate (no content ≠ duplicate content) — it fails its own
+    * `null_text` gate instead.
+    */
+  def curationReport(docs: DataFrame, blocklist: DataFrame,
+                     langs: Seq[String], minTokens: Int = 10,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     langCol: String = "lang",
+                     hashMode: Hashing.Mode = Hashing.OraclePortable)
+      : DataFrame = {
+    val b = TextOps.blocklistGate(docs, blocklist, idCol = idCol,
+                                  textCol = textCol)
+      .select(col(idCol), col("blocked"))
+    val base = docs.select(
+      col(idCol),
+      col(textCol).isNotNull.as("text_ok"),
+      coalesce(col(langCol).isin(langs: _*), lit(false)).as("lang_ok"),
+      coalesce(TextOps.tokenCount(col(textCol)) >= minTokens,
+               lit(false)).as("token_floor"),
+      TextOps.fingerprint(col(textCol), hashMode).as("__fp"))
+    val canon = base.filter(col("__fp").isNotNull)
+      .groupBy(col("__fp")).agg(min(col(idCol)).as("__canon"))
+    base.join(canon, Seq("__fp"), "left")
+      .withColumn("canonical",
+        col("__fp").isNull || col(idCol) === col("__canon"))
+      .join(b, idCol)
+      .withColumn("keep",
+        col("text_ok") && col("lang_ok") && !col("blocked") &&
+          col("token_floor") && col("canonical"))
+      .withColumn("reasons", concat_ws(",", array_sort(filter(array(
+        when(!col("text_ok"), lit("null_text")),
+        when(!col("lang_ok"), lit("lang")),
+        when(col("blocked"), lit("blocklist")),
+        when(!col("token_floor"), lit("short")),
+        when(!col("canonical"), lit("duplicate"))),
+        x => x.isNotNull))))
+      .select(col(idCol), col("text_ok"), col("lang_ok"), col("blocked"),
+              col("token_floor"), col("canonical"), col("keep"),
+              col("reasons"))
+  }
 }

@@ -310,4 +310,32 @@ class CurationRulesSpec extends SparkSpec {
     assert(all.filter(r => r._1 == 2L || r._1 == 3L).forall(_._2 === 0L))
     assert(all.map(_._3).max === 5L)
   }
+
+  test("curationReport: every gate trips on its planted violator with " +
+       "the right sorted reason string; clean doc keeps") {
+    import spark.implicits._
+    val good = (1 to 12).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, Option(good), "en"),                       // keeps
+      (2L, Option(good + " extra"), "zh"),            // lang
+      (3L, Option(good.replace("word3", "BADTERM")), "en"), // blocklist
+      (4L, Option("too short"), "en"),                // short
+      (5L, Option(good), "en"),                       // duplicate of 1
+      (6L, Option.empty[String], "en"),               // null_text (+short)
+      (7L, Option("tiny BADTERM"), "zh"))             // three reasons
+      .toDF("doc_id", "text", "lang")
+    val got = graft.pipeline.CorpusPipeline.curationReport(
+        docs, Seq("badterm").toDF("term"), langs = Seq("en"),
+        minTokens = 10)
+      .select($"doc_id", $"keep", $"reasons")
+      .as[(Long, Boolean, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) === ((true, "")))
+    assert(got(2L) === ((false, "lang")))
+    assert(got(3L) === ((false, "blocklist")))
+    assert(got(4L) === ((false, "short")))
+    assert(got(5L) === ((false, "duplicate")))
+    assert(got(6L) === ((false, "null_text,short")))
+    assert(got(7L) === ((false, "blocklist,lang,short")))
+  }
 }
