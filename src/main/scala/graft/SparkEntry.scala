@@ -1302,6 +1302,12 @@ object SparkEntry {
         t(s, dir, "events"), "event_id", "user_id", "ts", "value",
         hours = 24)),
 
+    // Hourly-volume anomaly flags: per-type z-score vs the trailing
+    // 7-day hourly baseline (current hour excluded from its own base)
+    "q_anomaly_flags" -> ((s, dir) =>
+      graft.ops.TimeSeries.anomalyFlags(t(s, dir, "events"),
+                                        windowDays = 7, zThreshold = 3.0)),
+
     // DAU / trailing-7-day WAU / stickiness per observed day — sliding
     // distinct count via contribution explosion over the DEDUPLICATED
     // (user, day) pairs, never a per-day re-scan of raw events
@@ -3351,6 +3357,26 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 86400000000 PRECEDING
         |             AND CURRENT ROW)""".stripMargin,
+
+    "q_anomaly_flags" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |z AS (
+        |  SELECT event_type, CAST(epoch(h) AS BIGINT) * 1000 AS hour_ms,
+        |         n,
+        |         CAST(count(n) OVER w AS BIGINT) AS base_n,
+        |         round((n - avg(n) OVER w) /
+        |               nullif(stddev_samp(n) OVER w, 0), 6) AS zscore
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type
+        |               ORDER BY CAST(epoch(h) AS BIGINT)
+        |               RANGE BETWEEN 604800 PRECEDING
+        |               AND 3600 PRECEDING))
+        |SELECT event_type, hour_ms, n, base_n, zscore,
+        |       abs(zscore) >= 3.0 AS is_anomaly
+        |FROM z""".stripMargin,
 
     "q_active_users" ->
       """WITH pairs AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d

@@ -44,6 +44,45 @@ object TimeSeries {
               col("trail_avg"))
   }
 
+  /** Hourly-volume anomaly flags — the observability staple: per
+    * (event_type, hour), the z-score of that hour's event count
+    * against its TRAILING baseline (the previous `windowDays` days of
+    * hourly counts, EXCLUDING the current hour so a spike cannot
+    * absorb itself into its own baseline). Hours whose |z| clears the
+    * threshold flag as anomalies; hours with fewer than two baseline
+    * points have no defined deviation and flag null (never a 0/0).
+    *
+    * Physical shape: one partial→final hourly aggregate (map-side
+    * combine over raw events), then per-type VALUE-RANGE window
+    * mean/stddev over the tiny hourly frame — all post-aggregate work
+    * is proportional to types·hours, never events.
+    */
+  def anomalyFlags(events: DataFrame, windowDays: Int = 7,
+                   zThreshold: Double = 3.0,
+                   typeCol: String = "event_type",
+                   tsCol: String = "ts"): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1")
+    val hourly = events
+      .filter(col(tsCol).isNotNull && col(typeCol).isNotNull)
+      .groupBy(col(typeCol),
+               date_trunc("hour", col(tsCol)).as("__h"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__hs", unix_seconds(col("__h")))
+    val horizon = windowDays.toLong * 24L * 3600L
+    val w = Window.partitionBy(col(typeCol)).orderBy(col("__hs"))
+      .rangeBetween(-horizon, -3600L)
+    hourly
+      .withColumn("base_n", count(col("n")).over(w))
+      .withColumn("__mean", avg(col("n")).over(w))
+      .withColumn("__sd", stddev_samp(col("n")).over(w))
+      .withColumn("zscore",
+        round((col("n") - col("__mean")) /
+              nullif(col("__sd"), lit(0.0)), 6))
+      .select(col(typeCol), (col("__hs") * 1000L).as("hour_ms"),
+              col("n"), col("base_n"), col("zscore"),
+              (abs(col("zscore")) >= zThreshold).as("is_anomaly"))
+  }
+
   /** Exact trailing-window active users — DAU, WAU-style trailing
     * distinct count, and stickiness (DAU/WAU) per observed day. The
     * sliding distinct-count is computed by CONTRIBUTION EXPLOSION, not

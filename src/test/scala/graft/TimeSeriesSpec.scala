@@ -112,6 +112,51 @@ class TimeSeriesSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("anomalyFlags: a planted spike flags against its trailing " +
+       "baseline; the spike is excluded from its own base; early hours " +
+       "have null z") {
+    // type 'a': 20 calm hours of 10 events, then one hour of 200
+    val calm = (0 until 20).flatMap { h =>
+      (0 until 10).map(i => ("a", f"2024-01-01 $h%02d:${i % 60}%02d:00"))
+    }
+    val spike = (0 until 200).map(i =>
+      ("a", f"2024-01-01 20:${i % 60}%02d:${i / 60}%02d"))
+    val events = (calm ++ spike).zipWithIndex.map { case ((t, s), i) =>
+      (i.toLong, t, java.sql.Timestamp.valueOf(s)) }
+      .toDF("event_id", "event_type", "ts")
+    val got = graft.ops.TimeSeries
+      .anomalyFlags(events, windowDays = 7, zThreshold = 3.0)
+      .as[(String, Long, Long, Long, Option[Double], Option[Boolean])]
+      .collect().sortBy(_._2)
+    assert(got.length === 21)
+    // hour 0: no baseline → null z, null flag
+    assert(got.head._5.isEmpty && got.head._6.isEmpty)
+    // hour 1: one baseline point → stddev undefined → null z
+    assert(got(1)._5.isEmpty)
+    // calm hours 2..19: identical counts → sd = 0 → null z (guarded)
+    (2 until 20).foreach(i => assert(got(i)._5.isEmpty))
+    // the spike hour: baseline is the 20 calm hours (mean 10, sd 0)…
+    // sd of identical values is 0 → guarded null would hide it, so use
+    // a slightly varied calm baseline instead for the z assertion
+    val varied = (0 until 20).flatMap { h =>
+      (0 until (if (h % 2 == 0) 9 else 11)).map(i =>
+        ("a", f"2024-01-01 $h%02d:${i % 60}%02d:00"))
+    }
+    val ev2 = (varied ++ spike).zipWithIndex.map { case ((t, s), i) =>
+      (i.toLong, t, java.sql.Timestamp.valueOf(s)) }
+      .toDF("event_id", "event_type", "ts")
+    val got2 = graft.ops.TimeSeries
+      .anomalyFlags(ev2, windowDays = 7, zThreshold = 3.0)
+      .as[(String, Long, Long, Long, Option[Double], Option[Boolean])]
+      .collect().sortBy(_._2)
+    val sp = got2.last
+    assert(sp._3 === 200L && sp._4 === 20L)
+    assert(sp._5.exists(_ > 100.0), s"spike z should be huge, got $sp")
+    assert(sp._6.contains(true))
+    // calm varied hours do not flag
+    assert(got2.dropRight(1).forall(!_._6.contains(true)))
+  }
+
   test("rollingAgg on a hand-built tie: equal timestamps share one frame") {
     val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
     val ev = Seq((1L, 7L, t0, 10.0), (2L, 7L, t0, 30.0))
