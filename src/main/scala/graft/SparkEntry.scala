@@ -1302,6 +1302,11 @@ object SparkEntry {
         t(s, dir, "events"), "event_id", "user_id", "ts", "value",
         hours = 24)),
 
+    // Event transition matrix: P(next type | current) per user journey
+    // from one lag window per user — path analysis, no self-join
+    "q_transitions" -> ((s, dir) =>
+      graft.ops.TimeSeries.transitions(t(s, dir, "events"))),
+
     // Hourly-volume anomaly flags: per-type z-score vs the trailing
     // 7-day hourly baseline (current hour excluded from its own base)
     "q_anomaly_flags" -> ((s, dir) =>
@@ -3357,6 +3362,21 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 86400000000 PRECEDING
         |             AND CURRENT ROW)""".stripMargin,
+
+    "q_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS to_type
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |pairs AS (SELECT from_type, to_type, count(*) AS n
+        |          FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, sum(n) AS t FROM pairs GROUP BY 1)
+        |SELECT p.from_type, p.to_type, CAST(p.n AS BIGINT) AS n,
+        |       round(CAST(p.n AS DOUBLE) / t, 6) AS p
+        |FROM pairs p JOIN tot USING (from_type)""".stripMargin,
 
     "q_anomaly_flags" ->
       """WITH hourly AS (

@@ -44,6 +44,35 @@ object TimeSeries {
               col("trail_avg"))
   }
 
+  /** Event transition matrix — P(next event type | current) per user
+    * journey (the Markov path-analysis staple behind "what do users do
+    * after a view?"). Consecutive pairs come from one lag window per
+    * user ordered by (ts, tiebreak) — per-key bounded, no self-join —
+    * then two narrow aggregates (pair counts, per-source totals).
+    * Output: (from_type, to_type, n, p round 6), p summing to 1 per
+    * from_type.
+    */
+  def transitions(events: DataFrame, userCol: String = "user_id",
+                  tsCol: String = "ts", typeCol: String = "event_type",
+                  tiebreakCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val pairs = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+              col(typeCol).isNotNull)
+      .select(col(userCol), col(typeCol).as("from_type"),
+              col(tsCol), col(tiebreakCol))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("__tot"))
+    pairs.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+              round(col("n").cast("double") / col("__tot"), 6).as("p"))
+  }
+
   /** Hourly-volume anomaly flags — the observability staple: per
     * (event_type, hour), the z-score of that hour's event count
     * against its TRAILING baseline (the previous `windowDays` days of

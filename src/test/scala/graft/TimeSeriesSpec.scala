@@ -157,6 +157,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got2.dropRight(1).forall(!_._6.contains(true)))
   }
 
+  test("transitions: per-from probabilities sum to 1; a hand journey " +
+       "produces its exact pair counts; journeys never cross users") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // u1: a→b→a ; u2: a→b ; u3: single event (no transition);
+    // the u1-end→u2-start boundary must NOT create a pair
+    val ev = Seq((1L, 1L, "a", ts(1)), (2L, 1L, "b", ts(2)),
+                 (3L, 1L, "a", ts(3)), (4L, 2L, "a", ts(4)),
+                 (5L, 2L, "b", ts(5)), (6L, 3L, "c", ts(6)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = graft.ops.TimeSeries.transitions(ev)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got === Set(("a", "b", 2L, 1.0), ("b", "a", 1L, 1.0)))
+    // on the real table: probabilities sum to 1 per from_type
+    val real = graft.ops.TimeSeries
+      .transitions(Tables.load(spark, sfDir, "events"))
+      .as[(String, String, Long, Double)].collect()
+    real.groupBy(_._1).values.foreach { rows =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4)
+    }
+    assert(real.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("rollingAgg on a hand-built tie: equal timestamps share one frame") {
     val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
     val ev = Seq((1L, 7L, t0, 10.0), (2L, 7L, t0, 30.0))
