@@ -1302,6 +1302,11 @@ object SparkEntry {
         t(s, dir, "events"), "event_id", "user_id", "ts", "value",
         hours = 24)),
 
+    // Exact cohort retention matrix (first-activity-week cohorts ×
+    // weeks-since) — the truth the KMV retention sketch approximates
+    "q_cohort_retention" -> ((s, dir) =>
+      graft.ops.TimeSeries.cohortRetention(t(s, dir, "events"))),
+
     // Event transition matrix: P(next type | current) per user journey
     // from one lag window per user — path analysis, no self-join
     "q_transitions" -> ((s, dir) =>
@@ -3362,6 +3367,24 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 86400000000 PRECEDING
         |             AND CURRENT ROW)""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH weeks AS (SELECT DISTINCT user_id AS u,
+        |                      CAST(date_trunc('week', ts) AS DATE) AS w
+        |               FROM events
+        |               WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |cohort AS (SELECT u, min(w) AS cw FROM weeks GROUP BY 1),
+        |sizes AS (SELECT cw, count(*) AS sz FROM cohort GROUP BY 1),
+        |cells AS (SELECT c.cw, CAST((w.w - c.cw) // 7 AS INTEGER)
+        |                   AS week_offset,
+        |                 count(DISTINCT w.u) AS n_active
+        |          FROM weeks w JOIN cohort c ON c.u = w.u
+        |          GROUP BY 1, 2)
+        |SELECT strftime(cells.cw, '%Y-%m-%d') AS cohort_week,
+        |       week_offset, CAST(n_active AS BIGINT) AS n_active,
+        |       CAST(sz AS BIGINT) AS cohort_size,
+        |       round(CAST(n_active AS DOUBLE) / sz, 6) AS retention
+        |FROM cells JOIN sizes ON sizes.cw = cells.cw""".stripMargin,
 
     "q_transitions" ->
       """WITH seq AS (

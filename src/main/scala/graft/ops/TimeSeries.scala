@@ -44,6 +44,45 @@ object TimeSeries {
               col("trail_avg"))
   }
 
+  /** Exact cohort retention matrix — users cohorted by their FIRST
+    * activity week, then for every (cohort, weeks-since) cell the
+    * number of cohort members active that week and the retention rate.
+    * The exact contract behind the KMV set-algebra retention sketch
+    * (`SketchOps` — kilobytes per cohort at 100 TB); this operator is
+    * the truth the sketch approximates, and the shape every growth
+    * dashboard renders as the retention triangle.
+    *
+    * Scale shape: raw events collapse FIRST to distinct (user, week)
+    * pairs (one map-side-combined aggregate — everything downstream is
+    * proportional to users·active-weeks, never events); the cohort
+    * frame is one min-aggregate keyed by user; the matrix is one
+    * narrow join + count-distinct.
+    */
+  def cohortRetention(events: DataFrame, userCol: String = "user_id",
+                      tsCol: String = "ts"): DataFrame = {
+    val weeks = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"),
+              date_trunc("week", col(tsCol)).cast("date").as("__w"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+    val cohort = weeks.groupBy(col("__u")).agg(min(col("__w")).as("__cw"))
+    val sizes = cohort.groupBy(col("__cw"))
+      .agg(count(lit(1)).as("__size"))
+    weeks.join(cohort, "__u")
+      .withColumn("week_offset",
+        expr("datediff(__w, __cw) div 7").cast("int"))
+      .groupBy(col("__cw"), col("week_offset"))
+      .agg(countDistinct(col("__u")).as("n_active"))
+      .join(sizes, "__cw")
+      .select(date_format(col("__cw"), "yyyy-MM-dd").as("cohort_week"),
+              col("week_offset"), col("n_active"),
+              col("__size").as("cohort_size"),
+              round(col("n_active").cast("double") / col("__size"), 6)
+                .as("retention"))
+  }
+
   /** Event transition matrix — P(next event type | current) per user
     * journey (the Markov path-analysis staple behind "what do users do
     * after a view?"). Consecutive pairs come from one lag window per

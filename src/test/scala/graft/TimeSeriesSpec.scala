@@ -180,6 +180,32 @@ class TimeSeriesSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("cohortRetention: staggered cohorts produce the exact triangle; " +
+       "retention(offset 0) is always 1.0") {
+    // weeks (Mondays): W0 = 2024-01-01, W1 = 2024-01-08, W2 = 2024-01-15
+    // u1: W0, W1, W2 ; u2: W0, W2 ; u3: W1
+    val ev = Seq((1L, "2024-01-02 10:00:00"), (1L, "2024-01-09 10:00:00"),
+                 (1L, "2024-01-16 10:00:00"), (2L, "2024-01-03 10:00:00"),
+                 (2L, "2024-01-17 10:00:00"), (3L, "2024-01-10 10:00:00"))
+      .zipWithIndex.map { case ((u, s), i) =>
+        (i.toLong, u, java.sql.Timestamp.valueOf(s)) }
+      .toDF("event_id", "user_id", "ts")
+    val got = graft.ops.TimeSeries.cohortRetention(ev)
+      .as[(String, Int, Long, Long, Double)].collect().toSet
+    assert(got === Set(
+      ("2024-01-01", 0, 2L, 2L, 1.0),   // u1+u2 start in W0
+      ("2024-01-01", 1, 1L, 2L, 0.5),   // only u1 back in W1
+      ("2024-01-01", 2, 2L, 2L, 1.0),   // both back in W2
+      ("2024-01-08", 0, 1L, 1L, 1.0)))  // u3's lone cohort
+    // invariant on the real table: offset 0 retains everyone
+    val real = graft.ops.TimeSeries
+      .cohortRetention(Tables.load(spark, sfDir, "events"))
+      .as[(String, Int, Long, Long, Double)].collect()
+    assert(real.filter(_._2 == 0).forall(r => r._3 === r._4 && r._5 === 1.0))
+    assert(real.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("rollingAgg on a hand-built tie: equal timestamps share one frame") {
     val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
     val ev = Seq((1L, 7L, t0, 10.0), (2L, 7L, t0, 30.0))
