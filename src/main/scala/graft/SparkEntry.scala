@@ -1302,6 +1302,15 @@ object SparkEntry {
         t(s, dir, "events"), "event_id", "user_id", "ts", "value",
         hours = 24)),
 
+    // Join-key skew diagnostic: top-10 heaviest keys with share and
+    // skew factor over an exponentially-skewed derived key — the
+    // measurement that decides plain join vs AQE split vs saltedJoin
+    "q_skew_report" -> ((s, dir) =>
+      graft.ops.SkewOps.skewReport(
+        t(s, dir, "events").withColumn("kbucket",
+          floor(log2(col("event_id") + 1)).cast("int")),
+        "kbucket", topK = 10)),
+
     // Exact cohort retention matrix (first-activity-week cohorts ×
     // weeks-since) — the truth the KMV retention sketch approximates
     "q_cohort_retention" -> ((s, dir) =>
@@ -3367,6 +3376,17 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 86400000000 PRECEDING
         |             AND CURRENT ROW)""".stripMargin,
+
+    "q_skew_report" ->
+      """WITH c AS (SELECT CAST(floor(log2(event_id + 1)) AS INTEGER)
+        |                    AS kbucket,
+        |                  count(*) AS n
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT sum(n) AS total, count(*) AS keys FROM c)
+        |SELECT kbucket, CAST(n AS BIGINT) AS n,
+        |       round(CAST(n AS DOUBLE) / total, 6) AS share,
+        |       round(CAST(n AS DOUBLE) * keys / total, 6) AS skew
+        |FROM c, t ORDER BY n DESC, kbucket LIMIT 10""".stripMargin,
 
     "q_cohort_retention" ->
       """WITH weeks AS (SELECT DISTINCT user_id AS u,

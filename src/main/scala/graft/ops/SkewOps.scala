@@ -41,6 +41,28 @@ object SkewOps {
     * The join RESULT is salt-invariant either way (the dim side carries
     * every salt value) — the choice only affects reducer placement.
     */
+  /** Join-key SKEW DIAGNOSTIC — the measurement that decides between a
+    * plain shuffle join, AQE's skew split, and `saltedJoin`: the top-k
+    * heaviest keys with their row share and skew factor (key rows ÷
+    * mean rows per key; a factor ≫ tasks means one task owns the key's
+    * whole shuffle partition). One partial→final count aggregate + a
+    * 1-row global census broadcast + TakeOrderedAndProject — the
+    * report costs one pass regardless of key cardinality.
+    */
+  def skewReport(df: DataFrame, key: String, topK: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val census = counts.agg(sum(col("n")).as("__total"),
+                            count(lit(1)).as("__keys"))
+    counts.crossJoin(broadcast(census))
+      .select(col(key), col("n"),
+              round(col("n").cast("double") / col("__total"), 6)
+                .as("share"),
+              round(col("n").cast("double") * col("__keys") /
+                    col("__total"), 6).as("skew"))
+      .orderBy(col("n").desc, col(key).asc)
+      .limit(topK)
+  }
+
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  n: Int = 8, rowIdCol: Option[String] = None): DataFrame = {
     val saltSrc = rowIdCol match {

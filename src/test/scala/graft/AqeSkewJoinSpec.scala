@@ -53,4 +53,17 @@ class AqeSkewJoinSpec extends SparkSpec {
     // SparkContext, and close() == sparkContext.stop() — it would kill
     // every later suite in this JVM. The SQL confs are already isolated.
   }
+
+  test("skewReport ranks heavy keys first with exact share/skew " +
+       "arithmetic and a bounded top-k") {
+    import spark.implicits._
+    val df = (Seq.fill(8)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }
+      .toDF("row_id", "k")
+    val got = graft.ops.SkewOps.skewReport(df, "k", topK = 2)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    // total 12 rows over 4 keys → mean 3; 'a' owns 8 (skew 8/3)
+    assert(got === Seq(("a", 8L, 0.666667, 2.666667),
+                       ("b", 2L, 0.166667, 0.666667)))
+  }
 }
