@@ -1302,6 +1302,11 @@ object SparkEntry {
         t(s, dir, "events"), "event_id", "user_id", "ts", "value",
         hours = 24)),
 
+    // Per-type hourly-volume trend lines: closed-form OLS via the
+    // regr_* aggregate family — no gradient loop, no driver math
+    "q_trend_lines" -> ((s, dir) =>
+      graft.ops.TimeSeries.trendLines(t(s, dir, "events"))),
+
     // Join-key skew diagnostic: top-10 heaviest keys with share and
     // skew factor over an exponentially-skewed derived key — the
     // measurement that decides plain join vs AQE split vs saltedJoin
@@ -3376,6 +3381,24 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 86400000000 PRECEDING
         |             AND CURRENT ROW)""".stripMargin,
+
+    "q_trend_lines" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |o AS (SELECT min(CAST(epoch(h) AS BIGINT)) AS m FROM hourly)
+        |SELECT event_type, count(*) AS n_hours,
+        |       round(regr_slope(CAST(n AS DOUBLE),
+        |         CAST((CAST(epoch(h) AS BIGINT) - m) / 3600 AS DOUBLE)), 6)
+        |         AS slope_per_hour,
+        |       round(regr_intercept(CAST(n AS DOUBLE),
+        |         CAST((CAST(epoch(h) AS BIGINT) - m) / 3600 AS DOUBLE)), 6)
+        |         AS intercept,
+        |       round(regr_r2(CAST(n AS DOUBLE),
+        |         CAST((CAST(epoch(h) AS BIGINT) - m) / 3600 AS DOUBLE)), 6)
+        |         AS r2
+        |FROM hourly, o GROUP BY 1""".stripMargin,
 
     "q_skew_report" ->
       """WITH c AS (SELECT CAST(floor(log2(event_id + 1)) AS INTEGER)

@@ -44,6 +44,37 @@ object TimeSeries {
               col("trail_avg"))
   }
 
+  /** Per-type hourly-volume TREND LINES — closed-form OLS (slope per
+    * hour, intercept at the corpus's first hour, R²) via the SQL-standard
+    * `regr_*` aggregate family, which both engines compute from the same
+    * five running sums (n, Σx, Σy, Σxy, Σx²) with map-side combine — a
+    * trend over a month of 100 TB telemetry costs one hourly rollup plus
+    * one tiny aggregate, no gradient loop, no driver math. The x axis is
+    * hours since the global first hour (a 1-row broadcast), keeping the
+    * regression conditioning independent of the epoch.
+    */
+  def trendLines(events: DataFrame, typeCol: String = "event_type",
+                 tsCol: String = "ts"): DataFrame = {
+    val hourly = events
+      .filter(col(tsCol).isNotNull && col(typeCol).isNotNull)
+      .groupBy(col(typeCol),
+               date_trunc("hour", col(tsCol)).as("__h"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__hs", unix_seconds(col("__h")))
+    val origin = hourly.agg(min(col("__hs")).as("__min"))
+    hourly.crossJoin(broadcast(origin))
+      .withColumn("__x",
+        ((col("__hs") - col("__min")) / 3600L).cast("double"))
+      .withColumn("__y", col("__n").cast("double"))
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_hours"),
+           round(regr_slope(col("__y"), col("__x")), 6)
+             .as("slope_per_hour"),
+           round(regr_intercept(col("__y"), col("__x")), 6)
+             .as("intercept"),
+           round(regr_r2(col("__y"), col("__x")), 6).as("r2"))
+  }
+
   /** Exact cohort retention matrix — users cohorted by their FIRST
     * activity week, then for every (cohort, weeks-since) cell the
     * number of cohort members active that week and the retention rate.

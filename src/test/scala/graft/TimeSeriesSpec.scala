@@ -206,6 +206,28 @@ class TimeSeriesSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("trendLines recovers a planted linear hourly ramp exactly " +
+       "(slope 2/h, intercept 3, r2 = 1); a flat series has slope 0") {
+    // type 'up': hour h carries 3 + 2h events; type 'flat': always 4
+    val up = (0 until 10).flatMap { h =>
+      (0 until (3 + 2 * h)).map(i =>
+        ("up", f"2024-01-01 $h%02d:${i % 60}%02d:00"))
+    }
+    val flat = (0 until 10).flatMap { h =>
+      (0 until 4).map(i => ("flat", f"2024-01-01 $h%02d:${i % 60}%02d:00"))
+    }
+    val ev = (up ++ flat).zipWithIndex.map { case ((t, s), i) =>
+      (i.toLong, t, java.sql.Timestamp.valueOf(s)) }
+      .toDF("event_id", "event_type", "ts")
+    val got = graft.ops.TimeSeries.trendLines(ev)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, nUp, sUp, iUp, r2Up) = got("up")
+    assert(nUp === 10L && sUp === 2.0 && iUp === 3.0 && r2Up === 1.0)
+    val (_, nF, sF, iF, _) = got("flat")
+    assert(nF === 10L && sF === 0.0 && iF === 4.0)
+  }
+
   test("rollingAgg on a hand-built tie: equal timestamps share one frame") {
     val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
     val ev = Seq((1L, 7L, t0, 10.0), (2L, 7L, t0, 30.0))
