@@ -324,6 +324,14 @@ object SparkEntry {
         .select(col("doc_id"),
                 TextOps.qualityScore(col("text")).as("quality_score"))),
 
+    // Per-source score calibration: every doc's quality score mapped
+    // to its percentile WITHIN its source (percent_rank on the rounded
+    // score grid), so one global threshold means the same thing for
+    // every source — the FineWeb-style per-dump calibration
+    "q_score_calibration" -> ((s, dir) =>
+      TextOps.calibrateScores(t(s, dir, "documents"),
+                              TextOps.qualityScore(col("text")))),
+
     // Adaptive per-source quality gate: keep docs strictly above their
     // source's exact median score (relative gating for mixed corpora);
     // census per source with the threshold
@@ -2104,6 +2112,24 @@ object SparkEntry {
         |                 / CAST(greatest(len(text),1) AS DOUBLE) * 10.0,
         |                 1.0)) * 0.2, 6) AS quality_score
         |FROM documents""".stripMargin,
+
+    "q_score_calibration" ->
+      """WITH s AS (SELECT doc_id, source, round(
+        |  least(CAST(len(list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '')) AS DOUBLE)
+        |        / 100.0, 1.0) * 0.5
+        |  + (CAST(len(list_filter(string_split_regex(trim(text),'\s+'),
+        |          x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |     / CAST(greatest(len(list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '')), 1)
+        |            AS DOUBLE)) * 0.3
+        |  + (1.0 - least(CAST(len(regexp_extract_all(text,'[.,!?;:]'))
+        |                      AS DOUBLE)
+        |                 / CAST(greatest(len(text),1) AS DOUBLE) * 10.0,
+        |                 1.0)) * 0.2, 6) AS score
+        |FROM documents)
+        |SELECT doc_id, source, score,
+        |       round(percent_rank() OVER (PARTITION BY source
+        |                                  ORDER BY score), 6) AS pct
+        |FROM s WHERE score IS NOT NULL""".stripMargin,
 
     "q_dedup_keyed" ->
       """SELECT lang, source, min(doc_id) AS doc_id

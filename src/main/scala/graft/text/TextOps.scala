@@ -869,6 +869,32 @@ object TextOps {
       .limit(k)
   }
 
+  /** Per-source score CALIBRATION — map every document's raw quality
+    * score to its percentile WITHIN its source (percent_rank), so one
+    * global keep-threshold means the same thing for every source. Raw
+    * score distributions differ wildly across crawls/domains (a 0.5
+    * from a clean-wiki source ≠ a 0.5 from a forum dump); thresholding
+    * the raw score silently over-prunes some sources and under-prunes
+    * others — the per-source percentile is the standard fix (the
+    * FineWeb-style per-dump calibration step).
+    *
+    * One shuffle keyed by source, one per-source ordered rank — groups
+    * bounded per source, no global sort. Ties (equal scores) share a
+    * percentile by percent_rank's definition in both engines; the id
+    * is NOT a tie-break on purpose (equal quality must calibrate
+    * equally or the threshold becomes id-dependent).
+    */
+  def calibrateScores(docs: DataFrame, scoreCol: Column,
+                      idCol: String = "doc_id",
+                      sourceCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col("score"))
+    docs
+      .select(col(idCol), col(sourceCol), scoreCol.as("score"))
+      .filter(col("score").isNotNull)
+      .withColumn("pct", round(percent_rank().over(w), 6))
+  }
+
   /** Per-source frequency cap (the C4/Common-Crawl "domain cap" stage:
     * FineWeb and RefinedWeb both bound how much any single domain may
     * contribute, because at web scale a handful of boilerplate-heavy

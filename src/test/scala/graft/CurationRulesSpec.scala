@@ -311,6 +311,28 @@ class CurationRulesSpec extends SparkSpec {
     assert(all.map(_._3).max === 5L)
   }
 
+  test("calibrateScores: ties share a percentile, a singleton source " +
+       "calibrates to 0, and one global threshold cuts each source at " +
+       "the same quantile") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", 0.1), (2L, "s1", 0.2), (3L, "s1", 0.2), (4L, "s1", 0.9),
+      (5L, "s2", 0.5), // singleton source
+      (6L, "s3", 0.95), (7L, "s3", 0.96), (8L, "s3", 0.97),
+      (9L, "s3", 0.98)) // uniformly high scores
+      .toDF("doc_id", "source", "sc")
+    val got = TextOps.calibrateScores(docs, col("sc"))
+      .as[(Long, String, Double, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(got(2L) === got(3L), "equal scores must share a percentile")
+    assert(got(1L) === 0.0 && got(4L) === 1.0)
+    assert(got(5L) === 0.0, "percent_rank of a singleton is 0")
+    // a global pct >= 0.5 cut keeps the top half of EVERY source —
+    // including s3, which a raw-score threshold at 0.5 would keep whole
+    val kept = got.filter(_._2 >= 0.5).keySet
+    assert(kept.intersect(Set(6L, 7L, 8L, 9L)) === Set(8L, 9L))
+  }
+
   test("curationReport: every gate trips on its planted violator with " +
        "the right sorted reason string; clean doc keeps") {
     import spark.implicits._
