@@ -324,6 +324,12 @@ object SparkEntry {
         .select(col("doc_id"),
                 TextOps.qualityScore(col("text")).as("quality_score"))),
 
+    // PMI collocations: top-20 token pairs by doc-level pointwise
+    // mutual information (min pair df 5) — phrase/template discovery
+    "q_pmi_pairs" -> ((s, dir) =>
+      TextOps.pmiCollocations(t(s, dir, "documents"),
+                              minPairCount = 5, k = 20)),
+
     // Per-source score calibration: every doc's quality score mapped
     // to its percentile WITHIN its source (percent_rank on the rounded
     // score grid), so one global threshold means the same thing for
@@ -2112,6 +2118,23 @@ object SparkEntry {
         |                 / CAST(greatest(len(text),1) AS DOUBLE) * 10.0,
         |                 1.0)) * 0.2, 6) AS quality_score
         |FROM documents""".stripMargin,
+
+    "q_pmi_pairs" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_distinct(list_filter(
+        |          string_split_regex(trim(text), '\s+'), t -> t <> '')))
+        |          AS tok
+        |        FROM documents),
+        |df AS (SELECT tok, count(*) AS d FROM toks GROUP BY 1),
+        |nn AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+        |pairs AS (SELECT a.tok AS x, b.tok AS y, count(*) AS n_pair
+        |          FROM toks a JOIN toks b
+        |            ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |          GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT x, y, CAST(n_pair AS BIGINT) AS n_pair,
+        |       round(ln(CAST(n_pair AS DOUBLE) * n / (dx.d * dy.d)), 6)
+        |         AS pmi
+        |FROM pairs JOIN df dx ON dx.tok = x JOIN df dy ON dy.tok = y, nn
+        |ORDER BY pmi DESC, x, y LIMIT 20""".stripMargin,
 
     "q_score_calibration" ->
       """WITH s AS (SELECT doc_id, source, round(

@@ -869,6 +869,49 @@ object TextOps {
       .limit(k)
   }
 
+  /** PMI collocations — the top-k token pairs by pointwise mutual
+    * information over DOC-level co-occurrence (pmi = ln(p(x,y) /
+    * p(x)p(y)) with p = document frequency / N): the classic
+    * collocation-mining signal (which tokens travel together far more
+    * than chance) behind phrase detection and template discovery.
+    *
+    * Scale notes: tokens deduplicate per doc FIRST (array_distinct
+    * inside the scan projection), the pair space is bounded by
+    * `minPairCount` (HAVING on the pair census — rare noise pairs never
+    * reach the PMI math) and by per-doc distinct-token volume; a corpus
+    * with huge per-doc vocabularies should pre-filter by token df (the
+    * heavyGrams CMS screen composes here). The self-join keys on the
+    * doc id, so shuffle volume is per-doc distinct tokens, not raw
+    * token occurrences. PMI is rounded to 6 BEFORE the top-k ordering
+    * (cross-libm ln ulps cannot flip the cut; ties break on the pair).
+    */
+  def pmiCollocations(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", minPairCount: Int = 5,
+                      k: Int = 20): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("__id"),
+              explode(array_distinct(tokens(col(textCol)))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+    val df = toks.groupBy(col("tok")).agg(count(lit(1)).as("__d"))
+    val n = toks.agg(countDistinct(col("__id")).as("__n"))
+    val pairs = toks.select(col("__id"), col("tok").as("x"))
+      .join(toks.select(col("__id"), col("tok").as("y")), "__id")
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPairCount)
+    pairs
+      .join(df.select(col("tok").as("x"), col("__d").as("__dx")), "x")
+      .join(df.select(col("tok").as("y"), col("__d").as("__dy")), "y")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi",
+        round(log(col("n_pair").cast("double") * col("__n") /
+                  (col("__dx") * col("__dy"))), 6))
+      .select(col("x"), col("y"), col("n_pair"), col("pmi"))
+      .orderBy(col("pmi").desc, col("x").asc, col("y").asc)
+      .limit(k)
+  }
+
   /** Per-source score CALIBRATION — map every document's raw quality
     * score to its percentile WITHIN its source (percent_rank), so one
     * global keep-threshold means the same thing for every source. Raw

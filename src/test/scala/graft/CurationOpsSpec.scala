@@ -217,6 +217,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.map(_._2) === Seq("a", "b"))
   }
 
+  test("pmiCollocations: a planted always-together pair tops the list " +
+       "with hand-computed PMI; independent pairs score 0") {
+    // 10 docs; 'zig zag' co-occur in exactly 6; 'the' in all 10.
+    // PMI(zig,zag) = ln(6·10/(6·6)) = ln(5/3); PMI(the,zig) = ln(1) = 0.
+    val docs = (0 until 10).map { i =>
+      val extra = if (i < 6) " zig zag" else " solo"
+      (i.toLong, "the filler" + extra)
+    }.toDF("doc_id", "text")
+    val got = TextOps.pmiCollocations(docs, minPairCount = 5, k = 3)
+      .as[(String, String, Long, Double)].collect()
+    val top = got.head
+    assert((top._1, top._2, top._3) === (("zag", "zig", 6L)))
+    assert(math.abs(top._4 - math.log(10.0 / 6.0)) < 1e-6)
+    // 'the' pairs with zig/zag at pmi 0 (independent given df 10)
+    got.filter(r => r._1 == "the" || r._2 == "the").foreach { r =>
+      assert(r._4 === 0.0, s"independent pair should score 0: $r")
+    }
+  }
+
   test("weightedSample equals the driver-side A-ES key race; heavy " +
        "weights dominate inclusion") {
     import java.security.MessageDigest
