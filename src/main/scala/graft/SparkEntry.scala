@@ -1340,6 +1340,14 @@ object SparkEntry {
     "q_transitions" -> ((s, dir) =>
       graft.ops.TimeSeries.transitions(t(s, dir, "events"))),
 
+    // Gap-filled anomaly flags: the hourly series completed with n=0
+    // rows over the global span, so a total OUTAGE (zero events) gets
+    // a z-score too — the unfilled series can't see the worst anomaly
+    "q_outage_flags" -> ((s, dir) =>
+      graft.ops.TimeSeries.anomalyFlags(t(s, dir, "events"),
+                                        windowDays = 7, zThreshold = 3.0,
+                                        gapFill = true)),
+
     // Hourly-volume anomaly flags: per-type z-score vs the trailing
     // 7-day hourly baseline (current hour excluded from its own base)
     "q_anomaly_flags" -> ((s, dir) =>
@@ -3492,6 +3500,34 @@ object SparkEntry {
         |SELECT p.from_type, p.to_type, CAST(p.n AS BIGINT) AS n,
         |       round(CAST(p.n AS DOUBLE) / t, 6) AS p
         |FROM pairs p JOIN tot USING (from_type)""".stripMargin,
+
+    "q_outage_flags" ->
+      """WITH counted AS (
+        |  SELECT event_type,
+        |         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hs,
+        |         count(*) AS n
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |span AS (SELECT min(hs) AS lo, max(hs) AS hi FROM counted),
+        |spine AS (SELECT t.event_type, g.hs
+        |          FROM (SELECT DISTINCT event_type FROM counted) t,
+        |               span, unnest(generate_series(lo, hi, 3600))
+        |                 AS g(hs)),
+        |hourly AS (SELECT s.event_type, s.hs, coalesce(c.n, 0) AS n
+        |           FROM spine s LEFT JOIN counted c
+        |             ON c.event_type = s.event_type AND c.hs = s.hs),
+        |z AS (SELECT event_type, hs * 1000 AS hour_ms, n,
+        |             CAST(count(n) OVER w AS BIGINT) AS base_n,
+        |             round((n - avg(n) OVER w) /
+        |                   nullif(stddev_samp(n) OVER w, 0), 6) AS zscore
+        |      FROM hourly
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY hs
+        |                   RANGE BETWEEN 604800 PRECEDING
+        |                   AND 3600 PRECEDING))
+        |SELECT event_type, CAST(hour_ms AS BIGINT) AS hour_ms,
+        |       CAST(n AS BIGINT) AS n, base_n, zscore,
+        |       abs(zscore) >= 3.0 AS is_anomaly
+        |FROM z""".stripMargin,
 
     "q_anomaly_flags" ->
       """WITH hourly AS (

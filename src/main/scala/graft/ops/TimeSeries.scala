@@ -159,14 +159,35 @@ object TimeSeries {
   def anomalyFlags(events: DataFrame, windowDays: Int = 7,
                    zThreshold: Double = 3.0,
                    typeCol: String = "event_type",
-                   tsCol: String = "ts"): DataFrame = {
+                   tsCol: String = "ts",
+                   gapFill: Boolean = false): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1")
-    val hourly = events
+    val counted = events
       .filter(col(tsCol).isNotNull && col(typeCol).isNotNull)
       .groupBy(col(typeCol),
                date_trunc("hour", col(tsCol)).as("__h"))
       .agg(count(lit(1)).as("n"))
       .withColumn("__hs", unix_seconds(col("__h")))
+    // gapFill: complete each type's hourly series over the GLOBAL
+    // [min, max] hour span with n = 0 rows — without it, an hour with
+    // ZERO events has no row, so a total outage is invisible to the
+    // z-score (the worst anomaly is the one the unfilled series can't
+    // see). The spine is types × hours — tiny next to events — built
+    // from a 1-row global span broadcast, never a range join.
+    val hourly =
+      if (!gapFill) counted
+      else {
+        val span = counted.agg(min(col("__hs")).as("__lo"),
+                               max(col("__hs")).as("__hi"))
+        val spine = counted.select(col(typeCol)).distinct()
+          .crossJoin(broadcast(span))
+          .select(col(typeCol),
+                  explode(sequence(col("__lo"), col("__hi"),
+                                   lit(3600L))).as("__hs"))
+        spine.join(counted.select(col(typeCol), col("__hs"), col("n")),
+                   Seq(typeCol, "__hs"), "left")
+          .withColumn("n", coalesce(col("n"), lit(0L)))
+      }
     val horizon = windowDays.toLong * 24L * 3600L
     val w = Window.partitionBy(col(typeCol)).orderBy(col("__hs"))
       .rangeBetween(-horizon, -3600L)

@@ -228,6 +228,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(nF === 10L && sF === 0.0 && iF === 4.0)
   }
 
+  test("gapFill makes a total outage visible: an empty hour amid steady " +
+       "traffic flags with a large negative z; unfilled series can't " +
+       "see it") {
+    // steady ~10/hour for hours 0..20 except hour 15 which has ZERO
+    val ev = (0 until 21).filter(_ != 15).flatMap { h =>
+      (0 until (if (h % 2 == 0) 9 else 11)).map(i =>
+        ("a", f"2024-01-01 $h%02d:${i % 60}%02d:00"))
+    }.zipWithIndex.map { case ((t, s), i) =>
+      (i.toLong, t, java.sql.Timestamp.valueOf(s)) }
+      .toDF("event_id", "event_type", "ts")
+    val unfilled = graft.ops.TimeSeries
+      .anomalyFlags(ev, windowDays = 7, zThreshold = 3.0)
+      .as[(String, Long, Long, Long, Option[Double], Option[Boolean])]
+      .collect()
+    assert(unfilled.length === 20, "the empty hour has no unfilled row")
+    val filled = graft.ops.TimeSeries
+      .anomalyFlags(ev, windowDays = 7, zThreshold = 3.0, gapFill = true)
+      .as[(String, Long, Long, Long, Option[Double], Option[Boolean])]
+      .collect().sortBy(_._2)
+    assert(filled.length === 21, "gapFill completes the span")
+    val outage = filled(15)
+    assert(outage._3 === 0L, "the outage hour exists with n = 0")
+    assert(outage._5.exists(_ < -3.0), s"outage must flag, got $outage")
+    assert(outage._6.contains(true))
+  }
+
   test("rollingAgg on a hand-built tie: equal timestamps share one frame") {
     val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
     val ev = Seq((1L, 7L, t0, 10.0), (2L, 7L, t0, 30.0))
