@@ -66,6 +66,27 @@ object SparkEntry {
         t(s, dir, "lineitem").select(col("l_returnflag"),
                                      col("l_linestatus")))),
 
+    // The canonical TPC-H Q1 pricing summary — one partial→final
+    // aggregate behind a pushed shipdate filter; the classic
+    // "is this an analytics engine" smoke query
+    "q_tpch_q1" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <=
+                lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
+             round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+             round(sum(col("l_extendedprice") *
+                       (lit(1.0) - col("l_discount"))), 2)
+               .as("sum_disc_price"),
+             round(sum(col("l_extendedprice") *
+                       (lit(1.0) - col("l_discount")) *
+                       (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+             round(avg(col("l_quantity")), 6).as("avg_qty"),
+             round(avg(col("l_extendedprice")), 6).as("avg_price"),
+             round(avg(col("l_discount")), 6).as("avg_disc"),
+             count(lit(1)).as("count_order"))),
+
     // P2 month() derive (clean_nyc_taxi_pipeline.py:13)
     "q_derive_month" -> ((s, dir) =>
       CoreOps.deriveMonth(t(s, dir, "events"), "ts")
@@ -323,6 +344,16 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"),
                 TextOps.qualityScore(col("text")).as("quality_score"))),
+
+    // k-anonymity census release: (source, lang) cells under 10 docs
+    // suppress into an '__other__' rollup — total preserved exactly
+    "q_kanon_census" -> ((s, dir) => {
+      val census = t(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+      TextOps.suppressSmallGroups(census, k = 10,
+                                  groupCols = Seq("source", "lang"))
+    }),
 
     // PMI collocations: top-20 token pairs by doc-level pointwise
     // mutual information (min pair df 5) — phrase/template discovery
@@ -1906,6 +1937,22 @@ object SparkEntry {
     "q_dedup_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
 
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 4) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+        |         AS sum_disc_price,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)
+        |                 * (1.0 + l_tax)), 2) AS sum_charge,
+        |       round(avg(l_quantity), 6) AS avg_qty,
+        |       round(avg(l_extendedprice), 6) AS avg_price,
+        |       round(avg(l_discount), 6) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+
     "q_derive_month" ->
       """SELECT CAST(date_part('month', ts) AS INTEGER) AS pickup_month,
         |       count(*) AS n
@@ -2126,6 +2173,18 @@ object SparkEntry {
         |                 / CAST(greatest(len(text),1) AS DOUBLE) * 10.0,
         |                 1.0)) * 0.2, 6) AS quality_score
         |FROM documents""".stripMargin,
+
+    "q_kanon_census" ->
+      """WITH census AS (SELECT source, lang, count(*) AS n
+        |                FROM documents GROUP BY 1, 2),
+        |masked AS (SELECT CASE WHEN n < 10 THEN '__other__'
+        |                       ELSE source END AS source,
+        |                  CASE WHEN n < 10 THEN '__other__'
+        |                       ELSE lang END AS lang,
+        |                  n
+        |           FROM census)
+        |SELECT source, lang, CAST(sum(n) AS BIGINT) AS n
+        |FROM masked GROUP BY 1, 2""".stripMargin,
 
     "q_pmi_pairs" ->
       """WITH toks AS (SELECT doc_id, unnest(list_distinct(list_filter(

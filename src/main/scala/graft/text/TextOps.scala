@@ -869,6 +869,31 @@ object TextOps {
       .limit(k)
   }
 
+  /** Small-group suppression (k-anonymity hygiene for released
+    * censuses): any group of a census frame whose count falls below
+    * `k` has its group labels replaced by `__other__` and is rolled up
+    * — the standard datacard/datasheet release rule (a (source, lang)
+    * cell of 2 documents can identify its members; the rolled-up
+    * remainder cannot). The rollup bucket itself may still total < k
+    * when little is suppressed — it identifies no individual group, so
+    * it ships (the census total is preserved EXACTLY by construction,
+    * which a drop-below-k rule would break).
+    *
+    * One narrow projection + one re-aggregate over the census frame
+    * (already tiny — groups, not rows).
+    */
+  def suppressSmallGroups(census: DataFrame, k: Long,
+                          groupCols: Seq[String],
+                          nCol: String = "n"): DataFrame = {
+    require(k >= 1 && groupCols.nonEmpty)
+    val masked = groupCols.foldLeft(census) { (d, c) =>
+      d.withColumn(c,
+        when(col(nCol) < k, lit("__other__")).otherwise(col(c)))
+    }
+    masked.groupBy(groupCols.map(col): _*)
+      .agg(sum(col(nCol)).cast("long").as(nCol))
+  }
+
   /** PMI collocations — the top-k token pairs by pointwise mutual
     * information over DOC-level co-occurrence (pmi = ln(p(x,y) /
     * p(x)p(y)) with p = document frequency / N): the classic

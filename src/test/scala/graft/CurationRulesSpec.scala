@@ -311,6 +311,21 @@ class CurationRulesSpec extends SparkSpec {
     assert(all.map(_._3).max === 5L)
   }
 
+  test("suppressSmallGroups: sub-k cells roll into __other__, big cells " +
+       "untouched, the census total is preserved exactly") {
+    import spark.implicits._
+    val census = Seq(("s1", "en", 50L), ("s1", "zh", 3L),
+                     ("s2", "en", 12L), ("s2", "fr", 2L),
+                     ("s3", "de", 1L))
+      .toDF("source", "lang", "n")
+    val got = TextOps.suppressSmallGroups(census, k = 10,
+                                          groupCols = Seq("source", "lang"))
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(("s1", "en", 50L), ("s2", "en", 12L),
+                       ("__other__", "__other__", 6L)))
+    assert(got.toSeq.map(_._3).sum === 68L, "total must be preserved")
+  }
+
   test("calibrateScores: ties share a percentile, a singleton source " +
        "calibrates to 0, and one global threshold cuts each source at " +
        "the same quantile") {
