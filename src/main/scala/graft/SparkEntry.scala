@@ -87,6 +87,44 @@ object SparkEntry {
              round(avg(col("l_discount")), 6).as("avg_disc"),
              count(lit(1)).as("count_order"))),
 
+    // TPC-H Q6 forecasting-revenue-change: the pushed-filter scan-agg
+    "q_tpch_q6" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >=
+                  lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+                col("l_shipdate") <
+                  lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")) &&
+                col("l_discount").between(0.05, 0.07) &&
+                col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+               .as("revenue"))),
+
+    // TPC-H Q3 shipping priority (adapted to the schema — no
+    // shippriority column): segment dim broadcast, two hash joins,
+    // top-10 by revenue = TakeOrderedAndProject, never a global sort
+    "q_tpch_q3" -> ((s, dir) => {
+      val d = lit(java.sql.Timestamp.valueOf("1998-03-15 00:00:00"))
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > d)
+        .select(col("l_orderkey"), col("l_extendedprice"),
+                col("l_discount"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+                 date_format(col("o_orderdate"), "yyyy-MM-dd")
+                   .as("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") *
+                       (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
     // P2 month() derive (clean_nyc_taxi_pipeline.py:13)
     "q_derive_month" -> ((s, dir) =>
       CoreOps.deriveMonth(t(s, dir, "events"), "ts")
@@ -1952,6 +1990,28 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q_tpch_q3" ->
+      """SELECT l_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+        |         AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
     "q_derive_month" ->
       """SELECT CAST(date_part('month', ts) AS INTEGER) AS pickup_month,
