@@ -125,6 +125,39 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // TPC-H Q5 local-supplier volume: the deepest join in the suite —
+    // six tables; the three dims broadcast (region→nation fold,
+    // supplier), fact-fact orders⋈lineitem shuffles on the orderkey,
+    // the c↔s same-nation constraint rides the join condition
+    "q_tpch_q5" -> ((s, dir) => {
+      val nations = t(s, dir, "nation")
+        .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+              col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >=
+                  lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+                col("o_orderdate") <
+                  lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+                col("l_extendedprice"), col("l_discount"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+                              col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nations),
+              col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") *
+                       (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+    }),
+
     // P2 month() derive (clean_nyc_taxi_pipeline.py:13)
     "q_derive_month" -> ((s, dir) =>
       CoreOps.deriveMonth(t(s, dir, "events"), "ts")
@@ -1990,6 +2023,19 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+        |         AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
 
     "q_tpch_q6" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
