@@ -158,6 +158,33 @@ object SparkEntry {
                        (lit(1.0) - col("l_discount"))), 2).as("revenue"))
     }),
 
+    // TPC-H Q18 large-volume customers: group-by-HAVING semi-join —
+    // the heavy-order keys reduce to a small frame that AQE broadcasts
+    // into the fact join; top-100 via TakeOrderedAndProject
+    "q_tpch_q18" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val heavy = li.groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_quantity")), 4).as("total_qty"))
+        .filter(col("total_qty") > 300)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+                col("o_totalprice"),
+                date_format(col("o_orderdate"), "yyyy-MM-dd")
+                  .as("o_orderdate"))
+        .join(heavy, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer")
+                .select(col("c_custkey"), col("c_name")),
+              col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+                col("o_orderdate"),
+                round(col("o_totalprice"), 2).as("o_totalprice"),
+                col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate").asc,
+                 col("o_orderkey").asc)
+        .limit(100)
+    }),
+
     // P2 month() derive (clean_nyc_taxi_pipeline.py:13)
     "q_derive_month" -> ((s, dir) =>
       CoreOps.deriveMonth(t(s, dir, "events"), "ts")
@@ -2023,6 +2050,19 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_tpch_q18" ->
+      """WITH heavy AS (SELECT l_orderkey,
+        |                      round(sum(l_quantity), 4) AS total_qty
+        |               FROM lineitem GROUP BY 1
+        |               HAVING round(sum(l_quantity), 4) > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       round(o_totalprice, 2) AS o_totalprice, total_qty
+        |FROM heavy JOIN orders ON o_orderkey = l_orderkey
+        |           JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin,
 
     "q_tpch_q5" ->
       """SELECT n_name,
