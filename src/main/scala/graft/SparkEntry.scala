@@ -1424,6 +1424,21 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       graft.streaming.Sessionize.batch(t(s, dir, "events"), 30)),
 
+    // Session-level engagement summary over the sessionize output:
+    // volume, mean depth/duration, bounce share — one tiny aggregate
+    // over the (already session-granular) frame
+    "q_session_stats" -> ((s, dir) => {
+      val sess = graft.streaming.Sessionize.batch(t(s, dir, "events"), 30)
+      sess.agg(
+        count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(avg(col("n_events")), 6).as("avg_events"),
+        round(avg((col("session_end_ms") - col("session_start_ms")) /
+                  lit(1000.0)), 6).as("avg_duration_s"),
+        round(avg(when(col("n_events") === 1, 1.0).otherwise(0.0)), 6)
+          .as("bounce_share"))
+    }),
+
     // Ordered conversion funnel view → click → purchase, 72 h gaps:
     // first-touch semantics, k narrow per-user min-aggregates — never
     // an event-list collect or a whole-history window
@@ -3877,6 +3892,34 @@ object SparkEntry {
         |       epoch_ms(max(tsm)) AS session_end_ms,
         |       count(*) AS n_events
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q_session_stats" ->
+      """WITH e AS (SELECT user_id, date_trunc('milliseconds', ts) AS tsm
+        |           FROM events),
+        |l AS (SELECT user_id, tsm,
+        |        lag(tsm) OVER (PARTITION BY user_id ORDER BY tsm) AS prev
+        |      FROM e),
+        |m AS (SELECT user_id, tsm,
+        |        CASE WHEN prev IS NULL
+        |               OR epoch_ms(tsm) - epoch_ms(prev) > 1800000
+        |             THEN 1 ELSE 0 END AS new_session
+        |      FROM l),
+        |s AS (SELECT user_id, tsm,
+        |        CAST(sum(new_session) OVER (PARTITION BY user_id
+        |          ORDER BY tsm ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |          AS session_seq
+        |      FROM m),
+        |sess AS (SELECT user_id, session_seq,
+        |                epoch_ms(min(tsm)) AS st, epoch_ms(max(tsm)) AS en,
+        |                count(*) AS n_events
+        |         FROM s GROUP BY 1, 2)
+        |SELECT count(*) AS n_sessions,
+        |       count(DISTINCT user_id) AS n_users,
+        |       round(avg(n_events), 6) AS avg_events,
+        |       round(avg((en - st) / 1000.0), 6) AS avg_duration_s,
+        |       round(avg(CASE WHEN n_events = 1 THEN 1.0 ELSE 0.0 END), 6)
+        |         AS bounce_share
+        |FROM sess""".stripMargin,
 
     "q_corpus_pipeline" ->
       (curateKeptCtes + """
