@@ -185,6 +185,37 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // TPC-H Q10 returned-item reporting: lost revenue per customer for
+    // one quarter's 'R' lineitems — two fact joins behind pushed
+    // filters, nation broadcast, top-20 = TakeOrderedAndProject
+    "q_tpch_q10" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >=
+                  lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+                col("o_orderdate") <
+                  lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00")))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"),
+                col("l_discount"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")
+                .select(col("c_custkey"), col("c_name"),
+                        col("c_acctbal"), col("c_nationkey"))),
+              col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")
+                .select(col("n_nationkey"), col("n_name"))),
+              col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"),
+                 round(col("c_acctbal"), 2).as("c_acctbal"),
+                 col("n_name"))
+        .agg(round(sum(col("l_extendedprice") *
+                       (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
     // P2 month() derive (clean_nyc_taxi_pipeline.py:13)
     "q_derive_month" -> ((s, dir) =>
       CoreOps.deriveMonth(t(s, dir, "events"), "ts")
@@ -2065,6 +2096,20 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
+        |       n_name,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+        |         AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q_tpch_q18" ->
       """WITH heavy AS (SELECT l_orderkey,
