@@ -216,6 +216,23 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Year-over-year growth: yearly order volume/revenue with the
+    // growth rate vs the previous year — one partial→final yearly
+    // aggregate, then a lag window over the years-sized frame
+    "q_yoy_growth" -> ((s, dir) => {
+      val yearly = t(s, dir, "orders")
+        .filter(col("o_orderdate").isNotNull)
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum(col("o_totalprice")), 2).as("revenue"))
+      val w = Window.orderBy(col("yr"))
+      yearly
+        .withColumn("growth",
+          round((col("revenue") - lag(col("revenue"), 1).over(w)) /
+                nullif(lag(col("revenue"), 1).over(w), lit(0.0)), 6))
+        .select(col("yr"), col("n_orders"), col("revenue"), col("growth"))
+    }),
+
     // P2 month() derive (clean_nyc_taxi_pipeline.py:13)
     "q_derive_month" -> ((s, dir) =>
       CoreOps.deriveMonth(t(s, dir, "events"), "ts")
@@ -2096,6 +2113,18 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_yoy_growth" ->
+      """WITH yearly AS (
+        |  SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS yr,
+        |         count(*) AS n_orders,
+        |         round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1)
+        |SELECT yr, n_orders, revenue,
+        |       round((revenue - lag(revenue) OVER (ORDER BY yr)) /
+        |             nullif(lag(revenue) OVER (ORDER BY yr), 0), 6)
+        |         AS growth
+        |FROM yearly""".stripMargin,
 
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
