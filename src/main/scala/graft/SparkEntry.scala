@@ -843,6 +843,17 @@ object SparkEntry {
     "q_shuffle_order" -> ((s, dir) =>
       TextOps.shuffleOrder(t(s, dir, "documents"), seed = "42")),
 
+    // Explicit GROUPING SETS ((source), (lang), ()) with grouping
+    // flags — the custom-lattice cousin of rollup/cube; one aggregate
+    // pass expands the sets, partial aggregation still applies
+    "q_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupingSets(Seq(Seq(col("source")), Seq(col("lang")), Seq()),
+                      col("source"), col("lang"))
+        .agg(grouping(col("source")).cast("int").as("g_src"),
+             grouping(col("lang")).cast("int").as("g_lang"),
+             count(lit(1)).as("n"))),
+
     // Curriculum order (easy→hard by n_chars, 4 tiers, seeded shuffle
     // WITHIN tiers): two rangeRank passes, never a global sort
     "q_curriculum" -> ((s, dir) =>
@@ -1551,6 +1562,11 @@ object SparkEntry {
     // (user, day) pairs, never a per-day re-scan of raw events
     "q_active_users" -> ((s, dir) =>
       graft.ops.TimeSeries.activeUsers(t(s, dir, "events"), days = 7)),
+
+    // Daily user churn: new / retained / churned per observed day via
+    // the same collapse-to-pairs contribution machinery
+    "q_user_churn" -> ((s, dir) =>
+      graft.ops.TimeSeries.userChurn(t(s, dir, "events"))),
 
     // LINEAR multi-touch attribution (the last-touch complement):
     // purchase value split equally over ALL clicks in the trailing
@@ -2858,6 +2874,14 @@ object SparkEntry {
         |         - 1 AS pos
         |FROM documents""".stripMargin,
 
+    "q_grouping_sets" ->
+      """SELECT source, lang,
+        |       CAST(grouping(source) AS INTEGER) AS g_src,
+        |       CAST(grouping(lang) AS INTEGER) AS g_lang,
+        |       count(*) AS n
+        |FROM documents
+        |GROUP BY GROUPING SETS ((source), (lang), ())""".stripMargin,
+
     "q_curriculum" ->
       """WITH r AS (SELECT doc_id,
         |             row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rk,
@@ -3842,6 +3866,26 @@ object SparkEntry {
         |SELECT event_type, hour_ms, n, base_n, zscore,
         |       abs(zscore) >= 3.0 AS is_anomaly
         |FROM z""".stripMargin,
+
+    "q_user_churn" ->
+      """WITH pairs AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+        |               FROM events
+        |               WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |votes AS (SELECT u, d, 1 AS t, 0 AS y FROM pairs
+        |          UNION ALL
+        |          SELECT u, d + 1, 0, 1 FROM pairs),
+        |per AS (SELECT d, u, max(t) AS t, max(y) AS y FROM votes
+        |        GROUP BY 1, 2),
+        |obs AS (SELECT DISTINCT d FROM pairs)
+        |SELECT strftime(per.d, '%Y-%m-%d') AS day,
+        |       CAST(sum(CASE WHEN t = 1 AND y = 0 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_new,
+        |       CAST(sum(CASE WHEN t = 1 AND y = 1 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_retained,
+        |       CAST(sum(CASE WHEN t = 0 AND y = 1 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_churned
+        |FROM per JOIN obs ON obs.d = per.d
+        |GROUP BY 1""".stripMargin,
 
     "q_active_users" ->
       """WITH pairs AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d

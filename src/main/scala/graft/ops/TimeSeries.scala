@@ -44,6 +44,43 @@ object TimeSeries {
               col("trail_avg"))
   }
 
+  /** Daily user CHURN census — per observed day: users NEW (active
+    * today, not yesterday), RETAINED (both days), and CHURNED (active
+    * yesterday, gone today). Computed by CONTRIBUTION EXPLOSION over
+    * the deduplicated (user, day) pairs (each pair votes "present
+    * today" for its day and "present yesterday" for the next day; one
+    * per-(day, user) max-flag aggregate resolves the votes) — the same
+    * events-collapse-first shape as `activeUsers`, so the whole census
+    * is proportional to users·activity-days, never events. Only days
+    * observed in the data are reported.
+    */
+  def userChurn(events: DataFrame, userCol: String = "user_id",
+                tsCol: String = "ts"): DataFrame = {
+    val pairs = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+    val votes = pairs
+      .select(col("__u"), col("__d"), lit(1).as("__t"), lit(0).as("__y"))
+      .unionByName(pairs.select(col("__u"),
+                                date_add(col("__d"), 1).as("__d"),
+                                lit(0).as("__t"), lit(1).as("__y")))
+    val per = votes.groupBy(col("__d"), col("__u"))
+      .agg(max(col("__t")).as("t"), max(col("__y")).as("y"))
+    per.join(pairs.select(col("__d")).distinct(), "__d")
+      .groupBy(col("__d"))
+      .agg(sum(when(col("t") === 1 && col("y") === 0, 1L)
+                 .otherwise(0L)).as("n_new"),
+           sum(when(col("t") === 1 && col("y") === 1, 1L)
+                 .otherwise(0L)).as("n_retained"),
+           sum(when(col("t") === 0 && col("y") === 1, 1L)
+                 .otherwise(0L)).as("n_churned"))
+      .select(date_format(col("__d"), "yyyy-MM-dd").as("day"),
+              col("n_new"), col("n_retained"), col("n_churned"))
+  }
+
   /** Per-type hourly-volume TREND LINES — closed-form OLS (slope per
     * hour, intercept at the corpus's first hour, R²) via the SQL-standard
     * `regr_*` aggregate family, which both engines compute from the same

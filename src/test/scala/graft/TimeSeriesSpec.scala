@@ -254,6 +254,31 @@ class TimeSeriesSpec extends SparkSpec {
     assert(outage._6.contains(true))
   }
 
+  test("userChurn: new/retained/churned resolve per day; " +
+       "n_new + n_retained equals that day's DAU") {
+    def d(day: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    // day1: u1, u2 ; day2: u1 (retained), u3 (new); u2 churns on day2
+    val ev = Seq((1L, 1L, d(1, 9)), (2L, 2L, d(1, 10)),
+                 (3L, 1L, d(2, 9)), (4L, 3L, d(2, 11)))
+      .toDF("event_id", "user_id", "ts")
+    val got = graft.ops.TimeSeries.userChurn(ev)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got === Map("2024-01-01" -> ((2L, 0L, 0L)),
+                       "2024-01-02" -> ((1L, 1L, 1L))))
+    // invariant on the real table: new + retained = DAU per day
+    val events = Tables.load(spark, sfDir, "events")
+    val churn = graft.ops.TimeSeries.userChurn(events)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2 + r._3)).toMap
+    val dau = graft.ops.TimeSeries.activeUsers(events, days = 1)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(churn === dau)
+    spark.catalog.clearCache()
+  }
+
   test("rollingAgg on a hand-built tie: equal timestamps share one frame") {
     val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
     val ev = Seq((1L, 7L, t0, 10.0), (2L, 7L, t0, 30.0))
