@@ -47,7 +47,7 @@ object SparkEntry {
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    parityQueries ++ extensionQueries
+    parityQueries ++ extensionQueries ++ graft.tpch.TpchExt.queries
 
   private def parityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -4174,7 +4174,7 @@ object SparkEntry {
         |       CAST(sum(user_id) AS BIGINT) AS uid_sum,
         |       round(sum(value), 4) AS v
         |FROM events""".stripMargin
-  )
+  ) ++ graft.tpch.TpchExt.oracles
 
   /** Shared truth for both top-k strategies (window row_number and the
     * bounded-buffer Aggregator): identical rows, identical tie-breaks.
