@@ -291,6 +291,129 @@ object TpchExt {
         .limit(20)
     }),
 
+    // Q2 min-cost supplier (partsupp → observed unit price): per-pair
+    // min(extprice/qty) from lineitem, the correlated regional minimum
+    // decorrelated to a per-part aggregate over the SAME region-pruned
+    // pair frame joined back on (part, cost); top-100 by balance =
+    // TakeOrderedAndProject. The pair frame is the one shuffle; parts
+    // and the European supplier dim broadcast
+    "q_tpch_q2" -> ((s, dir) => {
+      val eu = t(s, dir, "supplier")
+        .join(broadcast(
+                t(s, dir, "nation")
+                  .join(t(s, dir, "region")
+                          .filter(col("r_name") === "EUROPE"),
+                        col("n_regionkey") === col("r_regionkey"))
+                  .select(col("n_nationkey"), col("n_name"))),
+              col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+                col("n_name"))
+      val parts = t(s, dir, "part")
+        .filter(col("p_size") === 15 && col("p_type") === "LARGE")
+        .select(col("p_partkey"))
+      val pairCost = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+                (col("l_extendedprice") / col("l_quantity")).as("unit"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(eu.select(col("s_suppkey"))),
+              col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("unit")).as("cost"))
+      val minCost = pairCost.groupBy(col("l_partkey").as("m_partkey"))
+        .agg(min(col("cost")).as("min_cost"))
+      pairCost
+        .join(broadcast(minCost),
+              col("l_partkey") === col("m_partkey") &&
+                col("cost") === col("min_cost"))
+        .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+        .select(round(col("s_acctbal"), 2).as("s_acctbal"), col("s_name"),
+                col("n_name"), col("l_partkey").as("p_partkey"),
+                round(col("cost"), 4).as("supplycost"))
+        .orderBy(col("s_acctbal").desc, col("n_name").asc,
+                 col("s_name").asc, col("p_partkey").asc)
+        .limit(100)
+    }),
+
+    // Q9 product-type profit by nation and year (no supplycost column →
+    // synthetic cost = 10% of retail per unit): one fact join keyed on
+    // the orderkey, part/supplier dims broadcast, profit folded before
+    // the (nation, year) aggregate
+    "q_tpch_q9" -> ((s, dir) => {
+      val parts = t(s, dir, "part")
+        .filter(col("p_name").contains("gear"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"),
+                                             col("s_nationkey"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"),
+                                           col("o_orderdate"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+                col("l_quantity"), col("l_extendedprice"),
+                col("l_discount"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(concat(lit("NATION_"), col("s_nationkey")).as("nation"),
+                 year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(col("l_extendedprice") *
+                         (lit(1.0) - col("l_discount")) -
+                       lit(0.1) * col("p_retailprice") *
+                         col("l_quantity")), 2).as("sum_profit"))
+    }),
+
+    // Q11 important stock (partsupp value → shipped value of one
+    // nation's suppliers): "important" = worth more than 2× the MEAN
+    // part value of the slice (the official query scales its fixed
+    // fraction by 1/SF for exactly this reason — an absolute share goes
+    // empty as the part count grows). The HAVING threshold is a scalar
+    // aggregate decorrelated to a one-row broadcast cross join; the
+    // per-part frame is re-derived for the cut (two passes over the
+    // slice, same as the official partsupp double-scan)
+    "q_tpch_q11" -> ((s, dir) => {
+      val supp7 = t(s, dir, "supplier")
+        .filter(col("s_nationkey") === 7).select(col("s_suppkey"))
+      val partVal = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+                col("l_extendedprice"))
+        .join(broadcast(supp7), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice")).as("raw_value"))
+      val cut = partVal
+        .agg((avg(col("raw_value")) * lit(2.0)).as("value_cut"))
+      partVal
+        .crossJoin(broadcast(cut))
+        .filter(col("raw_value") > col("value_cut"))
+        .select(col("l_partkey"),
+                round(col("raw_value"), 2).as("part_value"))
+    }),
+
+    // Q20 excess-share suppliers (availqty → shipped-quantity share):
+    // suppliers owning > 4× their fair share (1/n_suppliers) of some
+    // SMALL part's total shipped volume — a RELATIVE threshold, so the
+    // predicate stays selective as per-part volume grows with scale.
+    // Both aggregates ride ONE part-pruned pair frame; the qualifying
+    // (part, supplier) pairs collapse to a distinct supplier set that
+    // semi-joins the dim — no fact rescan, no correlated probe
+    "q_tpch_q20" -> ((s, dir) => {
+      val parts = t(s, dir, "part")
+        .filter(col("p_type") === "SMALL").select(col("p_partkey"))
+      val pairQty = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("sq"))
+      val totQty = pairQty.groupBy(col("l_partkey").as("t_partkey"))
+        .agg(sum(col("sq")).as("tq"), count(lit(1)).as("nsupp"))
+      val bigShare = pairQty
+        .join(broadcast(totQty), col("l_partkey") === col("t_partkey"))
+        .filter(col("sq") > lit(4.0) * col("tq") / col("nsupp"))
+        .select(col("l_suppkey")).distinct()
+      t(s, dir, "supplier")
+        .join(bigShare, col("s_suppkey") === col("l_suppkey"),
+              "left_semi")
+        .select(col("s_name"), round(col("s_acctbal"), 2).as("s_acctbal"))
+    }),
+
     // Q22 dormant high-balance customers: the global average is a one-row
     // broadcast cross join (scalar subquery); "no recent orders" is a
     // broadcast-able anti join on the date-pruned order slice
@@ -452,6 +575,69 @@ object TpchExt {
         |                          o_orderdate + INTERVAL 90 DAY)
         |GROUP BY 1
         |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "q_tpch_q2" ->
+      """WITH eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        |            FROM supplier
+        |            JOIN nation ON n_nationkey = s_nationkey
+        |            JOIN region ON r_regionkey = n_regionkey
+        |            WHERE r_name = 'EUROPE'),
+        |     ps AS (SELECT l_partkey, l_suppkey,
+        |                   min(l_extendedprice / l_quantity) AS cost
+        |            FROM lineitem
+        |            JOIN part ON p_partkey = l_partkey
+        |            JOIN eu ON s_suppkey = l_suppkey
+        |            WHERE p_size = 15 AND p_type = 'LARGE'
+        |            GROUP BY 1, 2)
+        |SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+        |       l_partkey AS p_partkey, round(cost, 4) AS supplycost
+        |FROM ps JOIN eu ON s_suppkey = l_suppkey
+        |WHERE cost = (SELECT min(cost) FROM ps ps2
+        |              WHERE ps2.l_partkey = ps.l_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q_tpch_q9" ->
+      """SELECT 'NATION_' || s_nationkey AS nation,
+        |       CAST(date_part('year', o_orderdate) AS INTEGER) AS o_year,
+        |       round(sum(l_extendedprice * (1.0 - l_discount) -
+        |                 0.1 * p_retailprice * l_quantity), 2)
+        |         AS sum_profit
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_tpch_q11" ->
+      """WITH sl AS (SELECT l_partkey, l_extendedprice
+        |            FROM lineitem
+        |            JOIN supplier ON s_suppkey = l_suppkey
+        |            WHERE s_nationkey = 7),
+        |     pv AS (SELECT l_partkey,
+        |                   sum(l_extendedprice) AS raw_value
+        |            FROM sl GROUP BY 1)
+        |SELECT l_partkey, round(raw_value, 2) AS part_value
+        |FROM pv
+        |WHERE raw_value > (SELECT 2.0 * avg(raw_value) FROM pv)"""
+        .stripMargin,
+
+    "q_tpch_q20" ->
+      """WITH pq AS (SELECT l_partkey, l_suppkey,
+        |                   sum(l_quantity) AS sq
+        |            FROM lineitem
+        |            JOIN part ON p_partkey = l_partkey
+        |            WHERE p_type = 'SMALL'
+        |            GROUP BY 1, 2),
+        |     tot AS (SELECT l_partkey, sum(sq) AS tq,
+        |                    count(*) AS nsupp
+        |             FROM pq GROUP BY 1)
+        |SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+        |FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey
+        |                    FROM pq JOIN tot USING (l_partkey)
+        |                    WHERE sq > 4.0 * tq / nsupp)""".stripMargin,
 
     "q_tpch_q22" ->
       """SELECT c_nationkey, count(*) AS numcust,

@@ -114,6 +114,61 @@ class TpchExtSpec extends SparkSpec {
     assert(out.toSeq === Seq(30.0)) // (70 + 140) / 7
   }
 
+  test("q2: the min is over EUROPE suppliers only, and ties all win") {
+    val region = Seq((0, "EUROPE"), (1, "ASIA")).toDF("r_regionkey", "r_name")
+    val nation = Seq((10, "N_EU", 0), (11, "N_AS", 1))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val sup = Seq(
+      (1L, "S1", 500.0, 10), (2L, "S2", 400.0, 10), // EU
+      (3L, "S3", 900.0, 11)                         // non-EU, cheapest
+    ).toDF("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    val part = Seq((7L, 15, "LARGE"), (8L, 15, "SMALL"))
+      .toDF("p_partkey", "p_size", "p_type")
+    val li = Seq(
+      (7L, 1L, 2.0, 20.0), (7L, 2L, 1.0, 10.0), // both unit cost 10
+      (7L, 3L, 1.0, 5.0),                       // cheaper but non-EU
+      (8L, 1L, 1.0, 1.0)                        // wrong p_type
+    ).toDF("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+    val out = planted(
+      Map("region" -> region, "nation" -> nation, "supplier" -> sup,
+          "part" -> part, "lineitem" -> li), "q_tpch_q2")
+      .select("s_name", "supplycost")
+      .as[(String, Double)].collect().toSet
+    assert(out === Set(("S1", 10.0), ("S2", 10.0)))
+  }
+
+  test("q11: the mean-value cut comes from the nation-pruned slice only") {
+    val sup = Seq((1L, 7), (2L, 8)).toDF("s_suppkey", "s_nationkey")
+    val li = Seq(
+      (100L, 1L, 1000.0), (101L, 1L, 100.0), (102L, 1L, 100.0),
+      // nation-7 slice: values 1000/100/100, mean 400, cut 800
+      (103L, 2L, 50000.0) // other nation: must not inflate the cut
+    ).toDF("l_partkey", "l_suppkey", "l_extendedprice")
+    val out = planted(Map("supplier" -> sup, "lineitem" -> li),
+                      "q_tpch_q11")
+      .as[(Long, Double)].collect().toMap
+    assert(out === Map(100L -> 1000.0))
+  }
+
+  test("q20: only suppliers above 4x fair share of some part qualify") {
+    val part = Seq((1L, "SMALL"), (2L, "LARGE"))
+      .toDF("p_partkey", "p_type")
+    // part 1: five suppliers, A ships 20 of 24 -> 20 > 4*24/5 = 19.2
+    val li = Seq(
+      (1L, 1L, 20.0), (1L, 2L, 1.0), (1L, 3L, 1.0), (1L, 4L, 1.0),
+      (1L, 5L, 1.0),
+      (2L, 2L, 999.0) // dominant on a non-SMALL part: ignored
+    ).toDF("l_partkey", "l_suppkey", "l_quantity")
+    val sup = Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0),
+                  (4L, "D", 40.0), (5L, "E", 50.0))
+      .toDF("s_suppkey", "s_name", "s_acctbal")
+    val out = planted(
+      Map("part" -> part, "lineitem" -> li, "supplier" -> sup),
+      "q_tpch_q20")
+      .as[(String, Double)].collect().toSet
+    assert(out === Set(("A", 10.0)))
+  }
+
   test("q22: scalar cut from positive balances; recent orders disqualify") {
     val cust = Seq(
       (1L, 1, 100.0),  // above avg(pos)=70, dormant -> kept
