@@ -56,17 +56,21 @@ object TpchExt {
         .agg(count(lit(1)).as("order_count"))
     }),
 
-    // Q7 volume shipping between two nations: the nation dim plays BOTH
-    // roles (supplier-side n1, customer-side n2); both key sets are pruned
-    // to the two nations BEFORE the fact join, so the big orders⋈lineitem
-    // shuffle only carries the ~2/25 qualifying slice
+    // Q7 volume shipping between two REGIONS (nation-level traffic is
+    // too sparse below sf0.01 — only 10 suppliers exist at sf0.001): the
+    // nation→region fold plays BOTH roles (supplier-side, customer-side);
+    // both key sets are pruned to the two regions BEFORE the fact join,
+    // so the big orders⋈lineitem shuffle only carries the ~2/5 slice
     "q_tpch_q7" -> ((s, dir) => {
+      val nat = t(s, dir, "nation")
+        .filter(col("n_regionkey").isin(2, 3)) // ASIA, EUROPE
+        .select(col("n_nationkey"), col("n_regionkey"))
       val sup = t(s, dir, "supplier")
-        .filter(col("s_nationkey").isin(1, 2))
-        .select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_regionkey").as("s_region"))
       val cust = t(s, dir, "customer")
-        .filter(col("c_nationkey").isin(1, 2))
-        .select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_regionkey").as("c_region"))
       val ord = t(s, dir, "orders").select(col("o_orderkey"),
                                            col("o_custkey"))
       t(s, dir, "lineitem")
@@ -77,12 +81,12 @@ object TpchExt {
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .filter((col("s_nationkey") === 1 && col("c_nationkey") === 2) ||
-                (col("s_nationkey") === 2 && col("c_nationkey") === 1))
-        .groupBy(concat(lit("NATION_"), col("s_nationkey"))
-                   .as("supp_nation"),
-                 concat(lit("NATION_"), col("c_nationkey"))
-                   .as("cust_nation"),
+        .filter((col("s_region") === 2 && col("c_region") === 3) ||
+                (col("s_region") === 3 && col("c_region") === 2))
+        .groupBy(when(col("s_region") === 2, "ASIA").otherwise("EUROPE")
+                   .as("supp_region"),
+                 when(col("c_region") === 2, "ASIA").otherwise("EUROPE")
+                   .as("cust_region"),
                  year(col("l_shipdate")).as("l_year"))
         .agg(round(sum(col("l_extendedprice") *
                        (lit(1.0) - col("l_discount"))), 2).as("revenue"))
@@ -309,7 +313,8 @@ object TpchExt {
         .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
                 col("n_name"))
       val parts = t(s, dir, "part")
-        .filter(col("p_size") === 15 && col("p_type") === "LARGE")
+        .filter(col("p_type") === "LARGE" &&
+                col("p_size").between(10, 20))
         .select(col("p_partkey"))
       val pairCost = t(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_suppkey"),
@@ -361,8 +366,9 @@ object TpchExt {
                          col("l_quantity")), 2).as("sum_profit"))
     }),
 
-    // Q11 important stock (partsupp value → shipped value of one
-    // nation's suppliers): "important" = worth more than 2× the MEAN
+    // Q11 important stock (partsupp value → shipped value of the ASIA
+    // region's suppliers — a single nation is unpopulated below
+    // sf0.01): "important" = worth more than 2× the MEAN
     // part value of the slice (the official query scales its fixed
     // fraction by 1/SF for exactly this reason — an absolute share goes
     // empty as the part count grows). The HAVING threshold is a scalar
@@ -370,12 +376,16 @@ object TpchExt {
     // per-part frame is re-derived for the cut (two passes over the
     // slice, same as the official partsupp double-scan)
     "q_tpch_q11" -> ((s, dir) => {
-      val supp7 = t(s, dir, "supplier")
-        .filter(col("s_nationkey") === 7).select(col("s_suppkey"))
+      val asiaSupp = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+                          .filter(col("n_regionkey") === 2) // ASIA
+                          .select(col("n_nationkey"))),
+              col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
       val partVal = t(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_suppkey"),
                 col("l_extendedprice"))
-        .join(broadcast(supp7), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("l_partkey"))
         .agg(sum(col("l_extendedprice")).as("raw_value"))
       val cut = partVal
@@ -448,17 +458,21 @@ object TpchExt {
         |GROUP BY 1""".stripMargin,
 
     "q_tpch_q7" ->
-      """SELECT 'NATION_' || s_nationkey AS supp_nation,
-        |       'NATION_' || c_nationkey AS cust_nation,
+      """SELECT CASE WHEN n1.n_regionkey = 2 THEN 'ASIA' ELSE 'EUROPE' END
+        |         AS supp_region,
+        |       CASE WHEN n2.n_regionkey = 2 THEN 'ASIA' ELSE 'EUROPE' END
+        |         AS cust_region,
         |       CAST(date_part('year', l_shipdate) AS INTEGER) AS l_year,
         |       round(sum(l_extendedprice * (1.0 - l_discount)), 2)
         |         AS revenue
         |FROM lineitem
         |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation n1 ON n1.n_nationkey = s_nationkey
         |JOIN orders ON o_orderkey = l_orderkey
         |JOIN customer ON c_custkey = o_custkey
-        |WHERE ((s_nationkey = 1 AND c_nationkey = 2) OR
-        |       (s_nationkey = 2 AND c_nationkey = 1))
+        |JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        |WHERE ((n1.n_regionkey = 2 AND n2.n_regionkey = 3) OR
+        |       (n1.n_regionkey = 3 AND n2.n_regionkey = 2))
         |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY 1, 2, 3""".stripMargin,
@@ -587,7 +601,7 @@ object TpchExt {
         |            FROM lineitem
         |            JOIN part ON p_partkey = l_partkey
         |            JOIN eu ON s_suppkey = l_suppkey
-        |            WHERE p_size = 15 AND p_type = 'LARGE'
+        |            WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
         |            GROUP BY 1, 2)
         |SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
         |       l_partkey AS p_partkey, round(cost, 4) AS supplycost
@@ -614,7 +628,8 @@ object TpchExt {
       """WITH sl AS (SELECT l_partkey, l_extendedprice
         |            FROM lineitem
         |            JOIN supplier ON s_suppkey = l_suppkey
-        |            WHERE s_nationkey = 7),
+        |            JOIN nation ON n_nationkey = s_nationkey
+        |            WHERE n_regionkey = 2),
         |     pv AS (SELECT l_partkey,
         |                   sum(l_extendedprice) AS raw_value
         |            FROM sl GROUP BY 1)

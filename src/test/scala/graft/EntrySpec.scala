@@ -10,7 +10,11 @@ class EntrySpec extends SparkSpec {
     // pair-finding queries may legitimately be empty at the tiny sf
     val mayBeEmpty = Set("q_ngram_jaccard", "q_minhash_lsh",
                          "q_simhash_pairs", "q_cosine_pairs",
-                         "q_lsh_cosine_pairs")
+                         "q_lsh_cosine_pairs",
+                         // 4x-fair-share concentration is unreachable with
+                         // sf0.001's ~10 suppliers/part (verified 4 rows at
+                         // sf0.01, 5 at sf0.1)
+                         "q_tpch_q20")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       val n = df.count()

@@ -137,15 +137,17 @@ class TpchExtSpec extends SparkSpec {
     assert(out === Set(("S1", 10.0), ("S2", 10.0)))
   }
 
-  test("q11: the mean-value cut comes from the nation-pruned slice only") {
+  test("q11: the mean-value cut comes from the region-pruned slice only") {
+    val nation = Seq((7, 2), (8, 3)).toDF("n_nationkey", "n_regionkey")
     val sup = Seq((1L, 7), (2L, 8)).toDF("s_suppkey", "s_nationkey")
     val li = Seq(
       (100L, 1L, 1000.0), (101L, 1L, 100.0), (102L, 1L, 100.0),
-      // nation-7 slice: values 1000/100/100, mean 400, cut 800
-      (103L, 2L, 50000.0) // other nation: must not inflate the cut
+      // ASIA slice: values 1000/100/100, mean 400, cut 800
+      (103L, 2L, 50000.0) // other region: must not inflate the cut
     ).toDF("l_partkey", "l_suppkey", "l_extendedprice")
-    val out = planted(Map("supplier" -> sup, "lineitem" -> li),
-                      "q_tpch_q11")
+    val out = planted(
+      Map("nation" -> nation, "supplier" -> sup, "lineitem" -> li),
+      "q_tpch_q11")
       .as[(Long, Double)].collect().toMap
     assert(out === Map(100L -> 1000.0))
   }
