@@ -1137,6 +1137,16 @@ object SparkEntry {
       SimilarityOps.cosinePairs(t(s, dir, "embeddings"),
                                 "vec_id", "embedding", tau = 0.45)),
 
+    // Semantic decontamination: label-0 vectors play the benchmark/test
+    // set, the rest the corpus; the benchmark folds to one broadcast row
+    // (zero corpus shuffle — see SimilarityOps.semanticDecontaminate)
+    "q_semantic_decon" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.semanticDecontaminate(
+        emb.filter(col("label") =!= 0), emb.filter(col("label") === 0),
+        "vec_id", "embedding", tau = 0.4)
+    }),
+
     // Hard-negative mining (DPR/SimCSE): per anchor, top-3 most-similar
     // corpus vectors with a DIFFERENT label — label filter BEFORE the
     // ranking. Anchors = the 5 lowest vec_ids (batch ≪ corpus contract).
@@ -3133,6 +3143,30 @@ object SparkEntry {
         |FROM orders""".stripMargin,
 
     "q_decontaminate" -> decontaminateOracle,
+
+    "q_semantic_decon" ->
+      """WITH flat AS (SELECT vec_id, label,
+        |                     CAST(unnest(embedding) AS DOUBLE) AS v,
+        |                     generate_subscripts(embedding, 1) AS i
+        |              FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm
+        |          FROM flat GROUP BY 1),
+        |dots AS (SELECT cf.vec_id AS cid, bf.vec_id AS bid,
+        |                sum(cf.v * bf.v) AS dot
+        |         FROM flat cf JOIN flat bf ON cf.i = bf.i
+        |         WHERE cf.label <> 0 AND bf.label = 0
+        |         GROUP BY 1, 2),
+        |sims AS (SELECT cid, bid, dot / (cn.nrm * bn.nrm) AS sim
+        |         FROM dots
+        |         JOIN norms cn ON cn.vec_id = cid
+        |         JOIN norms bn ON bn.vec_id = bid),
+        |ranked AS (SELECT cid, bid, sim,
+        |                  row_number() OVER (PARTITION BY cid
+        |                                     ORDER BY sim DESC, bid ASC)
+        |                    AS rn
+        |           FROM sims)
+        |SELECT cid AS vec_id, bid AS bench_id, round(sim, 6) AS max_sim
+        |FROM ranked WHERE rn = 1 AND sim >= 0.4""".stripMargin,
     // bit-identical contract: screen + exact verify ≡ the exact join
     "q_decontaminate_bloom" -> decontaminateOracle,
 

@@ -266,6 +266,45 @@ object SimilarityOps {
       .select(col("anchor_id"), col("neg_id"), col("sim"))
   }
 
+  /** Semantic decontamination — the embedding-space member of the
+    * decontamination family (exact n-gram / span / Bloom screens live in
+    * `DedupOps`): flag corpus vectors whose max cosine against ANY
+    * benchmark vector reaches `tau`, the screen that catches paraphrased
+    * test-set leakage the lexical screens structurally miss.
+    *
+    * Scale shape: the benchmark folds into ONE array-of-structs row
+    * (sorted by id) and broadcasts — a test set is tiny by definition —
+    * so the corpus is NEVER shuffled; cost = one scan pass × |bench|
+    * cosines per row, the same zero-exchange contract as `ivfAssignTo`.
+    * The argmax keeps the FIRST maximum in bench-id order (strict `>`
+    * over the sorted fold), so ties break deterministically; degenerate
+    * (zero-norm) corpus vectors have null cosine everywhere, keep the
+    * (-1, -2.0) init, and are never flagged.
+    *
+    * Returns flagged rows only: (idCol, bench_id, max_sim) — output is
+    * bounded by real contamination volume, not corpus size.
+    */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                            idCol: String, vecCol: String,
+                            tau: Double): DataFrame = {
+    val folded = benchmark.agg(array_sort(collect_list(struct(
+      col(idCol).cast("long").as("b"),
+      transform(col(vecCol), _.cast("double")).as("c")))).as("__bench"))
+    val best = aggregate(
+      transform(col("__bench"), e =>
+        struct(e.getField("b").as("b"),
+               cosineSim(col(vecCol), e.getField("c")).as("s"))),
+      struct(lit(-1L).as("b"), lit(-2.0).as("s")),
+      (acc, p) =>
+        when(p.getField("s") > acc.getField("s"), p).otherwise(acc))
+    corpus.crossJoin(broadcast(folded))
+      .select(col(idCol), best.as("__best"))
+      .filter(col("__best").getField("s") >= tau)
+      .select(col(idCol),
+              col("__best").getField("b").as("bench_id"),
+              round(col("__best").getField("s"), 6).as("max_sim"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup at
     * corpus scale. Clusters bound the pairwise search — cosine pairs form
     * only WITHIN a cluster, so the join is Σ cluster² instead of n²

@@ -560,4 +560,23 @@ class SimilaritySpec extends SparkSpec {
     assert(dense._3 === mined.head._3, "absolute sims should tie")
     assert(dense._4 < 1.1, s"dense-pair margin should hug 1, got $dense")
   }
+
+  test("semanticDecontaminate: threshold, lowest-id tie, degenerate skip") {
+    def v(xs: Float*) = xs.toArray
+    val bench = Seq(
+      5L -> v(1f, 0f), 9L -> v(1f, 0f), // identical pair: tie on purpose
+      7L -> v(0f, 1f)
+    ).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      100L -> v(2f, 0f),    // cos 1.0 vs bench 5 AND 9 -> lowest id wins
+      101L -> v(1f, 1f),    // cos ~0.7071 vs all three -> flagged, id 5
+      102L -> v(-1f, -1f),  // max cos < 0 -> below tau
+      103L -> v(0f, 0f)     // zero-norm: null cosines, never flagged
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps
+      .semanticDecontaminate(corpus, bench, "vec_id", "embedding",
+                             tau = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out === Set((100L, 5L, 1.0), (101L, 5L, 0.707107)))
+  }
 }
