@@ -1699,6 +1699,22 @@ object SparkEntry {
       both.unionByName(onlyUrgent)
     }),
 
+    // Bag-semantics set ops — the multiset corner q_set_ops' DISTINCT
+    // forms can't express: EXCEPT ALL keeps max(nA-nB, 0) copies per
+    // key, INTERSECT ALL min(nA, nB). Spark plans both as an aggregated
+    // count-diff + generate (one shuffle each), not a row-wise anti join
+    "q_set_ops_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def custs(prio: String) =
+        o.filter(col("o_orderpriority") === prio)
+          .select(col("o_custkey"))
+      val minus = custs("1-URGENT").exceptAll(custs("2-HIGH"))
+        .withColumn("seg", lit("urgent_minus_high_all"))
+      val common = custs("1-URGENT").intersectAll(custs("2-HIGH"))
+        .withColumn("seg", lit("urgent_and_high_all"))
+      minus.unionByName(common)
+    }),
+
     // Deterministic hash-based train/val/test split (content-derived,
     // RNG-free, reproducible across engines — the split assignment plus
     // the per-split census)
@@ -3487,6 +3503,21 @@ object SparkEntry {
         |  WHERE o_orderpriority = '1-URGENT'
         |  EXCEPT
         |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderpriority = '2-HIGH')""".stripMargin,
+
+    "q_set_ops_all" ->
+      """SELECT o_custkey, 'urgent_minus_high_all' AS seg FROM (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderpriority = '2-HIGH')
+        |UNION ALL
+        |SELECT o_custkey, 'urgent_and_high_all' AS seg FROM (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders
         |  WHERE o_orderpriority = '2-HIGH')""".stripMargin,
 
     "q_train_split" ->

@@ -133,4 +133,15 @@ class EdgeCaseSpec extends SparkSpec {
       Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
       "vec_id", "embedding", k = 3, tau = 1.0).count() === 0)
   }
+
+  test("bag-semantics set ops: multiset arithmetic, not row identity") {
+    // A={1,1,1,2}, B={1,2,2}: EXCEPT ALL -> {1,1} (max(nA-nB,0) copies),
+    // INTERSECT ALL -> {1,2} (min counts) — the DISTINCT forms would
+    // give {} and {1,2} and lose the multiplicities
+    val a = Seq(1L, 1L, 1L, 2L).toDF("k")
+    val b = Seq(1L, 2L, 2L).toDF("k")
+    assert(a.exceptAll(b).as[Long].collect().sorted.toSeq === Seq(1L, 1L))
+    assert(a.intersectAll(b).as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L))
+  }
 }
