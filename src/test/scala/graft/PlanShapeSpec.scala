@@ -81,4 +81,26 @@ class PlanShapeSpec extends SparkSpec {
       plan.contains("BroadcastNestedLoopJoin"),
       s"codebook is not broadcast:\n$plan")
   }
+
+  test("semanticDecontaminate: benchmark broadcast, zero corpus exchange") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val df = SimilarityOps.semanticDecontaminate(
+      emb.filter(org.apache.spark.sql.functions.col("label") =!= 0),
+      emb.filter(org.apache.spark.sql.functions.col("label") === 0),
+      "vec_id", "embedding", tau = 0.4)
+    val plan = finalPlan(df)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"decontamination screen shuffled the corpus:\n$plan")
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"benchmark fold is not broadcast:\n$plan")
+  }
+
+  test("tpch top-k queries stay TakeOrderedAndProject, never global sort") {
+    Seq("q_tpch_q2", "q_tpch_q21").foreach { q =>
+      val plan = finalPlan(SparkEntry.queries(q)(spark, sfDir))
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$q top-k regressed to a global sort:\n$plan")
+    }
+  }
 }
