@@ -283,6 +283,11 @@ object SimilarityOps {
     *
     * Returns flagged rows only: (idCol, bench_id, max_sim) — output is
     * bounded by real contamination volume, not corpus size.
+    *
+    * Stateless (no watermark, no stream-side shuffle), so `corpus` may
+    * be a readStream: the screen becomes a stream-static cross join
+    * against the one-row fold, the `contaminationStream` shape — spec
+    * pins stream ≡ batch.
     */
   def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
                             idCol: String, vecCol: String,

@@ -579,4 +579,27 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(out === Set((100L, 5L, 1.0), (101L, 5L, 0.707107)))
   }
+
+  test("semanticDecontaminate is stateless stream-static: stream ≡ batch") {
+    val dir = "/root/repo/target/scratch/semdecon_stream"
+    val corpus = Seq(100L -> Array(2f, 0f), 102L -> Array(-1f, -1f))
+      .toDF("vec_id", "embedding")
+    corpus.write.mode("overwrite").parquet(dir)
+    val bench = Seq(5L -> Array(1f, 0f)).toDF("vec_id", "embedding")
+    val stream = spark.readStream.schema(corpus.schema).parquet(dir)
+    val q = SimilarityOps
+      .semanticDecontaminate(stream, bench, "vec_id", "embedding",
+                             tau = 0.5)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("semdecon_test").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("semdecon_test")
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = SimilarityOps
+      .semanticDecontaminate(corpus, bench, "vec_id", "embedding",
+                             tau = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === batch)
+    assert(got === Set((100L, 5L, 1.0)))
+  }
 }
