@@ -1137,6 +1137,13 @@ object SparkEntry {
       SimilarityOps.cosinePairs(t(s, dir, "embeddings"),
                                 "vec_id", "embedding", tau = 0.45)),
 
+    // k-center greedy coreset (diversity-first selection): 8 spread
+    // representatives of the embedding corpus with their coverage radii;
+    // iterative farthest-point — rows-only by design (k-means class)
+    "q_kcenter_select" -> ((s, dir) =>
+      SimilarityOps.kCenterSelect(t(s, dir, "embeddings"),
+                                  "vec_id", "embedding", k = 8)),
+
     // Semantic decontamination: label-0 vectors play the benchmark/test
     // set, the rest the corpus; the benchmark folds to one broadcast row
     // (zero corpus shuffle — see SimilarityOps.semanticDecontaminate)

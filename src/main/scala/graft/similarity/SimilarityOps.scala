@@ -266,6 +266,86 @@ object SimilarityOps {
       .select(col("anchor_id"), col("neg_id"), col("sim"))
   }
 
+  /** k-center greedy coreset selection (Sener & Savarese ICLR'18, the
+    * farthest-point-first diverse-subset rule): pick the point whose
+    * cosine distance to the already-selected set is LARGEST, k times —
+    * the k rows that cover the corpus with minimal radius (2-approx of
+    * the optimal k-center), the diversity-first complement of the
+    * similarity-first screens (SemDeDup prunes dense regions; this
+    * SELECTS spread representatives, e.g. a seed set for labeling).
+    *
+    * Scale shape: the per-row min-distance state rides ONE persisted
+    * corpus frame; each round folds the single new center in as a
+    * d-double literal (`least(mind, 1 − cos(v, lit))`), picks the next
+    * argmax via TakeOrderedAndProject, and re-persists eagerly
+    * (truncating the lineage, previous round released — the ivfTrain
+    * cache discipline). Per round: one scan, one 1-row collect, ZERO
+    * shuffles; total k scans. Selection stops early when the farthest
+    * remaining point is at distance ~0 (only duplicates remain).
+    *
+    * Deterministic: seed = lowest id, argmax ties break to the lowest
+    * id, zero-norm vectors are excluded up front (their cosine is
+    * undefined against everything).
+    *
+    * Returns (rank, id, radius): radius = the point's distance to the
+    * selected set when chosen (the seed's is null); radii are
+    * non-increasing — the classic coverage curve.
+    */
+  def kCenterSelect(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = emb
+      .select(col(idCol).cast("long").as("id"),
+              transform(col(vecCol), _.cast("double")).as("v"))
+      .filter(cosineSim(col("v"), col("v")).isNotNull)
+    val seedRows = base.orderBy(col("id").asc).limit(1).collect()
+    val out = scala.collection.mutable.ArrayBuffer.empty[
+      (Int, Long, Option[Double])]
+    if (seedRows.nonEmpty) {
+      val seedId = seedRows.head.getLong(0)
+      var center = seedRows.head.getSeq[Double](1)
+      out += ((0, seedId, None))
+      var frame: DataFrame = null
+      var done = false
+      for (rank <- 1 until k if !done) {
+        val centerLit = typedLit(center)
+        val prev = frame
+        val updated =
+          (if (frame == null)
+             base.withColumn(
+               "mind", lit(1.0) - cosineSim(col("v"), centerLit))
+           else
+             frame.withColumn(
+               "mind", least(col("mind"),
+                             lit(1.0) - cosineSim(col("v"), centerLit))))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            .transform(graft.CacheScope.register)
+        // eager: truncate the lineage before releasing the prior round
+        updated.count()
+        if (prev != null) prev.unpersist(false)
+        frame = updated
+        val pick = frame
+          .orderBy(col("mind").desc, col("id").asc).limit(1).collect()
+        if (pick.isEmpty || pick.head.getDouble(2) <= 1e-12) done = true
+        else {
+          out += ((rank, pick.head.getLong(0),
+                   Some(pick.head.getDouble(2))))
+          center = pick.head.getSeq[Double](1)
+        }
+      }
+      if (frame != null) frame.unpersist(false)
+    }
+    import spark.implicits._
+    out.toSeq
+      .map { case (r, id, rad) =>
+        (r, id, rad.map(d => BigDecimal(d).setScale(
+           6, BigDecimal.RoundingMode.HALF_UP).toDouble)) }
+      .toDF("rank", "id", "radius")
+      .select(col("rank"), col("id"),
+              col("radius").cast("double").as("radius"))
+  }
+
   /** Semantic decontamination — the embedding-space member of the
     * decontamination family (exact n-gram / span / Bloom screens live in
     * `DedupOps`): flag corpus vectors whose max cosine against ANY

@@ -42,7 +42,9 @@ class EntrySpec extends SparkSpec {
                        "q_bpe_vocab", "q_quality_classifier",
                        "q_export_hashprod", "q_ann_eval", "q_index_drift",
                        "q_pq_eval", "q_pca_embed", "q_pca_scree",
-                       "q_user_sketch", "q_sketch_append")
+                       "q_user_sketch", "q_sketch_append",
+                       // iterative farthest-point greedy (k-means class)
+                       "q_kcenter_select")
     assert(noOracle === expected)
   }
 }

@@ -602,4 +602,30 @@ class SimilaritySpec extends SparkSpec {
     assert(got === batch)
     assert(got === Set((100L, 5L, 1.0)))
   }
+
+  test("kCenterSelect: farthest-point order, radii fall, dups stop it") {
+    // angles 0 (seed, id 0), ~0 (near-dup of seed), 90, 180 degrees:
+    // greedy picks 180 first (cos dist 2.0), then 90 (min-dist 1.0)
+    val emb = Seq(
+      0L -> Array(1f, 0f), 1L -> Array(0.9999f, 0.0001f),
+      2L -> Array(0f, 1f), 3L -> Array(-1f, 0f),
+      4L -> Array(0f, 0f) // zero-norm: excluded entirely
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps
+      .kCenterSelect(emb, "vec_id", "embedding", k = 3)
+      .as[(Int, Long, Option[Double])].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) === Seq((0, 0L), (1, 3L), (2, 2L)))
+    assert(got.head._3.isEmpty) // seed has no radius
+    val radii = got.flatMap(_._3)
+    assert(radii === Seq(2.0, 1.0))
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b })
+
+    // only duplicates left -> selection stops early, no zero-radius picks
+    val dups = Seq(0L -> Array(1f, 0f), 1L -> Array(1f, 0f),
+                   2L -> Array(2f, 0f)).toDF("vec_id", "embedding")
+    val early = SimilarityOps
+      .kCenterSelect(dups, "vec_id", "embedding", k = 3)
+      .as[(Int, Long, Option[Double])].collect().toSeq
+    assert(early.map(_._2) === Seq(0L))
+  }
 }
