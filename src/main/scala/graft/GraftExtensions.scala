@@ -133,6 +133,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         HllCount(exprs.head,
           GraftExtensions.intLiteral(exprs(1), "hll_count p"))
     }
+    register(e, "dd_agg",
+      "dd_agg(value, alpha) - DDSketch (log-bucket quantile sketch) of doubles",
+      2) { exprs =>
+        DdAgg(exprs.head,
+          GraftExtensions.doubleLiteral(exprs(1), "dd_agg alpha"))
+    }
+    register(e, "dd_merge",
+      "dd_merge(sketch) - union previously-built DDSketches (count addition)",
+      1) { exprs => DdMergeAgg(exprs.head) }
+    register(e, "dd_quantile",
+      "dd_quantile(sketch, q, alpha) - quantile estimate from a DDSketch",
+      3) { exprs =>
+        DdQuantile(exprs.head,
+          GraftExtensions.doubleLiteral(exprs(1), "dd_quantile q"),
+          GraftExtensions.doubleLiteral(exprs(2), "dd_quantile alpha"))
+    }
     register(e, "kmv_agg",
       "kmv_agg(hash, k) - k-minimum-values sketch of bigint hashes",
       2) { exprs =>
@@ -175,6 +191,16 @@ object GraftExtensions {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  private def doubleLiteral(e: Expression, what: String): Double = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) =>
+      v.toDouble
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+           v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
   }
 
   private def longLiteral(e: Expression, what: String): Long = e match {

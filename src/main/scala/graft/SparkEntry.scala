@@ -2058,6 +2058,15 @@ object SparkEntry {
         .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
                 col("daily_users"), col("users_to_date"))),
 
+    // Per-type value quantiles OFF THE SKETCH TABLE (DDSketch, the
+    // quantile member of the persistable family): daily sketches merge
+    // by exact count addition, so the merged-quantile path is
+    // plain-SQL-certifiable — the oracle recomputes the log buckets
+    // (same 1e-9 grid-round) and walks the same ranks
+    "q_value_sketch" -> ((s, dir) =>
+      graft.ops.SketchOps.quantileReport(
+        graft.ops.SketchOps.dailyValueSketches(t(s, dir, "events")))),
+
     // Day-over-day retention from KMV cohort sketches (set-algebra
     // sketch: intersections, not just unions): at sf0.01 every day has
     // ~134 < k=512 distinct users, so the sketch IS the distinct-hash
@@ -3166,6 +3175,43 @@ object SparkEntry {
         |FROM orders""".stripMargin,
 
     "q_decontaminate" -> decontaminateOracle,
+
+    // gamma is spelled (1.0+0.01)/(1.0-0.01) — the SAME IEEE ops the
+    // engine's Dd.gamma performs, so the two can never differ in the
+    // last ulp the way a decimal literal 1.0202... could. events.value
+    // is strictly positive in this data; the engine's zero bucket has
+    // no SQL twin here by documented contract.
+    "q_value_sketch" ->
+      """WITH gb AS (SELECT event_type,
+        |                   CAST(ceil(round(ln(value) /
+        |                                     ln((1.0+0.01)/(1.0-0.01))
+        |                                   * 1e9) / 1e9) AS BIGINT) AS b,
+        |                   count(*) AS c
+        |            FROM events WHERE value > 0
+        |            GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+        |        FROM gb GROUP BY 1),
+        |cum AS (SELECT event_type, b,
+        |               sum(c) OVER (PARTITION BY event_type
+        |                            ORDER BY b) AS cc
+        |        FROM gb),
+        |pick AS (SELECT cum.event_type,
+        |                min(CASE WHEN cc >= greatest(1, ceil(0.5 * n))
+        |                         THEN b END) AS b50,
+        |                min(CASE WHEN cc >= greatest(1, ceil(0.95 * n))
+        |                         THEN b END) AS b95,
+        |                min(CASE WHEN cc >= greatest(1, ceil(0.99 * n))
+        |                         THEN b END) AS b99
+        |         FROM cum JOIN tot USING (event_type)
+        |         GROUP BY 1)
+        |SELECT event_type,
+        |       round(2 * power((1.0+0.01)/(1.0-0.01), b50) /
+        |             ((1.0+0.01)/(1.0-0.01) + 1.0), 6) AS p50,
+        |       round(2 * power((1.0+0.01)/(1.0-0.01), b95) /
+        |             ((1.0+0.01)/(1.0-0.01) + 1.0), 6) AS p95,
+        |       round(2 * power((1.0+0.01)/(1.0-0.01), b99) /
+        |             ((1.0+0.01)/(1.0-0.01) + 1.0), 6) AS p99
+        |FROM pick""".stripMargin,
 
     "q_semantic_decon" ->
       """WITH flat AS (SELECT vec_id, label,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.DdExpressions.{ddAgg, ddMerge, ddQuantile}
 import graft.functions.HllExpressions.{hllAgg, hllCount, hllMerge}
 import graft.functions.KmvExpressions.{kmvAgg, kmvCount, kmvIntersect, kmvJaccard}
 
@@ -139,4 +140,34 @@ object SketchOps {
               round(kmvJaccard(col("__sa"), col("__sb"), k), 6)
                 .as("jaccard"))
   }
+
+  /** Per-(day, key) DDSketch table of a value column — the QUANTILE
+    * member of the persistable family (HLL = distinct, KMV = set
+    * algebra, CMS = frequency, Bloom = membership): one map-side-
+    * combined aggregate; output rows are sorted (bucket, count) pairs
+    * whose size tracks the value DYNAMIC RANGE (log-scaled), never row
+    * count. Merge is exact count addition, so any later quantile over
+    * any union of sketched slices — rolling p99, to-date medians —
+    * comes from kilobytes with the ≤ alpha relative-error guarantee.
+    */
+  def dailyValueSketches(events: DataFrame, keyCol: String = "event_type",
+                         tsCol: String = "ts", valueCol: String = "value",
+                         alpha: Double = 0.01): DataFrame =
+    events
+      .groupBy(to_date(col(tsCol)).as("day"), col(keyCol))
+      .agg(ddAgg(col(valueCol).cast("double"), alpha).as("sketch"))
+
+  /** Per-key quantile report from the sketch table ALONE: merge the
+    * days (exact addition — ≡ sketching the union directly, which is
+    * what lets a plain-SQL oracle certify this path), then p50/p95/p99.
+    */
+  def quantileReport(sketches: DataFrame, keyCol: String = "event_type",
+                     alpha: Double = 0.01): DataFrame =
+    sketches
+      .groupBy(col(keyCol))
+      .agg(ddMerge(col("sketch")).as("__all"))
+      .select(col(keyCol),
+              round(ddQuantile(col("__all"), 0.5, alpha), 6).as("p50"),
+              round(ddQuantile(col("__all"), 0.95, alpha), 6).as("p95"),
+              round(ddQuantile(col("__all"), 0.99, alpha), 6).as("p99"))
 }
