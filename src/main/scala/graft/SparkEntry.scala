@@ -2067,6 +2067,27 @@ object SparkEntry {
       graft.ops.SketchOps.quantileReport(
         graft.ops.SketchOps.dailyValueSketches(t(s, dir, "events")))),
 
+    // Day-2 twin: bootstrap the persisted quantile-sketch table, fold
+    // in the late batch, RE-DELIVER it (the applied-batch ledger makes
+    // the additive merge an exact no-op — unlike HLL's free register-max
+    // idempotence, exactly-once here is EARNED via the atomic
+    // data+ledger swap), then report. Same oracle as q_value_sketch:
+    // a double-count would break the hash
+    "q_value_sketch_append" -> ((s, dir) => {
+      import graft.ops.SketchOps
+      val path = scratch(dir, "value_sketches")
+      val p0 = new org.apache.hadoop.fs.Path(path)
+      p0.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(p0, true)
+      val ev = t(s, dir, "events")
+      SketchOps.appendDailyValueSketches(
+        s, path, ev.filter(dayofmonth(col("ts")) <= 20), "batch-1")
+      val late = ev.filter(dayofmonth(col("ts")) > 20)
+      SketchOps.appendDailyValueSketches(s, path, late, "batch-2")
+      SketchOps.appendDailyValueSketches(s, path, late, "batch-2")
+      SketchOps.quantileReport(s.read.parquet(s"$path/data"))
+    }),
+
     // Day-over-day retention from KMV cohort sketches (set-algebra
     // sketch: intersections, not just unions): at sf0.01 every day has
     // ~134 < k=512 distinct users, so the sketch IS the distinct-hash
@@ -3181,37 +3202,11 @@ object SparkEntry {
     // last ulp the way a decimal literal 1.0202... could. events.value
     // is strictly positive in this data; the engine's zero bucket has
     // no SQL twin here by documented contract.
-    "q_value_sketch" ->
-      """WITH gb AS (SELECT event_type,
-        |                   CAST(ceil(round(ln(value) /
-        |                                     ln((1.0+0.01)/(1.0-0.01))
-        |                                   * 1e9) / 1e9) AS BIGINT) AS b,
-        |                   count(*) AS c
-        |            FROM events WHERE value > 0
-        |            GROUP BY 1, 2),
-        |tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
-        |        FROM gb GROUP BY 1),
-        |cum AS (SELECT event_type, b,
-        |               sum(c) OVER (PARTITION BY event_type
-        |                            ORDER BY b) AS cc
-        |        FROM gb),
-        |pick AS (SELECT cum.event_type,
-        |                min(CASE WHEN cc >= greatest(1, ceil(0.5 * n))
-        |                         THEN b END) AS b50,
-        |                min(CASE WHEN cc >= greatest(1, ceil(0.95 * n))
-        |                         THEN b END) AS b95,
-        |                min(CASE WHEN cc >= greatest(1, ceil(0.99 * n))
-        |                         THEN b END) AS b99
-        |         FROM cum JOIN tot USING (event_type)
-        |         GROUP BY 1)
-        |SELECT event_type,
-        |       round(2 * power((1.0+0.01)/(1.0-0.01), b50) /
-        |             ((1.0+0.01)/(1.0-0.01) + 1.0), 6) AS p50,
-        |       round(2 * power((1.0+0.01)/(1.0-0.01), b95) /
-        |             ((1.0+0.01)/(1.0-0.01) + 1.0), 6) AS p95,
-        |       round(2 * power((1.0+0.01)/(1.0-0.01), b99) /
-        |             ((1.0+0.01)/(1.0-0.01) + 1.0), 6) AS p99
-        |FROM pick""".stripMargin,
+    "q_value_sketch" -> valueSketchOracle,
+
+    // the day-2 append flagship must reproduce the SAME report — a
+    // ledger failure (double-counted re-delivery) breaks this hash
+    "q_value_sketch_append" -> valueSketchOracle,
 
     "q_semantic_decon" ->
       """WITH flat AS (SELECT vec_id, label,
@@ -4297,6 +4292,44 @@ object SparkEntry {
   /** Shared truth for both top-k strategies (window row_number and the
     * bounded-buffer Aggregator): identical rows, identical tie-breaks.
     */
+  /** Shared truth for the direct build AND the day-2 append flagship
+    * (q_value_sketch / q_value_sketch_append): gamma is spelled
+    * (1.0+0.01)/(1.0-0.01) — the SAME IEEE ops Dd.gamma performs; the
+    * 1e-9 grid-round absorbs cross-libm ln ulps. events.value is
+    * strictly positive in this data, so the zero bucket has no twin.
+    */
+  private val valueSketchOracle: String =
+    """WITH gb AS (SELECT event_type,
+        |                   CAST(ceil(round(ln(value) /
+        |                                     ln((1.0+0.01)/(1.0-0.01))
+        |                                   * 1e9) / 1e9) AS BIGINT) AS b,
+        |                   count(*) AS c
+        |            FROM events WHERE value > 0
+        |            GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+        |        FROM gb GROUP BY 1),
+        |cum AS (SELECT event_type, b,
+        |               sum(c) OVER (PARTITION BY event_type
+        |                            ORDER BY b) AS cc
+        |        FROM gb),
+        |pick AS (SELECT cum.event_type,
+        |                min(CASE WHEN cc >= greatest(1, ceil(0.5 * n))
+        |                         THEN b END) AS b50,
+        |                min(CASE WHEN cc >= greatest(1, ceil(0.95 * n))
+        |                         THEN b END) AS b95,
+        |                min(CASE WHEN cc >= greatest(1, ceil(0.99 * n))
+        |                         THEN b END) AS b99
+        |         FROM cum JOIN tot USING (event_type)
+        |         GROUP BY 1)
+        |SELECT event_type,
+        |       round(2 * power((1.0+0.01)/(1.0-0.01), b50) /
+        |             ((1.0+0.01)/(1.0-0.01) + 1.0), 6) AS p50,
+        |       round(2 * power((1.0+0.01)/(1.0-0.01), b95) /
+        |             ((1.0+0.01)/(1.0-0.01) + 1.0), 6) AS p95,
+        |       round(2 * power((1.0+0.01)/(1.0-0.01), b99) /
+        |             ((1.0+0.01)/(1.0-0.01) + 1.0), 6) AS p99
+        |FROM pick""".stripMargin
+
   private val topkOracle: String =
     """SELECT l_returnflag, rn, l_orderkey, l_linenumber, l_extendedprice
       |FROM (

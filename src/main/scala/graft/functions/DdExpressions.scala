@@ -102,7 +102,9 @@ object Dd {
                         gam: Double): java.lang.Double = {
     val pairs = new Array[Long](a.numElements())
     var i = 0
-    while (i < pairs.length) { pairs(i) = a.getLong(i); i += 1 }
+    while (i < pairs.length) {
+      pairs(i) = requireSlot(a, i, "dd_quantile"); i += 1
+    }
     quantile(pairs, q, gam) match {
       case null => null
       case d => java.lang.Double.valueOf(d.asInstanceOf[Double])
@@ -139,12 +141,26 @@ object Dd {
     m
   }
 
+  /** A null slot is a corrupt sketch, never valid data — but it must be
+    * rejected EXPLICITLY: ArrayData.getLong on a null slot silently
+    * reads garbage, and parquet round-trips array<bigint> as
+    * containsNull=true, so the analysis-time check alone can't protect
+    * the persisted-table path.
+    */
+  def requireSlot(pairs: ArrayData, i: Int, who: String): Long = {
+    if (pairs.isNullAt(i))
+      throw new IllegalArgumentException(
+        s"$who: sketch array has a null slot at $i — not a dd_agg/" +
+          "dd_merge output")
+    pairs.getLong(i)
+  }
+
   /** Fold an interleaved pair array into the map (merge path). */
   def addPairs(m: mutable.HashMap[Int, Long], pairs: ArrayData): Unit = {
     var i = 0
     while (i + 1 < pairs.numElements()) {
-      val idx = pairs.getLong(i).toInt
-      val cnt = pairs.getLong(i + 1)
+      val idx = requireSlot(pairs, i, "dd_merge").toInt
+      val cnt = requireSlot(pairs, i + 1, "dd_merge")
       m.update(idx, m.getOrElse(idx, 0L) + cnt)
       i += 2
     }
@@ -240,10 +256,10 @@ case class DdMergeAgg(
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
     child.dataType match {
-      case ArrayType(LongType, false) => TypeCheckSuccess
-      case ArrayType(LongType, true) => TypeCheckFailure(
-        s"$prettyName sketch argument must be array<bigint> without " +
-          "nulls (use dd_agg output)")
+      // containsNull=true is accepted because parquet round-trips the
+      // sketch that way; null SLOTS are rejected at runtime
+      // (Dd.requireSlot) instead of silently reading garbage
+      case ArrayType(LongType, _) => TypeCheckSuccess
       case other => TypeCheckFailure(
         s"$prettyName requires array<bigint> sketches, got " +
           other.catalogString)
@@ -305,10 +321,9 @@ case class DdQuantile(child: Expression, q: Double, alpha: Double)
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
     child.dataType match {
-      case ArrayType(LongType, false) => TypeCheckSuccess
-      case ArrayType(LongType, true) => TypeCheckFailure(
-        s"$prettyName sketch argument must be array<bigint> without " +
-          "nulls (use dd_agg/dd_merge output)")
+      // parquet round-trip tolerance + runtime null-slot rejection,
+      // same rationale as dd_merge
+      case ArrayType(LongType, _) => TypeCheckSuccess
       case other => TypeCheckFailure(
         s"$prettyName requires an array<bigint> sketch, got " +
           other.catalogString)

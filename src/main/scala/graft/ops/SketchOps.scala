@@ -157,6 +157,49 @@ object SketchOps {
       .groupBy(to_date(col(tsCol)).as("day"), col(keyCol))
       .agg(ddAgg(col(valueCol).cast("double"), alpha).as("sketch"))
 
+  /** Day-2 maintenance for the ADDITIVE quantile sketch table. Unlike
+    * the HLL twin ([[appendDailySketches]], whose register-max merge
+    * makes re-delivery a free no-op), count-addition DOUBLE-COUNTS a
+    * re-delivered batch — so exactly-once effect comes from an applied-
+    * batch ledger that lives INSIDE the table root (`<path>/_applied`)
+    * and commits ATOMICALLY with the data (`<path>/data`) in one
+    * [[graft.io.Sinks.stagedReplace]] swap: a crash anywhere leaves the
+    * old root (data + ledger consistent) serving; a re-delivered
+    * batchId after success is an exact no-op. Work is bounded by batch
+    * volume plus the kilobyte-scale sketch table rewrite.
+    */
+  def appendDailyValueSketches(spark: org.apache.spark.sql.SparkSession,
+                               path: String, batch: DataFrame,
+                               batchId: String,
+                               keyCol: String = "event_type",
+                               tsCol: String = "ts",
+                               valueCol: String = "value",
+                               alpha: Double = 0.01): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new Path(path))
+    val applied: Set[String] =
+      if (exists)
+        spark.read.parquet(s"$path/_applied")
+          .select(col("batch_id")).collect().map(_.getString(0)).toSet
+      else Set.empty
+    if (applied.contains(batchId)) return // re-delivery: exact no-op
+    val fresh = dailyValueSketches(batch, keyCol, tsCol, valueCol, alpha)
+    val merged =
+      if (!exists) fresh
+      else spark.read.parquet(s"$path/data")
+        .unionByName(fresh)
+        .groupBy(col("day"), col(keyCol))
+        .agg(ddMerge(col("sketch")).as("sketch"))
+    import spark.implicits._
+    val ledger = (applied + batchId).toSeq.sorted.toDF("batch_id")
+    graft.io.Sinks.stagedReplace(spark, path) { stage =>
+      merged.write.parquet(s"$stage/data")
+      ledger.coalesce(1).write.parquet(s"$stage/_applied")
+    }
+  }
+
   /** Per-key quantile report from the sketch table ALONE: merge the
     * days (exact addition — ≡ sketching the union directly, which is
     * what lets a plain-SQL oracle certify this path), then p50/p95/p99.
