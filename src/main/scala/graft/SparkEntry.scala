@@ -2067,6 +2067,17 @@ object SparkEntry {
       graft.ops.SketchOps.quantileReport(
         graft.ops.SketchOps.dailyValueSketches(t(s, dir, "events")))),
 
+    // Rolling-quantile timeline off the sketch table: today's p50/p95
+    // plus the trailing-7-day p95 per type — the sketch rows merge in a
+    // value-range window (complete histograms, no day×bucket spine;
+    // the SQL twin needs an interval join to see absent-today buckets)
+    "q_quantile_timeline" -> ((s, dir) =>
+      graft.ops.SketchOps.quantileTimeline(
+        graft.ops.SketchOps.dailyValueSketches(t(s, dir, "events")))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+                col("event_type"), col("p50_1d"), col("p95_1d"),
+                col("p95_7d"))),
+
     // Day-2 twin: bootstrap the persisted quantile-sketch table, fold
     // in the late batch, RE-DELIVER it (the applied-batch ledger makes
     // the additive merge an exact no-op — unlike HLL's free register-max
@@ -3207,6 +3218,58 @@ object SparkEntry {
     // the day-2 append flagship must reproduce the SAME report — a
     // ledger failure (double-counted re-delivery) breaks this hash
     "q_value_sketch_append" -> valueSketchOracle,
+
+    // the rolling twin: the trailing window needs an interval join in
+    // SQL (a bucket absent today but present 3 days back must still
+    // count); the Spark side merges whole per-day histograms instead
+    "q_quantile_timeline" ->
+      """WITH gb AS (SELECT CAST(ts AS DATE) AS day, event_type,
+        |                   CAST(ceil(round(ln(value) /
+        |                                     ln((1.0+0.01)/(1.0-0.01))
+        |                                   * 1e9) / 1e9) AS BIGINT) AS b,
+        |                   count(*) AS c
+        |            FROM events WHERE value > 0
+        |            GROUP BY 1, 2, 3),
+        |tot1 AS (SELECT day, event_type, CAST(sum(c) AS BIGINT) AS n
+        |         FROM gb GROUP BY 1, 2),
+        |cum1 AS (SELECT day, event_type, b,
+        |                sum(c) OVER (PARTITION BY day, event_type
+        |                             ORDER BY b) AS cc
+        |         FROM gb),
+        |pick1 AS (SELECT cum1.day, cum1.event_type,
+        |                 min(CASE WHEN cc >= greatest(1, ceil(0.5 * n))
+        |                          THEN b END) AS b50,
+        |                 min(CASE WHEN cc >= greatest(1, ceil(0.95 * n))
+        |                          THEN b END) AS b95
+        |          FROM cum1 JOIN tot1 USING (day, event_type)
+        |          GROUP BY 1, 2),
+        |spine AS (SELECT DISTINCT day, event_type FROM gb),
+        |w AS (SELECT d.day, d.event_type, g.b, sum(g.c) AS c7
+        |      FROM spine d JOIN gb g
+        |        ON g.event_type = d.event_type
+        |       AND g.day BETWEEN d.day - 6 AND d.day
+        |      GROUP BY 1, 2, 3),
+        |tot7 AS (SELECT day, event_type, CAST(sum(c7) AS BIGINT) AS n7
+        |         FROM w GROUP BY 1, 2),
+        |cum7 AS (SELECT day, event_type, b,
+        |                sum(c7) OVER (PARTITION BY day, event_type
+        |                              ORDER BY b) AS cc7
+        |         FROM w),
+        |pick7 AS (SELECT cum7.day, cum7.event_type,
+        |                 min(CASE WHEN cc7 >= greatest(1, ceil(0.95 * n7))
+        |                          THEN b END) AS b957
+        |          FROM cum7 JOIN tot7 USING (day, event_type)
+        |          GROUP BY 1, 2)
+        |SELECT strftime(p1.day, '%Y-%m-%d') AS day, p1.event_type,
+        |       round(2 * power((1.0+0.01)/(1.0-0.01), b50) /
+        |             ((1.0+0.01)/(1.0-0.01) + 1.0), 6) AS p50_1d,
+        |       round(2 * power((1.0+0.01)/(1.0-0.01), b95) /
+        |             ((1.0+0.01)/(1.0-0.01) + 1.0), 6) AS p95_1d,
+        |       round(2 * power((1.0+0.01)/(1.0-0.01), b957) /
+        |             ((1.0+0.01)/(1.0-0.01) + 1.0), 6) AS p95_7d
+        |FROM pick1 p1 JOIN pick7 p7
+        |  ON p1.day = p7.day AND p1.event_type = p7.event_type"""
+        .stripMargin,
 
     "q_semantic_decon" ->
       """WITH flat AS (SELECT vec_id, label,

@@ -200,6 +200,28 @@ object SketchOps {
     }
   }
 
+  /** Per-(day, key) quantile timeline from the sketch table ALONE:
+    * today's p50/p95 plus the trailing-`windowDays` p95 (THE ops
+    * latency metric) via a value-RANGE window merge over the sketch
+    * rows — each day's sketch is a complete histogram, so the trailing
+    * merge needs no day×bucket spine (the plain-SQL twin does); the
+    * window frame is the |days·keys|-row sketch table, never events.
+    */
+  def quantileTimeline(sketches: DataFrame, keyCol: String = "event_type",
+                       alpha: Double = 0.01,
+                       windowDays: Int = 7): DataFrame = {
+    val dayNum = datediff(col("day"), to_date(lit("1970-01-01")))
+    val w = Window.partitionBy(col(keyCol)).orderBy(dayNum)
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    sketches
+      .withColumn("__w", ddMerge(col("sketch")).over(w))
+      .select(col("day"), col(keyCol),
+              round(ddQuantile(col("sketch"), 0.5, alpha), 6).as("p50_1d"),
+              round(ddQuantile(col("sketch"), 0.95, alpha), 6)
+                .as("p95_1d"),
+              round(ddQuantile(col("__w"), 0.95, alpha), 6).as("p95_7d"))
+  }
+
   /** Per-key quantile report from the sketch table ALONE: merge the
     * days (exact addition — ≡ sketching the union directly, which is
     * what lets a plain-SQL oracle certify this path), then p50/p95/p99.

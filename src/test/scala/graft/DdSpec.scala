@@ -69,6 +69,30 @@ class DdSpec extends SparkSpec {
     assert(q)
   }
 
+  test("quantileTimeline: the window merge equals sketching the window") {
+    import java.sql.Timestamp
+    def ts(d: String) = Timestamp.valueOf(s"2024-01-$d 12:00:00")
+    // one type, 10 days, values = day index repeated day-index times —
+    // so every trailing window has a DIFFERENT distribution
+    val rows = for (d <- 1 to 10; _ <- 1 to d)
+      yield (ts(f"$d%02d"), "t", d * 10.0)
+    val ev = rows.toDF("ts", "event_type", "value")
+    val tl = graft.ops.SketchOps.quantileTimeline(
+      graft.ops.SketchOps.dailyValueSketches(ev), windowDays = 7)
+      .select($"day".cast("string"), $"p95_7d")
+      .as[(String, Double)].collect().toMap
+    for (d <- Seq(3, 7, 10)) {
+      val lo = math.max(1, d - 6)
+      val winVals = for (x <- lo to d; _ <- 1 to x) yield x * 10.0
+      val direct = winVals.toDF("v")
+        .agg(ddAgg($"v", alpha).as("s"))
+        .select(round(ddQuantile($"s", 0.95, alpha), 6))
+        .as[Double].head()
+      assert(tl(f"2024-01-$d%02d") === direct,
+        s"day $d trailing merge diverged from the direct window sketch")
+    }
+  }
+
   test("SQL registry parity: dd_agg/dd_merge/dd_quantile = Column API") {
     GraftExtensions.registerAll(spark)
     values.toDF("v").createOrReplaceTempView("dd_vals")
