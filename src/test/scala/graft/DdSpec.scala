@@ -93,6 +93,31 @@ class DdSpec extends SparkSpec {
     }
   }
 
+  test("streaming sketch build: windowed dd_agg on a stream = batch") {
+    import java.sql.Timestamp
+    val dir = "/root/repo/target/scratch/dd_stream"
+    val rows = Seq(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "a", 5.0),
+      (Timestamp.valueOf("2024-01-01 10:40:00"), "a", 50.0),
+      (Timestamp.valueOf("2024-01-01 11:10:00"), "a", 7.0),
+      (Timestamp.valueOf("2024-01-01 10:20:00"), "b", 3.0))
+    rows.toDF("ts", "k", "v").write.mode("overwrite").parquet(dir)
+    def aggOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(window($"ts", "1 hour"), $"k")
+        .agg(ddAgg($"v", alpha).as("sketch"))
+    val stream = spark.readStream
+      .schema("ts timestamp, k string, v double").parquet(dir)
+    val q = aggOf(stream.withWatermark("ts", "1 hour"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("dd_stream_test").start()
+    try q.processAllAvailable() finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"window.start".cast("string"), $"k", $"sketch")
+        .as[(String, String, Seq[Long])].collect().toSet
+    assert(canon(spark.table("dd_stream_test")) ===
+      canon(aggOf(rows.toDF("ts", "k", "v"))))
+  }
+
   test("SQL registry parity: dd_agg/dd_merge/dd_quantile = Column API") {
     GraftExtensions.registerAll(spark)
     values.toDF("v").createOrReplaceTempView("dd_vals")
