@@ -2151,6 +2151,25 @@ object SparkEntry {
         count(lit(1)).as("n"),
         sum(col("user_id")).as("uid_sum"),
         round(sum(col("value")), 4).as("v"))
+    }),
+
+    // Parquet-native bloom filters on the point-lookup columns (row-
+    // group pruning for `id = x` probes — the layout lever Z-order's
+    // min/max can't give a uniformly-spread id column); the layout is
+    // physical, so the readable contract is the exact census plus a
+    // needle probe that must come back identical through the filter
+    "q_bloom_layout" -> ((s, dir) => {
+      val path = scratch(dir, "bloomlayout")
+      Sinks.bloomFilterWrite(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+                                   col("value")),
+        Seq("event_id", "user_id"), path, ndv = 100000L)
+      val back = s.read.parquet(path)
+      back.agg(count(lit(1)).as("n"),
+               sum(col("user_id")).as("uid_sum"),
+               round(sum(col("value")), 4).as("v"))
+        .crossJoin(back.filter(col("event_id") === 42L)
+          .agg(count(lit(1)).as("n_probe")))
     })
   )
 
@@ -4349,6 +4368,14 @@ object SparkEntry {
       """SELECT count(*) AS n,
         |       CAST(sum(user_id) AS BIGINT) AS uid_sum,
         |       round(sum(value), 4) AS v
+        |FROM events""".stripMargin,
+
+    "q_bloom_layout" ->
+      """SELECT count(*) AS n,
+        |       CAST(sum(user_id) AS BIGINT) AS uid_sum,
+        |       round(sum(value), 4) AS v,
+        |       (SELECT count(*) FROM events WHERE event_id = 42)
+        |         AS n_probe
         |FROM events""".stripMargin
   ) ++ graft.tpch.TpchExt.oracles
 

@@ -351,4 +351,32 @@ object Sinks {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Parquet-native bloom filters on point-lookup columns — the file-
+    * format complement of the Z-order layout: Z-order prunes FILES via
+    * min/max on range predicates; a bloom filter prunes ROW GROUPS on
+    * `col = x` probes over high-cardinality columns where min/max spans
+    * are useless (a uniformly-spread id column spans every file). At
+    * 100 TB the difference is reading a handful of row groups instead
+    * of the whole table for a needle lookup. `ndv` sizes each filter
+    * (expected distinct values → bits, parquet sizes internally);
+    * readers need no cooperation — pruning happens inside the parquet
+    * scan for any engine honoring the footer (Spark, Trino, DuckDB).
+    * parquet-mr drops the filter for chunks that stay fully
+    * dictionary-encoded (the dictionary is already exact membership),
+    * so low-cardinality columns get dictionary pruning instead — both
+    * paths prune a point probe; the spec pins the either-or.
+    */
+  def bloomFilterWrite(df: DataFrame, bloomCols: Seq[String], path: String,
+                       ndv: Long = 1000000L): Unit = {
+    require(bloomCols.nonEmpty, "bloomFilterWrite needs >= 1 column")
+    bloomCols.foreach { c => require(df.columns.contains(c),
+      s"bloomFilterWrite: no column $c in ${df.columns.mkString(",")}") }
+    val w = df.write.mode("overwrite")
+    val configured = bloomCols.foldLeft(w) { (acc, c) =>
+      acc.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }
+    configured.parquet(path)
+  }
 }
