@@ -2158,6 +2158,13 @@ object SparkEntry {
     // min/max can't give a uniformly-spread id column); the layout is
     // physical, so the readable contract is the exact census plus a
     // needle probe that must come back identical through the filter
+    // Per-column data profile (rows/nulls/exact-distinct/min/max as
+    // one expand-aggregate pass + stack unpivot — no per-column rescans)
+    "q_profile" -> ((s, dir) =>
+      CoreOps.profile(t(s, dir, "events"),
+                      Seq("event_id", "user_id", "event_type", "value",
+                          "props"))),
+
     "q_bloom_layout" -> ((s, dir) => {
       val path = scratch(dir, "bloomlayout")
       Sinks.bloomFilterWrite(
@@ -4368,6 +4375,41 @@ object SparkEntry {
       """SELECT count(*) AS n,
         |       CAST(sum(user_id) AS BIGINT) AS uid_sum,
         |       round(sum(value), 4) AS v
+        |FROM events""".stripMargin,
+
+    // stats computed NATIVELY then cast — min over the varchar cast
+    // would be lexicographic ('100.5' < '99') and wrong for numerics
+    "q_profile" ->
+      """SELECT 'event_id' AS col_name, count(*) AS n_rows,
+        |       CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,
+        |       count(DISTINCT event_id) AS n_distinct,
+        |       CAST(min(event_id) AS VARCHAR) AS min_value,
+        |       CAST(max(event_id) AS VARCHAR) AS max_value
+        |FROM events
+        |UNION ALL
+        |SELECT 'user_id', count(*),
+        |       CAST(count(*) - count(user_id) AS BIGINT),
+        |       count(DISTINCT user_id),
+        |       CAST(min(user_id) AS VARCHAR),
+        |       CAST(max(user_id) AS VARCHAR)
+        |FROM events
+        |UNION ALL
+        |SELECT 'event_type', count(*),
+        |       CAST(count(*) - count(event_type) AS BIGINT),
+        |       count(DISTINCT event_type),
+        |       min(event_type), max(event_type)
+        |FROM events
+        |UNION ALL
+        |SELECT 'value', count(*),
+        |       CAST(count(*) - count(value) AS BIGINT),
+        |       count(DISTINCT value),
+        |       CAST(min(value) AS VARCHAR), CAST(max(value) AS VARCHAR)
+        |FROM events
+        |UNION ALL
+        |SELECT 'props', count(*),
+        |       CAST(count(*) - count(props) AS BIGINT),
+        |       count(DISTINCT props),
+        |       min(props), max(props)
         |FROM events""".stripMargin,
 
     "q_bloom_layout" ->

@@ -118,4 +118,35 @@ object CoreOps {
     }
     df.agg(exprs.head, exprs.tail: _*)
   }
+
+  /** Per-column data profile (the Deequ/Great-Expectations staple):
+    * rows / nulls / EXACT distinct / min / max for every listed column,
+    * one row per column. One aggregate pass (the multi-countDistinct
+    * expands the scan k ways map-side — the price of exactness; swap in
+    * approx_count_distinct at 100 TB if ±2% suffices) unpivoted via
+    * stack, so the plan is scan → expand → partial→final aggregate →
+    * k-row generate — no per-column rescans. min/max surface as strings
+    * (one schema for heterogeneous columns); timestamps should be
+    * pre-formatted by the caller (engine string forms differ).
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && cols.forall(df.columns.contains),
+      s"profile: columns must exist, got ${cols.mkString(",")}")
+    val aggs = cols.flatMap { c =>
+      Seq(coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+            .as(s"__nn_$c"),
+          countDistinct(col(c)).as(s"__nd_$c"),
+          min(col(c)).cast("string").as(s"__mn_$c"),
+          max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', `__nn_$c`, `__nd_$c`, `__mn_$c`, `__mx_$c`"
+    }.mkString(", ")
+    one.select(col("__n").as("n_rows"),
+               expr(s"stack(${cols.size}, $stackArgs) AS " +
+                    "(col_name, n_nulls, n_distinct, min_value, max_value)"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+              col("n_distinct"), col("min_value"), col("max_value"))
+  }
 }

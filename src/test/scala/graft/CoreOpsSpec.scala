@@ -77,6 +77,32 @@ class CoreOpsSpec extends SparkSpec {
     assert(m.getLong(1) === 1L) // nulls_y
   }
 
+  test("profile: one row per column, exact nulls/distinct/min/max") {
+    val df = Seq(
+      (Some(1L), Some("b"), Some(2.5)),
+      (Some(3L), None,      Some(0.5)),
+      (None,     Some("a"), Some(2.5))
+    ).toDF("id", "s", "v")
+    val p = CoreOps.profile(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5)))).toMap
+    assert(p.keySet === Set("id", "s", "v"))
+    assert(p("id") === ((3L, 1L, 2L, "1", "3")))
+    assert(p("s")  === ((3L, 1L, 2L, "a", "b")))
+    // stats computed natively THEN cast: min is 0.5, not lexicographic
+    assert(p("v")  === ((3L, 0L, 2L, "0.5", "2.5")))
+    // empty input: zero counts, null min/max — never a crash
+    val e = CoreOps.profile(df.filter(lit(false)), Seq("id"))
+      .collect()
+    assert(e.length === 1)
+    assert(e(0).getLong(1) === 0L && e(0).getLong(3) === 0L)
+    assert(e(0).isNullAt(4) && e(0).isNullAt(5))
+    intercept[IllegalArgumentException] {
+      CoreOps.profile(df, Seq("nope"))
+    }
+  }
+
   test("quality gates return Left on violation (§5)") {
     val ok = Seq((1, "a")).toDF("x", "y")
     val empty = ok.filter(lit(false))
