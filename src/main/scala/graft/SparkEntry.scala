@@ -1964,6 +1964,37 @@ object SparkEntry {
         round(sum(col("c_acctbal")), 4).as("balance"))
     }),
 
+    // Versioned table + time travel + retention (the Delta/Iceberg
+    // snapshot idea on its marker-atomic core): three committed
+    // snapshots (full load → source delete → targeted update), vacuum
+    // to the last two, then aggregate BOTH survivors — reading v2
+    // after v3 committed IS time travel, and v1 must be reclaimed
+    "q_time_travel" -> ((s, dir) => {
+      val root = scratch(dir, "timetravel")
+      Sinks.dropTable(s, root)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      Sinks.versionedWrite(docs, root) // v1
+      Sinks.versionedWrite(
+        Sinks.versionedRead(s, root).filter(col("source") =!= "src7"),
+        root) // v2: GDPR-style source removal
+      Sinks.versionedWrite(
+        Sinks.versionedRead(s, root).withColumn("n_chars",
+          when(col("source") === "src1", col("n_chars") * 2)
+            .otherwise(col("n_chars"))),
+        root) // v3: targeted correction
+      Sinks.vacuum(s, root, keep = 2) // v1 reclaimed
+      Sinks.listVersions(s, root).map { v =>
+        Sinks.versionedRead(s, root, Some(v))
+          .agg(count(lit(1)).as("n_rows"),
+               countDistinct(col("source")).as("n_sources"),
+               sum(col("n_chars")).as("sum_chars"))
+          .withColumn("version", lit(v))
+      }.reduce(_ unionByName _)
+        .select(col("version"), col("n_rows"), col("n_sources"),
+                col("sum_chars"))
+    }),
+
     // Targeted delete (GDPR/TTL rewrite): forget every 7th user, census
     // the survivors against the source-side NOT-filter oracle.
     "q_delete_where" -> ((s, dir) => {
@@ -3852,6 +3883,24 @@ object SparkEntry {
         |FROM e a JOIN e b
         |  ON (a.ms < b.ms OR (a.ms = b.ms AND a.event_id < b.event_id))
         | AND b.ms - a.ms <= 60000""".stripMargin,
+
+    // the two surviving snapshots recomputed from the base table; the
+    // version numbers are deterministic (fresh root every run)
+    "q_time_travel" ->
+      """WITH v2 AS (SELECT doc_id, source, n_chars FROM documents
+        |            WHERE source <> 'src7'),
+        |     v3 AS (SELECT doc_id, source,
+        |              CASE WHEN source = 'src1' THEN n_chars * 2
+        |                   ELSE n_chars END AS n_chars
+        |            FROM v2)
+        |SELECT CAST(2 AS INTEGER) AS version, count(*) AS n_rows,
+        |       count(DISTINCT source) AS n_sources,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM v2
+        |UNION ALL
+        |SELECT CAST(3 AS INTEGER), count(*), count(DISTINCT source),
+        |       CAST(sum(n_chars) AS BIGINT)
+        |FROM v3""".stripMargin,
 
     "q_merge_upsert" ->
       """SELECT count(*) AS n,

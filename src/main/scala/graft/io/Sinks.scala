@@ -287,6 +287,112 @@ object Sinks {
     stageSwap(spark.read.parquet(path).repartition(numFiles), path)
   }
 
+  // ----------------------------------------------------- versioned table
+
+  /** Commit marker for versioned-table snapshots: a `v=N` directory is
+    * visible to readers IFF this empty file exists inside it. Creating
+    * it is a single O(1) file create — atomic on the HDFS/local
+    * filesystems `requireAtomicRename` admits — so commit is one
+    * instant, with the data fully on disk beforehand.
+    */
+  private val CommitMarker = "_COMMITTED"
+
+  private def versionDirs(spark: SparkSession,
+                          root: String): Seq[(Int, Boolean)] = {
+    val fs = fsFor(spark, root)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(rootPath)) Seq.empty
+    else fs.listStatus(rootPath).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v=")) n.drop(2).toIntOption.map { v =>
+          v -> fs.exists(
+            new org.apache.hadoop.fs.Path(st.getPath, CommitMarker))
+        } else None
+      }
+      .sortBy(_._1)
+  }
+
+  /** Versioned table root (time travel / snapshot isolation): every
+    * write lands as a NEW immutable `v=N` directory under `root` and
+    * becomes visible only when its commit marker is created — the
+    * public Delta/Iceberg snapshot idea reduced to its marker-atomic
+    * core (same filesystem assumption as `stageSwap`, enforced). At
+    * every instant a reader resolves "current" to a COMPLETE snapshot
+    * (the highest committed version), never a mix of two writes; a
+    * crash mid-write leaves an uncommitted orphan dir that readers
+    * never see, whose number is never reused (`max(all dirs)+1`, not
+    * `max(committed)+1`), and that `vacuum` reclaims. Historical
+    * versions stay queryable until vacuumed, which is what makes
+    * "reproduce last month's training run" possible at all. Unlike the
+    * `stageSwap` family this never rewrites or renames old data — a
+    * commit is one marker create — but it trades that for storage
+    * growth until vacuum. Single-writer contract, like every
+    * maintenance op here: two concurrent writers could race the same
+    * version number.
+    *
+    * Returns the committed version number.
+    */
+  def versionedWrite(df: DataFrame, root: String): Int = {
+    val spark = df.sparkSession
+    requireAtomicRename(spark, root)
+    val next = (versionDirs(spark, root).map(_._1) :+ 0).max + 1
+    val dir = s"$root/v=$next"
+    df.write.mode("overwrite").parquet(dir)
+    val fs = fsFor(spark, root)
+    fs.create(new org.apache.hadoop.fs.Path(dir, CommitMarker),
+              false).close()
+    next
+  }
+
+  /** Committed (readable) versions, ascending. */
+  def listVersions(spark: SparkSession, root: String): Seq[Int] =
+    versionDirs(spark, root).collect { case (v, true) => v }
+
+  /** Read a committed snapshot: the named `version`, or current
+    * (highest committed) when omitted. Reading an OLD version after
+    * later commits is time travel; it fails loudly for a version that
+    * never committed or was vacuumed — silently serving the nearest
+    * neighbor would un-reproduce the run the caller is pinning.
+    */
+  def versionedRead(spark: SparkSession, root: String,
+                    version: Option[Int] = None): DataFrame = {
+    val vs = listVersions(spark, root)
+    require(vs.nonEmpty, s"versionedRead: no committed versions at $root")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v),
+      s"versionedRead: version $v at $root does not exist or was vacuumed" +
+        s" (committed: ${vs.mkString(",")})")
+    spark.read.parquet(s"$root/v=$v")
+  }
+
+  /** Retention: keep the newest `keep` committed versions, delete the
+    * rest, plus crashed-writer orphans BELOW the newest committed
+    * version (an uncommitted dir above it may be an in-flight writer —
+    * vacuum never touches those). Returns the deleted version numbers.
+    */
+  def vacuum(spark: SparkSession, root: String, keep: Int): Seq[Int] = {
+    require(keep >= 1, s"vacuum: keep must be >= 1 (got $keep)")
+    val all = versionDirs(spark, root)
+    val committed = all.collect { case (v, true) => v }
+    if (committed.isEmpty) return Seq.empty
+    val keepSet = committed.takeRight(keep).toSet
+    val doomed = all.collect {
+      case (v, true) if !keepSet.contains(v) => v
+      case (v, false) if v < committed.max => v
+    }
+    val fs = fsFor(spark, root)
+    doomed.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/v=$v"), true)
+    }
+    doomed
+  }
+
+  /** Remove a table/versioned root entirely (test + re-run hygiene). */
+  def dropTable(spark: SparkSession, path: String): Unit =
+    fsFor(spark, path).delete(new org.apache.hadoop.fs.Path(path), true)
+
   /** Z-order clustered write (the public technique behind Delta's
     * OPTIMIZE ZORDER; Morton 1966): range-partition and sort files by
     * the Morton interleave of the given numeric columns' rank buckets,

@@ -105,4 +105,53 @@ class SinkMaintenanceSpec extends SparkSpec {
     // no stage directory left behind
     assert(!new java.io.File(path + "__stage").exists())
   }
+
+  test("versioned table: commit ordering, time travel, current resolve") {
+    val root = s"${Sinks.scratchRoot}/spec_versions"
+    Sinks.dropTable(spark, root)
+    val v1 = Sinks.versionedWrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+                                  root)
+    val v2 = Sinks.versionedWrite(Seq((1L, "a2")).toDF("k", "v"), root)
+    assert((v1, v2) === ((1, 2)))
+    assert(Sinks.listVersions(spark, root) === Seq(1, 2))
+    // current = highest committed; pinned read of v1 is time travel
+    assert(Sinks.versionedRead(spark, root).count() === 1L)
+    assert(Sinks.versionedRead(spark, root, Some(1))
+      .as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
+    intercept[IllegalArgumentException] {
+      Sinks.versionedRead(spark, root, Some(9))
+    }
+  }
+
+  test("versioned table: uncommitted orphan is invisible, never reused, " +
+       "vacuumed only below current") {
+    val root = s"${Sinks.scratchRoot}/spec_versions_crash"
+    Sinks.dropTable(spark, root)
+    Sinks.versionedWrite(Seq((1L, "a")).toDF("k", "v"), root)
+    // simulate a writer that died mid-write: data dir, no marker
+    Seq((9L, "junk")).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$root/v=2")
+    assert(Sinks.listVersions(spark, root) === Seq(1))
+    assert(Sinks.versionedRead(spark, root).as[(Long, String)]
+      .collect().toSet === Set((1L, "a")))
+    // the next write must NOT reuse the orphan's number
+    val v3 = Sinks.versionedWrite(Seq((2L, "b")).toDF("k", "v"), root)
+    assert(v3 === 3)
+    // orphan (now below current) reclaimed; committed v1 survives keep=2
+    assert(Sinks.vacuum(spark, root, keep = 2) === Seq(2))
+    assert(Sinks.listVersions(spark, root) === Seq(1, 3))
+    // retention: keep=1 drops v1, current survives, v1 read now fails
+    assert(Sinks.vacuum(spark, root, keep = 1) === Seq(1))
+    assert(!new java.io.File(s"$root/v=1").exists())
+    intercept[IllegalArgumentException] {
+      Sinks.versionedRead(spark, root, Some(1))
+    }
+    assert(Sinks.versionedRead(spark, root).count() === 1L)
+    // an uncommitted dir ABOVE current may be an in-flight writer:
+    // vacuum must not touch it
+    Seq((7L, "inflight")).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$root/v=4")
+    assert(Sinks.vacuum(spark, root, keep = 1) === Seq.empty)
+    assert(new java.io.File(s"$root/v=4").exists())
+  }
 }
