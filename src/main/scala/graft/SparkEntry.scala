@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.dedup.{ConnectedComponents, DedupOps}
+import graft.dedup.{ConnectedComponents, DedupOps, MinhashIndex}
 import graft.functions.TextExpressions
 import graft.io.Sinks
 import graft.multimodal.MultimodalOps
@@ -647,6 +647,24 @@ object SparkEntry {
         corpus,
         sets.filter(pmod(col("id"), lit(2)) === 1), tau = 0.7,
         reuseFreq = Some(DedupOps.shingleFreq(corpus)))
+    }),
+
+    // Persisted signature index (the lexical IVF-append twin): build
+    // band postings + shingle sets on disk from the even-id corpus,
+    // then INGEST the odd-id batch — probe (batch shingled once, bucket
+    // join against stored postings, exact verify against stored sets —
+    // corpus text never re-read) then append. Same LSH geometry as
+    // q_minhash_lsh, so the exact-Jaccard oracle holds wherever recall
+    // does; id_a = index member, id_b = probe member
+    "q_minhash_index" -> ((s, dir) => {
+      val root = scratch(dir, "mhindex")
+      Sinks.dropTable(s, root)
+      val docs = t(s, dir, "documents")
+      MinhashIndex.build(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+                         "doc_id", "text", root,
+                         n = 12, k = 64, bands = 16)
+      MinhashIndex.ingest(docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+                          "doc_id", "text", root, tau = 0.7)
     }),
 
     // Day-2 flagship: INCREMENTAL CORPUS REFRESH. A new batch (doc_id ≡
@@ -2702,6 +2720,16 @@ object SparkEntry {
     "q_dup_clusters" -> dupClustersOracle,
 
     "q_incremental_dedup" ->
+      (jaccardPairsCte + "\n" +
+        """SELECT CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END AS id_a,
+          |       CASE WHEN id_a % 2 = 0 THEN id_b ELSE id_a END AS id_b,
+          |       jaccard
+          |FROM pairs WHERE id_a % 2 <> id_b % 2""".stripMargin),
+
+    // same truth as q_incremental_dedup (cross-parity exact-Jaccard
+    // pairs, id_a = the even/index side) — the index path must find
+    // exactly what the R-S join finds
+    "q_minhash_index" ->
       (jaccardPairsCte + "\n" +
         """SELECT CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END AS id_a,
           |       CASE WHEN id_a % 2 = 0 THEN id_b ELSE id_a END AS id_b,

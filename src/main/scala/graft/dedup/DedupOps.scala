@@ -112,8 +112,8 @@ object DedupOps {
     * the broadcast threshold, AQE turns the payload joins into broadcasts
     * with no array sort at all).
     */
-  private def verifyPairs(cand: DataFrame, sets: DataFrame,
-                          tau: Double): DataFrame = {
+  private[dedup] def verifyPairs(cand: DataFrame, sets: DataFrame,
+                                 tau: Double): DataFrame = {
     val candIds = cand.select(col("id_a").as("id"))
       .union(cand.select(col("id_b").as("id"))).distinct()
     val needed = sets.join(candIds, Seq("id"), "left_semi")
@@ -843,20 +843,7 @@ object DedupOps {
     */
   def minhashLshPairsFromSets(sets: DataFrame, k: Int, bands: Int,
                               tau: Double): DataFrame = {
-    require(k % bands == 0, "k must divide into bands")
-    val r = k / bands
-    // docs shorter than n chars have an EMPTY shingle set → a signature of
-    // k MaxValue slots that collides in EVERY band with every other empty
-    // doc (O(empties²) candidates, all dropped by verify anyway). They can
-    // never reach jaccard ≥ τ, so exclude them before banding.
-    val sig = sets.filter(col("sz") > 0).withColumn("sig",
-      ShingleExpressions.minhashSigFromHashes(col("hs"), k))
-    val bandStructs = array((0 until bands).map(b =>
-      struct(lit(b).as("band"),
-             xxhash64(slice(col("sig"), b * r + 1, r)).as("bh"))): _*)
-    val bucketed = sig.select(col("id"),
-                              explode(bandStructs).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val bucketed = lshBuckets(sets, k, bands)
     val cand = bucketed.as("a")
       .join(bucketed.as("b"),
             col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -864,6 +851,27 @@ object DedupOps {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     verifyPairs(cand, sets, tau)
+  }
+
+  /** LSH band postings (id, band, bh) for a hashed-sets frame — the
+    * banding step shared by `minhashLshPairsFromSets` and the persisted
+    * `MinhashIndex`. Docs with EMPTY shingle sets are excluded before
+    * banding: an empty doc's signature is k MaxValue slots that
+    * collides in EVERY band with every other empty doc (O(empties²)
+    * candidates, all dropped by verify anyway), and it can never reach
+    * jaccard ≥ τ.
+    */
+  private[dedup] def lshBuckets(sets: DataFrame, k: Int,
+                                bands: Int): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    val sig = sets.filter(col("sz") > 0).withColumn("sig",
+      ShingleExpressions.minhashSigFromHashes(col("hs"), k))
+    val bandStructs = array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+             xxhash64(slice(col("sig"), b * r + 1, r)).as("bh"))): _*)
+    sig.select(col("id"), explode(bandStructs).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
   /** The REMOVAL action for `sharedSpans` (the Lee et al. dedup step):

@@ -1,0 +1,152 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted near-duplicate SIGNATURE INDEX — the lexical twin of the
+  * persisted IVF layout (`SimilarityOps.saveIndex`/`appendIndex`): pay
+  * the corpus shingling + MinHash pass ONCE at build time, keep the
+  * LSH band postings and the hashed shingle sets on disk, and let
+  * every future batch probe and append against the store WITHOUT ever
+  * re-reading corpus text. Day-2 near-dup screening cost becomes
+  * O(batch grams) for banding, candidate volume for the bucket join,
+  * and only the MATCHED index docs' shingle sets for exact verify —
+  * never a corpus re-scan (`incrementalDedup`'s R-S join re-shingles
+  * the standing corpus every batch; this is its amortized form).
+  *
+  * Layout under `root`:
+  *   - `params/`  one row (n, k, bands): the shingle width and banding
+  *     geometry, FROZEN at build time. Probe/append read the geometry
+  *     from here rather than accepting it as arguments — signatures
+  *     from mixed geometries silently miss pairs, the worst failure
+  *     mode a dedup screen has, so the API makes the mix inexpressible.
+  *   - `sets/`    (id, hs, sz) hashed shingle sets — the verify-side
+  *     ground truth (8-byte xxhash64 grams, no text).
+  *   - `buckets/` (id, bh) LSH postings partitioned by `band`: a probe
+  *     joins on (band, bh), so partition pruning applies when probing
+  *     a band subset, and the per-band directories keep bucket joins
+  *     co-located at scale.
+  *
+  * Recall contract is `minhashLshPairs`'s: choose (k, bands) so the
+  * band-collision probability at τ makes misses negligible; every
+  * emitted pair is exact-Jaccard verified, so false positives never
+  * survive. Retry safety: `append` anti-joins ids already present in
+  * `sets/` (one id-column scan — every other column prunes), so a
+  * re-delivered batch cannot double-insert. Single-writer contract,
+  * like the Sinks maintenance family.
+  */
+object MinhashIndex {
+
+  private def readParams(spark: SparkSession,
+                         root: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(s"$root/params").head()
+    (r.getAs[Int]("n"), r.getAs[Int]("k"), r.getAs[Int]("bands"))
+  }
+
+  /** Build the index from a corpus: one shingling pass feeds both the
+    * sets store and the band postings (the hashedSets cache is released
+    * before returning — build owns it).
+    */
+  def build(docs: DataFrame, idCol: String, textCol: String,
+            root: String, n: Int = 12, k: Int = 64,
+            bands: Int = 16): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sets = DedupOps.hashedSets(docs, idCol, textCol, n)
+    sets.write.mode("overwrite").parquet(s"$root/sets")
+    DedupOps.lshBuckets(sets, k, bands)
+      .repartition(col("band"))
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$root/buckets")
+    Seq((n, k, bands)).toDF("n", "k", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/params")
+    sets.unpersist(false)
+  }
+
+  /** Probe a batch against the standing index: verified near-dup pairs
+    * (id_a = index member, id_b = probe member, jaccard ≥ τ), without
+    * modifying the index — the decontamination-screen deployment (is
+    * this batch already in the corpus?). Shingles the BATCH only; the
+    * index side contributes its band postings to the candidate join
+    * and, for candidates only, its stored sets to the exact verify.
+    * Probe ids colliding with index ids are skipped (an id present on
+    * both sides is the same document by contract — re-probing an
+    * already-ingested batch must not self-match).
+    */
+  def probe(batch: DataFrame, idCol: String, textCol: String,
+            root: String, tau: Double): DataFrame = {
+    val spark = batch.sparkSession
+    val (n, k, bands) = readParams(spark, root)
+    val bsets = DedupOps.hashedSets(batch, idCol, textCol, n)
+    val out = probeSets(bsets, root, tau, k, bands)
+    bsets.unpersist(false)
+    out
+  }
+
+  private def probeSets(bsets: DataFrame, root: String, tau: Double,
+                        k: Int, bands: Int): DataFrame = {
+    val spark = bsets.sparkSession
+    val stored = spark.read.parquet(s"$root/buckets")
+    val cand = DedupOps.lshBuckets(bsets, k, bands).as("p")
+      .join(stored.as("s"),
+            col("p.band") === col("s.band") &&
+              col("p.bh") === col("s.bh") &&
+              col("p.id") =!= col("s.id"))
+      .select(col("s.id").as("id_a"), col("p.id").as("id_b"))
+      .distinct()
+    val indexSets = spark.read.parquet(s"$root/sets")
+      .join(cand.select(col("id_a").as("id")).distinct(),
+            Seq("id"), "left_semi")
+    DedupOps.verifyPairs(cand, bsets.unionByName(indexSets), tau)
+  }
+
+  /** Append a batch into the index (assign-against-frozen-geometry, the
+    * `appendIndex` cadence): ids already present are anti-joined away
+    * first, so re-delivery after a crashed-after-commit attempt is a
+    * no-op rather than a double insert. Band postings append only into
+    * the directories the batch lands in.
+    */
+  def append(batch: DataFrame, idCol: String, textCol: String,
+             root: String): Unit = {
+    val spark = batch.sparkSession
+    val (n, k, bands) = readParams(spark, root)
+    appendSets(DedupOps.hashedSets(batch, idCol, textCol, n),
+               root, k, bands)
+  }
+
+  private def appendSets(bsets: DataFrame, root: String,
+                         k: Int, bands: Int): Unit = {
+    val spark = bsets.sparkSession
+    val existing = spark.read.parquet(s"$root/sets").select(col("id"))
+    val fresh = bsets.join(existing, Seq("id"), "left_anti")
+    fresh.write.mode("append").parquet(s"$root/sets")
+    DedupOps.lshBuckets(fresh, k, bands)
+      .repartition(col("band"))
+      .write.mode("append").partitionBy("band")
+      .parquet(s"$root/buckets")
+  }
+
+  /** The day-2 composition: probe THEN append in one shingling pass —
+    * screen the batch against the standing corpus and make it part of
+    * the corpus for the NEXT batch. The probe result is materialized
+    * via an EAGER localCheckpoint BEFORE the append: the barrier (cost
+    * bounded by verified-pair volume, not batch volume) freezes the
+    * probe while the index is still pre-append, and the lineage CUT
+    * means a lost-executor recompute can never silently re-plan the
+    * probe against the mutated index — it fails loudly instead (the
+    * probe-then-mutate race every read-modify store has). Returns the
+    * checkpointed pairs (registered with CacheScope for release).
+    */
+  def ingest(batch: DataFrame, idCol: String, textCol: String,
+             root: String, tau: Double): DataFrame = {
+    val spark = batch.sparkSession
+    val (n, k, bands) = readParams(spark, root)
+    val bsets = DedupOps.hashedSets(batch, idCol, textCol, n)
+    val pairs = probeSets(bsets, root, tau, k, bands)
+      .localCheckpoint(true)
+      .transform(graft.CacheScope.register)
+    appendSets(bsets, root, k, bands)
+    bsets.unpersist(false)
+    pairs
+  }
+}

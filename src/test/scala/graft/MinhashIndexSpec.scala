@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{DedupOps, MinhashIndex}
+import graft.io.Sinks
+
+/** Persisted MinHash signature index: the probe-against-store path must
+  * find exactly what the one-shot LSH self-join finds (restricted to
+  * cross-side pairs), appends must be retry-safe, probes side-effect
+  * free, and intra-batch pairs are out of probe's contract (they belong
+  * to the within-batch curate step).
+  */
+class MinhashIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // even ids = corpus, odd = batch; 2/3/5 share the long sentence
+  // (3 and 5 are an INTRA-batch exact dup), 1/4 are distinct
+  private val base = "the quick brown fox jumps over the lazy dog again"
+  private def docs: DataFrame = Seq(
+    (1L, "completely unrelated text about spark aggregation plans"),
+    (2L, base + " and once more for good measure"),
+    (3L, base + " and once more for good measures"),
+    (4L, "another distinct even document with its own content here"),
+    (5L, base + " and once more for good measures")
+  ).toDF("doc_id", "text")
+
+  private val (n, k, bands, tau) = (4, 16, 8, 0.5)
+
+  private def normalized(df: DataFrame): Set[(Long, Long, Double)] =
+    df.select(col("id_a"), col("id_b"), col("jaccard"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => if (a % 2 == 0) (a, b, j) else (b, a, j) }
+      .toSet
+
+  test("build + ingest finds exactly the one-shot cross-side pairs; " +
+       "intra-batch pairs are out of contract") {
+    val root = s"${Sinks.scratchRoot}/spec_mhindex"
+    Sinks.dropTable(spark, root)
+    MinhashIndex.build(docs.filter($"doc_id" % 2 === 0),
+                       "doc_id", "text", root, n, k, bands)
+    val got = normalized(
+      MinhashIndex.ingest(docs.filter($"doc_id" % 2 === 1),
+                          "doc_id", "text", root, tau))
+    val oneShot = normalized(
+      DedupOps.minhashLshPairsFromSets(
+        DedupOps.hashedSets(docs, "doc_id", "text", n), k, bands, tau)
+        .filter(col("id_a") % 2 =!= col("id_b") % 2))
+    assert(got === oneShot)
+    assert(got.map(t => (t._1, t._2)) === Set((2L, 3L), (2L, 5L)))
+    // the intra-batch exact dup (3,5) is NOT probe output
+    assert(!got.exists(t => Set(t._1, t._2) === Set(3L, 5L)))
+  }
+
+  test("append is retry-safe and probe is side-effect free") {
+    val root = s"${Sinks.scratchRoot}/spec_mhindex_retry"
+    Sinks.dropTable(spark, root)
+    MinhashIndex.build(docs.filter($"doc_id" % 2 === 0),
+                       "doc_id", "text", root, n, k, bands)
+    MinhashIndex.append(docs.filter($"doc_id" % 2 === 1),
+                        "doc_id", "text", root)
+    val sets1 = spark.read.parquet(s"$root/sets").count()
+    val buckets1 = spark.read.parquet(s"$root/buckets").count()
+    assert(sets1 === 5L)
+    // re-delivered batch: no double insert
+    MinhashIndex.append(docs.filter($"doc_id" % 2 === 1),
+                        "doc_id", "text", root)
+    assert(spark.read.parquet(s"$root/sets").count() === sets1)
+    assert(spark.read.parquet(s"$root/buckets").count() === buckets1)
+    // probing mutates nothing; an id already in the index never
+    // self-matches
+    val probed = MinhashIndex.probe(docs.filter($"doc_id" === 3),
+                                    "doc_id", "text", root, tau)
+    assert(probed.filter(col("id_a") === col("id_b")).isEmpty)
+    // 3 is near-dup of index members 2 and 5 (5 was appended)
+    assert(normalized(probed).map(t => (t._1, t._2)) ===
+      Set((2L, 3L), (5L, 3L)).map { case (a, b) =>
+        if (a % 2 == 0) (a, b) else (b, a) })
+    assert(spark.read.parquet(s"$root/sets").count() === sets1)
+  }
+}
