@@ -667,6 +667,59 @@ object SparkEntry {
                           "doc_id", "text", root, tau = 0.7)
     }),
 
+    // CASCADE FORGET flagship: the right-to-be-forgotten must reach
+    // every DERIVED artifact, not just the source table. Stand up the
+    // warehouse (docs + embeddings tables, persisted IVF index,
+    // persisted MinHash index), forget ids ≡ 0 mod 97 everywhere —
+    // staged-swap table rewrites, partition-targeted IVF list rewrites,
+    // tombstone-then-compact on the signature index — then census every
+    // artifact: n_forgotten must be 0 across the board and the
+    // survivors' id checksums must equal the recomputed truth
+    "q_forget_cascade" -> ((s, dir) => {
+      val root = scratch(dir, "forget")
+      Sinks.dropTable(s, root)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val emb = t(s, dir, "embeddings")
+      val docsT = s"$root/docs"; val embT = s"$root/emb"
+      docs.write.parquet(docsT)
+      emb.write.parquet(embT)
+      val mhRoot = s"$root/mh"
+      MinhashIndex.build(docs, "doc_id", "text", mhRoot,
+                         n = 12, k = 16, bands = 4)
+      val cents = SimilarityOps.seedCentroids(emb, "vec_id", "embedding",
+                                              nlist = 8)
+      SimilarityOps.saveIndex(
+        SimilarityOps.ivfAssignTo(emb, "vec_id", "embedding", cents),
+        cents, s"$root/ivf")
+      // the forget set, everywhere it lives
+      Sinks.deleteWhere(s, docsT, pmod(col("doc_id"), lit(97)) === 0)
+      Sinks.deleteWhere(s, embT, pmod(col("vec_id"), lit(97)) === 0)
+      SimilarityOps.forgetFromIndex(
+        emb.filter(pmod(col("vec_id"), lit(97)) === 0).select(col("vec_id")),
+        "vec_id", s"$root/ivf")
+      MinhashIndex.forget(
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0).select(col("doc_id")),
+        "doc_id", mhRoot)
+      MinhashIndex.compactIndex(s, mhRoot)
+      def census(name: String, df: DataFrame, idc: String) =
+        df.agg(count(lit(1)).as("n_rows"),
+               coalesce(sum(col(idc)), lit(0L)).as("id_sum"),
+               coalesce(sum(when(pmod(col(idc), lit(97)) === 0, 1L)
+                 .otherwise(0L)), lit(0L)).as("n_forgotten"))
+          .withColumn("artifact", lit(name))
+      census("docs", s.read.parquet(docsT), "doc_id")
+        .unionByName(census("emb", s.read.parquet(embT), "vec_id"))
+        .unionByName(census("ivf_lists",
+          s.read.parquet(s"$root/ivf/lists"), "vec_id"))
+        .unionByName(census("mh_sets",
+          s.read.parquet(s"$mhRoot/sets"), "id"))
+        .unionByName(census("mh_buckets",
+          s.read.parquet(s"$mhRoot/buckets"), "id"))
+        .select(col("artifact"), col("n_rows"), col("id_sum"),
+                col("n_forgotten"))
+    }),
+
     // Day-2 flagship: INCREMENTAL CORPUS REFRESH. A new batch (doc_id ≡
     // 0 mod 3) lands against the standing warehouse (the rest): token
     // floor → exact-content novelty (fingerprint anti-join vs the
@@ -2735,6 +2788,30 @@ object SparkEntry {
           |       CASE WHEN id_a % 2 = 0 THEN id_b ELSE id_a END AS id_b,
           |       jaccard
           |FROM pairs WHERE id_a % 2 <> id_b % 2""".stripMargin),
+
+    // every artifact recomputed from base-minus-forgotten; buckets =
+    // bands(4) postings per bandable doc (len ≥ n — empty shingle sets
+    // never band)
+    "q_forget_cascade" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0),
+        |     e AS (SELECT vec_id FROM embeddings WHERE vec_id % 97 <> 0),
+        |     db AS (SELECT doc_id FROM documents
+        |            WHERE doc_id % 97 <> 0 AND len(text) >= 12)
+        |SELECT 'docs' AS artifact, count(*) AS n_rows,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(0 AS BIGINT) AS n_forgotten FROM d
+        |UNION ALL
+        |SELECT 'emb', count(*), CAST(sum(vec_id) AS BIGINT),
+        |       CAST(0 AS BIGINT) FROM e
+        |UNION ALL
+        |SELECT 'ivf_lists', count(*), CAST(sum(vec_id) AS BIGINT),
+        |       CAST(0 AS BIGINT) FROM e
+        |UNION ALL
+        |SELECT 'mh_sets', count(*), CAST(sum(doc_id) AS BIGINT),
+        |       CAST(0 AS BIGINT) FROM d
+        |UNION ALL
+        |SELECT 'mh_buckets', 4 * count(*), CAST(4 * sum(doc_id) AS BIGINT),
+        |       CAST(0 AS BIGINT) FROM db""".stripMargin,
 
     "q_incremental_refresh" ->
       ("""WITH RECURSIVE wh AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),

@@ -26,6 +26,8 @@ import org.apache.spark.sql.functions._
   *     joins on (band, bh), so partition pruning applies when probing
   *     a band subset, and the per-band directories keep bucket joins
   *     co-located at scale.
+  *   - `tombstones/` (id) logically-forgotten members (see `forget` /
+  *     `compactIndex` — the deletion-vector + VACUUM split).
   *
   * Recall contract is `minhashLshPairs`'s: choose (k, bands) so the
   * band-collision probability at τ makes misses negligible; every
@@ -94,11 +96,66 @@ object MinhashIndex {
               col("p.id") =!= col("s.id"))
       .select(col("s.id").as("id_a"), col("p.id").as("id_b"))
       .distinct()
-    val indexSets = spark.read.parquet(s"$root/sets")
+    // tombstoned index members drop out here: the verify side is the
+    // LIVE sets only, and verifyPairs's inner joins eliminate any
+    // candidate whose id_a has no live set row
+    val indexSets = liveSets(spark, root)
       .join(cand.select(col("id_a").as("id")).distinct(),
             Seq("id"), "left_semi")
     DedupOps.verifyPairs(cand, bsets.unionByName(indexSets), tau)
   }
+
+  private def tombstonesOf(spark: SparkSession,
+                           root: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.parquet(p.toString).select(col("id")).distinct())
+    else None
+  }
+
+  private def liveSets(spark: SparkSession, root: String): DataFrame = {
+    val sets = spark.read.parquet(s"$root/sets")
+    tombstonesOf(spark, root)
+      .map(t => sets.join(t, Seq("id"), "left_anti"))
+      .getOrElse(sets)
+  }
+
+  /** Logical forget — the right-to-be-forgotten reaching the INDEX, not
+    * just the source table: append the ids to `tombstones/`; probes
+    * stop matching them immediately. The physical bytes remain until
+    * `compactIndex` — the deletion-vector + VACUUM split (Delta,
+    * Lucene): band postings spread every doc across EVERY band
+    * directory, so a physical per-forget rewrite would rewrite the
+    * whole store for one id, while the tombstone is one tiny append.
+    * Contract: a tombstoned id cannot be re-appended until compaction
+    * (`append` skips ids still physically present — un-tombstoning
+    * would resurrect the OLD bytes next to the new row).
+    */
+  def forget(ids: DataFrame, idCol: String, root: String): Unit =
+    ids.select(col(idCol).as("id")).distinct()
+      .coalesce(1).write.mode("append").parquet(s"$root/tombstones")
+
+  /** Physical erasure: rewrite `sets/` and `buckets/` WITHOUT the
+    * tombstoned ids and clear the tombstones, swapping the whole index
+    * root atomically (the stagedReplace contract — a crash leaves the
+    * old root serving, with its tombstones still masking probes).
+    * Postings are filtered, never re-banded: `buckets/` rows are
+    * (id, band, bh) facts independent of which other docs exist.
+    */
+  def compactIndex(spark: SparkSession, root: String): Unit =
+    graft.io.Sinks.stagedReplace(spark, root) { stage =>
+      liveSets(spark, root).write.parquet(s"$stage/sets")
+      val buckets = spark.read.parquet(s"$root/buckets")
+      tombstonesOf(spark, root)
+        .map(t => buckets.join(t, Seq("id"), "left_anti"))
+        .getOrElse(buckets)
+        .repartition(col("band"))
+        .write.partitionBy("band").parquet(s"$stage/buckets")
+      spark.read.parquet(s"$root/params")
+        .coalesce(1).write.parquet(s"$stage/params")
+      // tombstones intentionally not copied: the new root starts clean
+    }
 
   /** Append a batch into the index (assign-against-frozen-geometry, the
     * `appendIndex` cadence): ids already present are anti-joined away

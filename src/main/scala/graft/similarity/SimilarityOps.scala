@@ -1087,6 +1087,52 @@ object SimilarityOps {
       cents.unpersist(false)
     }
 
+  /** GDPR delete INSIDE the persisted IVF index (the forget must reach
+    * derived artifacts, not just the source table): physically rewrite
+    * ONLY the list directories containing forgotten ids. One id-side
+    * semi-join finds the affected lists (id column scan, every other
+    * column prunes); their surviving rows are frozen via an eager
+    * localCheckpoint (they must be fully READ before the dynamic
+    * overwrite replaces the very directories they came from), then
+    * written back with dynamic partition overwrite — untouched lists
+    * keep their files byte-identical. An affected list whose EVERY
+    * member was forgotten emits no rows, which dynamic overwrite would
+    * silently leave in place, so those directories are dropped
+    * explicitly. Cost ∝ affected-list volume; a forget set touching
+    * most lists is a `reindex`-shaped rewrite instead.
+    *
+    * Crash contract: the per-partition commit is not atomic across
+    * lists — a crash can leave SOME lists rewritten — but the operation
+    * is idempotent (anti-join of already-clean lists is a no-op), so
+    * re-running completes the delete; it can never duplicate.
+    */
+  def forgetFromIndex(ids: DataFrame, idCol: String,
+                      path: String): Unit = {
+    val spark = ids.sparkSession
+    val lists = spark.read.parquet(s"$path/lists")
+    val affected = lists.join(ids, Seq(idCol), "left_semi")
+      .select(col("list_id")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (affected.isEmpty) return
+    val keep = lists
+      .filter(col("list_id").isInCollection(affected))
+      .join(ids, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    keep.repartition(col("list_id"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("list_id").parquet(s"$path/lists")
+    val survivors = keep.select(col("list_id")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (affected -- survivors).foreach { lid =>
+      fs.delete(
+        new org.apache.hadoop.fs.Path(s"$path/lists/list_id=$lid"), true)
+    }
+    keep.unpersist(false)
+  }
+
   // ---------------------------------------------------------- IVF × PQ
 
   /** Build the COMPOSED IVF×PQ index (Jégou TPAMI'11 §IV: coarse

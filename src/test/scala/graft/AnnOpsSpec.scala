@@ -173,4 +173,57 @@ class AnnOpsSpec extends SparkSpec {
       r._5.isEmpty && r._6.isEmpty))
     spark.catalog.clearCache()
   }
+
+  test("forgetFromIndex: only affected list dirs rewritten, emptied " +
+       "lists dropped, untouched lists byte-identical, idempotent") {
+    def vec(axis: Int): Seq[Double] = {
+      val v = Array.fill(4)(0.0); v(axis) = 1.0; v.toSeq
+    }
+    // 3 tight lists of 4 vectors each on orthogonal axes
+    val emb = (0L until 12L).map(i => (i, vec((i % 3).toInt)))
+      .toDF("vec_id", "embedding")
+    val path = graft.io.Sinks.scratchRoot + "/ann_forget_spec"
+    graft.io.Sinks.dropTable(spark, path)
+    // seed centroids = vectors 0,1,2 = the three axes: assignment is
+    // exact and deterministic, no training required
+    val cents = SimilarityOps.seedCentroids(emb, "vec_id", "embedding",
+                                            nlist = 3)
+    SimilarityOps.saveIndex(
+      SimilarityOps.ivfAssignTo(emb, "vec_id", "embedding", cents),
+      cents, path)
+    val listDirs = new java.io.File(s"$path/lists").listFiles()
+      .filter(_.getName.startsWith("list_id=")).map(_.getName).sorted
+    assert(listDirs.length === 3)
+    def filesOf(d: String) = new java.io.File(s"$path/lists/$d")
+      .listFiles().filter(_.getName.startsWith("part-"))
+      .map(f => (f.getName, f.lastModified, f.length)).toSeq.sorted
+    // axis-2 members {2,5,8,11} share one list; forget ALL of them plus
+    // one member (0) of another list
+    val before = listDirs.map(d => d -> filesOf(d)).toMap
+    val ids = Seq(2L, 5L, 8L, 11L, 0L).toDF("vec_id")
+    SimilarityOps.forgetFromIndex(ids, "vec_id", path)
+    val survivors = spark.read.parquet(s"$path/lists")
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors === Set(1L, 3L, 4L, 6L, 7L, 9L, 10L))
+    // the fully-forgotten list's dir is gone
+    val after = new java.io.File(s"$path/lists").listFiles()
+      .filter(_.getName.startsWith("list_id=")).map(_.getName).sorted
+    assert(after.length === 2)
+    // the untouched list (no forgotten member) kept its files untouched
+    val untouched = listDirs.filter { d =>
+      filesOf0(path, d).nonEmpty && after.contains(d) &&
+        before(d) == filesOf(d)
+    }
+    assert(untouched.nonEmpty,
+      s"expected at least one byte-identical untouched list dir")
+    // idempotent re-run: same census, no errors
+    SimilarityOps.forgetFromIndex(ids, "vec_id", path)
+    assert(spark.read.parquet(s"$path/lists")
+      .select("vec_id").as[Long].collect().toSet === survivors)
+  }
+
+  private def filesOf0(path: String, d: String) = {
+    val f = new java.io.File(s"$path/lists/$d")
+    if (f.exists()) f.listFiles().toSeq else Seq.empty
+  }
 }

@@ -79,4 +79,43 @@ class MinhashIndexSpec extends SparkSpec {
         if (a % 2 == 0) (a, b) else (b, a) })
     assert(spark.read.parquet(s"$root/sets").count() === sets1)
   }
+
+  test("forget masks probes immediately, compactIndex erases " +
+       "physically, re-append only possible after compaction") {
+    val root = s"${Sinks.scratchRoot}/spec_mhindex_forget"
+    Sinks.dropTable(spark, root)
+    MinhashIndex.build(docs.filter($"doc_id" % 2 === 0),
+                       "doc_id", "text", root, n, k, bands)
+    val batch3 = docs.filter($"doc_id" === 3)
+    assert(normalized(MinhashIndex.probe(batch3, "doc_id", "text",
+                                         root, tau))
+      .map(t => (t._1, t._2)) === Set((2L, 3L)))
+    // logical forget: probe stops matching NOW, bytes remain
+    MinhashIndex.forget(docs.filter($"doc_id" === 2).select("doc_id"),
+                        "doc_id", root)
+    assert(MinhashIndex.probe(batch3, "doc_id", "text", root, tau)
+      .isEmpty)
+    assert(spark.read.parquet(s"$root/sets").count() === 2L)
+    // a tombstoned id is still physically present: append must skip it
+    MinhashIndex.append(
+      docs.filter($"doc_id" === 2).withColumn("text", lit("new life")),
+      "doc_id", "text", root)
+    assert(spark.read.parquet(s"$root/sets").count() === 2L)
+    // physical erasure: only doc 4 survives, tombstones cleared
+    MinhashIndex.compactIndex(spark, root)
+    assert(spark.read.parquet(s"$root/sets").select("id")
+      .as[Long].collect().toSeq === Seq(4L))
+    assert(spark.read.parquet(s"$root/buckets").select("id")
+      .as[Long].collect().toSet === Set(4L))
+    assert(!new java.io.File(s"$root/tombstones").exists())
+    assert(MinhashIndex.probe(batch3, "doc_id", "text", root, tau)
+      .isEmpty)
+    // now the id is free again
+    MinhashIndex.append(docs.filter($"doc_id" === 2),
+                        "doc_id", "text", root)
+    assert(spark.read.parquet(s"$root/sets").count() === 2L)
+    assert(normalized(MinhashIndex.probe(batch3, "doc_id", "text",
+                                         root, tau))
+      .map(t => (t._1, t._2)) === Set((2L, 3L)))
+  }
 }
