@@ -649,6 +649,19 @@ object SparkEntry {
         reuseFreq = Some(DedupOps.shingleFreq(corpus)))
     }),
 
+    // LSH geometry sweep (the lexical annEval): candidate volume /
+    // recall / precision per banding config at τ=0.7 over the even-id
+    // half — the "which geometry do I ship" table. Rows-only by design
+    // (MinHash isn't oracle-expressible); the spec pins monotonicity
+    // and exact toy-corpus values
+    "q_lsh_eval" -> ((s, dir) =>
+      DedupOps.lshEval(
+        DedupOps.hashedSets(
+          t(s, dir, "documents")
+            .filter(pmod(col("doc_id"), lit(2)) === 0),
+          "doc_id", "text", n = 12),
+        k = 64, bandsGrid = Seq(4, 8, 16), tau = 0.7)),
+
     // Persisted signature index (the lexical IVF-append twin): build
     // band postings + shingle sets on disk from the even-id corpus,
     // then INGEST the odd-id batch — probe (batch shingled once, bucket

@@ -853,6 +853,59 @@ object DedupOps {
     verifyPairs(cand, sets, tau)
   }
 
+  /** LSH geometry tuning harness — the lexical twin of the ANN side's
+    * `annEval`: for each banding config (bands over a fixed k-slot
+    * signature), measure what that geometry actually buys at threshold
+    * τ on THIS corpus: candidate-pair volume (the cost driver — every
+    * candidate is one exact verify), verified-pair count, recall
+    * against the exact-Jaccard truth (`ngramJaccardPairsFromSets`,
+    * computed ONCE and shared), and candidate precision. More bands
+    * (shorter rows) ⇒ more candidates and recall ↑ — the grid makes the
+    * price of each recall point visible, the "which geometry do I ship"
+    * signal every dedup deployment needs before burning a 100 TB pass.
+    *
+    * Verified pairs are exact-verified, so verified ⊆ truth always and
+    * recall = n_verified / n_truth; a 0-truth corpus reports recall 1.0
+    * (nothing to find ⇒ nothing missed), precision on 0 candidates
+    * likewise. Everything composes lazily into ONE returned frame: per
+    * config two count aggregates (candidates, survivors), the truth
+    * count cross-joined in as one broadcast row. `sets` should come
+    * from `hashedSets` (persisted) — each config re-bands the cached
+    * sets, never re-shingles.
+    */
+  def lshEval(sets: DataFrame, k: Int, bandsGrid: Seq[Int],
+              tau: Double): DataFrame = {
+    require(bandsGrid.nonEmpty && bandsGrid.forall(b => k % b == 0),
+      s"every bands value must divide k=$k (got $bandsGrid)")
+    val truth = ngramJaccardPairsFromSets(sets, tau)
+      .agg(count(lit(1)).as("n_truth"))
+    val perConfig = bandsGrid.map { b =>
+      val bucketed = lshBuckets(sets, k, b)
+      val cand = bucketed.as("a")
+        .join(bucketed.as("b"),
+              col("a.band") === col("b.band") &&
+                col("a.bh") === col("b.bh") &&
+                col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheScope.register)
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(verifyPairs(cand, sets, tau)
+          .agg(count(lit(1)).as("n_verified")))
+        .select(lit(k).as("k"), lit(b).as("bands"), lit(k / b).as("r"),
+                col("n_candidates"), col("n_verified"))
+    }.reduce(_ unionByName _)
+    perConfig.crossJoin(broadcast(truth))
+      .withColumn("recall",
+        round(when(col("n_truth") === 0, 1.0)
+          .otherwise(col("n_verified").cast("double") / col("n_truth")), 6))
+      .withColumn("precision",
+        round(when(col("n_candidates") === 0, 1.0)
+          .otherwise(col("n_verified").cast("double") /
+            col("n_candidates")), 6))
+  }
+
   /** LSH band postings (id, band, bh) for a hashed-sets frame — the
     * banding step shared by `minhashLshPairsFromSets` and the persisted
     * `MinhashIndex`. Docs with EMPTY shingle sets are excluded before

@@ -361,4 +361,42 @@ class TextDedupSpec extends SparkSpec {
       "doc_id", "text", minDocs = 2)
     assert(again.agg(sum($"n_removed")).as[Long].head() === 0L)
   }
+
+  test("lshEval: r=1 full recall on exact dups, candidates monotone " +
+       "in bands, verified ≡ per-config LSH pairs, 0-truth edge") {
+    val base = "the quick brown fox jumps over the lazy dog once more"
+    val docs = Seq(
+      (1L, base + " alpha"), (2L, base + " alpha"), // exact dup pair
+      (3L, "entirely different content about query planners and joins"),
+      (4L, "yet another unrelated document body with its own words")
+    ).toDF("doc_id", "text")
+    val sets = DedupOps.hashedSets(docs, "doc_id", "text", n = 4)
+    val k = 16
+    val grid = Seq(2, 4, 8, 16)
+    val got = DedupOps.lshEval(sets, k, grid, tau = 0.9)
+      .orderBy($"bands")
+      .as[(Int, Int, Int, Long, Long, Long, Double, Double)]
+      .collect()
+    assert(got.map(_._2).toSeq === grid)
+    assert(got.forall(r => r._3 === k / r._2))
+    // truth: exactly the planted dup pair (1,2)
+    assert(got.forall(_._6 === 1L))
+    // an exact dup has identical signatures: EVERY geometry finds it
+    assert(got.forall(r => r._5 === 1L && r._7 === 1.0))
+    // candidate volume is monotone non-decreasing in bands
+    assert(got.map(_._4).toSeq === got.map(_._4).toSeq.sorted)
+    // each config's verified count equals the standalone LSH pair join
+    for (b <- Seq(2, 16)) {
+      val standalone =
+        DedupOps.minhashLshPairsFromSets(sets, k, b, 0.9).count()
+      assert(got.find(_._2 === b).get._5 === standalone)
+    }
+    // a corpus with no pairs at τ: recall/precision report 1.0, not NaN
+    val lone = DedupOps.hashedSets(
+      Seq((1L, "just one single document here")).toDF("doc_id", "text"),
+      "doc_id", "text", n = 4)
+    val edge = DedupOps.lshEval(lone, 8, Seq(4), tau = 0.9)
+      .as[(Int, Int, Int, Long, Long, Long, Double, Double)].head()
+    assert(edge._6 === 0L && edge._7 === 1.0 && edge._8 === 1.0)
+  }
 }
