@@ -2151,6 +2151,20 @@ object SparkEntry {
         FkConstraint("nation_region", n, "n_regionkey", r, "r_regionkey")))
     }),
 
+    // Declarative data-contract suite (the Deequ staple): five checks
+    // — not-null, key uniqueness, range, regex shape, value domain —
+    // ONE aggregate pass + unpivot, one report row per check
+    "q_expectations" -> ((s, dir) => {
+      import graft.quality.Quality
+      import graft.quality.Quality.Expectation._
+      Quality.expectations(t(s, dir, "events"), Seq(
+        NotNull("user_id"),
+        Unique(Seq("event_id")),
+        InRange("value", 0.0, 400.0),
+        Matches("event_type", "^[a-z]+$"),
+        InSet("event_type", Seq("click", "view"))))
+    }),
+
     // Distribution-shift report (day-2 drift monitor): event-type mix,
     // first half of the month vs second — per-value JSD contributions
     // in bits, full-outer so novel categories stay finite
@@ -4439,6 +4453,50 @@ object SparkEntry {
         |          AS rn
         |      FROM documents) t
         |WHERE rn <= 20""".stripMargin,
+
+    // prove-it violation semantics: NULL can only violate not_null;
+    // unique = surplus among non-null keys (SQL UNIQUE)
+    "q_expectations" ->
+      """WITH n AS (SELECT count(*) AS n_rows FROM events)
+        |SELECT 'not_null' AS check_name, 'user_id' AS target, n_rows,
+        |       CAST((SELECT count(*) - count(user_id) FROM events)
+        |            AS BIGINT) AS n_violations,
+        |       (SELECT count(*) - count(user_id) FROM events) = 0
+        |         AS passed FROM n
+        |UNION ALL
+        |SELECT 'unique', 'event_id', n_rows,
+        |       CAST((SELECT count(event_id) - count(DISTINCT event_id)
+        |             FROM events) AS BIGINT),
+        |       (SELECT count(event_id) - count(DISTINCT event_id)
+        |        FROM events) = 0 FROM n
+        |UNION ALL
+        |SELECT 'in_range', 'value', n_rows,
+        |       CAST((SELECT count(*) FROM events
+        |             WHERE value IS NOT NULL
+        |               AND (value < 0 OR value > 400)) AS BIGINT),
+        |       (SELECT count(*) FROM events
+        |        WHERE value IS NOT NULL
+        |          AND (value < 0 OR value > 400)) = 0 FROM n
+        |UNION ALL
+        |SELECT 'matches', 'event_type', n_rows,
+        |       CAST((SELECT count(*) FROM events
+        |             WHERE event_type IS NOT NULL
+        |               AND NOT regexp_matches(event_type, '^[a-z]+$'))
+        |            AS BIGINT),
+        |       (SELECT count(*) FROM events
+        |        WHERE event_type IS NOT NULL
+        |          AND NOT regexp_matches(event_type, '^[a-z]+$')) = 0
+        |       FROM n
+        |UNION ALL
+        |SELECT 'in_set', 'event_type', n_rows,
+        |       CAST((SELECT count(*) FROM events
+        |             WHERE event_type IS NOT NULL
+        |               AND event_type NOT IN ('click', 'view'))
+        |            AS BIGINT),
+        |       (SELECT count(*) FROM events
+        |        WHERE event_type IS NOT NULL
+        |          AND event_type NOT IN ('click', 'view')) = 0
+        |       FROM n""".stripMargin,
 
     "q_fk_orphans" ->
       """SELECT fk, child_rows, null_keys, orphan_rows,

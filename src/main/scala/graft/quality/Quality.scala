@@ -130,4 +130,69 @@ object Quality {
     val row = df.agg(exprs.head, exprs.tail: _*).head()
     df.columns.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
   }
+
+  /** A declarative data-contract check (the Deequ/Great-Expectations
+    * staple). Row-local predicates and uniqueness all evaluate in ONE
+    * aggregate pass over the frame — k checks cost one scan, not k —
+    * then unpivot to one report row per check (the `profile` shape).
+    * Violation semantics are prove-it: a NULL value can only violate
+    * `NotNull` (a range/regex/set check on NULL asserts nothing —
+    * compose with NotNull when absence itself is the defect), matching
+    * SQL CHECK-constraint semantics. `Unique` counts the surplus among
+    * fully-non-null key tuples (count − countDistinct), SQL UNIQUE
+    * semantics where null keys don't collide. Referential checks live
+    * in [[referentialOrphans]] (they need a second frame).
+    */
+  sealed trait Expectation
+  object Expectation {
+    final case class NotNull(column: String) extends Expectation
+    final case class Unique(columns: Seq[String]) extends Expectation
+    final case class InRange(column: String, lo: Double, hi: Double)
+        extends Expectation
+    final case class Matches(column: String, regex: String)
+        extends Expectation
+    final case class InSet(column: String, values: Seq[String])
+        extends Expectation
+  }
+
+  def expectations(df: DataFrame,
+                   checks: Seq[Expectation]): DataFrame = {
+    import Expectation._
+    require(checks.nonEmpty, "expectations: no checks given")
+    def violations(cond: Column): Column =
+      coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L))
+    val labeled = checks.zipWithIndex.map {
+      case (NotNull(c), i) =>
+        ("not_null", c, violations(col(c).isNull).as(s"__e$i"))
+      case (Unique(cs), i) =>
+        val allSet = cs.map(col(_).isNotNull).reduce(_ && _)
+        ("unique", cs.mkString("+"),
+         (violations(allSet) -
+           coalesce(countDistinct(cs.head, cs.tail: _*), lit(0L)))
+           .as(s"__e$i"))
+      case (InRange(c, lo, hi), i) =>
+        ("in_range", c,
+         violations(col(c).isNotNull &&
+           (col(c) < lo || col(c) > hi)).as(s"__e$i"))
+      case (Matches(c, re), i) =>
+        ("matches", c,
+         violations(col(c).isNotNull && !col(c).rlike(re)).as(s"__e$i"))
+      case (InSet(c, vs), i) =>
+        ("in_set", c,
+         violations(col(c).isNotNull &&
+           !col(c).isin(vs: _*)).as(s"__e$i"))
+    }
+    val one = df.agg(count(lit(1)).as("__n"), labeled.map(_._3): _*)
+    def sq(s: String) = "'" + s.replace("'", "''") + "'"
+    val stackArgs = labeled.zipWithIndex.map { case ((lbl, tgt, _), i) =>
+      s"${sq(lbl)}, ${sq(tgt)}, `__e$i`"
+    }.mkString(", ")
+    one.select(
+      expr(s"stack(${checks.size}, $stackArgs) AS " +
+           "(check_name, target, n_violations)"),
+      col("__n").as("n_rows"))
+      .select(col("check_name"), col("target"), col("n_rows"),
+              col("n_violations"),
+              (col("n_violations") === 0L).as("passed"))
+  }
 }

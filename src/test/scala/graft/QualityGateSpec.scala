@@ -82,4 +82,40 @@ class QualityGateSpec extends SparkSpec {
     val sims = got.map(_.getDouble(2))
     assert(sims.sorted.sameElements(sims))
   }
+
+  test("expectations: one pass, prove-it null semantics, SQL UNIQUE " +
+       "surplus, empty-frame all-pass") {
+    import spark.implicits._
+    import graft.quality.Quality
+    import graft.quality.Quality.Expectation._
+    val df = Seq(
+      (Some(1L), Some("click"), Some(10.0)),
+      (Some(1L), Some("view"), Some(500.0)),  // dup key + out of range
+      (None,     Some("Ad-Hoc"), None),       // null key; regex+set fail
+      (Some(3L), None, Some(-1.0))            // null type; range fail
+    ).toDF("event_id", "event_type", "value")
+    val checks = Seq(
+      NotNull("event_id"),
+      Unique(Seq("event_id")),
+      InRange("value", 0.0, 400.0),
+      Matches("event_type", "^[a-z]+$"),
+      InSet("event_type", Seq("click", "view")))
+    val got = Quality.expectations(df, checks)
+      .as[(String, String, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got.size === 5)
+    assert(got(("not_null", "event_id")) === ((4L, 1L, false)))
+    // 3 non-null keys, 2 distinct -> surplus 1; the NULL key never
+    // collides (SQL UNIQUE)
+    assert(got(("unique", "event_id")) === ((4L, 1L, false)))
+    // NULL value asserts nothing for range; 500 and -1 violate
+    assert(got(("in_range", "value")) === ((4L, 2L, false)))
+    assert(got(("matches", "event_type")) === ((4L, 1L, false)))
+    assert(got(("in_set", "event_type")) === ((4L, 1L, false)))
+    // empty frame: every check passes with zero violations
+    val empty = Quality.expectations(df.filter(lit(false)), checks)
+      .as[(String, String, Long, Long, Boolean)].collect()
+    assert(empty.length === 5)
+    assert(empty.forall(r => r._3 === 0L && r._4 === 0L && r._5))
+  }
 }
