@@ -89,12 +89,18 @@ object MinhashIndex {
                         k: Int, bands: Int): DataFrame = {
     val spark = bsets.sparkSession
     val stored = spark.read.parquet(s"$root/buckets")
+    // index members sharing an id with ANY probe doc are excluded (not
+    // just the same-row pairing): same id = same document by contract,
+    // and the anti-join makes a REPLAYED ingest's probe independent of
+    // its own earlier append — probe is always "batch vs index minus
+    // batch", so re-running a crashed epoch reproduces its pairs
+    // bit-for-bit instead of surfacing the batch's own copies
     val cand = DedupOps.lshBuckets(bsets, k, bands).as("p")
       .join(stored.as("s"),
             col("p.band") === col("s.band") &&
-              col("p.bh") === col("s.bh") &&
-              col("p.id") =!= col("s.id"))
+              col("p.bh") === col("s.bh"))
       .select(col("s.id").as("id_a"), col("p.id").as("id_b"))
+      .join(bsets.select(col("id").as("id_a")), Seq("id_a"), "left_anti")
       .distinct()
     // tombstoned index members drop out here: the verify side is the
     // LIVE sets only, and verifyPairs's inner joins eliminate any
@@ -206,4 +212,36 @@ object MinhashIndex {
     bsets.unpersist(false)
     pairs
   }
+
+  /** Streaming ingest: near-dup screening AT INGEST TIME, with the
+    * persisted index as the ONLY state — no Spark streaming state, no
+    * watermark (the index never evicts; `dedupStream`'s watermarked
+    * exact-dedup is the bounded-state alternative when an index is too
+    * much). Each micro-batch runs the batch `ingest` and lands its
+    * verified pairs in `pairsOut/batch_id=N`.
+    *
+    * Exactly-once, end to end: a replayed epoch (crash between sink
+    * commit and checkpoint advance — the foreachBatch at-least-once
+    * window) (a) re-appends nothing (`append`'s id anti-join), (b)
+    * re-probes to the SAME pairs (probe is "batch vs index minus
+    * batch", so the crashed attempt's own append is invisible), and
+    * (c) OVERWRITES its own epoch directory rather than appending —
+    * so every observable artifact is idempotent under replay.
+    * Single-writer contract as everywhere in the maintenance family.
+    */
+  def ingestStream(stream: DataFrame, idCol: String, textCol: String,
+                   root: String, tau: Double, pairsOut: String,
+                   checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pairs = ingest(batch, idCol, textCol, root, tau)
+        pairs.write.mode("overwrite")
+          .parquet(s"$pairsOut/batch_id=$batchId")
+        pairs.unpersist(false)
+        ()
+      }
+      .start()
 }

@@ -118,4 +118,44 @@ class MinhashIndexSpec extends SparkSpec {
                                          root, tau))
       .map(t => (t._1, t._2)) === Set((2L, 3L)))
   }
+
+  test("ingestStream: epochs equal sequential batch ingests; a replayed " +
+       "epoch reproduces its pairs bit-for-bit") {
+    val root = s"${Sinks.scratchRoot}/spec_mhindex_stream"
+    Sinks.dropTable(spark, root)
+    val idx = s"$root/idx"; val twin = s"$root/twin"
+    val inDir = s"$root/in"; val pairsOut = s"$root/pairs"
+    val ckpt = s"$root/ckpt"
+    val even = docs.filter($"doc_id" % 2 === 0)
+    MinhashIndex.build(even, "doc_id", "text", idx, n, k, bands)
+    MinhashIndex.build(even, "doc_id", "text", twin, n, k, bands)
+    val b1 = docs.filter($"doc_id" === 1 || $"doc_id" === 3)
+    val b2 = docs.filter($"doc_id" === 5)
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(docs.schema).parquet(inDir)
+      val q = MinhashIndex.ingestStream(stream, "doc_id", "text", idx,
+                                        tau, pairsOut, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id_a"), col("id_b"), col("jaccard"))
+        .as[(Long, Long, Double)].collect().toSet
+    b1.coalesce(1).write.mode("append").parquet(inDir); runOnce()
+    b2.coalesce(1).write.mode("append").parquet(inDir); runOnce()
+    val e0 = pairsOf(spark.read.parquet(s"$pairsOut/batch_id=0"))
+    val e1 = pairsOf(spark.read.parquet(s"$pairsOut/batch_id=1"))
+    assert(e0 === pairsOf(
+      MinhashIndex.ingest(b1, "doc_id", "text", twin, tau)))
+    assert(e1 === pairsOf(
+      MinhashIndex.ingest(b2, "doc_id", "text", twin, tau)))
+    // epoch 1 sees doc 3 (appended by epoch 0) as an index member
+    assert(e1.map(t => (t._1, t._2)) === Set((2L, 5L), (3L, 5L)))
+    // replay the at-least-once window: batch 2's ids are already in the
+    // index, yet the probe reproduces epoch 1 exactly (probe = batch vs
+    // index MINUS batch) and the index does not grow
+    val setsN = spark.read.parquet(s"$idx/sets").count()
+    assert(pairsOf(
+      MinhashIndex.ingest(b2, "doc_id", "text", idx, tau)) === e1)
+    assert(spark.read.parquet(s"$idx/sets").count() === setsN)
+  }
 }
