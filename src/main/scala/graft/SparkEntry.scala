@@ -2151,6 +2151,47 @@ object SparkEntry {
         FkConstraint("nation_region", n, "n_regionkey", r, "r_regionkey")))
     }),
 
+    // Layout health report: scatter events 16-ways into month
+    // partitions, report the per-partition file census (metadata-only
+    // driver listing, the OPTIMIZE planning cost), compact, report
+    // again — the before/after proves the signal drives the action.
+    // n_files/n_small are deterministic; byte columns are
+    // encoding-dependent so the driver check is rows-only, with the
+    // census pinned by spec
+    "q_layout_stats" -> ((s, dir) => {
+      val path = scratch(dir, "layout")
+      val ev = t(s, dir, "events")
+        .withColumn("day", dayofmonth(col("ts")))
+        .select(col("event_id"), col("user_id"), col("value"),
+                col("day"))
+      ev.repartition(16)
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+      val before = Sinks.layoutStats(s, path)
+        .select(col("partition"), col("n_files"),
+                col("n_small_files"), lit("scattered").as("phase"))
+      Sinks.compactPartitions(s, path, "day")
+      val after = Sinks.layoutStats(s, path)
+        .select(col("partition"), col("n_files"),
+                col("n_small_files"), lit("compacted").as("phase"))
+      before.unionByName(after)
+    }),
+
+    // Winsorized per-type value stats: exact p05/p95 clipping bounds
+    // from ONE aggregate broadcast back, clip in a projection — the
+    // per-type census proves which rows moved and where the mass went
+    "q_winsorize" -> ((s, dir) =>
+      CoreOps.winsorize(t(s, dir, "events"), "value", "event_type",
+                        0.05, 0.95)
+        .groupBy(col("event_type"))
+        .agg(count(col("value")).as("n_values"),
+             round(min(col("value_lo")), 6).as("lo"),
+             round(min(col("value_hi")), 6).as("hi"),
+             sum(when(col("value") < col("value_lo"), 1L).otherwise(0L))
+               .as("n_clipped_lo"),
+             sum(when(col("value") > col("value_hi"), 1L).otherwise(0L))
+               .as("n_clipped_hi"),
+             round(sum(col("value_w")), 4).as("sum_w"))),
+
     // Declarative data-contract suite (the Deequ staple): five checks
     // — not-null, key uniqueness, range, regex shape, value domain —
     // ONE aggregate pass + unpivot, one report row per check
@@ -4453,6 +4494,26 @@ object SparkEntry {
         |          AS rn
         |      FROM documents) t
         |WHERE rn <= 20""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH cuts AS (SELECT event_type,
+        |         quantile_cont(value, 0.05) AS lo,
+        |         quantile_cont(value, 0.95) AS hi
+        |       FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT e.event_type, count(e.value) AS n_values,
+        |       round(min(c.lo), 6) AS lo, round(min(c.hi), 6) AS hi,
+        |       CAST(coalesce(sum(CASE WHEN e.value < c.lo
+        |                               THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |         AS n_clipped_lo,
+        |       CAST(coalesce(sum(CASE WHEN e.value > c.hi
+        |                               THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |         AS n_clipped_hi,
+        |       round(sum(CASE WHEN e.value < c.lo THEN c.lo
+        |                      WHEN e.value > c.hi THEN c.hi
+        |                      ELSE e.value END), 4) AS sum_w
+        |FROM events e LEFT JOIN cuts c
+        |  ON e.event_type IS NOT DISTINCT FROM c.event_type
+        |GROUP BY 1""".stripMargin,
 
     // prove-it violation semantics: NULL can only violate not_null;
     // unique = surplus among non-null keys (SQL UNIQUE)

@@ -287,6 +287,21 @@ object Sinks {
     stageSwap(spark.read.parquet(path).repartition(numFiles), path)
   }
 
+  /** `compact` for a PARTITIONED table: rewrite to ONE file per
+    * partition directory, keeping the partition layout (plain `compact`
+    * would flatten it — the partition column would survive as data but
+    * the directory pruning would be gone). Write-side repartition on
+    * the partition column is the `writePartitioned` one-file-per-
+    * partition discipline; same staged swap crash contract.
+    */
+  def compactPartitions(spark: SparkSession, path: String,
+                        partCol: String): Unit =
+    stagedReplace(spark, path) { stage =>
+      spark.read.parquet(path)
+        .repartition(col(partCol))
+        .write.partitionBy(partCol).parquet(stage)
+    }
+
   // ----------------------------------------------------- versioned table
 
   /** Commit marker for versioned-table snapshots: a `v=N` directory is
@@ -392,6 +407,54 @@ object Sinks {
   /** Remove a table/versioned root entirely (test + re-run hygiene). */
   def dropTable(spark: SparkSession, path: String): Unit =
     fsFor(spark, path).delete(new org.apache.hadoop.fs.Path(path), true)
+
+  /** Layout health report — the "do I need to compact / rebalance?"
+    * signal feeding `compact`/`zorderWrite` decisions: per partition
+    * directory (one `(root)` row for unpartitioned tables) the file
+    * census from filesystem METADATA only, no data read: file count,
+    * total/min/max/avg bytes, and how many files sit under
+    * `smallBytes` (the small-files problem `compact`'s scaladoc
+    * describes). Driver-side listing is O(files) metadata — the same
+    * planning cost Delta's OPTIMIZE pays — and the report is
+    * files-sized, not data-sized; hidden/marker files (`_SUCCESS`,
+    * `_COMMITTED`, checksums) are excluded. Nested multi-level
+    * partitioning reports at the FIRST level (the compaction unit
+    * `upsertPartition` replaces).
+    */
+  def layoutStats(spark: SparkSession, path: String,
+                  smallBytes: Long = 32L << 20): DataFrame = {
+    import spark.implicits._
+    val fs = fsFor(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    require(fs.exists(root), s"layoutStats: no table at $path")
+    def dataFiles(p: org.apache.hadoop.fs.Path): Seq[Long] = {
+      val it = fs.listFiles(p, true)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) out += st.getLen
+      }
+      out.toSeq
+    }
+    val parts = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+    val groups =
+      if (parts.nonEmpty) parts.map(st => st.getPath.getName -> st.getPath)
+      else Seq("(root)" -> root)
+    groups.map { case (name, p) =>
+      val sizes = dataFiles(p)
+      (name, sizes.size.toLong, sizes.sum,
+       if (sizes.isEmpty) 0L else sizes.min,
+       if (sizes.isEmpty) 0L else sizes.max,
+       sizes.count(_ < smallBytes).toLong)
+    }.toDF("partition", "n_files", "total_bytes", "min_bytes",
+           "max_bytes", "n_small_files")
+      .withColumn("avg_bytes",
+        when(col("n_files") > 0,
+             (col("total_bytes").cast("double") / col("n_files"))
+               .cast("long")).otherwise(0L))
+  }
 
   /** Z-order clustered write (the public technique behind Delta's
     * OPTIMIZE ZORDER; Morton 1966): range-partition and sort files by

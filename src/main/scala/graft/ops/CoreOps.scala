@@ -149,4 +149,41 @@ object CoreOps {
       .select(col("col_name"), col("n_rows"), col("n_nulls"),
               col("n_distinct"), col("min_value"), col("max_value"))
   }
+
+  /** Winsorization (quantile clipping — the robust-stats feature-prep
+    * staple): clip `valueCol` into its per-group exact interpolated
+    * [pLo, pHi] percentile bounds. Output = the input columns plus
+    * `<v>_lo`, `<v>_hi` (the group's bounds) and `<v>_w` (the clipped
+    * value), so callers can both train on the clipped feature and audit
+    * what moved.
+    *
+    * Plan shape: ONE aggregate computes the n_groups-row bounds frame,
+    * broadcast back (the perplexityBuckets cut discipline) — the data
+    * rides zero extra shuffles and the clip is one projection. Exact
+    * percentile buffers each group; the percentile_approx swap is the
+    * documented extreme-group variant (adaptiveQualityGate). Prove-it
+    * null semantics: a NULL value stays NULL, a group with no non-null
+    * values gets null bounds and passes through unclipped, and a NULL
+    * group key is a real group (null-safe join), not silently dropped.
+    * Bound comparisons are ulp-robust: an interpolated threshold either
+    * equals a data point exactly or falls strictly inside a gap with no
+    * data, so engine-side interpolation drift cannot flip a clip.
+    */
+  def winsorize(df: DataFrame, valueCol: String, groupCol: String,
+                pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"winsorize: need 0 <= pLo < pHi <= 1 (got $pLo, $pHi)")
+    val v = col(valueCol)
+    val cuts = df.groupBy(col(groupCol).as("__g"))
+      .agg(percentile(v, lit(pLo)).as("__lo"),
+           percentile(v, lit(pHi)).as("__hi"))
+    df.join(broadcast(cuts), col(groupCol) <=> col("__g"), "left")
+      .withColumn(s"${valueCol}_w",
+        when(v < col("__lo"), col("__lo"))
+          .when(v > col("__hi"), col("__hi"))
+          .otherwise(v))
+      .withColumn(s"${valueCol}_lo", col("__lo"))
+      .withColumn(s"${valueCol}_hi", col("__hi"))
+      .drop("__g", "__lo", "__hi")
+  }
 }

@@ -103,6 +103,33 @@ class CoreOpsSpec extends SparkSpec {
     }
   }
 
+  test("winsorize: exact bounds, clip audit columns, null semantics") {
+    val df = (0 to 10).map(i => ("a", Some(i.toDouble))) ++
+      Seq(("a", None),                    // null value: stays null
+          (null.asInstanceOf[String], Some(5.0)), // null group: real group
+          ("b", None))                    // all-null group: no bounds
+    val out = CoreOps.winsorize(df.toDF("g", "v"), "v", "g", 0.1, 0.9)
+    val a = out.filter($"g" === "a")
+      .select($"v", $"v_w", $"v_lo", $"v_hi")
+      .as[(Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect()
+    // (n-1)*p = 10*0.1 = 1 exactly: bounds are data points 1.0 and 9.0
+    assert(a.forall(r => r._3 === Some(1.0) && r._4 === Some(9.0)))
+    assert(a.collect { case (Some(0.0), w, _, _) => w }.head === Some(1.0))
+    assert(a.collect { case (Some(10.0), w, _, _) => w }.head === Some(9.0))
+    assert(a.collect { case (Some(5.0), w, _, _) => w }.head === Some(5.0))
+    assert(a.collect { case (None, w, _, _) => w }.head === None)
+    // single-row null group: its own bounds, value unmoved
+    val ng = out.filter($"g".isNull && $"v".isNotNull)
+      .select($"v_w", $"v_lo").as[(Option[Double], Option[Double])].head()
+    assert(ng === ((Some(5.0), Some(5.0))))
+    // all-null group: null bounds, row survives unclipped
+    val b = out.filter($"g" === "b")
+      .select($"v_w", $"v_lo").as[(Option[Double], Option[Double])].head()
+    assert(b === ((None, None)))
+    assert(out.count() === df.size.toLong)
+  }
+
   test("quality gates return Left on violation (§5)") {
     val ok = Seq((1, "a")).toDF("x", "y")
     val empty = ok.filter(lit(false))

@@ -44,7 +44,11 @@ class EntrySpec extends SparkSpec {
                        "q_pq_eval", "q_pca_embed", "q_pca_scree",
                        "q_user_sketch", "q_sketch_append",
                        // iterative farthest-point greedy (k-means class)
-                       "q_kcenter_select")
+                       "q_kcenter_select",
+                       // MinHash geometries aren't oracle-expressible
+                       "q_lsh_eval",
+                       // file-census bytes are encoding-dependent
+                       "q_layout_stats")
     assert(noOracle === expected)
   }
 }

@@ -106,6 +106,43 @@ class SinkMaintenanceSpec extends SparkSpec {
     assert(!new java.io.File(path + "__stage").exists())
   }
 
+  test("layoutStats census drives compactPartitions; layout survives, " +
+       "markers excluded, small-file count tracks the threshold") {
+    val path = s"${Sinks.scratchRoot}/spec_layout"
+    Sinks.dropTable(spark, path)
+    val df = (1L to 400L).map(i => (i, (i % 4).toInt)).toDF("id", "p")
+    df.repartition(8).write.partitionBy("p").parquet(path)
+    val before = Sinks.layoutStats(spark, path, smallBytes = 1L << 20)
+      .select($"partition", $"n_files", $"n_small_files")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(before.keySet === Set("p=0", "p=1", "p=2", "p=3"))
+    // 8 writer tasks each hold rows of every p value -> 8 files per dir,
+    // all tiny, so every file counts as small
+    assert(before.values.forall { case (n, s) => n === 8L && s === n })
+    Sinks.compactPartitions(spark, path, "p")
+    val after = Sinks.layoutStats(spark, path, smallBytes = 1L << 20)
+      .select($"partition", $"n_files", $"total_bytes", $"avg_bytes")
+      .as[(String, Long, Long, Long)].collect()
+    assert(after.map(_._1).toSet === Set("p=0", "p=1", "p=2", "p=3"))
+    assert(after.forall(_._2 === 1L), s"one file per partition: ${after.toSeq}")
+    assert(after.forall(r => r._3 > 0 && r._4 === r._3))
+    // data identical, partition pruning still works on the layout
+    val got = spark.read.parquet(path).as[(Long, Int)].collect().toSet
+    assert(got === (1L to 400L).map(i => (i, (i % 4).toInt)).toSet)
+    assert(spark.read.parquet(path).filter($"p" === 2).count() === 100L)
+    // raising the threshold flips the small-file verdict, not the census
+    val big = Sinks.layoutStats(spark, path, smallBytes = 1L)
+      .agg(sum($"n_small_files")).as[Long].head()
+    assert(big === 0L)
+    // unpartitioned table reports a single (root) row
+    val flat = s"${Sinks.scratchRoot}/spec_layout_flat"
+    df.coalesce(2).write.mode("overwrite").parquet(flat)
+    val root = Sinks.layoutStats(spark, flat)
+      .select($"partition", $"n_files").as[(String, Long)].collect()
+    assert(root.toSeq === Seq(("(root)", 2L)))
+  }
+
   test("versioned table: commit ordering, time travel, current resolve") {
     val root = s"${Sinks.scratchRoot}/spec_versions"
     Sinks.dropTable(spark, root)
