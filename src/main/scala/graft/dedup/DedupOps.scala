@@ -413,7 +413,17 @@ object DedupOps {
     * `ngramJaccardPairsFromSets`). `sets` should be persisted by the
     * caller (hashedSets does).
     */
-  def containmentPairsFromSets(sets: DataFrame, tau: Double): DataFrame = {
+  def containmentPairsFromSets(sets: DataFrame, tau: Double): DataFrame =
+    containmentPairsImpl(sets, tau, col("a.id") =!= col("b.id"))
+
+  /** Self-join containment machinery with a caller-chosen pair-shape
+    * condition `idCond` (≠ for the symmetric report; a size-order
+    * predicate for `removeContained`, where only one direction can ever
+    * act — generating the dead direction just to drop it post-verify
+    * would double candidate AND verify volume).
+    */
+  private def containmentPairsImpl(sets: DataFrame, tau: Double,
+                                   idCond: Column): DataFrame = {
     val postings = sets.select(col("id"), col("sz"),
                                explode(col("hs")).as("sh"))
     val freq = postings.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -426,7 +436,7 @@ object DedupOps {
       .transform(graft.CacheScope.register)
     val cand = containmentCandidates(
       ranked.filter(col("rn") <= containPrefixBound(tau)), ranked,
-      col("a.id") =!= col("b.id"), tau)
+      idCond, tau)
     verifyContainment(cand, sets, tau)
   }
 
@@ -483,17 +493,19 @@ object DedupOps {
                       n: Int = 12, tau: Double = 0.9): DataFrame = {
     // ONE shingling pass: the persisted sets frame feeds the pair
     // search AND the size lookups (re-shingling for sizes measured ~4 s
-    // of the 10 s q_remove_contained at sf0.1 before this reuse)
+    // of the 10 s q_remove_contained at sf0.1 before this reuse).
+    // The strict size order (sz, -id) — only a strictly-"larger"
+    // container can remove — is pushed INTO the candidate join as the
+    // pair-shape condition: the larger→smaller direction is never
+    // generated or verified (halves candidate+verify volume vs
+    // searching symmetric pairs and filtering after; sf0.1 wall-clock
+    // is dominated by the fixed shingle/rank machinery, so the win
+    // there is modest, but candidate volume is THE scale driver on a
+    // corpus where verify dominates).
     val sets = hashedSets(docs, idCol, textCol, n)
-    val pairs = containmentPairsFromSets(sets, tau)
-    val szs = sets.select(col("id"), col("sz"))
-    val removed = pairs
-      .join(szs.select(col("id").as("id_a"), col("sz").as("sz_a")),
-            "id_a")
-      .join(szs.select(col("id").as("id_b"), col("sz").as("sz_b")),
-            "id_b")
-      .filter(col("sz_b") > col("sz_a") ||
-              (col("sz_b") === col("sz_a") && col("id_b") < col("id_a")))
+    val sizeOrder = col("b.sz") > col("a.sz") ||
+      (col("b.sz") === col("a.sz") && col("b.id") < col("a.id"))
+    val removed = containmentPairsImpl(sets, tau, sizeOrder)
       .select(col("id_a").as(idCol)).distinct()
     docs.join(removed, Seq(idCol), "left_anti")
   }
