@@ -1863,6 +1863,16 @@ object SparkEntry {
       TextOps.bm25TopK(t(s, dir, "documents"),
                        Seq("spark", "vector", "stream"), k = 10)),
 
+    // Hybrid retrieval: Reciprocal Rank Fusion (Cormack et al. SIGIR'09,
+    // c=60) of the BM25 lexical leg and the cosine semantic leg over the
+    // aligned doc/vec id space — rank-only fusion, no score calibration;
+    // both legs top-20-bounded at the source, fusion joins two tiny frames
+    "q_rrf_fusion" -> ((s, dir) =>
+      SimilarityOps.hybridTopK(t(s, dir, "documents"),
+                               t(s, dir, "embeddings"),
+                               Seq("spark", "vector", "stream"),
+                               probeId = 0L, n = 20, k = 10)),
+
     // Vocabulary: corpus token frequencies + deterministic id assignment
     "q_vocab" -> ((s, dir) =>
       TextOps.buildVocab(t(s, dir, "documents"), minCount = 5L)),
@@ -1927,6 +1937,32 @@ object SparkEntry {
                 regexp_replace(
                   regexp_replace(lower(col("text")), "[.,!?;:]", ""),
                   "\\s+", " ").as("norm_text"))),
+
+    // WET-style markup strip: tags → space, the 5 standard entities
+    // (&amp; decoded LAST — no double-decode), whitespace-run collapse;
+    // the pre-gate extraction step, one narrow codegen'd projection
+    "q_strip_markup" -> ((s, dir) =>
+      TextOps.stripMarkup(t(s, dir, "documents"))),
+
+    // Encoding-sanity census + gate: U+FFFD / C0-control / mojibake-
+    // digraph counts as length-difference arithmetic over literal
+    // replaces (engine-portable exactly); ok = all three zero
+    "q_encoding_gate" -> ((s, dir) =>
+      TextOps.encodingGate(t(s, dir, "documents"))),
+
+    // Unicode script census: per-doc Latin/Cyrillic/CJK/digit/space
+    // counts + dominant script — the per-script routing gate ahead of
+    // language-specific stages; explicit code-point ranges (portable)
+    "q_script_census" -> ((s, dir) =>
+      TextOps.scriptCensus(t(s, dir, "documents"))),
+
+    // MMR diversity re-rank (Carbonell & Goldstein SIGIR'98) over the
+    // cosine top-20 pool, λ=0.5 — the near-dup-aware serving of the
+    // retrieval stack; rows-only (iterative greedy), contract spec'd
+    "q_mmr_rerank" -> ((s, dir) =>
+      SimilarityOps.mmrRerank(t(s, dir, "embeddings"), "vec_id",
+                              "embedding", probeId = 0L, lambda = 0.5,
+                              n = 20, k = 10)),
 
     // Gopher-style repetition gates: most-repeated-token share +
     // duplicate-line fraction, both narrow array projections (no explode)
@@ -2355,6 +2391,19 @@ object SparkEntry {
   /** DuckDB twins over the same parquet tables (driver resolves bare table
     * names). Aliases/casts mirror the Spark outputs exactly.
     */
+  /** Literal chars for the encoding-gate oracle, kept as escapes in
+    * ordinary strings (triple-quoted Scala strings don't process \u
+    * escapes) and interpolated into the SQL so both engines test the
+    * byte-identical markers.
+    */
+  private val Fffd = "\uFFFD"
+  private val MojiMarkers = Seq("\u00C3\u00A9", "\u00C3\u00A8",
+                                "\u00C3\u00BC", "\u00C3\u00A4",
+                                "\u00E2\u20AC")
+  private def mojiSqlSum: String = MojiMarkers
+    .map(m => s"(len(text) - len(replace(text, '$m', ''))) // ${m.length}")
+    .mkString(" + ")
+
   def oracleSql: Map[String, String] = Map(
 
     "q_flagship_pipeline" ->
@@ -3902,6 +3951,54 @@ object SparkEntry {
         |SELECT doc_id, round(sum(w), 6) AS bm25
         |FROM w GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
 
+    // RRF: the q_bm25 chain (top-20) + the q_cosine_topk chain (top-20),
+    // each ranked on its rounded score with id tie-breaks, fused by
+    // 1/(60+rank) over a full outer join on the shared id space.
+    "q_rrf_fusion" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |                       x -> x <> '')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+        |       FROM tok GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+        |          FROM dl),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |       FROM tok WHERE term IN ('spark', 'vector', 'stream')
+        |       GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+        |          FROM tf GROUP BY 1),
+        |w AS (SELECT tf.doc_id,
+        |        round(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+        |              / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS w
+        |      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats),
+        |bm AS (SELECT doc_id, round(sum(w), 6) AS bm25 FROM w GROUP BY 1
+        |       ORDER BY bm25 DESC, doc_id LIMIT 20),
+        |lex AS (SELECT doc_id AS id, CAST(row_number() OVER
+        |          (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS lex_rank
+        |        FROM bm),
+        |flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |                generate_subscripts(embedding, 1) AS i
+        |         FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM flat GROUP BY 1),
+        |probe AS (SELECT i, v FROM flat WHERE vec_id = 0),
+        |pnorm AS (SELECT nrm FROM norms WHERE vec_id = 0),
+        |dots AS (SELECT f.vec_id, sum(f.v*p.v) AS dot
+        |         FROM flat f JOIN probe p ON f.i = p.i
+        |         WHERE f.vec_id <> 0 GROUP BY 1),
+        |top AS (SELECT d.vec_id,
+        |          round(d.dot/(n.nrm*(SELECT nrm FROM pnorm)), 6) AS sim
+        |        FROM dots d JOIN norms n ON n.vec_id = d.vec_id
+        |        ORDER BY sim DESC, d.vec_id ASC LIMIT 20),
+        |sem AS (SELECT vec_id AS id, CAST(row_number() OVER
+        |          (ORDER BY sim DESC, vec_id) AS BIGINT) AS sem_rank
+        |        FROM top)
+        |SELECT coalesce(l.id, s.id) AS doc_id, l.lex_rank, s.sem_rank,
+        |       round(coalesce(1.0/(60+l.lex_rank), 0) +
+        |             coalesce(1.0/(60+s.sem_rank), 0), 6) AS rrf
+        |FROM lex l FULL OUTER JOIN sem s ON l.id = s.id
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
     "q_jsonl_roundtrip" ->
       """SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
         |       round(sum(o_totalprice), 2) AS price_sum,
@@ -3973,6 +4070,63 @@ object SparkEntry {
         |                                     'g'),
         |                      '\s+', ' ', 'g') AS norm_text
         |FROM documents""".stripMargin,
+
+    // same lexical rule chain as TextOps.stripMarkup: tags → space,
+    // entities with &amp; last, explicit ws class (Java/RE2-portable)
+    "q_strip_markup" ->
+      """WITH c AS (SELECT doc_id, text,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(
+        |      regexp_replace(text, '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&amp;', '&'),
+        |    '[ \t\n\x0B\f\r]+', ' ', 'g')) AS clean_text
+        |  FROM documents)
+        |SELECT doc_id, clean_text,
+        |       CAST(len(text) - len(clean_text) AS BIGINT) AS chars_removed
+        |FROM c""".stripMargin,
+
+    // length-difference counting over the SAME literal markers the
+    // engine uses (interpolated from one definition, so they cannot
+    // drift); // is DuckDB integer division
+    "q_encoding_gate" ->
+      s"""WITH c AS (SELECT doc_id,
+         |  CAST(len(text) - len(replace(text, '$Fffd', ''))
+         |    AS BIGINT) AS n_fffd,
+         |  CAST(len(text) - len(regexp_replace(text,
+         |    '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'))
+         |    AS BIGINT) AS n_ctrl,
+         |  CAST($mojiSqlSum AS BIGINT) AS n_moji
+         |  FROM documents)
+         |SELECT doc_id, n_fffd, n_ctrl, n_moji,
+         |       (n_fffd = 0 AND n_ctrl = 0 AND n_moji = 0) AS encoding_ok
+         |FROM c""".stripMargin,
+
+    // same explicit code-point ranges as TextOps.scriptCensus (RE2's
+    // \x{...} spelling of the identical classes); ties latin>cyrl>cjk
+    "q_script_census" ->
+      """WITH c AS (SELECT doc_id, text,
+        |  CAST(len(text) - len(regexp_replace(text,
+        |    '[A-Za-z\x{00C0}-\x{024F}]', '', 'g')) AS BIGINT) AS n_latin,
+        |  CAST(len(text) - len(regexp_replace(text,
+        |    '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrl,
+        |  CAST(len(text) - len(regexp_replace(text,
+        |    '[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}]', '', 'g'))
+        |    AS BIGINT) AS n_cjk,
+        |  CAST(len(text) - len(regexp_replace(text,
+        |    '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        |  CAST(len(text) - len(regexp_replace(text,
+        |    '[ \t\n\x0B\f\r]', '', 'g')) AS BIGINT) AS n_space
+        |  FROM documents)
+        |SELECT doc_id, n_latin, n_cyrl, n_cjk, n_digit, n_space,
+        |  CAST(len(text) AS BIGINT) - n_latin - n_cyrl - n_cjk
+        |    - n_digit - n_space AS n_other,
+        |  CASE WHEN text IS NULL THEN NULL
+        |       WHEN n_latin = 0 AND n_cyrl = 0 AND n_cjk = 0 THEN 'none'
+        |       WHEN n_latin >= n_cyrl AND n_latin >= n_cjk THEN 'latin'
+        |       WHEN n_cyrl >= n_cjk THEN 'cyrl'
+        |       ELSE 'cjk' END AS main_script
+        |FROM c""".stripMargin,
 
     // list-level twin of the narrow array expressions (same int/int
     // division chain, so the doubles agree bit-for-bit before round)

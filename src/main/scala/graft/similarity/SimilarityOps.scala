@@ -1490,4 +1490,128 @@ object SimilarityOps {
               col("sim_batch"),
               round(col("sim_index") - col("sim_batch"), 6).as("drift"))
   }
+
+  /** Hybrid retrieval by Reciprocal Rank Fusion (Cormack, Clarke &
+    * Buettcher, SIGIR 2009): fuse a lexical BM25 ranking over the
+    * document table with a semantic cosine ranking over the aligned
+    * embedding table — the standard two-channel retrieval a curation
+    * pipeline uses to mine domain data (BM25 catches exact terminology,
+    * embeddings catch paraphrase; RRF needs no score calibration
+    * between the two, only ranks). `rrf(d) = Σ_lists 1/(c + rank_d)`
+    * over the lists that retrieved d in their top `n`; c = 60 per the
+    * paper. Reference scope: retrieval-scored corpus mining, the
+    * q_bm25 / q_cosine_topk channels composed
+    * (/root/reference semantics: scoring+filter stages).
+    *
+    * Determinism: both legs rank on 1e-6-rounded scores with id
+    * tie-breaks (the bm25TopK / topKNeighbors contracts), so the rank
+    * columns — and therefore the fused scores — are engine-portable;
+    * the final order is (rounded rrf desc, id asc), a total order.
+    *
+    * Scale shape: each leg is already top-n bounded at the source
+    * (BM25's TakeOrderedAndProject, the probe scan's top-k) — the
+    * fusion itself joins two ≤ n-row frames, so the unpartitioned
+    * rank windows and the full-outer join run on n rows, not the
+    * corpus; all heavy lifting stays in the legs, which never shuffle
+    * document or vector payloads.
+    */
+  def hybridTopK(docs: DataFrame, emb: DataFrame, queryTerms: Seq[String],
+                 probeId: Long, idCol: String = "doc_id",
+                 textCol: String = "text", vecIdCol: String = "vec_id",
+                 vecCol: String = "embedding", n: Int = 20, c: Int = 60,
+                 k: Int = 10): DataFrame = {
+    require(n >= k, s"per-leg depth n=$n must be >= fused k=$k")
+    val lex = graft.text.TextOps
+      .bm25TopK(docs, queryTerms, idCol, textCol, k = n)
+      .withColumn("lex_rank", row_number()
+        .over(Window.orderBy(col("bm25").desc, col(idCol).asc))
+        .cast("long"))
+      .select(col(idCol).cast("long").as("id"), col("lex_rank"))
+    val sem = topKNeighbors(emb, vecIdCol, vecCol, probeId, k = n)
+      .withColumn("sem_rank", row_number()
+        .over(Window.orderBy(col("sim").desc, col(vecIdCol).asc))
+        .cast("long"))
+      .select(col(vecIdCol).cast("long").as("id"), col("sem_rank"))
+    lex.join(sem, Seq("id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(c) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("sem_rank")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("id").asc)
+      .limit(k)
+      .select(col("id").as(idCol), col("lex_rank"), col("sem_rank"),
+              col("rrf"))
+  }
+
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein,
+    * SIGIR'98): greedily pick k of the top-`n` relevance candidates,
+    * each round maximizing `λ·rel − (1−λ)·max_{s∈selected} sim(d, s)` —
+    * the diversity-aware serving of a retrieval stack (a near-dup-heavy
+    * corpus returns k copies of one document under pure relevance; MMR
+    * returns one copy plus what ELSE is relevant). max over the empty
+    * selected set is 0 by the usual convention, so round 0 is the pure
+    * relevance argmax for any λ > 0 (λ = 0 is pure diversity and
+    * degenerates to the id tie-break on round 0 — documented, not
+    * guarded).
+    *
+    * Determinism: relevance is the 1e-6-rounded topKNeighbors score;
+    * each per-selected similarity and the final mmr score are rounded
+    * to 1e-6 with the id tie-break — a total order per round.
+    *
+    * Scale shape (the kCenterSelect pattern): the candidate pool is
+    * top-n-bounded at the source but stays a DataFrame — each of the k
+    * rounds updates a running max-sim column against ONE new broadcast
+    * centre literal and picks the next argmax as orderBy+limit(1)
+    * (TakeOrderedAndProject), so the same code serves n = 20 or a
+    * 10-million-row candidate pool without a driver-side matrix; driver
+    * state is k vectors.
+    */
+  def mmrRerank(emb: DataFrame, idCol: String, vecCol: String,
+                probeId: Long, lambda: Double = 0.5, n: Int = 20,
+                k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(n >= k, s"candidate depth n=$n must be >= k=$k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val spark = emb.sparkSession
+    val base = topKNeighbors(emb, idCol, vecCol, probeId, n)
+      .join(emb.select(col(idCol),
+                       transform(col(vecCol), _.cast("double")).as("v")),
+            idCol)
+      .select(col(idCol).cast("long").as("id"), col("sim").as("rel"),
+              col("v"))
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Double, Double)]
+    var frame = base.withColumn("maxs", lit(0.0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+    frame.count()
+    var rank = 0
+    var done = false
+    while (rank < k && !done) {
+      val scored = frame.withColumn("mmr",
+        round(lit(lambda) * col("rel") -
+          lit(1.0 - lambda) * col("maxs"), 6))
+      val pick = scored.orderBy(col("mmr").desc, col("id").asc)
+        .limit(1).collect()
+      if (pick.isEmpty) done = true
+      else {
+        val row = pick.head
+        val id = row.getLong(0)
+        out += ((rank, id, row.getDouble(1), row.getDouble(4)))
+        val centerLit = typedLit(row.getSeq[Double](2))
+        val prev = frame
+        frame = frame.filter(col("id") =!= id)
+          .withColumn("maxs", greatest(col("maxs"),
+            round(cosineSim(col("v"), centerLit), 6)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(graft.CacheScope.register)
+        frame.count() // eager: truncate lineage before releasing prior
+        prev.unpersist(false)
+      }
+      rank += 1
+    }
+    frame.unpersist(false)
+    import spark.implicits._
+    out.toSeq.toDF("rank", "id", "rel", "mmr")
+      .select(col("rank"), col("id").as(idCol), col("rel"), col("mmr"))
+  }
 }

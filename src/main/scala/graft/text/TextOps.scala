@@ -1546,4 +1546,113 @@ object TextOps {
            sum(col("__na")).as("docs_a"),
            sum(col("__nb")).as("docs_b"))
   }
+
+  /** Markup stripping — the WET-extraction step every web-corpus
+    * pipeline runs before any text gate (C4 strips tags before its
+    * heuristics; CommonCrawl's WET files are exactly this transform of
+    * WARC HTML). Deterministic lexical pass, deliberately NOT a DOM
+    * parse (a 100 TB crawl has unparseable tag soup; the lexical rule
+    * is total): drop `<...>` runs (replaced by a space so token
+    * boundaries survive `<p>a</p><p>b</p>`), decode the five standard
+    * HTML entities — `&amp;` LAST so `&amp;lt;` decodes to the literal
+    * `&lt;` and not `<` (single-pass, no double-decode) — then collapse
+    * whitespace runs and trim. Null text stays null.
+    *
+    * Scale shape: one narrow codegen'd projection, zero shuffles; the
+    * regex class is spelled `[ \t\n\x0B\f\r]+` (not `\s`) because Java
+    * and RE2 disagree on `\s`'s membership — the oracle must run the
+    * byte-identical rule.
+    */
+  def stripMarkup(df: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val noTags = regexp_replace(col(textCol), "<[^>]*>", " ")
+    val decoded = replace(
+      replace(
+        replace(
+          replace(
+            replace(noTags, lit("&lt;"), lit("<")),
+            lit("&gt;"), lit(">")),
+          lit("&quot;"), lit("\"")),
+        lit("&#39;"), lit("'")),
+      lit("&amp;"), lit("&"))
+    val clean = trim(regexp_replace(decoded, "[ \\t\\n\\x0B\\f\\r]+", " "))
+    df.select(col(idCol), clean.as("clean_text"),
+              (length(col(textCol)) - length(clean)).cast("long")
+                .as("chars_removed"))
+  }
+
+  /** Encoding-sanity census + gate — the mojibake filter a crawl
+    * pipeline runs right after extraction (UTF-8 decoded as Latin-1,
+    * truncated multi-byte sequences, and binary junk all survive into
+    * `text` as replacement chars / control bytes / `Ã©`-style digraph
+    * artifacts). Per doc: U+FFFD replacement-char count, C0/C1 control
+    * chars excluding \t \n \r, literal-substring hits over the
+    * mojibake `markers` (the classic UTF-8-as-Latin-1 digraphs by
+    * default — a HEURISTIC screen, tune markers per corpus), and
+    * `encoding_ok` = all three zero. Null text → null counts and null
+    * gate (a gate filter drops it, matching the other quality gates).
+    *
+    * All three counts are length-difference arithmetic on literal
+    * `replace`s plus one character-class regexp strip — a single
+    * zero-shuffle codegen'd projection, engine-portable exactly
+    * (char-counting `length` on both sides, no locale dependence).
+    */
+  def encodingGate(df: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   markers: Seq[String] =
+                     Seq("\u00C3\u00A9", "\u00C3\u00A8", "\u00C3\u00BC",
+                         "\u00C3\u00A4", "\u00E2\u20AC")): DataFrame = {
+    require(markers.nonEmpty && markers.forall(_.nonEmpty),
+            "markers must be non-empty strings")
+    val t = col(textCol)
+    def hits(m: String): Column =
+      ((length(t) - length(replace(t, lit(m), lit("")))) / m.length)
+        .cast("long")
+    val nFffd = (length(t) - length(replace(t, lit("\uFFFD"), lit(""))))
+      .cast("long")
+    val nCtrl = (length(t) - length(regexp_replace(
+      t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""))).cast("long")
+    val nMoji = markers.map(hits).reduce(_ + _)
+    df.select(col(idCol), nFffd.as("n_fffd"), nCtrl.as("n_ctrl"),
+              nMoji.as("n_moji"),
+              (nFffd === 0L && nCtrl === 0L && nMoji === 0L)
+                .as("encoding_ok"))
+  }
+
+  /** Unicode script census — the per-script routing signal a
+    * multilingual curation pipeline gates on before language-specific
+    * stages (C4 keeps langdetect-English; FineWeb routes per language;
+    * both need a cheap "which script is this" upstream of any model).
+    * Per doc: character counts for Latin (incl. Latin-1/Extended
+    * letters), Cyrillic, CJK (kana + unified ideographs), digits,
+    * whitespace, and everything else, plus `main_script` = the largest
+    * of the three script families (ties break latin > cyrl > cjk;
+    * all-zero → 'none'; null text → all-null row).
+    *
+    * Counts are length-difference arithmetic over character-class
+    * strips — one zero-shuffle codegen'd projection; the classes use
+    * explicit code-point ranges (no \p{Script=…}, which Java and RE2
+    * resolve against different Unicode tables).
+    */
+  def scriptCensus(df: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def cnt(cls: String): Column =
+      (length(t) - length(regexp_replace(t, cls, ""))).cast("long")
+    val latin = cnt("[A-Za-z\u00C0-\u024F]")
+    val cyrl = cnt("[\u0400-\u04FF]")
+    val cjk = cnt("[\u3040-\u30FF\u4E00-\u9FFF]")
+    val digit = cnt("[0-9]")
+    val space = cnt("[ \\t\\n\\x0B\\f\\r]")
+    val other = length(t).cast("long") -
+      latin - cyrl - cjk - digit - space
+    val main = when(t.isNull, lit(null).cast("string"))
+      .when(latin === 0L && cyrl === 0L && cjk === 0L, lit("none"))
+      .when(latin >= cyrl && latin >= cjk, lit("latin"))
+      .when(cyrl >= cjk, lit("cyrl"))
+      .otherwise(lit("cjk"))
+    df.select(col(idCol), latin.as("n_latin"), cyrl.as("n_cyrl"),
+              cjk.as("n_cjk"), digit.as("n_digit"), space.as("n_space"),
+              other.as("n_other"), main.as("main_script"))
+  }
 }

@@ -48,7 +48,9 @@ class EntrySpec extends SparkSpec {
                        // MinHash geometries aren't oracle-expressible
                        "q_lsh_eval",
                        // file-census bytes are encoding-dependent
-                       "q_layout_stats")
+                       "q_layout_stats",
+                       // iterative greedy (kCenterSelect class)
+                       "q_mmr_rerank")
     assert(noOracle === expected)
   }
 }

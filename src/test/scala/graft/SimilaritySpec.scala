@@ -628,4 +628,81 @@ class SimilaritySpec extends SparkSpec {
       .as[(Int, Long, Option[Double])].collect().toSeq
     assert(early.map(_._2) === Seq(0L))
   }
+
+  test("hybridTopK RRF fusion equals the recomputed fusion of its legs") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val terms = Seq("spark", "vector", "stream")
+    val fused = SimilarityOps
+      .hybridTopK(docs, emb, terms, probeId = 0L, n = 20, k = 10).collect()
+    assert(fused.length === 10)
+    // recompute each leg's rank map independently through the leg ops
+    val lex = graft.text.TextOps.bm25TopK(docs, terms, k = 20)
+      .orderBy($"bm25".desc, $"doc_id".asc).collect()
+      .map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    val sem = SimilarityOps
+      .topKNeighbors(emb, "vec_id", "embedding", probeId = 0L, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, s) => (-s, id) }.map(_._1).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    val expected = (lex.keySet ++ sem.keySet).toSeq.map { id =>
+      val raw = lex.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        sem.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      val rrf = BigDecimal(raw)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, rrf)
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(fused.map(r => (r.getLong(0), r.getDouble(3))).toSeq === expected)
+    // the surfaced per-leg ranks must be exactly the legs' ranks, with
+    // null (not 0 / garbage) for a doc the other leg did not retrieve
+    fused.foreach { r =>
+      val id = r.getLong(0)
+      val lr = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val sr = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(lr === lex.get(id), s"lex_rank mismatch for $id")
+      assert(sr === sem.get(id), s"sem_rank mismatch for $id")
+      assert(lr.isDefined || sr.isDefined)
+    }
+  }
+
+  test("mmrRerank: λ=1 is pure relevance; λ=0.5 demotes the near-dup") {
+    // probe 0; 1≈2 a near-dup pair at high relevance, 3 diverse — on
+    // the OPPOSITE side of the probe from the pair, so its sim to the
+    // first pick is well below its relevance (rel−maxsim = +0.082 vs
+    // the dup's −0.007; same-side placement would tie everything ≈ 0)
+    val toy = Seq(
+      0L -> Array(1f, 0f),
+      1L -> Array(0.9f, 0.1f),
+      2L -> Array(0.9f, 0.11f),
+      3L -> Array(0.7f, -0.7f)
+    ).toDF("vec_id", "embedding")
+    // λ = 1: order and scores are exactly the relevance top-k
+    val pure = SimilarityOps
+      .mmrRerank(toy, "vec_id", "embedding", probeId = 0L,
+                 lambda = 1.0, n = 3, k = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+                           r.getDouble(2), r.getDouble(3)))
+    val rel = SimilarityOps
+      .topKNeighbors(toy, "vec_id", "embedding", probeId = 0L, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(pure.map(_._2).toSeq === rel.map(_._1).toSeq)
+    assert(pure.map(_._4).toSeq === rel.map(_._2).toSeq) // mmr == rel
+    assert(pure.map(_._1).toSeq === Seq(0, 1, 2))
+    // λ = 0.5: rank 0 is still the relevance argmax, but its near-dup
+    // drops BEHIND the diverse vector
+    val mmr = SimilarityOps
+      .mmrRerank(toy, "vec_id", "embedding", probeId = 0L,
+                 lambda = 0.5, n = 3, k = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(mmr.head._2 === rel.head._1)
+    val dup = if (rel.head._1 == 1L) 2L else 1L
+    assert(mmr(1)._2 === 3L, "diverse vector must outrank the near-dup")
+    assert(mmr(2)._2 === dup)
+    // determinism: a rerun is bit-identical
+    val again = SimilarityOps
+      .mmrRerank(toy, "vec_id", "embedding", probeId = 0L,
+                 lambda = 0.5, n = 3, k = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(again === mmr)
+  }
 }

@@ -75,4 +75,82 @@ class TextQualitySpec extends SparkSpec {
     //    even count -> interpolated median (1+2)/2
     assert(got(1) === (("B", 2L, 3L, 0L, 2L, 2.0, 1.5, "de")))
   }
+
+  test("stripMarkup: tags to space, entities decoded once, ws collapsed") {
+    val docs = Seq(
+      (1L, "<p>Hello <b>world</b></p><p>bye</p>"),
+      // &amp;lt; must decode to the LITERAL &lt;, not < (amp last)
+      (2L, "a &amp;lt; b &lt; c &gt; d &quot;q&quot; &#39;s&#39; &amp; e"),
+      (3L, "  leading\t\tand\n\ntrailing   "),
+      (4L, "<a href=\"http://x\">link</a> text"),
+      (5L, null.asInstanceOf[String]),
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val got = TextOps.stripMarkup(docs).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got(1L) === "Hello world bye")
+    assert(got(2L) === "a &lt; b < c > d \"q\" 's' & e")
+    assert(got(3L) === "leading and trailing")
+    assert(got(4L) === "link text")
+    assert(got(5L) === null)
+    assert(got(6L) === "")
+    // chars_removed is the length delta, never negative on this rule set
+    val removed = TextOps.stripMarkup(docs).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(removed(1L) === ("<p>Hello <b>world</b></p><p>bye</p>".length
+      - "Hello world bye".length).toLong)
+    assert(removed(5L) === -1L) // null text -> null delta
+    assert(removed(6L) === 0L)
+  }
+
+  test("encodingGate: FFFD / control / mojibake census and the gate") {
+    val docs = Seq(
+      (1L, "perfectly clean ascii"),
+      (2L, "bad \uFFFD byte \uFFFD\uFFFD here"),          // 3 FFFD
+      (3L, "ctrl\u0000chars\u0007and\u001Fdel\u007F"),     // 4 control
+      (4L, "caf\u00C3\u00A9 and \u00E2\u20AC\u0153quote"), // 2 markers
+      (5L, "tabs\tand\nnewlines\rare fine"),               // exempt ws
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextOps.encodingGate(docs).collect().map { r =>
+      r.getLong(0) -> (
+        if (r.isNullAt(1)) null
+        else (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    }.toMap
+    assert(got(1L) === ((0L, 0L, 0L, true)))
+    assert(got(2L) === ((3L, 0L, 0L, false)))
+    assert(got(3L) === ((0L, 4L, 0L, false)))
+    assert(got(4L) === ((0L, 0L, 2L, false)))
+    assert(got(5L) === ((0L, 0L, 0L, true)))
+    assert(got(6L) === null) // null text -> null counts, null gate
+  }
+
+  test("scriptCensus: per-script counts, dominant script, tie order") {
+    val docs = Seq(
+      (1L, "Hello world 123"),                    // latin 10, digit 3
+      (2L, "Привет мир"),
+      (3L, "日本語テスト"), // 6 cjk chars
+      (4L, "a Прив"),         // cyrl 4 > latin 1
+      (5L, "ab Пр"),                    // 2-2 tie -> latin
+      (6L, "123 !!!"),                            // no scripts -> none
+      (7L, "café"),                          // accented latin counts
+      (8L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextOps.scriptCensus(docs).collect().map { r =>
+      r.getLong(0) -> (
+        if (r.isNullAt(1)) null
+        else (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+              r.getLong(5), r.getLong(6), r.getString(7)))
+    }.toMap
+    assert(got(1L) === ((10L, 0L, 0L, 3L, 2L, 0L, "latin")))
+    assert(got(2L) === ((0L, 9L, 0L, 0L, 1L, 0L, "cyrl")))
+    assert(got(3L) === ((0L, 0L, 6L, 0L, 0L, 0L, "cjk")))
+    assert(got(4L) === ((1L, 4L, 0L, 0L, 1L, 0L, "cyrl")))
+    assert(got(5L) === ((2L, 2L, 0L, 0L, 1L, 0L, "latin"))) // tie order
+    assert(got(6L) === ((0L, 0L, 0L, 3L, 1L, 3L, "none")))
+    assert(got(7L) === ((4L, 0L, 0L, 0L, 0L, 0L, "latin")))
+    assert(got(8L) === null)
+  }
 }
