@@ -153,4 +153,35 @@ class TextQualitySpec extends SparkSpec {
     assert(got(7L) === ((4L, 0L, 0L, 0L, 0L, 0L, "latin")))
     assert(got(8L) === null)
   }
+
+  test("the extraction gates are stateless: stream output equals batch") {
+    // stripMarkup / encodingGate / scriptCensus are single narrow
+    // projections (no state, no watermark), so they run unchanged on a
+    // readStream — extraction + encoding triage ON INGEST, the
+    // blocklistGate/contaminationStream shape
+    val dir = graft.io.Sinks.scratchRoot + "/extract_stream"
+    val docs = Seq(
+      (1L, "<p>Hello <b>world</b></p> &amp; more"),
+      (2L, "bad \uFFFD byte and caf\u00C3\u00A9 artifact"),
+      (3L, "\u041F\u0440\u0438\u0432\u0435\u0442 latin x 12")
+    ).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val ops: Seq[(String, org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame)] = Seq(
+      "strip" -> (df => TextOps.stripMarkup(df)),
+      "enc" -> (df => TextOps.encodingGate(df)),
+      "script" -> (df => TextOps.scriptCensus(df)))
+    ops.foreach { case (name, op) =>
+      val q = op(stream).writeStream.outputMode("append")
+        .format("memory").queryName(s"extract_stream_$name").start()
+      try q.processAllAvailable() finally q.stop()
+      val streamed = spark.table(s"extract_stream_$name")
+        .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+      val batch = op(docs)
+        .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+      assert(streamed === batch, s"stream/batch divergence in $name")
+      assert(streamed.size === 3)
+    }
+  }
 }
