@@ -52,6 +52,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "cosine_sim(a, b) - cosine similarity of two float/double arrays", 2) {
       exprs => CosineSimilarity(exprs(0), exprs(1))
     }
+    register(e, "jaro_winkler",
+      "jaro_winkler(a, b) - Jaro-Winkler similarity (DuckDB-identical)",
+      2) {
+      exprs => JaroWinkler(exprs(0), exprs(1))
+    }
     register(e, "dot_product",
       "dot_product(a, b) - dot product of two float/double arrays", 2) {
       exprs => DotProduct(exprs(0), exprs(1))

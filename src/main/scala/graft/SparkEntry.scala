@@ -1964,6 +1964,14 @@ object SparkEntry {
                               "embedding", probeId = 0L, lambda = 0.5,
                               n = 20, k = 10)),
 
+    // Entity resolution: blocked fuzzy match over the distinct part
+    // names — block on the head noun, verify with the native
+    // Jaro-Winkler (DuckDB-identical semantics, so the whole operator
+    // is hash-exact against the oracle)
+    "q_fuzzy_pairs" -> ((s, dir) =>
+      graft.ops.FuzzyMatch.fuzzyPairs(t(s, dir, "part"), "p_name",
+                                      tau = 0.8)),
+
     // Gopher-style repetition gates: most-repeated-token share +
     // duplicate-line fraction, both narrow array projections (no explode)
     "q_repetition" -> ((s, dir) =>
@@ -4127,6 +4135,20 @@ object SparkEntry {
         |       WHEN n_cyrl >= n_cjk THEN 'cyrl'
         |       ELSE 'cjk' END AS main_script
         |FROM c""".stripMargin,
+
+    // DuckDB's jaro_winkler_similarity IS the engine's native
+    // expression's contract (threshold 0.7, p=0.1, prefix<=4) — same
+    // blocking key, same rounded-threshold filter
+    "q_fuzzy_pairs" ->
+      """WITH names AS (SELECT DISTINCT p_name AS name FROM part
+        |               WHERE p_name IS NOT NULL),
+        |b AS (SELECT name, lower(string_split(name, ' ')[-1]) AS blk
+        |      FROM names)
+        |SELECT a.name AS name_a, c.name AS name_b,
+        |       round(jaro_winkler_similarity(a.name, c.name), 6) AS jw
+        |FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+        |WHERE round(jaro_winkler_similarity(a.name, c.name), 6)
+        |      >= 0.8""".stripMargin,
 
     // list-level twin of the narrow array expressions (same int/int
     // division chain, so the doubles agree bit-for-bit before round)
