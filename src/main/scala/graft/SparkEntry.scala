@@ -1972,6 +1972,14 @@ object SparkEntry {
       graft.ops.FuzzyMatch.fuzzyPairs(t(s, dir, "part"), "p_name",
                                       tau = 0.8)),
 
+    // Extraction-front flagship: stripMarkup → encodingGate →
+    // scriptCensus(latin) → min-token floor on the CLEANED text, the
+    // raw-crawl prefix of every corpus recipe — one zero-shuffle
+    // codegen'd pass per document, stream-composable (gates stateless)
+    "q_extract_pipeline" -> ((s, dir) =>
+      TextOps.extractionPipeline(t(s, dir, "documents"),
+                                 minTokens = 50L)),
+
     // Gopher-style repetition gates: most-repeated-token share +
     // duplicate-line fraction, both narrow array projections (no explode)
     "q_repetition" -> ((s, dir) =>
@@ -4135,6 +4143,44 @@ object SparkEntry {
         |       WHEN n_cyrl >= n_cjk THEN 'cyrl'
         |       ELSE 'cjk' END AS main_script
         |FROM c""".stripMargin,
+
+    // the full gate chain over the STRIPPED text — each stage the same
+    // rule its standalone oracle uses (strip / encoding / script /
+    // whitespace tokens), composed the way the engine composes them
+    "q_extract_pipeline" ->
+      s"""WITH stripped AS (SELECT doc_id,
+         |  trim(regexp_replace(
+         |    replace(replace(replace(replace(replace(
+         |      regexp_replace(text, '<[^>]*>', ' ', 'g'),
+         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+         |      '&amp;', '&'),
+         |    '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS text
+         |  FROM documents),
+         |enc AS (SELECT doc_id FROM stripped
+         |  WHERE len(text) - len(replace(text, '$Fffd', '')) = 0
+         |    AND len(text) - len(regexp_replace(text,
+         |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')) = 0
+         |    AND $mojiSqlSum = 0),
+         |scr AS (SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      len(text) - len(regexp_replace(text,
+         |        '[A-Za-z\\x{00C0}-\\x{024F}]', '', 'g')) AS n_latin,
+         |      len(text) - len(regexp_replace(text,
+         |        '[\\x{0400}-\\x{04FF}]', '', 'g')) AS n_cyrl,
+         |      len(text) - len(regexp_replace(text,
+         |        '[\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}]', '', 'g'))
+         |        AS n_cjk
+         |    FROM stripped)
+         |  WHERE NOT (n_latin = 0 AND n_cyrl = 0 AND n_cjk = 0)
+         |    AND n_latin >= n_cyrl AND n_latin >= n_cjk),
+         |tok AS (SELECT doc_id,
+         |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |             x -> x <> '')) AS BIGINT) AS n_tokens
+         |  FROM stripped)
+         |SELECT s.doc_id, t.n_tokens
+         |FROM stripped s JOIN enc USING (doc_id) JOIN scr USING (doc_id)
+         |  JOIN tok t USING (doc_id)
+         |WHERE t.n_tokens >= 50""".stripMargin,
 
     // DuckDB's jaro_winkler_similarity IS the engine's native
     // expression's contract (threshold 0.7, p=0.1, prefix<=4) — same

@@ -1597,14 +1597,17 @@ object TextOps {
     * zero-shuffle codegen'd projection, engine-portable exactly
     * (char-counting `length` on both sides, no locale dependence).
     */
-  def encodingGate(df: DataFrame, idCol: String = "doc_id",
-                   textCol: String = "text",
-                   markers: Seq[String] =
-                     Seq("\u00C3\u00A9", "\u00C3\u00A8", "\u00C3\u00BC",
-                         "\u00C3\u00A4", "\u00E2\u20AC")): DataFrame = {
-    require(markers.nonEmpty && markers.forall(_.nonEmpty),
-            "markers must be non-empty strings")
-    val t = col(textCol)
+  /** Default mojibake markers: the classic UTF-8-as-Latin-1 digraphs. */
+  val DefaultMojiMarkers: Seq[String] =
+    Seq("\u00C3\u00A9", "\u00C3\u00A8", "\u00C3\u00BC",
+        "\u00C3\u00A4", "\u00E2\u20AC")
+
+  /** (n_fffd, n_ctrl, n_moji) column builders over a text column \u2014
+    * shared by `encodingGate` and the composed `extractionPipeline` so
+    * the pipeline stays one projection instead of a join per gate.
+    */
+  private def encodingCounts(t: Column, markers: Seq[String])
+      : (Column, Column, Column) = {
     def hits(m: String): Column =
       ((length(t) - length(replace(t, lit(m), lit("")))) / m.length)
         .cast("long")
@@ -1612,7 +1615,15 @@ object TextOps {
       .cast("long")
     val nCtrl = (length(t) - length(regexp_replace(
       t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""))).cast("long")
-    val nMoji = markers.map(hits).reduce(_ + _)
+    (nFffd, nCtrl, markers.map(hits).reduce(_ + _))
+  }
+
+  def encodingGate(df: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   markers: Seq[String] = DefaultMojiMarkers): DataFrame = {
+    require(markers.nonEmpty && markers.forall(_.nonEmpty),
+            "markers must be non-empty strings")
+    val (nFffd, nCtrl, nMoji) = encodingCounts(col(textCol), markers)
     df.select(col(idCol), nFffd.as("n_fffd"), nCtrl.as("n_ctrl"),
               nMoji.as("n_moji"),
               (nFffd === 0L && nCtrl === 0L && nMoji === 0L)
@@ -1634,25 +1645,69 @@ object TextOps {
     * explicit code-point ranges (no \p{Script=…}, which Java and RE2
     * resolve against different Unicode tables).
     */
+  /** (n_latin, n_cyrl, n_cjk) column builders \u2014 shared with the
+    * composed `extractionPipeline` (same rationale as encodingCounts).
+    */
+  private def scriptCounts(t: Column): (Column, Column, Column) = {
+    def cnt(cls: String): Column =
+      (length(t) - length(regexp_replace(t, cls, ""))).cast("long")
+    (cnt("[A-Za-z\u00C0-\u024F]"),
+     cnt("[\u0400-\u04FF]"),
+     cnt("[\u3040-\u30FF\u4E00-\u9FFF]"))
+  }
+
+  /** Dominant-script CASE over the three script counts. */
+  private def mainScript(t: Column, latin: Column, cyrl: Column,
+                         cjk: Column): Column =
+    when(t.isNull, lit(null).cast("string"))
+      .when(latin === 0L && cyrl === 0L && cjk === 0L, lit("none"))
+      .when(latin >= cyrl && latin >= cjk, lit("latin"))
+      .when(cyrl >= cjk, lit("cyrl"))
+      .otherwise(lit("cjk"))
+
   def scriptCensus(df: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     def cnt(cls: String): Column =
       (length(t) - length(regexp_replace(t, cls, ""))).cast("long")
-    val latin = cnt("[A-Za-z\u00C0-\u024F]")
-    val cyrl = cnt("[\u0400-\u04FF]")
-    val cjk = cnt("[\u3040-\u30FF\u4E00-\u9FFF]")
+    val (latin, cyrl, cjk) = scriptCounts(t)
     val digit = cnt("[0-9]")
     val space = cnt("[ \\t\\n\\x0B\\f\\r]")
     val other = length(t).cast("long") -
       latin - cyrl - cjk - digit - space
-    val main = when(t.isNull, lit(null).cast("string"))
-      .when(latin === 0L && cyrl === 0L && cjk === 0L, lit("none"))
-      .when(latin >= cyrl && latin >= cjk, lit("latin"))
-      .when(cyrl >= cjk, lit("cyrl"))
-      .otherwise(lit("cjk"))
     df.select(col(idCol), latin.as("n_latin"), cyrl.as("n_cyrl"),
               cjk.as("n_cjk"), digit.as("n_digit"), space.as("n_space"),
-              other.as("n_other"), main.as("main_script"))
+              other.as("n_other"),
+              mainScript(t, latin, cyrl, cjk).as("main_script"))
+  }
+
+  /** Extraction-front flagship: the raw-crawl prefix of every web
+    * corpus recipe, composed from the stateless gates in pipeline
+    * order — stripMarkup (WET extraction) → encodingGate (mojibake
+    * triage) → scriptCensus (route Latin) → a minimum-token floor on
+    * the CLEANED text. Returns surviving (id, n_tokens).
+    *
+    * Every stage is a narrow projection over the stripped text, so the
+    * whole chain is ONE zero-shuffle codegen'd pass per document — the
+    * gate composition costs no more than its most expensive member,
+    * and it runs unchanged on a readStream (each member is spec'd
+    * stateless).
+    */
+  def extractionPipeline(df: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text",
+                         minTokens: Long = 50L): DataFrame = {
+    val stripped = stripMarkup(df, idCol, textCol)
+      .select(col(idCol), col("clean_text").as(textCol))
+    val t = col(textCol)
+    // the gates compose as COLUMNS over the stripped text (shared
+    // builders with encodingGate/scriptCensus), not as per-gate joins —
+    // one projection, two filters, zero exchanges
+    val (nFffd, nCtrl, nMoji) = encodingCounts(t, DefaultMojiMarkers)
+    val (latin, cyrl, cjk) = scriptCounts(t)
+    stripped
+      .filter(nFffd === 0L && nCtrl === 0L && nMoji === 0L)
+      .filter(mainScript(t, latin, cyrl, cjk) === "latin")
+      .select(col(idCol), tokenCount(t).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= minTokens)
   }
 }

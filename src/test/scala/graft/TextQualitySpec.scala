@@ -154,6 +154,25 @@ class TextQualitySpec extends SparkSpec {
     assert(got(8L) === null)
   }
 
+  test("extractionPipeline: each gate drops its planted violator") {
+    val many = (1 to 60).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"<p>$many</p>"),                      // survives (markup ok)
+      (2L, s"$many \uFFFD"),                      // encoding gate drops
+      (3L, many.replace("word", "\u0441\u043B")), // cyrillic: script gate
+      (4L, "too short"),                          // token floor drops
+      (5L, null.asInstanceOf[String])             // null: dropped, no row
+    ).toDF("doc_id", "text")
+    val got = TextOps.extractionPipeline(docs, minTokens = 50L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(1L))
+    assert(got(1L) === 60L)
+    // zero exchanges: the whole chain is scan -> project -> filter
+    val plan = TextOps.extractionPipeline(docs, minTokens = 50L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"pipeline must not shuffle:\n$plan")
+  }
+
   test("the extraction gates are stateless: stream output equals batch") {
     // stripMarkup / encodingGate / scriptCensus are single narrow
     // projections (no state, no watermark), so they run unchanged on a
