@@ -1980,6 +1980,13 @@ object SparkEntry {
       TextOps.extractionPipeline(t(s, dir, "documents"),
                                  minTokens = 50L)),
 
+    // Edit-distance join (the typo-class fuzzy verifier): length-bound
+    // candidate keys (probe explodes its 2d+1 admissible lengths),
+    // bounded levenshtein(a,b,d) as the codegen'd join residual
+    "q_edit_pairs" -> ((s, dir) =>
+      graft.ops.FuzzyMatch.editPairs(t(s, dir, "part"), "p_name",
+                                     maxDist = 2)),
+
     // Gopher-style repetition gates: most-repeated-token share +
     // duplicate-line fraction, both narrow array projections (no explode)
     "q_repetition" -> ((s, dir) =>
@@ -4195,6 +4202,17 @@ object SparkEntry {
         |FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
         |WHERE round(jaro_winkler_similarity(a.name, c.name), 6)
         |      >= 0.8""".stripMargin,
+
+    // the plain quadratic formulation — the engine's length-key
+    // candidate generation is lossless (|len diff| > d ⇒ dist > d),
+    // so the sets must be identical
+    "q_edit_pairs" ->
+      """WITH names AS (SELECT DISTINCT p_name AS name FROM part
+        |               WHERE p_name IS NOT NULL)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM names a JOIN names b ON a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin,
 
     // list-level twin of the narrow array expressions (same int/int
     // division chain, so the doubles agree bit-for-bit before round)

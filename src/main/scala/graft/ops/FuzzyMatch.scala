@@ -50,4 +50,40 @@ object FuzzyMatch {
       .filter(col("jw") >= tau)
       .select(col("name_a"), col("name_b"), col("jw"))
   }
+
+  /** Edit-distance similarity self-join: undirected pairs of distinct
+    * names with levenshtein ≤ maxDist — the other classic fuzzy-match
+    * verifier (typo-class variants, where Jaro–Winkler's prefix bias
+    * is wrong). Candidate generation uses the LENGTH bound instead of
+    * a content key: |len(a) − len(b)| > d ⇒ dist > d, so the probe
+    * side explodes its 2d+1 admissible lengths and the join runs on
+    * the length key — each true pair meets at exactly ONE key
+    * (len_b), so no post-join dedup is needed. Verification is
+    * Spark's built-in bounded levenshtein(a, b, d) (early-exits above
+    * d), codegen'd as a join residual.
+    *
+    * At scale the length key is admittedly coarse (names concentrate
+    * on few lengths); compose with `fuzzyPairs`' blocking key for a
+    * two-level key when a length bucket is corpus-sized.
+    */
+  def editPairs(df: DataFrame, nameCol: String, maxDist: Int)
+      : DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val names = df.select(col(nameCol).as("name"))
+      .filter(col("name").isNotNull).distinct()
+      .withColumn("len", length(col("name")))
+    val probes = names
+      .withColumn("lkey", explode(sequence(
+        col("len") - maxDist, col("len") + maxDist)))
+      .select(col("name").as("name_a"), col("lkey"))
+    val targets = names
+      .select(col("name").as("name_b"), col("len").as("lkey"))
+    probes.join(targets, Seq("lkey"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("name_a"), col("name_b"),
+              col("dist").cast("long").as("dist"))
+  }
 }

@@ -71,4 +71,26 @@ class FuzzyMatchSpec extends SparkSpec {
     // no self pairs, no cross-block anvil pairs
     assert(got.size === 1)
   }
+
+  test("editPairs: length-key candidates are lossless, bound respected") {
+    val df = Seq(
+      "kitten", "sitten", "sittin",  // dist 1 chains
+      "kit",                          // len diff 3 from kitten: pruned
+      "mitten"                        // dist 1 from kitten/sitten
+    ).toDF("name")
+    val got = FuzzyMatch.editPairs(df, "name", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val expected = Set(
+      ("kitten", "sitten", 1L), ("kitten", "mitten", 1L),
+      ("sitten", "sittin", 1L), ("kitten", "sittin", 2L),
+      ("mitten", "sitten", 1L), ("mitten", "sittin", 2L))
+    assert(got === expected)
+    // no pair with a name whose length differs by more than maxDist
+    // from any partner is even a candidate: 'kit' appears nowhere
+    assert(!got.exists(p => p._1 == "kit" || p._2 == "kit"))
+    // each pair reported exactly once (one length key per true pair)
+    val undirected = got.map(p => Set(p._1, p._2))
+    assert(undirected.size === got.size)
+  }
 }
