@@ -1987,6 +1987,14 @@ object SparkEntry {
       graft.ops.FuzzyMatch.editPairs(t(s, dir, "part"), "p_name",
                                      maxDist = 2)),
 
+    // Multi-probe ANN: own bucket + Hamming-1 ring (the recall dial
+    // that needs no index rebuild); candidates exact-scored, rows-only
+    // (MinHash/LSH internals), recall-dominance spec'd
+    "q_ann_multiprobe" -> ((s, dir) =>
+      SimilarityOps.annTopKMulti(t(s, dir, "embeddings"), "vec_id",
+                                 "embedding", probeId = 0L, k = 10,
+                                 bits = 6, probes = 6)),
+
     // Gopher-style repetition gates: most-repeated-token share +
     // duplicate-line fraction, both narrow array projections (no explode)
     "q_repetition" -> ((s, dir) =>

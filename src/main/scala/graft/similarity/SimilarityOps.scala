@@ -213,6 +213,49 @@ object SimilarityOps {
       .select(col(idCol), round(col("sim"), 6).as("sim"))
   }
 
+  /** Multi-probe ANN top-k (the Lv et al. VLDB'07 idea specialized to
+    * hyperplane LSH): the probe scans its own bucket PLUS `probes`
+    * Hamming-1 neighbor buckets — the buckets a true neighbor lands in
+    * when exactly one hyperplane splits the pair, which is the dominant
+    * miss mode at small angles (P(split) ≈ θ/π per plane). Recall rises
+    * toward brute force as `probes` → bits while the scan stays
+    * (probes+1)/2^bits of the corpus — the recall dial that does NOT
+    * require rebuilding the index at different `bits`.
+    *
+    * This is the UNIFORM ring variant: query-directed probe ordering
+    * (closest-hyperplane first) needs the per-plane margins, which
+    * `lshBucket` deliberately does not materialize; flipping the lowest
+    * `probes` bit positions is deterministic and keeps the bucket id a
+    * single long. Candidates are exact-scored, so everything surfaced
+    * is true cosine — only recall, never precision, is approximate.
+    *
+    * Scale shape: identical to annTopK — the probe row (now probes+1
+    * bucket ids, exploded BEFORE the broadcast) broadcasts, the corpus
+    * is scanned once with a bucket-membership join, top-k is
+    * TakeOrderedAndProject.
+    */
+  def annTopKMulti(emb: DataFrame, idCol: String, vecCol: String,
+                   probeId: Long, k: Int, bits: Int = 6,
+                   probes: Int = 6): DataFrame = {
+    require(probes >= 0 && probes <= bits,
+            s"probes must be in [0, bits=$bits], got $probes")
+    val bucketed = emb.withColumn("bucket", lshBucket(col(vecCol), bits))
+    val ring = (0 until probes)
+      .map(i => col("__b0").bitwiseXOR(lit(1L << i))) :+ col("__b0")
+    val probe = broadcast(
+      bucketed.filter(col(idCol) === probeId)
+        .select(col(vecCol).as("__probe"), col("bucket").as("__b0"))
+        .select(col("__probe"),
+                explode(array(ring: _*)).as("__pbucket")))
+    bucketed
+      .join(probe, col("bucket") === col("__pbucket"))
+      .filter(col(idCol) =!= probeId)
+      .withColumn("sim", cosineSim(col(vecCol), col("__probe")))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), round(col("sim"), 6).as("sim"))
+  }
+
   /** Embedding near-dup pairs, LSH-bucketed (the corpus-scale path for
     * cosinePairs): vectors pair only within an LSH bucket, so the join is
     * Σ bucket² instead of n². Random-hyperplane LSH preserves angle:

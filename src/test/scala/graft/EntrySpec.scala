@@ -50,7 +50,9 @@ class EntrySpec extends SparkSpec {
                        // file-census bytes are encoding-dependent
                        "q_layout_stats",
                        // iterative greedy (kCenterSelect class)
-                       "q_mmr_rerank")
+                       "q_mmr_rerank",
+                       // LSH bucket internals aren't oracle-expressible
+                       "q_ann_multiprobe")
     assert(noOracle === expected)
   }
 }

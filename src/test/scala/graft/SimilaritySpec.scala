@@ -665,6 +665,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("annTopKMulti: probes=0 ≡ annTopK; ring recall dominates") {
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val single = ids(SimilarityOps
+      .annTopK(emb, "vec_id", "embedding", probeId = 0L, k = 10, bits = 6))
+    val zero = ids(SimilarityOps.annTopKMulti(
+      emb, "vec_id", "embedding", probeId = 0L, k = 10, bits = 6,
+      probes = 0))
+    assert(zero === single) // the ring with no flips IS the single probe
+    val multi = ids(SimilarityOps.annTopKMulti(
+      emb, "vec_id", "embedding", probeId = 0L, k = 10, bits = 6,
+      probes = 6))
+    val exact = ids(SimilarityOps
+      .topKNeighbors(emb, "vec_id", "embedding", probeId = 0L, k = 10))
+    def recall(approx: Seq[(Long, Double)]): Int =
+      approx.map(_._1).toSet.intersect(exact.map(_._1).toSet).size
+    // the candidate pool is a superset, so recall can only improve
+    assert(recall(multi) >= recall(single))
+    // everything surfaced is exact-scored: each multi sim matches the
+    // brute-force sim for that id
+    val multiIds = multi.toMap
+    exact.foreach { case (id, s) =>
+      multiIds.get(id).foreach(ms => assert(ms === s, s"sim drift at $id"))
+    }
+    // per-rank dominance: the k-th best of a superset pool is >= the
+    // k-th best of the subset pool
+    multi.zip(single).foreach { case ((_, ms), (_, ss)) =>
+      assert(ms >= ss - 1e-9)
+    }
+  }
+
   test("mmrRerank: λ=1 is pure relevance; λ=0.5 demotes the near-dup") {
     // probe 0; 1≈2 a near-dup pair at high relevance, 3 diverse — on
     // the OPPOSITE side of the probe from the pair, so its sim to the
