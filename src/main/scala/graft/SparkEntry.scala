@@ -1995,6 +1995,17 @@ object SparkEntry {
                                  "embedding", probeId = 0L, k = 10,
                                  bits = 6, probes = 6)),
 
+    // PSI drift between the month's two halves of the event value
+    // distribution — the per-feature distribution-shift monitor;
+    // fixed-width clamped bins + Laplace smoothing (engine-portable,
+    // total even when a bin dies between snapshots)
+    "q_psi_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.quality.Quality.psiDrift(
+        ev.filter(dayofmonth(col("ts")) <= 15),
+        ev.filter(dayofmonth(col("ts")) > 15), "value")
+    }),
+
     // Gopher-style repetition gates: most-repeated-token share +
     // duplicate-line fraction, both narrow array projections (no explode)
     "q_repetition" -> ((s, dir) =>
@@ -4210,6 +4221,35 @@ object SparkEntry {
         |FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
         |WHERE round(jaro_winkler_similarity(a.name, c.name), 6)
         |      >= 0.8""".stripMargin,
+
+    // same clamped fixed-width bins, add-one smoothing, and psi formula
+    // over the month's two halves; spine = range(0, 11)
+    "q_psi_drift" ->
+      """WITH base AS (SELECT LEAST(GREATEST(CAST(floor(value/10) AS INT),
+        |                            0), 10) AS bin
+        |              FROM events
+        |              WHERE date_part('day', ts) <= 15
+        |                AND value IS NOT NULL),
+        |cur AS (SELECT LEAST(GREATEST(CAST(floor(value/10) AS INT),
+        |                     0), 10) AS bin
+        |        FROM events
+        |        WHERE date_part('day', ts) > 15 AND value IS NOT NULL),
+        |nb AS (SELECT bin, count(*) AS n FROM base GROUP BY 1),
+        |nc AS (SELECT bin, count(*) AS n FROM cur GROUP BY 1),
+        |spine AS (SELECT CAST(unnest(range(0, 11)) AS INT) AS bin),
+        |j AS (SELECT s.bin,
+        |        coalesce(nb.n, 0) AS n_base, coalesce(nc.n, 0) AS n_cur
+        |      FROM spine s LEFT JOIN nb USING (bin)
+        |        LEFT JOIN nc USING (bin)),
+        |t AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM j)
+        |SELECT bin, CAST(n_base AS BIGINT) AS n_base,
+        |  CAST(n_cur AS BIGINT) AS n_cur,
+        |  round((n_base + 1.0)/(tb + 11.0), 6) AS p_base,
+        |  round((n_cur + 1.0)/(tc + 11.0), 6) AS p_cur,
+        |  round(((n_cur + 1.0)/(tc + 11.0) - (n_base + 1.0)/(tb + 11.0))
+        |        * ln(((n_cur + 1.0)/(tc + 11.0))
+        |             / ((n_base + 1.0)/(tb + 11.0))), 6) AS psi_contrib
+        |FROM j, t""".stripMargin,
 
     // the plain quadratic formulation — the engine's length-key
     // candidate generation is lossless (|len diff| > d ⇒ dist > d),

@@ -195,4 +195,52 @@ object Quality {
               col("n_violations"),
               (col("n_violations") === 0L).as("passed"))
   }
+  /** Population Stability Index between two snapshots of a numeric
+    * column — the standard distribution-drift monitor a day-2 pipeline
+    * runs per feature per refresh (PSI < 0.1 stable, 0.1–0.25 drifting,
+    * > 0.25 shifted; the credit-scoring rule of thumb). Fixed-width
+    * bins [0, binWidth·numBins) with a clamped overflow/underflow bin at
+    * each end of the id range (bin = clamp(floor(v/w), 0, numBins)), so
+    * the binning is engine-portable with no quantile estimation; add-one
+    * (Laplace) smoothing keeps empty bins finite on BOTH sides, making
+    * psi total and deterministic rather than undefined when a bin dies
+    * between snapshots. One row per bin: counts, smoothed shares, and
+    * the psi contribution (rounded 1e-6); Σ psi_contrib is the index.
+    *
+    * Scale shape: each side is one partial+final count aggregate over
+    * ≤ numBins+1 keys (map-side combined); the bin spine and the two
+    * total counts fold in as broadcasts; nothing row-sized survives the
+    * first aggregate.
+    */
+  def psiDrift(base: DataFrame, current: DataFrame, valueCol: String,
+               binWidth: Double = 10.0, numBins: Int = 10): DataFrame = {
+    require(binWidth > 0 && numBins >= 1, "binWidth > 0, numBins >= 1")
+    val spark = base.sparkSession
+    def binned(df: DataFrame, n: String) = df
+      .filter(col(valueCol).isNotNull)
+      .select(least(greatest(floor(col(valueCol) / binWidth), lit(0)),
+                    lit(numBins)).cast("int").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(n))
+    val spine = spark.range(0, numBins + 1L)
+      .select(col("id").cast("int").as("bin"))
+    val joined = spine
+      .join(binned(base, "n_base"), Seq("bin"), "left_outer")
+      .join(binned(current, "n_cur"), Seq("bin"), "left_outer")
+      .select(col("bin"),
+              coalesce(col("n_base"), lit(0L)).as("n_base"),
+              coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(sum(col("n_base")).as("__tb"),
+                            sum(col("n_cur")).as("__tc"))
+    val k = lit(numBins + 1.0)
+    joined.crossJoin(broadcast(totals))
+      .withColumn("p_base",
+        (col("n_base") + lit(1.0)) / (col("__tb") + k))
+      .withColumn("p_cur",
+        (col("n_cur") + lit(1.0)) / (col("__tc") + k))
+      .select(col("bin"), col("n_base"), col("n_cur"),
+              round(col("p_base"), 6).as("p_base"),
+              round(col("p_cur"), 6).as("p_cur"),
+              round((col("p_cur") - col("p_base")) *
+                log(col("p_cur") / col("p_base")), 6).as("psi_contrib"))
+  }
 }

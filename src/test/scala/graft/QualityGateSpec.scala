@@ -118,4 +118,34 @@ class QualityGateSpec extends SparkSpec {
     assert(empty.length === 5)
     assert(empty.forall(r => r._3 === 0L && r._4 === 0L && r._5))
   }
+
+  test("psiDrift: identical snapshots score ~0, planted shift signs") {
+    import spark.implicits._
+    import graft.quality.Quality
+    val base = (1 to 100).map(i => Tuple1(i.toDouble % 50)).toDF("value")
+    // identical distributions: every contribution is exactly 0
+    val same = Quality.psiDrift(base, base, "value", binWidth = 10.0,
+                                numBins = 4)
+      .collect()
+    assert(same.length === 5) // bins 0..4 always materialize
+    assert(same.forall(_.getDouble(5) === 0.0))
+    // planted shift: mass moves from bin 0 to bin 3 -> psi_contrib
+    // positive at 3 (gained), positive at 0 too (PSI contributions are
+    // nonneg iff (p-q) and ln(p/q) share sign — they always do)
+    val cur = (1 to 100).map(i => Tuple1(30.0 + (i % 20))).toDF("value")
+    val drift = Quality.psiDrift(base, cur, "value", binWidth = 10.0,
+                                 numBins = 4)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(5))).toMap
+    // every contribution is >= 0 by construction
+    assert(drift.values.forall(_._3 >= 0.0))
+    // bins that lost all mass still get a finite (smoothed) score
+    assert(drift(0)._2 === 0L && drift(0)._3 > 0.0)
+    // the clamped top bin catches base 40..49 (20 rows) and the
+    // cur plant's 40..49 half (50 rows) -> mass on both sides, psi > 0
+    assert(drift(4)._1 === 20L && drift(4)._2 === 50L &&
+           drift(4)._3 > 0.0)
+    // total PSI crosses the classic 'shifted' threshold on this plant
+    assert(drift.values.map(_._3).sum > 0.25)
+  }
 }
