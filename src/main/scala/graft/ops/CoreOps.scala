@@ -186,4 +186,54 @@ object CoreOps {
       .withColumn(s"${valueCol}_hi", col("__hi"))
       .drop("__g", "__lo", "__hi")
   }
+
+  /** Keyed diff between two snapshots of the same table — the day-2
+    * regression check ("what did yesterday's refresh actually change?")
+    * that pairs with `Sinks.versionedRead` time travel: diff v(N-1) vs
+    * v(N) and eyeball the churn before promoting. One row per DIFFERING
+    * key: `change` ∈ added/removed/changed plus `changed_cols`, the
+    * comma-joined (schema-ordered) list of payload columns whose value
+    * differs (null for added/removed — there is no counterpart to
+    * compare against). Unchanged rows are dropped INSIDE the join
+    * projection, so output is bounded by churn volume, never table
+    * volume. Null semantics mirror `mergeByKey`: keys compare
+    * null-SAFELY (a null-key row in both snapshots is one matched pair,
+    * not an add+remove), and payload comparison is `<=>` (null → null
+    * is unchanged, null → value is a change).
+    *
+    * Shape at scale: ONE full-outer sort-merge join on the key — both
+    * sides shuffle once on the same key, so pre-bucketed snapshots
+    * co-locate and the exchange disappears. Payload columns must ride
+    * the join (they are what's being compared); select the columns you
+    * care about first and the scan prunes to exactly those.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff: no key columns")
+    val cols = oldDf.columns.toSeq
+    require(newDf.columns.toSeq == cols,
+      s"snapshotDiff: schemas differ (${cols.mkString(",")} vs " +
+        s"${newDf.columns.mkString(",")})")
+    require(keys.forall(cols.contains),
+      s"snapshotDiff: keys not in schema: ${keys.filterNot(cols.contains)}")
+    val payload = cols.filterNot(keys.contains)
+    val o = oldDf.withColumn("__o", lit(true)).as("o")
+    val n = newDf.withColumn("__n", lit(true)).as("n")
+    val cond = keys.map(k => col(s"o.$k") <=> col(s"n.$k"))
+      .reduce(_ && _)
+    val differs = payload.map(c => !(col(s"o.$c") <=> col(s"n.$c")))
+    val anyDiff =
+      if (differs.isEmpty) lit(false) else differs.reduce(_ || _)
+    o.join(n, cond, "full_outer")
+      .filter(col("__o").isNull || col("__n").isNull || anyDiff)
+      .select(
+        keys.map(k => coalesce(col(s"o.$k"), col(s"n.$k")).as(k)) ++ Seq(
+          when(col("__o").isNull, "added")
+            .when(col("__n").isNull, "removed")
+            .otherwise("changed").as("change"),
+          when(col("__o").isNull || col("__n").isNull, lit(null))
+            .otherwise(concat_ws(",", payload.map(c =>
+              when(!(col(s"o.$c") <=> col(s"n.$c")), lit(c))): _*))
+            .as("changed_cols")): _*)
+  }
 }

@@ -142,4 +142,36 @@ class CoreOpsSpec extends SparkSpec {
     // empty table: all-zero census, never an NPE (sum over 0 rows is NULL)
     assert(Quality.nullCensus(empty) === Map("x" -> 0L, "y" -> 0L))
   }
+
+  test("snapshotDiff: add/remove/change matrix, null-safe keys, " +
+       "schema-ordered changed_cols") {
+    val old = Seq(
+      (Some(1), Some("a"), Some(10)),  // unchanged
+      (Some(2), Some("b"), Some(20)),  // payload edit -> changed
+      (Some(3), Some("c"), Some(30)),  // removed
+      (Some(4), None, Some(40)),       // null -> value edit -> changed
+      (None, Some("n"), Some(50))      // null KEY, edited -> changed
+    ).toDF("k", "s", "v")
+    val nw = Seq(
+      (Some(1), Some("a"), Some(10)),
+      (Some(2), Some("B"), Some(21)),  // both payload cols differ
+      (Some(4), Some("d"), Some(40)),
+      (None, Some("n"), Some(51)),
+      (Some(9), Some("z"), Some(90))   // added
+    ).toDF("k", "s", "v")
+    val out = CoreOps.snapshotDiff(old, nw, Seq("k"))
+      .as[(Option[Int], String, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.size === 5) // row 1 (unchanged) never surfaces
+    assert(out(Some(2)) === (("changed", Some("s,v")))) // schema order
+    assert(out(Some(3)) === (("removed", None)))
+    assert(out(Some(4)) === (("changed", Some("s"))))
+    // null key matched null-safely: ONE changed pair, not add+remove
+    assert(out(None) === (("changed", Some("v"))))
+    assert(out(Some(9)) === (("added", None)))
+    // diverging schemas fail loudly, never silently compare by position
+    intercept[IllegalArgumentException] {
+      CoreOps.snapshotDiff(old, nw.select($"k", $"v", $"s"), Seq("k"))
+    }
+  }
 }
