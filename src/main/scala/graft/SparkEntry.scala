@@ -13,7 +13,7 @@ import graft.ops.{CoreOps, Funnel}
 import graft.pipeline.TaxiPipeline
 import graft.similarity.SimilarityOps
 import graft.streaming.StreamingOps
-import graft.text.{QualityClassifier, TextOps}
+import graft.text.{Bm25Index, QualityClassifier, TextOps}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the LLM-pipeline extension ops), each with an ANSI/DuckDB
@@ -1863,6 +1863,19 @@ object SparkEntry {
       TextOps.bm25TopK(t(s, dir, "documents"),
                        Seq("spark", "vector", "stream"), k = 10)),
 
+    // The same ranking SERVED off the persisted inverted index: build
+    // on the even half, append the odd half (two epochs), probe — must
+    // equal the from-scratch q_bm25 chain bit-for-bit (exact additive
+    // stats + the shared 1e-6 grid), certifying build+append+probe
+    "q_bm25_index" -> ((s, dir) => {
+      val root = scratch(dir, "bm25index")
+      Sinks.dropTable(s, root)
+      val docs = t(s, dir, "documents")
+      Bm25Index.build(docs.filter(col("doc_id") % 2 === 0), root)
+      Bm25Index.append(docs.filter(col("doc_id") % 2 =!= 0), root)
+      Bm25Index.probe(s, root, Seq("spark", "vector", "stream"), k = 10)
+    }),
+
     // Hybrid retrieval: Reciprocal Rank Fusion (Cormack et al. SIGIR'09,
     // c=60) of the BM25 lexical leg and the cosine semantic leg over the
     // aligned doc/vec id space — rank-only fusion, no score calibration;
@@ -2155,6 +2168,23 @@ object SparkEntry {
       }.reduce(_ unionByName _)
         .select(col("version"), col("n_rows"), col("n_sources"),
                 col("sum_chars"))
+    }),
+
+    // Keyed snapshot diff (the refresh regression check): old = the
+    // documents table, new = the same table with planted removals
+    // (doc_id % 17), edits (src3 docs grow 5 chars), and additions
+    // (re-keyed copies of the % 23 docs) — one row per differing key
+    "q_table_diff" -> ((s, dir) => {
+      val old = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val nw = old.filter(col("doc_id") % 17 =!= 0)
+        .withColumn("n_chars",
+          when(col("source") === "src3", col("n_chars") + 5)
+            .otherwise(col("n_chars")))
+        .unionByName(old.filter(col("doc_id") % 23 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+                  lit("xx").as("lang"), col("source"), col("n_chars")))
+      graft.ops.CoreOps.snapshotDiff(old, nw, Seq("doc_id"))
     }),
 
     // Targeted delete (GDPR/TTL rewrite): forget every 7th user, census
@@ -3993,6 +4023,30 @@ object SparkEntry {
         |SELECT doc_id, round(sum(w), 6) AS bm25
         |FROM w GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
 
+    // the index serves the same math over the same corpus, so the
+    // oracle is the q_bm25 recompute verbatim — certifying that two
+    // epochs of build+append serve exactly one from-scratch pass
+    "q_bm25_index" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |                       x -> x <> '')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+        |       FROM tok GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+        |          FROM dl),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |       FROM tok WHERE term IN ('spark', 'vector', 'stream')
+        |       GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+        |          FROM tf GROUP BY 1),
+        |w AS (SELECT tf.doc_id,
+        |        round(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+        |              / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS w
+        |      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats)
+        |SELECT doc_id, round(sum(w), 6) AS bm25
+        |FROM w GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
     // RRF: the q_bm25 chain (top-20) + the q_cosine_topk chain (top-20),
     // each ranked on its rounded score with id tie-breaks, fused by
     // 1/(60+rank) over a full outer join on the shared id space.
@@ -4362,6 +4416,39 @@ object SparkEntry {
         |SELECT CAST(3 AS INTEGER), count(*), count(DISTINCT source),
         |       CAST(sum(n_chars) AS BIGINT)
         |FROM v3""".stripMargin,
+
+    // same planted removals/edits/additions; IS DISTINCT FROM is the
+    // null-safe payload compare, concat_ws skips the null (unchanged)
+    // column labels in both engines
+    "q_table_diff" ->
+      """WITH o AS (SELECT doc_id, lang, source, n_chars FROM documents),
+        |n AS (SELECT doc_id, lang, source,
+        |        CASE WHEN source = 'src3' THEN n_chars + 5
+        |             ELSE n_chars END AS n_chars
+        |      FROM documents WHERE doc_id % 17 <> 0
+        |      UNION ALL
+        |      SELECT doc_id + 1000000, 'xx', source, n_chars
+        |      FROM documents WHERE doc_id % 23 = 0),
+        |j AS (SELECT o.doc_id AS ok, n.doc_id AS nk,
+        |        o.lang AS ol, n.lang AS nl,
+        |        o.source AS os, n.source AS ns,
+        |        o.n_chars AS oc, n.n_chars AS nc
+        |      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT coalesce(ok, nk) AS doc_id,
+        |  CASE WHEN ok IS NULL THEN 'added'
+        |       WHEN nk IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change,
+        |  CASE WHEN ok IS NULL OR nk IS NULL THEN NULL
+        |       ELSE concat_ws(',',
+        |         CASE WHEN ol IS DISTINCT FROM nl THEN 'lang' END,
+        |         CASE WHEN os IS DISTINCT FROM ns THEN 'source' END,
+        |         CASE WHEN oc IS DISTINCT FROM nc THEN 'n_chars' END)
+        |  END AS changed_cols
+        |FROM j
+        |WHERE ok IS NULL OR nk IS NULL
+        |   OR ol IS DISTINCT FROM nl
+        |   OR os IS DISTINCT FROM ns
+        |   OR oc IS DISTINCT FROM nc""".stripMargin,
 
     "q_merge_upsert" ->
       """SELECT count(*) AS n,

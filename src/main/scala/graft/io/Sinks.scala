@@ -170,7 +170,7 @@ object Sinks {
     * below rather than documented-only, since a silent partial table is
     * the worst failure mode a warehouse can have.
     */
-  private def requireAtomicRename(spark: SparkSession, path: String): Unit = {
+  private[graft] def requireAtomicRename(spark: SparkSession, path: String): Unit = {
     val scheme = Option(new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .getUri.getScheme).getOrElse("file")
