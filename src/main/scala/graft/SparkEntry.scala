@@ -715,6 +715,12 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(97)) === 0).select(col("doc_id")),
         "doc_id", mhRoot)
       MinhashIndex.compactIndex(s, mhRoot)
+      val bmRoot = s"$root/bm25"
+      Bm25Index.build(docs, bmRoot, buckets = 8)
+      Bm25Index.forget(
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0).select(col("doc_id")),
+        bmRoot)
+      Bm25Index.compactIndex(s, bmRoot)
       def census(name: String, df: DataFrame, idc: String) =
         df.agg(count(lit(1)).as("n_rows"),
                coalesce(sum(col(idc)), lit(0L)).as("id_sum"),
@@ -729,6 +735,8 @@ object SparkEntry {
           s.read.parquet(s"$mhRoot/sets"), "id"))
         .unionByName(census("mh_buckets",
           s.read.parquet(s"$mhRoot/buckets"), "id"))
+        .unionByName(census("bm25_postings",
+          s.read.parquet(s"$bmRoot/postings"), "doc_id"))
         .select(col("artifact"), col("n_rows"), col("id_sum"),
                 col("n_forgotten"))
     }),
@@ -3000,7 +3008,15 @@ object SparkEntry {
         |       CAST(0 AS BIGINT) FROM d
         |UNION ALL
         |SELECT 'mh_buckets', 4 * count(*), CAST(4 * sum(doc_id) AS BIGINT),
-        |       CAST(0 AS BIGINT) FROM db""".stripMargin,
+        |       CAST(0 AS BIGINT) FROM db
+        |UNION ALL
+        |SELECT 'bm25_postings', count(*), CAST(sum(doc_id) AS BIGINT),
+        |       CAST(0 AS BIGINT)
+        |FROM (SELECT DISTINCT doc_id, term FROM
+        |       (SELECT doc_id,
+        |          unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |                             x -> x <> '')) AS term
+        |        FROM documents WHERE doc_id % 97 <> 0))""".stripMargin,
 
     "q_incremental_refresh" ->
       ("""WITH RECURSIVE wh AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),

@@ -174,6 +174,98 @@ object Bm25Index {
     appendEpoch(batch, idCol, textCol, root)
   }
 
+  private def tombstonesOf(spark: SparkSession,
+                           root: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/tombstones")
+    if (fsFor(spark, root).exists(p))
+      Some(spark.read.parquet(p.toString))
+    else None
+  }
+
+  /** Logical forget — right-to-be-forgotten reaching the SERVING index
+    * (the `MinhashIndex.forget` split): one tiny append to
+    * `tombstones/`, and probes stop surfacing the ids NOW. Unlike the
+    * signature index, BM25 scoring depends on GLOBAL stats (N, avgdl)
+    * and per-term df, so a tombstone that merely masked results would
+    * leave every OTHER document's score stale. The tombstone therefore
+    * carries the forgotten doc's `dl`, probes anti-join postings before
+    * deriving df, and served stats subtract the tombstone totals —
+    * all exact integer sums, so probe stays bit-identical to
+    * `bm25TopK` over the LIVE corpus even before compaction (the spec
+    * pins this). Only ids actually present get tombstoned (semi-join)
+    * and re-forgetting is a no-op (anti-join) — a double tombstone
+    * would double-subtract the stats. A tombstoned id cannot be
+    * re-appended until `compactIndex` (the append anti-join sees its
+    * still-physical postings), same rule as the signature index.
+    */
+  def forget(ids: DataFrame, root: String): Unit = {
+    val spark = ids.sparkSession
+    val (_, _, _, idCol, _) = readParams(spark, root)
+    val committed = committedEpochs(spark, root)
+    if (committed.isEmpty) return
+    val present = spark.read.parquet(s"$root/postings")
+      .filter(col("epoch").isin(committed.map(Int.box): _*))
+      .select(col("doc_id"), col("dl"))
+      .join(ids.select(col(idCol).as("doc_id")).distinct(),
+            Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+    val fresh = tombstonesOf(spark, root)
+      .map(t => present.join(t.select(col("doc_id")),
+                             Seq("doc_id"), "left_anti"))
+      .getOrElse(present)
+    fresh.coalesce(1).write.mode("append").parquet(s"$root/tombstones")
+  }
+
+  /** Physical erasure + epoch squash: rewrite the whole store WITHOUT
+    * tombstoned docs, collapsed to a single epoch with exact folded
+    * stats, clearing the tombstones — one atomic root swap (the
+    * `stagedReplace` contract: a crash leaves the OLD root serving,
+    * its tombstones still masking probes). The postings rewrite is a
+    * filter, never a re-tokenization.
+    */
+  def compactIndex(spark: SparkSession, root: String): Unit = {
+    val committed = committedEpochs(spark, root)
+    require(committed.nonEmpty, s"compactIndex: nothing committed at $root")
+    graft.io.Sinks.stagedReplace(spark, root) { stage =>
+      val live = spark.read.parquet(s"$root/postings")
+        .filter(col("epoch").isin(committed.map(Int.box): _*))
+      val kept = tombstonesOf(spark, root)
+        .map(t => live.join(t.select(col("doc_id")),
+                            Seq("doc_id"), "left_anti"))
+        .getOrElse(live)
+        .select(col("doc_id"), col("term"), col("tf"), col("dl"),
+                col("tb"))
+      kept.write.partitionBy("tb").parquet(s"$stage/postings/epoch=1")
+      val s = kept.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+        .agg(coalesce(count(lit(1)).cast("double"), lit(0d)).as("n"),
+             coalesce(sum(col("dl")), lit(0d)).as("sum_dl"))
+      s.coalesce(1).write.parquet(s"$stage/stats/epoch=1")
+      spark.read.parquet(s"$root/params")
+        .coalesce(1).write.parquet(s"$stage/params")
+      val fs = fsFor(spark, stage)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$stage/commits"))
+      fs.create(new org.apache.hadoop.fs.Path(s"$stage/commits/1"),
+                false).close()
+      // tombstones intentionally not copied: the new root starts clean
+    }
+  }
+
+  /** Streaming maintenance: every micro-batch appends as one epoch.
+    * Exactly-once under foreachBatch's at-least-once replay window for
+    * free: a replayed batch anti-joins to nothing and writes no epoch,
+    * and a crash mid-epoch leaves an uncommitted orphan no probe sees.
+    */
+  def appendStream(stream: DataFrame, root: String,
+                   checkpoint: String): org.apache.spark.sql.streaming
+      .StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        append(batch, root)
+      }
+      .start()
+
   /** Top-k BM25 over the standing index WITHOUT touching corpus text:
     * reads the probed terms' bucket directories of committed epochs
     * (two partition filters — epoch and tb — prune at planning time),
@@ -198,12 +290,34 @@ object Bm25Index {
       .select(pmod(xxhash64(col("term")), lit(buckets.toLong))
         .cast("int").as("tb"))
       .distinct().as[Int].collect().toSeq
-    val stats = spark.read.parquet(s"$root/stats/epoch=${committed.max}")
-      .select(col("n"), (col("sum_dl") / col("n")).as("avgdl"))
-    val post = spark.read.parquet(s"$root/postings")
+    val tomb = tombstonesOf(spark, root)
+    // served stats = committed snapshot MINUS tombstone totals — both
+    // exact integer-valued sums, so logical forget keeps serving on
+    // the same grid as a physical rewrite would
+    val stats = tomb
+      .map { t =>
+        val rm = t.agg(
+          coalesce(count(lit(1)).cast("double"), lit(0d)).as("__rn"),
+          coalesce(sum(col("dl")), lit(0d)).as("__rs"))
+        spark.read.parquet(s"$root/stats/epoch=${committed.max}")
+          .crossJoin(rm)
+          .select((col("n") - col("__rn")).as("n"),
+                  ((col("sum_dl") - col("__rs")) /
+                    (col("n") - col("__rn"))).as("avgdl"))
+      }
+      .getOrElse(
+        spark.read.parquet(s"$root/stats/epoch=${committed.max}")
+          .select(col("n"), (col("sum_dl") / col("n")).as("avgdl")))
+    val pruned = spark.read.parquet(s"$root/postings")
       .filter(col("epoch").isin(committed.map(Int.box): _*) &&
               col("tb").isin(tbs.map(Int.box): _*) &&
               col("term").isin(queryTerms: _*))
+    // tombstoned docs leave the pruned stream BEFORE df derivation, so
+    // per-term df is live-exact too
+    val post = tomb
+      .map(t => pruned.join(broadcast(t.select(col("doc_id"))),
+                            Seq("doc_id"), "left_anti"))
+      .getOrElse(pruned)
     val dfreq = post.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
     post.join(broadcast(dfreq), "term")

@@ -89,6 +89,68 @@ class Bm25IndexSpec extends SparkSpec {
              === asPairs(TextOps.bm25TopK(all, terms, k = 5)))
   }
 
+  test("forget: tombstoned serving ≡ bm25TopK over the live corpus " +
+       "bit-for-bit; re-forget no-op; compaction squashes + clears") {
+    val root = s"${Sinks.scratchRoot}/spec_bm25idx_forget"
+    Sinks.dropTable(spark, root)
+    Bm25Index.build(docs.filter($"doc_id" <= 4), root, buckets = 4)
+    Bm25Index.append(docs.filter($"doc_id" > 4), root)
+    val goners = Seq(3L, 5L).toDF("doc_id")
+    Bm25Index.forget(goners, root)
+    val live = docs.filter(!$"doc_id".isin(3L, 5L))
+    val expected = asPairs(TextOps.bm25TopK(live, terms, k = 5))
+    // the exact contract: not just masked ids — N/avgdl/df all serve
+    // as if the docs never existed (dl-carrying tombstones)
+    assert(asPairs(Bm25Index.probe(spark, root, terms, k = 5))
+             === expected)
+    // double forget must not double-subtract the stats
+    Bm25Index.forget(goners, root)
+    assert(asPairs(Bm25Index.probe(spark, root, terms, k = 5))
+             === expected)
+    // a tombstoned id cannot re-enter until compaction (its physical
+    // postings still trip the append anti-join)
+    Bm25Index.append(docs.filter($"doc_id" === 3), root)
+    assert(asPairs(Bm25Index.probe(spark, root, terms, k = 5))
+             === expected)
+    // physical erasure: single epoch, no tombstones, same serving
+    Bm25Index.compactIndex(spark, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/tombstones")))
+    assert(spark.read.parquet(s"$root/postings")
+             .filter(col("doc_id").isin(3L, 5L)).count() === 0L)
+    assert(asPairs(Bm25Index.probe(spark, root, terms, k = 5))
+             === expected)
+    // post-compaction the ids may return
+    Bm25Index.append(docs.filter($"doc_id" === 3), root)
+    assert(asPairs(Bm25Index.probe(spark, root, terms, k = 5)) ===
+             asPairs(TextOps.bm25TopK(
+               docs.filter($"doc_id" =!= 5), terms, k = 5)))
+  }
+
+  test("appendStream: micro-batch epochs serve like the batch build") {
+    val root = s"${Sinks.scratchRoot}/spec_bm25idx_stream"
+    Sinks.dropTable(spark, root)
+    val idx = s"$root/idx"; val inDir = s"$root/in"
+    val ckpt = s"$root/ckpt"
+    Bm25Index.build(docs.filter($"doc_id" <= 2), idx, buckets = 4)
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(docs.schema).parquet(inDir)
+      val q = Bm25Index.appendStream(stream, idx, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    docs.filter($"doc_id" > 2 && $"doc_id" <= 5)
+      .coalesce(1).write.mode("append").parquet(inDir); runOnce()
+    docs.filter($"doc_id" > 5)
+      .coalesce(1).write.mode("append").parquet(inDir); runOnce()
+    assert(asPairs(Bm25Index.probe(spark, idx, terms, k = 5))
+             === asPairs(TextOps.bm25TopK(docs, terms, k = 5)))
+    // replay window: re-appending an already-drained batch is a no-op
+    val n = spark.read.parquet(s"$idx/postings").count()
+    Bm25Index.append(docs.filter($"doc_id" > 5), idx)
+    assert(spark.read.parquet(s"$idx/postings").count() === n)
+  }
+
   test("probe prunes postings partitions on tb and epoch") {
     val root = s"${Sinks.scratchRoot}/spec_bm25idx_prune"
     Sinks.dropTable(spark, root)
