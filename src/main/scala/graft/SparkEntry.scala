@@ -1884,6 +1884,19 @@ object SparkEntry {
       Bm25Index.probe(s, root, Seq("spark", "vector", "stream"), k = 10)
     }),
 
+    // Batched serving: a query TABLE against the same index in one
+    // pass — per-query top-5 with ranks, df/idf shared across queries
+    "q_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      val root = scratch(dir, "bm25batch")
+      Sinks.dropTable(s, root)
+      Bm25Index.build(t(s, dir, "documents"), root)
+      val q = Seq(1 -> "spark", 1 -> "stream", 2 -> "vector",
+                  3 -> "spark", 3 -> "vector", 3 -> "stream")
+        .toDF("query_id", "term")
+      Bm25Index.batchProbe(q, root, k = 5)
+    }),
+
     // Hybrid retrieval: Reciprocal Rank Fusion (Cormack et al. SIGIR'09,
     // c=60) of the BM25 lexical leg and the cosine semantic leg over the
     // aligned doc/vec id space — rank-only fusion, no score calibration;
@@ -4062,6 +4075,39 @@ object SparkEntry {
         |      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats)
         |SELECT doc_id, round(sum(w), 6) AS bm25
         |FROM w GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // per-query recompute of the same math; df/idf are per-term
+    // globals shared across queries, rank = row_number per query
+    "q_bm25_batch" ->
+      """WITH q(query_id, term) AS (VALUES
+        |    (1, 'spark'), (1, 'stream'), (2, 'vector'),
+        |    (3, 'spark'), (3, 'vector'), (3, 'stream')),
+        |tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |                       x -> x <> '')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+        |       FROM tok GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl
+        |          FROM dl),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |       FROM tok WHERE term IN (SELECT DISTINCT term FROM q)
+        |       GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+        |          FROM tf GROUP BY 1),
+        |w AS (SELECT q.query_id, tf.doc_id,
+        |        round(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+        |              / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS w
+        |      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+        |        JOIN q USING (term), stats),
+        |s AS (SELECT query_id, doc_id, round(sum(w), 6) AS bm25
+        |      FROM w GROUP BY 1, 2)
+        |SELECT query_id, doc_id, bm25, rank FROM
+        |  (SELECT query_id, doc_id, bm25,
+        |     CAST(row_number() OVER (PARTITION BY query_id
+        |            ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rank
+        |   FROM s)
+        |WHERE rank <= 5""".stripMargin,
 
     // RRF: the q_bm25 chain (top-20) + the q_cosine_topk chain (top-20),
     // each ranked on its rounded score with id tie-breaks, fused by

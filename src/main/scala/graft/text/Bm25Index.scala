@@ -335,4 +335,86 @@ object Bm25Index {
       .orderBy(col("bm25").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Serve a whole TABLE of queries in ONE pass — the eval-set /
+    * query-log deployment (N queries as N probes would re-plan and
+    * re-scan N times; this reads the union of their buckets once).
+    * `queries` is (qidCol, termCol) — one row per query term, the
+    * exploded shape a query log naturally lands in. Per-query top-k
+    * rides a window rank = WindowGroupLimit below the exchange, never
+    * a global sort; scores are per-query identical to `probe` (same
+    * df/stats folds — df is a per-TERM global, shared across queries),
+    * which is the property the spec pins.
+    *
+    * Scale shape: the postings scan still partition-prunes to the
+    * union of the queries' term buckets (the collected tb set is
+    * bounded by `buckets`, never by query count); the query frame
+    * broadcasts onto the pruned postings; the only shuffle is the
+    * (query, doc) score aggregate, bounded by candidate volume.
+    */
+  def batchProbe(queries: DataFrame, root: String, k: Int = 10,
+                 qidCol: String = "query_id",
+                 termCol: String = "term"): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val spark = queries.sparkSession
+    val (k1, b, buckets, idCol, _) = readParams(spark, root)
+    val committed = committedEpochs(spark, root)
+    require(committed.nonEmpty, s"batchProbe: no committed epochs at $root")
+    import spark.implicits._
+    val q = queries
+      .select(col(qidCol), col(termCol).as("term"))
+      .filter(col("term").isNotNull).distinct()
+    // ≤ `buckets` ints ride this action regardless of query volume
+    val tbs = q.select(
+        pmod(xxhash64(col("term")), lit(buckets.toLong))
+          .cast("int").as("tb"))
+      .distinct().as[Int].collect().toSeq
+    val tomb = tombstonesOf(spark, root)
+    val stats = tomb
+      .map { t =>
+        val rm = t.agg(
+          coalesce(count(lit(1)).cast("double"), lit(0d)).as("__rn"),
+          coalesce(sum(col("dl")), lit(0d)).as("__rs"))
+        spark.read.parquet(s"$root/stats/epoch=${committed.max}")
+          .crossJoin(rm)
+          .select((col("n") - col("__rn")).as("n"),
+                  ((col("sum_dl") - col("__rs")) /
+                    (col("n") - col("__rn"))).as("avgdl"))
+      }
+      .getOrElse(
+        spark.read.parquet(s"$root/stats/epoch=${committed.max}")
+          .select(col("n"), (col("sum_dl") / col("n")).as("avgdl")))
+    val pruned = spark.read.parquet(s"$root/postings")
+      .filter(col("epoch").isin(committed.map(Int.box): _*) &&
+              col("tb").isin(tbs.map(Int.box): _*))
+      .join(broadcast(q.select(col("term")).distinct()), Seq("term"))
+    val post = tomb
+      .map(t => pruned.join(broadcast(t.select(col("doc_id"))),
+                            Seq("doc_id"), "left_anti"))
+      .getOrElse(pruned)
+    // df is per-term and query-independent — computed once over the
+    // union, every query sharing a term shares its idf
+    val dfreq = post.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val scored = post
+      .join(broadcast(dfreq), "term")
+      .join(broadcast(q), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .withColumn("w",
+        round(col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 6))
+      .groupBy(col(qidCol), col("doc_id"))
+      .agg(round(sum(col("w")), 6).as("bm25"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+    scored.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .select(col(qidCol), col("doc_id").as(idCol), col("bm25"),
+              col("__r").as("rank"))
+  }
 }

@@ -151,6 +151,31 @@ class Bm25IndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idx/postings").count() === n)
   }
 
+  test("batchProbe: per-query results ≡ one probe per query, " +
+       "tombstones respected") {
+    val root = s"${Sinks.scratchRoot}/spec_bm25idx_batch"
+    Sinks.dropTable(spark, root)
+    Bm25Index.build(docs, root, buckets = 4)
+    val qs = Seq(1 -> Seq("spark", "stream"), 2 -> Seq("vector"),
+                 3 -> terms)
+    val qdf = qs.flatMap { case (q, ts) => ts.map(q -> _) }
+      .toDF("query_id", "term")
+    def check(): Unit = {
+      val got = Bm25Index.batchProbe(qdf, root, k = 3)
+        .as[(Int, Long, Double, Int)].collect()
+        .groupBy(_._1).map { case (q, rs) =>
+          q -> rs.sortBy(_._4).map(r => (r._2, r._3)).toSeq
+        }
+      qs.foreach { case (q, ts) =>
+        assert(got(q) === asPairs(Bm25Index.probe(spark, root, ts, k = 3)),
+               s"query $q diverged from its solo probe")
+      }
+    }
+    check()
+    Bm25Index.forget(Seq(5L).toDF("doc_id"), root)
+    check() // solo probe and batch probe see the same live corpus
+  }
+
   test("probe prunes postings partitions on tb and epoch") {
     val root = s"${Sinks.scratchRoot}/spec_bm25idx_prune"
     Sinks.dropTable(spark, root)
