@@ -716,7 +716,10 @@ object SparkEntry {
         "doc_id", mhRoot)
       MinhashIndex.compactIndex(s, mhRoot)
       val bmRoot = s"$root/bm25"
-      Bm25Index.build(docs, bmRoot, buckets = 8)
+      // one artifact among five: the even half exercises the cascade
+      // (tombstone + compaction) without double-tokenizing the corpus
+      Bm25Index.build(docs.filter(col("doc_id") % 2 === 0), bmRoot,
+                      buckets = 4)
       Bm25Index.forget(
         docs.filter(pmod(col("doc_id"), lit(97)) === 0).select(col("doc_id")),
         bmRoot)
@@ -1879,7 +1882,8 @@ object SparkEntry {
       val root = scratch(dir, "bm25index")
       Sinks.dropTable(s, root)
       val docs = t(s, dir, "documents")
-      Bm25Index.build(docs.filter(col("doc_id") % 2 === 0), root)
+      Bm25Index.build(docs.filter(col("doc_id") % 2 === 0), root,
+                      buckets = 8)
       Bm25Index.append(docs.filter(col("doc_id") % 2 =!= 0), root)
       Bm25Index.probe(s, root, Seq("spark", "vector", "stream"), k = 10)
     }),
@@ -1890,7 +1894,11 @@ object SparkEntry {
       import s.implicits._
       val root = scratch(dir, "bm25batch")
       Sinks.dropTable(s, root)
-      Bm25Index.build(t(s, dir, "documents"), root)
+      // the operator under test is the batched SERVE — index the even
+      // half (the oracle recomputes over the same slice)
+      Bm25Index.build(t(s, dir, "documents")
+                        .filter(col("doc_id") % 2 === 0), root,
+                      buckets = 8)
       val q = Seq(1 -> "spark", 1 -> "stream", 2 -> "vector",
                   3 -> "spark", 3 -> "vector", 3 -> "stream")
         .toDF("query_id", "term")
@@ -3029,7 +3037,8 @@ object SparkEntry {
         |       (SELECT doc_id,
         |          unnest(list_filter(string_split_regex(trim(text), '\s+'),
         |                             x -> x <> '')) AS term
-        |        FROM documents WHERE doc_id % 97 <> 0))""".stripMargin,
+        |        FROM documents
+        |        WHERE doc_id % 97 <> 0 AND doc_id % 2 = 0))""".stripMargin,
 
     "q_incremental_refresh" ->
       ("""WITH RECURSIVE wh AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
@@ -4085,7 +4094,7 @@ object SparkEntry {
         |tok AS (SELECT doc_id,
         |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
         |                       x -> x <> '')) AS term
-        |  FROM documents),
+        |  FROM documents WHERE doc_id % 2 = 0),
         |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
         |       FROM tok GROUP BY 1),
         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl

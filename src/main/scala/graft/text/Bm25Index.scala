@@ -139,7 +139,11 @@ object Bm25Index {
         (r.getAs[Double]("n"), r.getAs[Double]("sum_dl"))
       }
     val epoch = nextEpoch(spark, root)
-    post.write.partitionBy("tb").parquet(s"$root/postings/epoch=$epoch")
+    // one writer task per bucket directory (the lshBuckets rule):
+    // without it every shuffle partition opens every bucket dir and the
+    // epoch lands as buckets × partitions small files
+    post.repartition(col("tb"))
+      .write.partitionBy("tb").parquet(s"$root/postings/epoch=$epoch")
     import spark.implicits._
     Seq((pn + f.getDouble(0), psum + f.getDouble(1))).toDF("n", "sum_dl")
       .coalesce(1).write.parquet(s"$root/stats/epoch=$epoch")
@@ -229,17 +233,23 @@ object Bm25Index {
     graft.io.Sinks.stagedReplace(spark, root) { stage =>
       val live = spark.read.parquet(s"$root/postings")
         .filter(col("epoch").isin(committed.map(Int.box): _*))
+      // one pass over the old store: the checkpointed survivors feed
+      // the postings write AND the stats fold (cost bounded by live
+      // posting volume — exactly what gets written anyway)
       val kept = tombstonesOf(spark, root)
         .map(t => live.join(t.select(col("doc_id")),
                             Seq("doc_id"), "left_anti"))
         .getOrElse(live)
         .select(col("doc_id"), col("term"), col("tf"), col("dl"),
                 col("tb"))
+        .repartition(col("tb"))
+        .localCheckpoint(true)
       kept.write.partitionBy("tb").parquet(s"$stage/postings/epoch=1")
       val s = kept.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
         .agg(coalesce(count(lit(1)).cast("double"), lit(0d)).as("n"),
              coalesce(sum(col("dl")), lit(0d)).as("sum_dl"))
       s.coalesce(1).write.parquet(s"$stage/stats/epoch=1")
+      kept.unpersist(false)
       spark.read.parquet(s"$root/params")
         .coalesce(1).write.parquet(s"$stage/params")
       val fs = fsFor(spark, stage)
