@@ -613,10 +613,16 @@ object SparkEntry {
 
     // The containment ACTION: host-corpus + planted snippets; every
     // snippet (contained in its source at C=1.0) and the smaller member
-    // of each symmetric near-dup pair is dropped, hosts survive
+    // of each symmetric near-dup pair is dropped, hosts survive. The
+    // fixture is the even half: the machinery's full-corpus cost is
+    // already on the board twice (q_containment_pairs self-join,
+    // q_containment_join R-S) — the ACTION demo doesn't need to pay
+    // the posting volume a third time per bench run
     "q_remove_contained" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val snips = t(s, dir, "documents")
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
+      val snips = docs
         .filter(pmod(col("doc_id"), lit(7)) === 0 &&
                 length(col("text")) >= 250)
         .select((col("doc_id") + 100000).as("doc_id"),
@@ -717,13 +723,17 @@ object SparkEntry {
       MinhashIndex.compactIndex(s, mhRoot)
       val bmRoot = s"$root/bm25"
       // one artifact among five: the even half exercises the cascade
-      // (tombstone + compaction) without double-tokenizing the corpus
+      // without double-tokenizing the corpus. The census below reads
+      // the LIVE logical view (postings minus the dl-carrying
+      // tombstones — exactly what probes serve from the instant forget
+      // returns); the physical-erasure path (compactIndex) is
+      // spec-certified in Bm25IndexSpec and costs a full store rewrite
+      // the flagship doesn't need to pay per bench run
       Bm25Index.build(docs.filter(col("doc_id") % 2 === 0), bmRoot,
                       buckets = 4)
       Bm25Index.forget(
         docs.filter(pmod(col("doc_id"), lit(97)) === 0).select(col("doc_id")),
         bmRoot)
-      Bm25Index.compactIndex(s, bmRoot)
       def census(name: String, df: DataFrame, idc: String) =
         df.agg(count(lit(1)).as("n_rows"),
                coalesce(sum(col(idc)), lit(0L)).as("id_sum"),
@@ -739,7 +749,10 @@ object SparkEntry {
         .unionByName(census("mh_buckets",
           s.read.parquet(s"$mhRoot/buckets"), "id"))
         .unionByName(census("bm25_postings",
-          s.read.parquet(s"$bmRoot/postings"), "doc_id"))
+          s.read.parquet(s"$bmRoot/postings")
+            .join(s.read.parquet(s"$bmRoot/tombstones")
+                    .select(col("doc_id")), Seq("doc_id"), "left_anti"),
+          "doc_id"))
         .select(col("artifact"), col("n_rows"), col("id_sum"),
                 col("n_forgotten"))
     }),
@@ -1883,7 +1896,7 @@ object SparkEntry {
       Sinks.dropTable(s, root)
       val docs = t(s, dir, "documents")
       Bm25Index.build(docs.filter(col("doc_id") % 2 === 0), root,
-                      buckets = 8)
+                      buckets = 4)
       Bm25Index.append(docs.filter(col("doc_id") % 2 =!= 0), root)
       Bm25Index.probe(s, root, Seq("spark", "vector", "stream"), k = 10)
     }),
@@ -1898,7 +1911,7 @@ object SparkEntry {
       // half (the oracle recomputes over the same slice)
       Bm25Index.build(t(s, dir, "documents")
                         .filter(col("doc_id") % 2 === 0), root,
-                      buckets = 8)
+                      buckets = 4)
       val q = Seq(1 -> "spark", 1 -> "stream", 2 -> "vector",
                   3 -> "spark", 3 -> "vector", 3 -> "stream")
         .toDF("query_id", "term")
@@ -3129,10 +3142,12 @@ object SparkEntry {
 
     "q_remove_contained" ->
       """WITH un AS (SELECT doc_id, text FROM documents
+        |            WHERE doc_id % 2 = 0
         |            UNION ALL
         |            SELECT doc_id + 100000, substr(text, 51, 150)
         |            FROM documents
-        |            WHERE doc_id % 7 = 0 AND len(text) >= 250),
+        |            WHERE doc_id % 2 = 0 AND doc_id % 7 = 0
+        |              AND len(text) >= 250),
         |idx AS (SELECT unnest(range(1,
         |    (SELECT CAST(max(len(text)) AS BIGINT) FROM un))) AS i),
         |sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 12) AS s
