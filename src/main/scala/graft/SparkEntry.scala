@@ -585,14 +585,6 @@ object SparkEntry {
       DedupOps.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
                                  n = 12, tau = 0.7)),
 
-    // Directed n-gram CONTAINMENT self-join (|a∩b|/|a| ≥ τ): the
-    // asymmetric near-dup measure — reports which doc is the quotee.
-    // On this corpus every symmetric near-dup pair surfaces twice
-    // (once per direction); the asymmetric catch is q_containment_join.
-    "q_containment_pairs" -> ((s, dir) =>
-      DedupOps.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
-                                n = 12, tau = 0.8)),
-
     // R-S containment join: 150-char snippets (cut from every 7th doc,
     // re-keyed +100000) screened for gram-level inclusion inside corpus
     // documents — the quote-detection shape. Each snippet is found in
@@ -614,13 +606,13 @@ object SparkEntry {
     // The containment ACTION: host-corpus + planted snippets; every
     // snippet (contained in its source at C=1.0) and the smaller member
     // of each symmetric near-dup pair is dropped, hosts survive. The
-    // fixture is the even half: the machinery's full-corpus cost is
-    // already on the board twice (q_containment_pairs self-join,
-    // q_containment_join R-S) — the ACTION demo doesn't need to pay
-    // the posting volume a third time per bench run
+    // fixture is the mod-4 quarter: the machinery's full-corpus cost is
+    // already on the board (q_containment_join R-S over the whole
+    // corpus, plus its brute-force self-join equivalence specs) — the
+    // ACTION demo proves drop-set semantics, not posting volume
     "q_remove_contained" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-        .filter(col("doc_id") % 2 === 0)
+        .filter(col("doc_id") % 4 === 0)
         .select(col("doc_id"), col("text"))
       val snips = docs
         .filter(pmod(col("doc_id"), lit(7)) === 0 &&
@@ -656,17 +648,20 @@ object SparkEntry {
     }),
 
     // LSH geometry sweep (the lexical annEval): candidate volume /
-    // recall / precision per banding config at τ=0.7 over the even-id
-    // half — the "which geometry do I ship" table. Rows-only by design
-    // (MinHash isn't oracle-expressible); the spec pins monotonicity
-    // and exact toy-corpus values
+    // recall / precision per banding config at τ=0.7 over the mod-4
+    // quarter — the "which geometry do I ship" table. Rows-only by
+    // design (MinHash isn't oracle-expressible); the spec pins
+    // monotonicity and exact toy-corpus values. The grid is the two
+    // geometries a deployment actually weighs (b=8 precision-lean vs
+    // b=16, q_minhash_lsh's shipped config); every extra grid point
+    // re-pays the exact-truth join, so the demo stays at 2
     "q_lsh_eval" -> ((s, dir) =>
       DedupOps.lshEval(
         DedupOps.hashedSets(
           t(s, dir, "documents")
-            .filter(pmod(col("doc_id"), lit(2)) === 0),
+            .filter(pmod(col("doc_id"), lit(4)) === 0),
           "doc_id", "text", n = 12),
-        k = 64, bandsGrid = Seq(4, 8, 16), tau = 0.7)),
+        k = 64, bandsGrid = Seq(8, 16), tau = 0.7)),
 
     // Persisted signature index (the lexical IVF-append twin): build
     // band postings + shingle sets on disk from the even-id corpus,
@@ -675,14 +670,18 @@ object SparkEntry {
     // corpus text never re-read) then append. Same LSH geometry as
     // q_minhash_lsh, so the exact-Jaccard oracle holds wherever recall
     // does; id_a = index member, id_b = probe member
+    // Fixture: the mod-4 quarter as the standing index, the adjacent
+    // quarter as the ingest batch — build+probe+append semantics are
+    // corpus-size-free (MinhashIndexSpec pins them), and the LSH
+    // machinery's full-corpus cost already rides q_minhash_lsh
     "q_minhash_index" -> ((s, dir) => {
       val root = scratch(dir, "mhindex")
       Sinks.dropTable(s, root)
       val docs = t(s, dir, "documents")
-      MinhashIndex.build(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      MinhashIndex.build(docs.filter(pmod(col("doc_id"), lit(4)) === 0),
                          "doc_id", "text", root,
                          n = 12, k = 64, bands = 16)
-      MinhashIndex.ingest(docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+      MinhashIndex.ingest(docs.filter(pmod(col("doc_id"), lit(4)) === 2),
                           "doc_id", "text", root, tau = 0.7)
     }),
 
@@ -694,12 +693,18 @@ object SparkEntry {
     // tombstone-then-compact on the signature index — then census every
     // artifact: n_forgotten must be 0 across the board and the
     // survivors' id checksums must equal the recomputed truth
+    // Fixture: the even halves of both base tables — the cascade's
+    // semantics (forget reaches all five artifacts, censuses prove it)
+    // are corpus-size-free, and each artifact build re-pays scan/
+    // shingle/assign cost per bench run
     "q_forget_cascade" -> ((s, dir) => {
       val root = scratch(dir, "forget")
       Sinks.dropTable(s, root)
       val docs = t(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("text"), col("source"))
       val emb = t(s, dir, "embeddings")
+        .filter(col("vec_id") % 2 === 0)
       val docsT = s"$root/docs"; val embT = s"$root/emb"
       docs.write.parquet(docsT)
       emb.write.parquet(embT)
@@ -722,14 +727,14 @@ object SparkEntry {
         "doc_id", mhRoot)
       MinhashIndex.compactIndex(s, mhRoot)
       val bmRoot = s"$root/bm25"
-      // one artifact among five: the even half exercises the cascade
-      // without double-tokenizing the corpus. The census below reads
+      // one artifact among five: the mod-4 sub-half exercises the
+      // cascade without double-tokenizing the fixture. The census reads
       // the LIVE logical view (postings minus the dl-carrying
       // tombstones — exactly what probes serve from the instant forget
       // returns); the physical-erasure path (compactIndex) is
       // spec-certified in Bm25IndexSpec and costs a full store rewrite
       // the flagship doesn't need to pay per bench run
-      Bm25Index.build(docs.filter(col("doc_id") % 2 === 0), bmRoot,
+      Bm25Index.build(docs.filter(col("doc_id") % 4 === 0), bmRoot,
                       buckets = 4)
       Bm25Index.forget(
         docs.filter(pmod(col("doc_id"), lit(97)) === 0).select(col("doc_id")),
@@ -1513,17 +1518,13 @@ object SparkEntry {
       graft.pipeline.CorpusPipeline.exportCorpus(
         t(s, dir, "documents"), scratch(dir, "export_pipeline"))),
 
-    // The export flagship under the PRODUCTION hash flag (xxhash64
-    // fingerprints/coins instead of md5 — Hashing scaladoc): same
-    // dataflow, no hex-string materialization on the hot paths. No
-    // DuckDB oracle by design (xxhash64 is not portable); rows-only
-    // driver check + HashingSpec's mode-equivalence pins, and the
-    // bench line q_export_hashprod vs q_export_pipeline IS the
-    // md5-tax measurement.
-    "q_export_hashprod" -> ((s, dir) =>
-      graft.pipeline.CorpusPipeline.exportCorpus(
-        t(s, dir, "documents"), scratch(dir, "export_hashprod"),
-        hashMode = graft.text.Hashing.Production)),
+    // The Production hash mode (xxhash64 coins/fingerprints instead of
+    // md5 — Hashing scaladoc) is NOT a standing bench query: running
+    // the whole export flagship twice per bench pass bought one number.
+    // The md5-tax is recorded as a TimeQ data point instead (README
+    // status: 6.63 s md5 vs 6.27 s xxhash64 warm at sf0.1, ~6% — the
+    // fixture is machinery-dominated) and HashingSpec pins the two
+    // modes' contracts.
 
     // Embedding near-dup pairs via LSH buckets (scale path for
     // q_cosine_pairs; recall vs brute force measured in spec — no oracle)
@@ -2969,19 +2970,6 @@ object SparkEntry {
 
     "q_ngram_jaccard" -> jaccardOracle,
 
-    "q_containment_pairs" ->
-      """WITH idx AS (SELECT unnest(range(1,
-        |    (SELECT CAST(max(len(text)) AS BIGINT) FROM documents))) AS i),
-        |sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 12) AS s
-        |       FROM documents JOIN idx ON i <= len(text)-11),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-        |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
-        |           GROUP BY 1,2)
-        |SELECT id_a, id_b, round(CAST(c AS DOUBLE)/sa.n, 6) AS containment
-        |FROM common JOIN sizes sa ON sa.doc_id = id_a
-        |WHERE CAST(c AS DOUBLE)/sa.n >= 0.8""".stripMargin,
-
     "q_containment_join" ->
       """WITH snip AS (SELECT doc_id + 100000 AS doc_id,
         |                     substr(text, 51, 150) AS text
@@ -3015,19 +3003,24 @@ object SparkEntry {
     // exactly what the R-S join finds
     "q_minhash_index" ->
       (jaccardPairsCte + "\n" +
-        """SELECT CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END AS id_a,
-          |       CASE WHEN id_a % 2 = 0 THEN id_b ELSE id_a END AS id_b,
+        """SELECT CASE WHEN id_a % 4 = 0 THEN id_a ELSE id_b END AS id_a,
+          |       CASE WHEN id_a % 4 = 0 THEN id_b ELSE id_a END AS id_b,
           |       jaccard
-          |FROM pairs WHERE id_a % 2 <> id_b % 2""".stripMargin),
+          |FROM pairs
+          |WHERE (id_a % 4 = 0 AND id_b % 4 = 2)
+          |   OR (id_a % 4 = 2 AND id_b % 4 = 0)""".stripMargin),
 
     // every artifact recomputed from base-minus-forgotten; buckets =
     // bands(4) postings per bandable doc (len ≥ n — empty shingle sets
     // never band)
     "q_forget_cascade" ->
-      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0),
-        |     e AS (SELECT vec_id FROM embeddings WHERE vec_id % 97 <> 0),
+      """WITH d AS (SELECT doc_id FROM documents
+        |          WHERE doc_id % 2 = 0 AND doc_id % 97 <> 0),
+        |     e AS (SELECT vec_id FROM embeddings
+        |          WHERE vec_id % 2 = 0 AND vec_id % 97 <> 0),
         |     db AS (SELECT doc_id FROM documents
-        |            WHERE doc_id % 97 <> 0 AND len(text) >= 12)
+        |            WHERE doc_id % 2 = 0 AND doc_id % 97 <> 0
+        |              AND len(text) >= 12)
         |SELECT 'docs' AS artifact, count(*) AS n_rows,
         |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
         |       CAST(0 AS BIGINT) AS n_forgotten FROM d
@@ -3051,7 +3044,7 @@ object SparkEntry {
         |          unnest(list_filter(string_split_regex(trim(text), '\s+'),
         |                             x -> x <> '')) AS term
         |        FROM documents
-        |        WHERE doc_id % 97 <> 0 AND doc_id % 2 = 0))""".stripMargin,
+        |        WHERE doc_id % 97 <> 0 AND doc_id % 4 = 0))""".stripMargin,
 
     "q_incremental_refresh" ->
       ("""WITH RECURSIVE wh AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
@@ -3142,11 +3135,11 @@ object SparkEntry {
 
     "q_remove_contained" ->
       """WITH un AS (SELECT doc_id, text FROM documents
-        |            WHERE doc_id % 2 = 0
+        |            WHERE doc_id % 4 = 0
         |            UNION ALL
         |            SELECT doc_id + 100000, substr(text, 51, 150)
         |            FROM documents
-        |            WHERE doc_id % 2 = 0 AND doc_id % 7 = 0
+        |            WHERE doc_id % 4 = 0 AND doc_id % 7 = 0
         |              AND len(text) >= 250),
         |idx AS (SELECT unnest(range(1,
         |    (SELECT CAST(max(len(text)) AS BIGINT) FROM un))) AS i),

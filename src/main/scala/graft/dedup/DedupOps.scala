@@ -27,6 +27,20 @@ import graft.text.TextOps
   */
 object DedupOps {
 
+  /** persist(MEMORY_AND_DISK) + CacheScope registration for an
+    * operator-internal frame that several plan branches consume. A/B
+    * flag (dev): SPARK_GRAFT_EAGER=true additionally materializes the
+    * cache with one count() before returning, so concurrent AQE stage
+    * materializations read blocks instead of racing to recompute the
+    * lineage.
+    */
+  private[graft] def pinned(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+    if (sys.env.get("SPARK_GRAFT_EAGER").contains("true")) p.count(): Unit
+    p
+  }
+
   /** Keyed dedup, deterministic survivor = min id per key group. */
   def dedupKeyed(df: DataFrame, keys: Seq[String], idCol: String): DataFrame =
     df.groupBy(keys.map(col): _*).agg(min(col(idCol)).as(idCol))
@@ -102,8 +116,7 @@ object DedupOps {
       .select(col(idCol).as("id"),
               ShingleExpressions.shingleHashes(col(textCol), n).as("hs"))
       .withColumn("sz", size(col("hs")))
-      .persist(StorageLevel.MEMORY_AND_DISK) // lazy: fills at first action
-      .transform(graft.CacheScope.register)
+      .transform(pinned) // fills at first action (eagerly, see pinned)
 
   /** Exact-Jaccard verification of candidate pairs. The shingle-set
     * payloads are first semi-join-reduced to ids that actually appear in
@@ -112,10 +125,20 @@ object DedupOps {
     * the broadcast threshold, AQE turns the payload joins into broadcasts
     * with no array sort at all).
     */
-  private[dedup] def verifyPairs(cand: DataFrame, sets: DataFrame,
+  private[dedup] def verifyPairs(cand0: DataFrame, sets: DataFrame,
                                  tau: Double): DataFrame = {
+    // PIN the candidate frame: it feeds five plan branches below (the
+    // id-collect union twice, each payload join's semi-reduce, and the
+    // verify stream itself), and AQE does NOT reuse exchanges across
+    // its independently materialized stages when the subtree reads an
+    // InMemoryRelation — measured on q_remove_contained: the UNpinned
+    // candidate join re-executed 5× (10 duplicate map stages, ~60% of
+    // the query's task time). Candidates are narrow id pairs, so the
+    // cache is small by the same bound that makes the operator scale.
+    val cand = pinned(cand0)
     val candIds = cand.select(col("id_a").as("id"))
       .union(cand.select(col("id_b").as("id"))).distinct()
+      .transform(pinned)
     val needed = sets.join(candIds, Seq("id"), "left_semi")
     // shuffle-hash, not sort-merge: SMJ would SORT the candidate stream
     // with both 8 KB-ish set payloads attached; hashing builds on the
@@ -181,8 +204,7 @@ object DedupOps {
       // AQE broadcasts this frame for the self-join (an exchange here is
       // pure overhead), and at SMJ scale the two sides' exchanges are
       // identical so ReuseExchange already collapses them to one.
-      .persist(StorageLevel.MEMORY_AND_DISK)
-      .transform(graft.CacheScope.register)
+      .transform(pinned)
     // length filter: J(A,B) ≥ τ forces τ·|B| ≤ |A| ≤ |B|/τ — prunes
     // size-mismatched candidates before the expensive verify.
     //
@@ -274,8 +296,7 @@ object DedupOps {
       .select(lit(0).as("side"), col("id"), col("hs"), col("sz"))
       .unionByName(setsB
         .select(lit(1).as("side"), col("id"), col("hs"), col("sz")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-      .transform(graft.CacheScope.register)
+      .transform(pinned)
     val postings = tagged.select(col("side"), col("id"), col("sz"),
                                  explode(col("hs")).as("sh"))
     val freq = reuseFreq.getOrElse(
@@ -291,8 +312,7 @@ object DedupOps {
       .filter(col("rn") <=
         floor(lit(1.0 - tau) * col("sz") + lit(1e-9)).cast("int") + 1)
       .select("side", "id", "sh", "sz", "rn")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-      .transform(graft.CacheScope.register)
+      .transform(pinned)
     val overlapBound =
       least(col("a.rn"), col("b.rn")) +
         least(col("a.sz") - col("a.rn"), col("b.sz") - col("b.rn"))
@@ -321,10 +341,14 @@ object DedupOps {
     * a the CONTAINED side. Same semi-join-reduce + shuffle-hash shape
     * as `verifyPairs` (the long comments there apply).
     */
-  private def verifyContainment(cand: DataFrame, sets: DataFrame,
+  private def verifyContainment(cand0: DataFrame, sets: DataFrame,
                                 tau: Double): DataFrame = {
+    // pin cand + candIds: same 5-branch re-execution as verifyPairs
+    // (the long comment there applies verbatim)
+    val cand = pinned(cand0)
     val candIds = cand.select(col("id_a").as("id"))
       .union(cand.select(col("id_b").as("id"))).distinct()
+      .transform(pinned)
     val needed = sets.join(candIds, Seq("id"), "left_semi")
     cand
       .join(needed.hint("shuffle_hash")
@@ -432,8 +456,7 @@ object DedupOps {
         Window.partitionBy(col("id"))
           .orderBy(col("df").asc, col("sh").asc)))
       .select("id", "sh", "sz", "rn")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-      .transform(graft.CacheScope.register)
+      .transform(pinned)
     val cand = containmentCandidates(
       ranked.filter(col("rn") <= containPrefixBound(tau)), ranked,
       idCond, tau)
@@ -456,8 +479,7 @@ object DedupOps {
       .select(lit(0).as("side"), col("id"), col("hs"), col("sz"))
       .unionByName(setsB
         .select(lit(1).as("side"), col("id"), col("hs"), col("sz")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-      .transform(graft.CacheScope.register)
+      .transform(pinned)
     val postings = tagged.select(col("side"), col("id"), col("sz"),
                                  explode(col("hs")).as("sh"))
     val freq = postings.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -466,8 +488,7 @@ object DedupOps {
         Window.partitionBy(col("side"), col("id"))
           .orderBy(col("df").asc, col("sh").asc)))
       .select("side", "id", "sh", "sz", "rn")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-      .transform(graft.CacheScope.register)
+      .transform(pinned)
     val cand = containmentCandidates(
       ranked.filter(col("side") === 0 &&
                     col("rn") <= containPrefixBound(tau)),
@@ -626,8 +647,7 @@ object DedupOps {
       .select(explode(ShingleExpressions.shingleHashes(col(textCol), n))
         .as("sh"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-      .transform(graft.CacheScope.register)
+      .transform(pinned)
     // one scalar action sizes the filter; the gram set is persisted for
     // its other consumers
     val m = math.max(refGrams.count(), 1L)
@@ -900,8 +920,7 @@ object DedupOps {
                 col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-        .transform(graft.CacheScope.register)
+        .transform(pinned)
       cand.agg(count(lit(1)).as("n_candidates"))
         .crossJoin(verifyPairs(cand, sets, tau)
           .agg(count(lit(1)).as("n_verified")))

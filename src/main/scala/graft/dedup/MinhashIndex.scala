@@ -138,9 +138,11 @@ object MinhashIndex {
     * (`append` skips ids still physically present — un-tombstoning
     * would resurrect the OLD bytes next to the new row).
     */
-  def forget(ids: DataFrame, idCol: String, root: String): Unit =
+  def forget(ids: DataFrame, idCol: String, root: String): Unit = {
     ids.select(col(idCol).as("id")).distinct()
       .coalesce(1).write.mode("append").parquet(s"$root/tombstones")
+    graft.io.Sinks.invalidate(ids.sparkSession, root)
+  }
 
   /** Physical erasure: rewrite `sets/` and `buckets/` WITHOUT the
     * tombstoned ids and clear the tombstones, swapping the whole index
@@ -187,6 +189,7 @@ object MinhashIndex {
       .repartition(col("band"))
       .write.mode("append").partitionBy("band")
       .parquet(s"$root/buckets")
+    graft.io.Sinks.invalidate(spark, root)
   }
 
   /** The day-2 composition: probe THEN append in one shingling pass —

@@ -80,14 +80,18 @@ object Sinks {
     * `WRITE_APPEND`, dags/nyc_taxi_pipeline_dag.py:99,120,157): the
     * "Incremental Loading Mechanism" of README.md:220-222.
     */
-  def appendLoad(df: DataFrame, path: String): Unit =
+  def appendLoad(df: DataFrame, path: String): Unit = {
     df.write.mode("append").parquet(path)
+    invalidate(df.sparkSession, path)
+  }
 
   /** S8 — replace disposition (`if_exists="replace"`,
     * extract_dag.cpython-311.pyc decompiled): full-refresh load.
     */
-  def replaceLoad(df: DataFrame, path: String): Unit =
+  def replaceLoad(df: DataFrame, path: String): Unit = {
     df.write.mode("overwrite").parquet(path)
+    invalidate(df.sparkSession, path)
+  }
 
   /** S9 — the engine's answer to the reference's B-tree indexes
     * (`CREATE INDEX … USING BTREE` on the datetime columns,
@@ -213,7 +217,19 @@ object Sinks {
       throw new java.io.IOException(s"stage swap failed: $stage -> $target")
     }
     fs.delete(old, true)
+    invalidate(spark, path)
   }
+
+  /** Every in-place mutation of an on-disk table/store ends here:
+    * cached Datasets whose lineage reads `path` (operator-internal
+    * pins included — DedupOps.pinned frames over index stores) would
+    * otherwise serve, or worse recompute from, the PRE-mutation file
+    * list — a FILE_NOT_EXIST on recompute after a compaction swap, or
+    * silently stale rows after an append. Spark's contract for this is
+    * exactly `refreshByPath`.
+    */
+  private[graft] def invalidate(spark: SparkSession, path: String): Unit =
+    spark.catalog.refreshByPath(path)
 
   /** Row-level MERGE (CDC upsert, latest-wins): rows in `updates`
     * REPLACE target rows sharing their key, unmatched target rows

@@ -1098,6 +1098,7 @@ object SimilarityOps {
       .repartition(col("list_id"))
       .write.mode("append").partitionBy("list_id")
       .parquet(s"$path/lists")
+    graft.io.Sinks.invalidate(spark, path)
   }
 
   /** Day-2 closure of the `appendIndex` drift contract: RETRAIN the
@@ -1173,6 +1174,7 @@ object SimilarityOps {
       fs.delete(
         new org.apache.hadoop.fs.Path(s"$path/lists/list_id=$lid"), true)
     }
+    graft.io.Sinks.invalidate(spark, path)
     keep.unpersist(false)
   }
 

@@ -152,6 +152,7 @@ object Bm25Index {
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/commits"))
     fs.create(new org.apache.hadoop.fs.Path(s"$root/commits/$epoch"),
               false).close()
+    graft.io.Sinks.invalidate(spark, root)
     true
   }
 
@@ -218,6 +219,7 @@ object Bm25Index {
                              Seq("doc_id"), "left_anti"))
       .getOrElse(present)
     fresh.coalesce(1).write.mode("append").parquet(s"$root/tombstones")
+    graft.io.Sinks.invalidate(spark, root)
   }
 
   /** Physical erasure + epoch squash: rewrite the whole store WITHOUT

@@ -66,6 +66,24 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(pnode.get("qv").get(0).asDouble() === -1.0)
   }
 
+  test("r1 like-for-like subset fields ride both lines") {
+    // one first-green query + one later addition: subset sums ONLY the
+    // first-green one, n counts it, and both renderings carry the fields
+    val results = Seq("q_row_count" -> 0.5, "q_bm25" -> 2.0)
+    val det = mapper.readTree(Bench.renderJson(results, "sf"))
+    assert(math.abs(det.get("r1_subset_sec").asDouble() - 0.5) < 1e-12)
+    assert(det.get("r1_subset_n").asInt() === 1)
+    val short = mapper.readTree(Bench.renderShortJson(results, "sf"))
+    assert(math.abs(short.get("r1_subset_sec").asDouble() - 0.5) < 1e-12)
+    assert(short.get("r1_subset_n").asInt() === 1)
+    // a failed first-green query poisons the subset like the total
+    val poisoned = mapper.readTree(
+      Bench.renderJson(Seq("q_row_count" -> -1.0), "sf"))
+    assert(poisoned.get("r1_subset_sec").asDouble() >= 1e9)
+    // all 52 first-green names stay members of the live suite
+    assert(Bench.firstGreenQueries.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("short line: a suite too big for the window drops qv, stays valid") {
     val huge = (1 to 400).map(i => f"q_$i%03d" -> 1.0)
     val short = Bench.renderShortJson(huge, "sf")

@@ -32,15 +32,14 @@ class EntrySpec extends SparkSpec {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // intentionally rows-only — ONLY hash/sketch/k-means/iterative-GD/
     // iterative-argmax/LAPACK internals remain (q_multimodal_features
-    // gained its oracle in r3; r6 adds the xxhash64-flagged export twin,
-    // the two ANN-ops reports, and the two PCA reports — k-means/
-    // xxhash/eigendecomposition internals; note q_reindex and
-    // q_leakage_audit are NOT here: both are oracle-exact)
+    // gained its oracle in r3; r6 adds the two ANN-ops reports and the
+    // two PCA reports — k-means/eigendecomposition internals; note
+    // q_reindex and q_leakage_audit are NOT here: both are oracle-exact)
     val expected = Set("q_simhash_pairs", "q_fingerprints", "q_ann_topk",
                        "q_ivf_topk", "q_ivf_trained", "q_approx_users",
                        "q_lsh_cosine_pairs", "q_pq_topk", "q_ivfpq_topk",
                        "q_bpe_vocab", "q_quality_classifier",
-                       "q_export_hashprod", "q_ann_eval", "q_index_drift",
+                       "q_ann_eval", "q_index_drift",
                        "q_pq_eval", "q_pca_embed", "q_pca_scree",
                        "q_user_sketch", "q_sketch_append",
                        // iterative farthest-point greedy (k-means class)
