@@ -2309,9 +2309,15 @@ object SparkEntry {
     // n_files/n_small are deterministic; byte columns are
     // encoding-dependent so the driver check is rows-only, with the
     // census pinned by spec
+    // Fixture: the mod-4 quarter of events — the demo's subject is FILE
+    // COUNTS (16 scattered files per day partition -> 1 compacted), and
+    // the file census is row-volume-free; only the write payload
+    // shrinks. Rows-only by design (file-census bytes are
+    // encoding-dependent), so the fixture is bench-local.
     "q_layout_stats" -> ((s, dir) => {
       val path = scratch(dir, "layout")
       val ev = t(s, dir, "events")
+        .filter(col("event_id") % 4 === 0)
         .withColumn("day", dayofmonth(col("ts")))
         .select(col("event_id"), col("user_id"), col("value"),
                 col("day"))
