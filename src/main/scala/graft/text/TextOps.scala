@@ -679,9 +679,18 @@ object TextOps {
     val rawFeat = hashedGrams(raw, idCol, textCol, dim, mode)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheScope.register)
+    // cq/cp each feed TWO branches (the totals cross-join and the
+    // log-ratio full-outer); unpinned, AQE re-executes their lineage
+    // per branch — for cp that is the whole target-side gram hashing,
+    // measured as the two largest stages of q_dsir_select. Both
+    // aggregates are <= dim rows: pin them.
     val cq = rawFeat.groupBy(col("bucket")).agg(sum(col("c")).as("cq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
     val cp = hashedGrams(target, idCol, textCol, dim, mode)
       .groupBy(col("bucket")).agg(sum(col("c")).as("cp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
     val tot = cq.agg(sum(col("cq")).as("tq"))
       .crossJoin(cp.agg(sum(col("cp")).as("tp")))
     val lr = cq.join(cp, Seq("bucket"), "full_outer")

@@ -240,4 +240,29 @@ class NgramPropertySpec extends SparkSpec {
     assert(want.size - got.size <= 1,
       s"LSH recall collapsed: ${want.size} true, ${got.size} surfaced")
   }
+
+  test("verify pins its candidate frame (the AQE exchange-reuse guard)") {
+    // AQE materializes its query stages independently and does NOT
+    // reuse exchanges whose subtree reads an InMemoryRelation, so a
+    // multi-consumer frame that is NOT persisted gets its lineage
+    // re-executed once per consumer. verifyPairs feeds the candidate
+    // join to five branches; r6 measured the unpinned form re-running
+    // it 5x (~60% of q_remove_contained's task time). This guard pins
+    // the FIX: the pair join's optimized plan must substitute cached
+    // relations for (at least) the hashed sets, the ranked prefix, the
+    // candidate frame, and its id union.
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val docs = corpus(seed = 7, nDocs = 60, nTemplates = 5)
+    val out = DedupOps.ngramJaccardPairs(
+      docs.toDF("doc_id", "text"), "doc_id", "text", n = 8, tau = 0.7)
+    val cached = out.queryExecution.optimizedPlan.collect {
+      case r: InMemoryRelation => r
+    }
+    assert(cached.size >= 4,
+      s"expected >=4 cache substitutions (sets, prefix, cand, candIds); " +
+        s"plan has ${cached.size} - a dropped pin re-opens the 5x " +
+        "re-execution pathology")
+    out.count(): Unit
+    spark.catalog.clearCache()
+  }
 }
