@@ -28,18 +28,19 @@ import graft.text.TextOps
 object DedupOps {
 
   /** persist(MEMORY_AND_DISK) + CacheScope registration for an
-    * operator-internal frame that several plan branches consume. A/B
-    * flag (dev): SPARK_GRAFT_EAGER=true additionally materializes the
-    * cache with one count() before returning, so concurrent AQE stage
-    * materializations read blocks instead of racing to recompute the
-    * lineage.
+    * operator-internal frame that several plan branches consume. The
+    * pin is LOAD-BEARING for plan cost, not just convenience: AQE
+    * materializes its query stages independently and does not reuse
+    * exchanges whose subtree reads an InMemoryRelation, so an UNpinned
+    * multi-consumer frame gets its whole lineage re-executed once per
+    * consuming branch (measured 5× on the verify candidate join —
+    * NgramPropertySpec pins the fix). Eager materialization was
+    * measured as a strict loss here (one extra pass, no reuse gain) —
+    * the cache fills lazily at first action.
     */
-  private[graft] def pinned(df: DataFrame): DataFrame = {
-    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+  private[graft] def pinned(df: DataFrame): DataFrame =
+    df.persist(StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheScope.register)
-    if (sys.env.get("SPARK_GRAFT_EAGER").contains("true")) p.count(): Unit
-    p
-  }
 
   /** Keyed dedup, deterministic survivor = min id per key group. */
   def dedupKeyed(df: DataFrame, keys: Seq[String], idCol: String): DataFrame =
