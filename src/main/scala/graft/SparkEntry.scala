@@ -816,18 +816,22 @@ object SparkEntry {
                         path)
       val wh = s.read.parquet(path)
       val nb = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
-      val gated = nb
+      // pinned: gated feeds the within-batch near-dup sets AND the
+      // survivor anti-joins — unpinned, its lineage (the md5-the-
+      // warehouse novelty anti-join) re-executes per consumer under
+      // AQE (the verifyPairs lesson, DedupOps.pinned scaladoc)
+      val gated = DedupOps.pinned(nb
         .filter(TextOps.tokenCount(col("text")) >= 20)
         .join(wh.select(TextOps.fingerprint(col("text")).as("__fp"))
                 .distinct(),
               TextOps.fingerprint(col("text")) === col("__fp"),
-              "left_anti")
+              "left_anti"))
       val gSets = DedupOps.hashedSets(gated, "doc_id", "text", n = 12)
-      val drops = ConnectedComponents.connectedComponents(
+      val drops = DedupOps.pinned(ConnectedComponents.connectedComponents(
           DedupOps.ngramJaccardPairsFromSets(gSets, tau = 0.7),
           "id_a", "id_b", assumeDistinct = true)
         .filter(col("id") =!= col("comp"))
-        .select(col("id"))
+        .select(col("id")))
       val canonSets = gSets.join(drops, Seq("id"), "left_anti")
       val whSets = DedupOps.hashedSets(wh, "doc_id", "text", n = 12)
       val flagged = DedupOps.ngramJaccardPairsBetween(
