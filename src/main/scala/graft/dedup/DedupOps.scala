@@ -912,6 +912,13 @@ object DedupOps {
       s"every bands value must divide k=$k (got $bandsGrid)")
     val truth = ngramJaccardPairsFromSets(sets, tau)
       .agg(count(lit(1)).as("n_truth"))
+    // NOTE (measured, r6): sharing ONE pinned signature frame across
+    // the grid looks like it should save a k-permutation pass per
+    // config, but it ran ~1 s SLOWER here — the banding+self-join fuses
+    // into one codegen pipeline per config when the signatures stay
+    // lazy, and the cache boundary costs more than the tiny signing
+    // pass it saves. Keep the per-config fused form; revisit only if
+    // the grid grows far beyond two points.
     val perConfig = bandsGrid.map { b =>
       val bucketed = lshBuckets(sets, k, b)
       val cand = bucketed.as("a")
@@ -947,11 +954,26 @@ object DedupOps {
     * jaccard ≥ τ.
     */
   private[dedup] def lshBuckets(sets: DataFrame, k: Int,
-                                bands: Int): DataFrame = {
+                                bands: Int): DataFrame =
+    bandPostings(minhashSignatures(sets, k), k, bands)
+
+  /** (id, sig) MinHash signatures — banding-independent, so a geometry
+    * sweep (`lshEval`) computes them ONCE and re-bands per config
+    * instead of re-running the k-permutation pass per grid point.
+    * Docs with EMPTY shingle sets are excluded before signing: an empty
+    * doc's signature is k MaxValue slots that collides in EVERY band
+    * with every other empty doc (O(empties²) candidates, all dropped by
+    * verify anyway), and it can never reach jaccard ≥ τ.
+    */
+  private[dedup] def minhashSignatures(sets: DataFrame, k: Int): DataFrame =
+    sets.filter(col("sz") > 0).select(col("id"),
+      ShingleExpressions.minhashSigFromHashes(col("hs"), k).as("sig"))
+
+  /** Band postings (id, band, bh) for a signature frame. */
+  private[dedup] def bandPostings(sig: DataFrame, k: Int,
+                                  bands: Int): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
-    val sig = sets.filter(col("sz") > 0).withColumn("sig",
-      ShingleExpressions.minhashSigFromHashes(col("hs"), k))
     val bandStructs = array((0 until bands).map(b =>
       struct(lit(b).as("band"),
              xxhash64(slice(col("sig"), b * r + 1, r)).as("bh"))): _*)
