@@ -39,8 +39,8 @@ import org.apache.spark.sql.functions._
   */
 object MinhashIndex {
 
-  private def readParams(spark: SparkSession,
-                         root: String): (Int, Int, Int) = {
+  private[dedup] def readParams(spark: SparkSession,
+                                root: String): (Int, Int, Int) = {
     val r = spark.read.parquet(s"$root/params").head()
     (r.getAs[Int]("n"), r.getAs[Int]("k"), r.getAs[Int]("bands"))
   }
@@ -85,8 +85,18 @@ object MinhashIndex {
     out
   }
 
-  private def probeSets(bsets: DataFrame, root: String, tau: Double,
-                        k: Int, bands: Int): DataFrame = {
+  private[dedup] def probeSets(bsets: DataFrame, root: String, tau: Double,
+                               k: Int, bands: Int): DataFrame =
+    probePostings(bsets, DedupOps.lshBuckets(bsets, k, bands), root, tau)
+
+  /** Probe with the batch's band postings supplied by the caller — lets
+    * a pipeline that already banded the batch (CorpusRefresh pins ONE
+    * postings frame for election, probe and append) skip re-signing.
+    * `postings` must be `lshBuckets(bsets, k, bands)` under the index's
+    * frozen geometry (or a row-subset of it for a doc-subset probe).
+    */
+  private[dedup] def probePostings(bsets: DataFrame, postings: DataFrame,
+                                   root: String, tau: Double): DataFrame = {
     val spark = bsets.sparkSession
     val stored = spark.read.parquet(s"$root/buckets")
     // index members sharing an id with ANY probe doc are excluded (not
@@ -95,7 +105,7 @@ object MinhashIndex {
     // its own earlier append — probe is always "batch vs index minus
     // batch", so re-running a crashed epoch reproduces its pairs
     // bit-for-bit instead of surfacing the batch's own copies
-    val cand = DedupOps.lshBuckets(bsets, k, bands).as("p")
+    val cand = postings.as("p")
       .join(stored.as("s"),
             col("p.band") === col("s.band") &&
               col("p.bh") === col("s.bh"))
@@ -179,13 +189,22 @@ object MinhashIndex {
                root, k, bands)
   }
 
-  private def appendSets(bsets: DataFrame, root: String,
-                         k: Int, bands: Int): Unit = {
+  private[dedup] def appendSets(bsets: DataFrame, root: String,
+                                k: Int, bands: Int): Unit =
+    appendPostings(bsets, DedupOps.lshBuckets(bsets, k, bands), root)
+
+  /** Append with caller-supplied band postings (same contract as
+    * `probePostings`): both sides are anti-joined against ids already
+    * present, so a re-delivered batch — or postings computed over a
+    * superset frame — inserts each id's rows at most once.
+    */
+  private[dedup] def appendPostings(bsets: DataFrame, postings: DataFrame,
+                                    root: String): Unit = {
     val spark = bsets.sparkSession
     val existing = spark.read.parquet(s"$root/sets").select(col("id"))
-    val fresh = bsets.join(existing, Seq("id"), "left_anti")
-    fresh.write.mode("append").parquet(s"$root/sets")
-    DedupOps.lshBuckets(fresh, k, bands)
+    bsets.join(existing, Seq("id"), "left_anti")
+      .write.mode("append").parquet(s"$root/sets")
+    postings.join(existing, Seq("id"), "left_anti")
       .repartition(col("band"))
       .write.mode("append").partitionBy("band")
       .parquet(s"$root/buckets")

@@ -54,6 +54,47 @@ object SketchOps {
                 .as("users_to_date"))
   }
 
+  /** Cross-engine-CHECKABLE form of the distinct timeline: join the
+    * sketch-served estimates with the exact daily / running distincts
+    * (one extra events pass — the verification price, not the serving
+    * path) and emit the exact counts plus within-`rtol` flags. The raw
+    * estimates can never hash-match a SQL twin (register arithmetic
+    * over xxhash64 has no DuckDB identity), but the exact counts CAN —
+    * and the flags, computed against Spark's own exact counts, ride
+    * the same hash: a cross-engine match therefore proves BOTH that
+    * the exact timeline is right AND that every sketch estimate was
+    * within rtol of the true count. rtol=0.05 is ~3 standard errors at
+    * p=12 (1.04/√4096 ≈ 1.6%), looser still in the linear-counting
+    * regime these fixtures run in.
+    *
+    * The running exact distinct deliberately avoids COUNT(DISTINCT)
+    * OVER (unsupported, and a buffering window anyway): cumulative
+    * distinct = running SUM of first-appearance counts — two bounded
+    * aggregates and a |days|-row window.
+    */
+  def verifiedTimeline(events: DataFrame, sketches: DataFrame,
+                       keyCol: String = "user_id", tsCol: String = "ts",
+                       p: Int = 12, rtol: Double = 0.05): DataFrame = {
+    val est = distinctTimeline(sketches, p)
+    val byDay = events.filter(col(keyCol).isNotNull)
+      .select(to_date(col(tsCol)).as("day"), col(keyCol).as("__k"))
+    val daily = byDay.groupBy(col("day"))
+      .agg(countDistinct(col("__k")).as("exact_daily"))
+    val firstSeen = byDay.groupBy(col("__k")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("__new"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exact = daily.join(firstSeen, Seq("day"), "left")
+      .withColumn("exact_to_date",
+        sum(coalesce(col("__new"), lit(0L))).over(w))
+    est.join(exact, Seq("day"))
+      .select(col("day"), col("exact_daily"), col("exact_to_date"),
+              (abs(col("daily_users") - col("exact_daily")) <=
+                col("exact_daily") * rtol).as("daily_est_ok"),
+              (abs(col("users_to_date") - col("exact_to_date")) <=
+                col("exact_to_date") * rtol).as("cum_est_ok"))
+  }
+
   /** Merge a set of sketch rows to one union estimate (e.g. a rolling
     * window or an ad-hoc slice union): one scalar from kilobytes.
     */

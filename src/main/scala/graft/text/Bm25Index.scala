@@ -311,8 +311,11 @@ object Bm25Index {
         val rm = t.agg(
           coalesce(count(lit(1)).cast("double"), lit(0d)).as("__rn"),
           coalesce(sum(col("dl")), lit(0d)).as("__rs"))
+        // broadcast the 1-row tombstone aggregate: AQE would pick a
+        // broadcast anyway, but the hint makes the plan deterministic
+        // (the sibling stats crossJoin at :336 already carries it)
         spark.read.parquet(s"$root/stats/epoch=${committed.max}")
-          .crossJoin(rm)
+          .crossJoin(broadcast(rm))
           .select((col("n") - col("__rn")).as("n"),
                   ((col("sum_dl") - col("__rs")) /
                     (col("n") - col("__rn"))).as("avgdl"))
@@ -387,8 +390,9 @@ object Bm25Index {
         val rm = t.agg(
           coalesce(count(lit(1)).cast("double"), lit(0d)).as("__rn"),
           coalesce(sum(col("dl")), lit(0d)).as("__rs"))
+        // broadcast hint for plan determinism — see probe's twin above
         spark.read.parquet(s"$root/stats/epoch=${committed.max}")
-          .crossJoin(rm)
+          .crossJoin(broadcast(rm))
           .select((col("n") - col("__rn")).as("n"),
                   ((col("sum_dl") - col("__rs")) /
                     (col("n") - col("__rn"))).as("avgdl"))

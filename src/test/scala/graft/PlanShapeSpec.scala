@@ -103,4 +103,30 @@ class PlanShapeSpec extends SparkSpec {
         s"$q top-k regressed to a global sort:\n$plan")
     }
   }
+
+  test("bm25 probe with tombstones: every stats/df fold is a broadcast " +
+       "join, never SMJ") {
+    import spark.implicits._
+    val root = s"${graft.io.Sinks.scratchRoot}/spec_planshape_bm25"
+    graft.io.Sinks.dropTable(spark, root)
+    val docs = Seq(
+      (1L, "spark shuffles data across the cluster"),
+      (2L, "spark broadcasts small tables"),
+      (3L, "vector search over embeddings"),
+      (4L, "plain text about nothing in particular")
+    ).toDF("doc_id", "text")
+    graft.text.Bm25Index.build(docs, root, buckets = 4)
+    graft.text.Bm25Index.forget(docs.filter($"doc_id" === 4)
+      .select("doc_id"), root)
+    val plan = finalPlan(
+      graft.text.Bm25Index.probe(spark, root, Seq("spark"), k = 3))
+    // the 1-row tombstone aggregate and the per-term df/stats folds must
+    // all ride broadcasts — an SMJ here would sort the pruned postings
+    // stream against a single-row side
+    assert(!plan.contains("SortMergeJoin"),
+      s"bm25 probe planned a sort-merge join against a tiny side:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+           plan.contains("BroadcastHashJoin"),
+      s"expected broadcast stats/df folds in probe plan:\n$plan")
+  }
 }
