@@ -671,13 +671,22 @@ object SparkEntry {
     // geometries a deployment actually weighs (b=8 precision-lean vs
     // b=16, q_minhash_lsh's shipped config); every extra grid point
     // re-pays the exact-truth join, so the demo stays at 2
+    // Emitted on the SHARED eval contract (family, config,
+    // n_candidates, n_verified, recall, precision) — q_ann_eval and
+    // q_pq_eval use the same schema, so the three tuning tables UNION
+    // into one cross-index-family dashboard.
     "q_lsh_eval" -> ((s, dir) =>
       DedupOps.lshEval(
         DedupOps.hashedSets(
           t(s, dir, "documents")
             .filter(pmod(col("doc_id"), lit(4)) === 0),
           "doc_id", "text", n = 12),
-        k = 64, bandsGrid = Seq(8, 16), tau = 0.7)),
+        k = 64, bandsGrid = Seq(8, 16), tau = 0.7)
+        .select(lit("lsh-jaccard").as("family"),
+                concat(lit("k="), col("k"), lit(",bands="), col("bands"))
+                  .as("config"),
+                col("n_candidates"), col("n_verified"),
+                col("recall"), col("precision"))),
 
     // Persisted signature index (the lexical IVF-append twin): build
     // band postings + shingle sets on disk from the even-id corpus,
@@ -954,15 +963,19 @@ object SparkEntry {
     // shape): weak labels from the heuristic score, hashed-BoW logistic
     // regression trained by deterministic full-batch GD (weights fold
     // into each pass as ONE array literal — no weight-table join), the
-    // whole corpus scored by the trained model. Rows-only: the model is
-    // iterative-GD internals (the k-means precedent); convergence,
-    // separability, and determinism are spec-pinned (QualityClassifierSpec)
+    // whole corpus scored by the trained model. Rows-only (iterative-GD
+    // internals, the k-means precedent), but the output carries the
+    // trained model's CHECKSUM as a constant column: the GD is RNG-free,
+    // and QualityClassifierSpec pins this exact query path's checksum
+    // against an independent scalar reimplementation of the loop — the
+    // board row is verified, not just counted.
     "q_quality_classifier" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val labels = docs.select(col("doc_id"),
         (TextOps.qualityScore(col("text")) >= 0.5).cast("double").as("y"))
       val w = QualityClassifier.train(docs, labels, dim = 64, iters = 8)
       QualityClassifier.score(docs, w)
+        .withColumn("model_checksum", lit(QualityClassifier.checksum(w)))
     }),
 
     // DSIR data selection (Xie et al. NeurIPS'23): src0 is the trusted
@@ -1339,6 +1352,11 @@ object SparkEntry {
       SimilarityOps.annEval(assigned, cents, "vec_id", "embedding",
                             probeIds = Seq(0L, 7L, 23L, 54L, 91L), k = 10,
                             nprobes = Seq(1, 2, 4, 8))
+        // the shared eval contract — UNIONs with q_lsh_eval/q_pq_eval
+        .select(lit("ivf-cosine").as("family"),
+                concat(lit("nprobe="), col("nprobe")).as("config"),
+                col("n_candidates"), col("n_verified"),
+                col("recall"), col("precision"))
     }),
 
     // The bits half of the ANN quality grid (annEval sweeps nprobe):
@@ -1354,6 +1372,11 @@ object SparkEntry {
       SimilarityOps.pqEval(emb, "vec_id", "embedding",
                            Seq("8x16" -> fine, "8x2" -> coarse),
                            probeIds = Seq(0L, 23L, 91L), k = 10)
+        // the shared eval contract — UNIONs with q_lsh_eval/q_ann_eval
+        .select(lit("pq-l2").as("family"),
+                concat(lit("codebook="), col("config")).as("config"),
+                col("n_candidates"), col("n_verified"),
+                col("recall"), col("precision"))
     }),
 
     // Day-2 index ops: per-list drift report of an incoming batch vs

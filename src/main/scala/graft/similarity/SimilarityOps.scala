@@ -1337,11 +1337,16 @@ object SimilarityOps {
     * number every IVF deployment tunes against (the recall/latency
     * curve in Jégou TPAMI'11 §V; faiss publishes the same sweep).
     *
-    * One row per grid point: (nprobe, k, n_probes, recall) with recall
-    * = mean over probes of |approx top-k ∩ exact top-k| / |exact
-    * top-k| (the denominator is min(k, corpus−1), so tiny corpora
-    * don't deflate the metric). Probes absent from the index
-    * contribute nothing.
+    * One row per grid point, on the SHARED eval contract (q_lsh_eval /
+    * pqEval emit the same tail): (nprobe, k, n_probes, n_candidates,
+    * n_verified, recall, precision). recall = mean over probes of
+    * |approx top-k ∩ exact top-k| / |exact top-k| (the denominator is
+    * min(k, corpus−1), so tiny corpora don't deflate the metric);
+    * n_candidates = the scanned candidate volume at that nprobe (the
+    * cost driver); n_verified = total true-neighbor hits; precision =
+    * n_verified / n_candidates (scan efficiency — of everything the
+    * probed lists made you score, what fraction was a true top-k
+    * neighbor). Probes absent from the index contribute nothing.
     *
     * Scale shape — the grid does NOT multiply corpus passes:
     *  1. the (tiny) codebook is ranked ONCE per probe (rl = 1..nlist by
@@ -1400,7 +1405,8 @@ object SimilarityOps {
       .transform(graft.CacheScope.register)
     val exactCnt = exact.groupBy(col("pid")).agg(count(lit(1)).as("__ec"))
     nprobes.distinct.sorted.map { n =>
-      val approx = cand.filter(col("rl") <= n)
+      val candN = cand.filter(col("rl") <= n)
+      val approx = candN
         .withColumn("__rn", row_number().over(
           Window.partitionBy(col("pid"))
             .orderBy(col("sim").desc, col("nid").asc)))
@@ -1409,12 +1415,23 @@ object SimilarityOps {
       val hits = approx.join(exact, Seq("pid", "nid"))
         .groupBy(col("pid")).agg(count(lit(1)).as("__h"))
       exactCnt.join(hits, Seq("pid"), "left_outer")
-        .select((coalesce(col("__h"), lit(0L)).cast("double") /
+        .select(coalesce(col("__h"), lit(0L)).as("__h"),
+                (coalesce(col("__h"), lit(0L)).cast("double") /
                    col("__ec")).as("__r"))
         .agg(count(lit(1)).as("n_probes"),
-             round(avg(col("__r")), 6).as("recall"))
-        .select(lit(n).as("nprobe"), lit(k).as("k"),
-                col("n_probes"), col("recall"))
+             round(avg(col("__r")), 6).as("recall"),
+             sum(col("__h")).as("n_verified"))
+        // candidate volume reads the pinned cand cache — one cheap
+        // aggregate per grid point, the lshEval accounting shape
+        .crossJoin(broadcast(
+          candN.agg(count(lit(1)).as("n_candidates"))))
+        .select(lit(n).as("nprobe"), lit(k).as("k"), col("n_probes"),
+                col("n_candidates"),
+                coalesce(col("n_verified"), lit(0L)).as("n_verified"),
+                col("recall"),
+                round(when(col("n_candidates") === 0, 1.0)
+                  .otherwise(col("n_verified").cast("double") /
+                    col("n_candidates")), 6).as("precision"))
     }.reduce(_ unionByName _)
   }
 
@@ -1423,9 +1440,13 @@ object SimilarityOps {
     * me on MY data" for the compression/recall trade (Jégou TPAMI'11
     * §V sweeps exactly this). Caller trains the codebooks (pqTrain
     * with different nsub/codes — they're independent write-time jobs);
-    * pqEval scores each against the EXACT L2 twin. One row per config:
-    * (config, k, n_probes, recall), recall = mean over probes of
-    * |ADC top-k ∩ exact top-k| / |exact top-k|.
+    * pqEval scores each against the EXACT L2 twin. One row per config
+    * on the SHARED eval contract (annEval / q_lsh_eval emit the same
+    * tail): (config, k, n_probes, n_candidates, n_verified, recall,
+    * precision) — recall = mean over probes of |ADC top-k ∩ exact
+    * top-k| / |exact top-k|; n_candidates = ADC-scored pair volume
+    * (for this full-scan eval that is ~|corpus|·|probes| — the number
+    * that motivates IVF pruning); precision = n_verified/n_candidates.
     *
     * Scale shape: the exact ground truth is ONE batched pass (probe
     * batch broadcast, corpus scanned once, WindowGroupLimit-bounded
@@ -1469,11 +1490,19 @@ object SimilarityOps {
         .select(col(idCol).as("nid"),
                 pqCodesExpr(transform(col(vecCol), x => x.cast("double")),
                             col("__pqcb"), nsub, dsub).as("pq_codes"))
-      val approx = codes
+      // pinned: the ADC-scored frame feeds both the top-k re-rank and
+      // the candidate-volume count — unpinned, the encode+score scan
+      // would re-execute for the count (narrow (pid, nid, dist2) rows,
+      // bounded by scored-pair volume — an eval harness over a probe
+      // SAMPLE by contract, so the cache is sample-bounded at scale)
+      val scored = codes
         .crossJoin(adcFoldedTable(cb, probes, dsub, Seq("pid")))
         .filter(col("nid") =!= col("pid"))
         .select(col("pid"), col("nid"), adcDist2(nsub).as("dist2"))
         .filter(col("dist2").isNotNull)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.CacheScope.register)
+      val approx = scored
         .withColumn("__rn", row_number().over(
           Window.partitionBy(col("pid"))
             .orderBy(col("dist2").asc, col("nid").asc)))
@@ -1482,12 +1511,21 @@ object SimilarityOps {
       val hits = approx.join(exact, Seq("pid", "nid"))
         .groupBy(col("pid")).agg(count(lit(1)).as("__h"))
       exactCnt.join(hits, Seq("pid"), "left_outer")
-        .select((coalesce(col("__h"), lit(0L)).cast("double") /
+        .select(coalesce(col("__h"), lit(0L)).as("__h"),
+                (coalesce(col("__h"), lit(0L)).cast("double") /
                    col("__ec")).as("__r"))
         .agg(count(lit(1)).as("n_probes"),
-             round(avg(col("__r")), 6).as("recall"))
+             round(avg(col("__r")), 6).as("recall"),
+             sum(col("__h")).as("n_verified"))
+        .crossJoin(broadcast(
+          scored.agg(count(lit(1)).as("n_candidates"))))
         .select(lit(label).as("config"), lit(k).as("k"),
-                col("n_probes"), col("recall"))
+                col("n_probes"), col("n_candidates"),
+                coalesce(col("n_verified"), lit(0L)).as("n_verified"),
+                col("recall"),
+                round(when(col("n_candidates") === 0, 1.0)
+                  .otherwise(col("n_verified").cast("double") /
+                    col("n_candidates")), 6).as("precision"))
     }.reduce(_ unionByName _)
   }
 

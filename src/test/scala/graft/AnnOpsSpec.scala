@@ -22,9 +22,12 @@ class AnnOpsSpec extends SparkSpec {
       .ivfAssignTo(emb, "vec_id", "embedding", cents)
       .persist()
     val grid = Seq(1, 3, 8)
-    val got = SimilarityOps.annEval(assigned, cents, "vec_id", "embedding",
-                                    probeIds, k = 10, nprobes = grid)
+    val evalDf = SimilarityOps.annEval(assigned, cents, "vec_id",
+                                       "embedding", probeIds, k = 10,
+                                       nprobes = grid)
       .orderBy($"nprobe")
+    val got = evalDf
+      .select($"nprobe", $"k", $"n_probes", $"recall")
       .as[(Int, Int, Long, Double)].collect().toSeq
     assert(got.map(_._1) === grid)
     assert(got.forall(_._2 === 10))
@@ -33,6 +36,16 @@ class AnnOpsSpec extends SparkSpec {
     // "nprobe=all ≡ brute force" theorem the IVF specs pin per-probe)
     assert(got.map(_._4) === got.map(_._4).sorted)
     assert(got.last._4 === 1.0)
+    // the shared eval-contract tail: candidates grow with nprobe,
+    // verified never exceeds candidates, precision = verified/candidates
+    val acct = evalDf
+      .select($"n_candidates", $"n_verified", $"precision")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(acct.map(_._1) === acct.map(_._1).sorted,
+           s"candidate volume must be monotone in nprobe: $acct")
+    assert(acct.forall(r => r._2 <= r._1))
+    assert(acct.forall(r =>
+      math.abs(r._3 - r._2.toDouble / r._1) < 1e-6))
 
     // every grid point equals the recall computed the slow way: one
     // ivfTopK per (probe, nprobe) vs one exact topKNeighbors per probe
@@ -61,14 +74,25 @@ class AnnOpsSpec extends SparkSpec {
                                      nsub = 8, codes = 16, iters = 1)
     val coarse = SimilarityOps.pqTrain(emb, "vec_id", "embedding",
                                        nsub = 8, codes = 2, iters = 1)
-    val got = SimilarityOps.pqEval(emb, "vec_id", "embedding",
+    val evalDf = SimilarityOps.pqEval(emb, "vec_id", "embedding",
         Seq("8x16" -> fine, "8x2" -> coarse), probeIds, k = 10)
+    val got = evalDf
+      .select($"config", $"k", $"n_probes", $"recall")
       .as[(String, Int, Long, Double)].collect()
       .map(r => r._1 -> r).toMap
     assert(got.keySet === Set("8x16", "8x2"))
     assert(got.values.forall(r => r._2 === 10 &&
                                   r._3 === probeIds.size.toLong))
     assert(got.values.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+    // the shared eval-contract tail: ADC scores every (probe, corpus)
+    // pair in this full-scan eval, so candidates = probes·(corpus−1)
+    val corpusN = emb.count()
+    val acct = evalDf
+      .select($"n_candidates", $"n_verified", $"precision")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(acct.forall(_._1 === probeIds.size * (corpusN - 1)))
+    assert(acct.forall(r => r._2 <= r._1 &&
+      math.abs(r._3 - r._2.toDouble / r._1) < 1e-6))
     assert(got("8x2")._4 <= got("8x16")._4 + 1e-9,
            s"2-code recall ${got("8x2")._4} vs 16-code ${got("8x16")._4}")
 
@@ -118,6 +142,7 @@ class AnnOpsSpec extends SparkSpec {
                                    nsub = 2, codes = 2, iters = 2)
     val got = SimilarityOps.pqEval(rows, "vec_id", "embedding",
         Seq("sat" -> cb), probeIds = Seq(0L, 1L), k = 3)
+      .select($"config", $"k", $"n_probes", $"recall")
       .as[(String, Int, Long, Double)].head()
     assert(got === (("sat", 3, 2L, 1.0)))
     spark.catalog.clearCache()

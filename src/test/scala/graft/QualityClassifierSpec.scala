@@ -56,6 +56,54 @@ class QualityClassifierSpec extends SparkSpec {
     assert(math.abs(tot - 1.0) < 1e-12)
   }
 
+  test("GD loop matches an independent scalar reimplementation " +
+       "coefficient-for-coefficient; checksums agree") {
+    val (docs, labels) = toy()
+    val dim = 32; val iters = 7; val lr = 2.0
+    // scalar replica: same features (hashedFeatures is pinned by its
+    // own test), plain-Scala full-batch GD — no windows, no aggregates
+    val feats = QualityClassifier.hashedFeatures(docs, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val y = labels.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ids = feats.map(_._1).distinct.toSeq
+    val triples = feats.toSeq ++ ids.map(id => (id, dim, 1.0)) // bias
+    val n = ids.size.toDouble
+    var w = Array.fill(dim + 1)(0.0)
+    for (_ <- 0 until iters) {
+      val m = triples.groupBy(_._1).map { case (id, ts) =>
+        id -> ts.map(t => t._3 * w(t._2)).sum
+      }
+      val g = Array.fill(dim + 1)(0.0)
+      triples.foreach { case (id, b, x) =>
+        g(b) += x * (1.0 / (1.0 + math.exp(-m(id))) - y(id))
+      }
+      w = w.zipWithIndex.map { case (v, b) => v - lr * g(b) / n }
+    }
+    val got = QualityClassifier.train(docs, labels, dim = dim,
+                                      iters = iters, lr = lr)
+    assert(got.length === w.length)
+    got.zip(w).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"coefficient drift: $a vs $b")
+    }
+    assert(QualityClassifier.checksum(got) ===
+      QualityClassifier.checksum(w))
+  }
+
+  test("q_quality_classifier's model_checksum column is the constant " +
+       "fingerprint of the query's own deterministic training run") {
+    val out = SparkEntry.queries("q_quality_classifier")(spark, sfDir)
+    val sums = out.select(col("model_checksum")).distinct()
+      .collect().map(_.getLong(0))
+    assert(sums.length === 1, "checksum must be one constant")
+    // recompute through the same path: RNG-free GD ⇒ same fingerprint
+    val docs = Tables.load(spark, sfDir, "documents")
+    val labels = docs.select(col("doc_id"),
+      (TextOps.qualityScore(col("text")) >= 0.5).cast("double").as("y"))
+    val w = QualityClassifier.train(docs, labels, dim = 64, iters = 8)
+    assert(sums.head === QualityClassifier.checksum(w))
+  }
+
   test("bench corpus: heuristic labels distill into full-coverage scores") {
     val docs = Tables.load(spark, sfDir, "documents")
     val labels = docs.select(col("doc_id"),
