@@ -1502,11 +1502,19 @@ object SparkEntry {
                               residual = true)
     }),
 
-    // HLL sketch distinct (mergeable at 100 TB; no exact-SQL oracle)
+    // HLL++ sketch distinct, VERIFIED form (the verifiedTimeline
+    // pattern): the estimate has no SQL identity, so the row carries
+    // the exact distinct (oracle-checked) plus a within-3·rsd flag
+    // computed against it — a hash match certifies the estimator's
+    // error bound cross-engine, not just a row count
     "q_approx_users" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))),
+        .agg(approx_count_distinct(col("user_id")).as("__est"),
+             countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+                (abs(col("__est") - col("exact_users")) <=
+                  col("exact_users") * 0.15).as("est_ok"))),
 
     // Multimodal: binary media column → per-partition batched decode
     // (imageio for real image bytes, byte-bucket stub otherwise; the fake
@@ -4695,6 +4703,14 @@ object SparkEntry {
 
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // verified-form HLL++: exact distincts recomputed, the tolerance
+    // flag asserted TRUE (Spark computed it against its own exact
+    // counts, which this oracle proves — the verifiedTimeline argument)
+    "q_approx_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |       TRUE AS est_ok
         |FROM events GROUP BY event_type""".stripMargin,
 
     "q_hopping_rollup" ->
