@@ -1291,8 +1291,10 @@ object SparkEntry {
                                 "vec_id", "embedding", tau = 0.45)),
 
     // k-center greedy coreset (diversity-first selection): 8 spread
-    // representatives of the embedding corpus with their coverage radii;
-    // iterative farthest-point — rows-only by design (k-means class)
+    // representatives of the embedding corpus with their coverage
+    // radii. Iterative farthest-point, yet oracle-EXACT: the greedy
+    // loop unrolls to a generated k-step CTE chain (kcenterOracle) that
+    // reproduces the argmax sequence pick for pick
     "q_kcenter_select" -> ((s, dir) =>
       SimilarityOps.kCenterSelect(t(s, dir, "embeddings"),
                                   "vec_id", "embedding", k = 8)),
@@ -2075,7 +2077,9 @@ object SparkEntry {
 
     // MMR diversity re-rank (Carbonell & Goldstein SIGIR'98) over the
     // cosine top-20 pool, λ=0.5 — the near-dup-aware serving of the
-    // retrieval stack; rows-only (iterative greedy), contract spec'd
+    // retrieval stack. Iterative greedy, yet oracle-EXACT via the
+    // unrolled CTE chain (mmrOracle): every argmax input is on the
+    // round-6 grid in both engines, so the pick sequence reproduces
     "q_mmr_rerank" -> ((s, dir) =>
       SimilarityOps.mmrRerank(t(s, dir, "embeddings"), "vec_id",
                               "embedding", probeId = 0L, lambda = 0.5,
@@ -3981,6 +3985,12 @@ object SparkEntry {
 
     "q_cosine_topk" -> cosineTopkOracle,
 
+    // the iterative greedy selections, unrolled (generated CTE chains —
+    // see kcenterOracle/mmrOracle scaladoc): two former rows-only
+    // queries now hash-exact, argmax sequence and all
+    "q_kcenter_select" -> kcenterOracle,
+    "q_mmr_rerank" -> mmrOracle,
+
     // q_reindex serves nprobe = nlist off the appended-then-rebuilt
     // index, so its contract IS the brute-force top-10 over the whole
     // table — the same oracle, checking the whole append/retrain/swap
@@ -5269,6 +5279,93 @@ object SparkEntry {
     * 1e-9 grid-round absorbs cross-libm ln ulps. events.value is
     * strictly positive in this data, so the zero bucket has no twin.
     */
+  /** DuckDB cosine over double lists — `list_dot_product` accumulates
+    * sequentially over the list, the same order as the engine's
+    * CosineSimilarity loop, so the two agree to the ulp and the
+    * round(·,6) grid both sides share can never disagree.
+    */
+  private def duckCos(a: String, b: String): String =
+    s"(list_dot_product($a, $b) / " +
+      s"(sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b))))"
+
+  /** q_kcenter_select twin: the greedy farthest-point loop UNROLLED to
+    * k−1 chained CTE steps — k is the query's own constant, and SQL has
+    * no bounded loop, so the oracle is GENERATED (the first generated
+    * oracle; the map value is still one plain SQL string). Each step
+    * keeps the running min-distance frame (the engine's persisted
+    * `mind` column) and picks argmax(mind) with the id tie-break; radii
+    * round to 6 on both sides. The engine's early-stop branch
+    * (max mind ≤ 1e-12, i.e. fewer than k distinct directions) never
+    * fires on this fixture and is deliberately not modeled.
+    */
+  private val kcenterOracle: String = {
+    val k = 8
+    val head =
+      s"""WITH base AS (
+         |  SELECT vec_id AS id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |  WHERE list_dot_product(
+         |          list_transform(embedding, x -> CAST(x AS DOUBLE)),
+         |          list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0
+         |),
+         |c0 AS (SELECT id, v FROM base ORDER BY id LIMIT 1),
+         |d1 AS (SELECT b.id, b.v, 1 - ${duckCos("b.v", "c0.v")} AS mind
+         |       FROM base b, c0)""".stripMargin
+    val steps = (1 until k).flatMap { i =>
+      val pick = s"p$i AS (SELECT id, v, mind FROM d$i " +
+        "ORDER BY mind DESC, id ASC LIMIT 1)"
+      if (i < k - 1)
+        Seq(pick,
+            s"d${i + 1} AS (SELECT d.id, d.v, least(d.mind, 1 - " +
+              duckCos("d.v", s"p$i.v") + s") AS mind FROM d$i d, p$i)")
+      else Seq(pick)
+    }
+    val out = Seq(
+      "SELECT 0 AS rank, id, CAST(NULL AS DOUBLE) AS radius FROM c0") ++
+      (1 until k).map(i => s"SELECT $i, id, round(mind, 6) FROM p$i")
+    (Seq(head) ++ steps).mkString(",\n") + "\n" +
+      out.mkString("\nUNION ALL ")
+  }
+
+  /** q_mmr_rerank twin: the MMR greedy UNROLLED to k picks over the
+    * top-n pool (the kcenterOracle pattern). Every quantity the argmax
+    * and the running max-sim state see is rounded to 6 IN THE ENGINE
+    * (mmrRerank reproduces the distributed round), so the SQL twin
+    * lands on identical grid points and the pick sequence is exact.
+    */
+  private val mmrOracle: String = {
+    val k = 10
+    val head =
+      s"""WITH dv AS (
+         |  SELECT vec_id AS id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |),
+         |probe AS (SELECT v FROM dv WHERE id = 0),
+         |pool1 AS (
+         |  SELECT d.id, round(${duckCos("d.v", "p.v")}, 6) AS rel, d.v,
+         |         0.0 AS maxs
+         |  FROM dv d, probe p WHERE d.id <> 0
+         |  ORDER BY rel DESC, id ASC LIMIT 20
+         |)""".stripMargin
+    val steps = (1 to k).flatMap { i =>
+      val pick = s"s$i AS (SELECT id, rel, v, " +
+        "round(0.5*rel - 0.5*maxs, 6) AS mmr " +
+        s"FROM pool$i ORDER BY mmr DESC, id ASC LIMIT 1)"
+      if (i < k)
+        Seq(pick,
+            s"pool${i + 1} AS (SELECT p.id, p.rel, p.v, " +
+              s"greatest(p.maxs, round(${duckCos("p.v", "s.v")}, 6)) " +
+              s"AS maxs FROM pool$i p, s$i s WHERE p.id <> s.id)")
+      else Seq(pick)
+    }
+    val out = (1 to k).map(i =>
+      s"SELECT ${i - 1} AS rank, id AS vec_id, rel, mmr FROM s$i")
+    (Seq(head) ++ steps).mkString(",\n") + "\n" +
+      out.mkString("\nUNION ALL ")
+  }
+
   /** Shared by the HLL timeline pair (q_user_sketch / q_sketch_append):
     * exact daily distincts + running distinct (cumulative sum of
     * first-appearance counts), and the tolerance flags asserted TRUE —
