@@ -3991,6 +3991,16 @@ object SparkEntry {
     "q_kcenter_select" -> kcenterOracle,
     "q_mmr_rerank" -> mmrOracle,
 
+    // the ANN index family, same recipe at full depth (AnnOracles):
+    // seed→assign→Lloyd→encode→serve unrolled as generated CTE chains —
+    // five former "k-means internals aren't SQL-expressible" rows now
+    // hash-exact, Lloyd means, residual ADC tables and all
+    "q_ivf_topk" -> AnnOracles.ivfTopk,
+    "q_ivf_trained" -> AnnOracles.ivfTrained,
+    "q_pq_topk" -> AnnOracles.pqTopk,
+    "q_ivfpq_topk" -> AnnOracles.ivfPqTopk,
+    "q_index_drift" -> AnnOracles.indexDrift,
+
     // q_reindex serves nprobe = nlist off the appended-then-rebuilt
     // index, so its contract IS the brute-force top-10 over the whole
     // table — the same oracle, checking the whole append/retrain/swap
