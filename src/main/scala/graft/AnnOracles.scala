@@ -219,6 +219,159 @@ private[graft] object AnnOracles {
        |ORDER BY dist2 ASC, e.id ASC LIMIT 10""".stripMargin
   }
 
+  /** q_ann_eval: the recall/precision grid itself — seed assignment,
+    * per-probe ranked lists, ONE candidate relation crossed with the
+    * nprobe grid (the engine's one-candidate-pass economics, mirrored),
+    * exact ground truth through the same round-6 knnJoin ordering, and
+    * the shared eval-contract aggregation.
+    */
+  val annEval: String = {
+    val k = 10
+    s"""WITH $dv,
+       |${seedCents("dv")},
+       |${assign("asg", "dv", "cents0")},
+       |assigned AS (SELECT id, v, list_id FROM asg WHERE rn = 1),
+       |probes AS (SELECT id AS pid, v AS pv FROM assigned
+       |           WHERE id IN (0,7,23,54,91)),
+       |pl AS (SELECT p.pid, p.pv, c.list_id AS lid,
+       |    row_number() OVER (PARTITION BY p.pid
+       |      ORDER BY ${cosSql("c.cvec", "p.pv")} DESC,
+       |               c.list_id ASC) AS rl
+       |  FROM cents0 c CROSS JOIN probes p
+       |  QUALIFY rl <= 8),
+       |cand AS (SELECT pl.pid, pl.rl, a.id AS nid,
+       |    round(${cosSql("a.v", "pl.pv")}, 6) AS sim
+       |  FROM assigned a JOIN pl ON a.list_id = pl.lid
+       |  WHERE a.id <> pl.pid),
+       |exall AS (SELECT p.pid, a.id AS nid,
+       |    round(${cosSql("a.v", "p.pv")}, 6) AS sim,
+       |    row_number() OVER (PARTITION BY p.pid
+       |      ORDER BY round(${cosSql("a.v", "p.pv")}, 6) DESC,
+       |               a.id ASC) AS rn
+       |  FROM assigned a CROSS JOIN probes p),
+       |ex1 AS (SELECT pid, nid, row_number() OVER (PARTITION BY pid
+       |      ORDER BY sim DESC, nid ASC) AS rn2
+       |  FROM exall WHERE rn <= ${k + 1} AND pid <> nid),
+       |exact AS (SELECT pid, nid FROM ex1 WHERE rn2 <= $k),
+       |ec AS (SELECT pid, count(*) AS ec FROM exact GROUP BY 1),
+       |grid AS (SELECT unnest([1,2,4,8]) AS np),
+       |candn AS (SELECT g.np, c.* FROM cand c CROSS JOIN grid g
+       |          WHERE c.rl <= g.np),
+       |approx AS (SELECT np, pid, nid FROM (
+       |    SELECT np, pid, nid, row_number() OVER (PARTITION BY np, pid
+       |      ORDER BY sim DESC, nid ASC) AS rn
+       |    FROM candn) WHERE rn <= $k),
+       |hits AS (SELECT np, pid, count(*) AS h
+       |  FROM approx JOIN exact USING (pid, nid) GROUP BY 1, 2),
+       |agg AS (SELECT g.np, count(*) AS n_probes,
+       |    round(avg(coalesce(h.h, 0) / CAST(ec.ec AS DOUBLE)), 6)
+       |      AS recall,
+       |    CAST(sum(coalesce(h.h, 0)) AS BIGINT) AS n_verified
+       |  FROM grid g CROSS JOIN ec
+       |  LEFT JOIN hits h ON h.np = g.np AND h.pid = ec.pid
+       |  GROUP BY 1),
+       |nc AS (SELECT np, count(*) AS n_candidates FROM candn GROUP BY 1)
+       |SELECT 'ivf-cosine' AS family, 'nprobe=' || a.np AS config,
+       |       nc.n_candidates, a.n_verified, a.recall,
+       |       round(CASE WHEN nc.n_candidates = 0 THEN 1.0
+       |             ELSE a.n_verified / CAST(nc.n_candidates AS DOUBLE)
+       |             END, 6) AS precision
+       |FROM agg a JOIN nc USING (np)""".stripMargin
+  }
+
+  /** One per-config leg of the pqEval oracle: codebook (seed + one
+    * Lloyd round on the FULL corpus subvectors), per-probe encode +
+    * ADC scoring, top-k, hits vs the shared L2 `exact`, and the
+    * eval-contract row.
+    */
+  private def pqEvalLeg(tag: String, codes: Int, k: Int,
+                        dsub: Int, nsub: Int): String =
+    s"""pqseed_$tag AS (SELECT sub_id,
+       |    row_number() OVER (PARTITION BY sub_id ORDER BY id ASC) - 1
+       |      AS code, sv AS cvec
+       |  FROM subv
+       |  QUALIFY row_number() OVER (PARTITION BY sub_id ORDER BY id ASC)
+       |    <= $codes),
+       |pasg_$tag AS (SELECT sv.id, sv.sub_id, sv.sv, c.code,
+       |    row_number() OVER (PARTITION BY sv.id, sv.sub_id
+       |      ORDER BY ${dot("c.cvec", "c.cvec")} -
+       |               2*${dot("sv.sv", "c.cvec")} ASC, c.code ASC) AS rn
+       |  FROM subv sv JOIN pqseed_$tag c USING (sub_id)),
+       |pm_$tag AS (SELECT sub_id, code, dim, sum(x) AS sx,
+       |    count(*) AS cnt
+       |  FROM (SELECT sub_id, code, generate_subscripts(sv,1) AS dim,
+       |               unnest(sv) AS x
+       |        FROM pasg_$tag WHERE rn = 1) GROUP BY 1,2,3),
+       |pmv_$tag AS (SELECT sub_id, code, list(sx/cnt ORDER BY dim)
+       |    AS mvec FROM pm_$tag GROUP BY 1,2),
+       |cb_$tag AS (SELECT s.sub_id, s.code,
+       |    coalesce(mv.mvec, s.cvec) AS cvec
+       |  FROM pqseed_$tag s LEFT JOIN pmv_$tag mv USING (sub_id, code)),
+       |enc_$tag AS (SELECT d.id, c.sub_id, c.code, p.pid,
+       |    row_number() OVER (PARTITION BY d.id, p.pid, c.sub_id
+       |      ORDER BY ${dot("c.cvec", "c.cvec")} - 2*list_dot_product(
+       |        list_slice(d.v, c.sub_id*$dsub+1, c.sub_id*$dsub+$dsub),
+       |        c.cvec) ASC, c.code ASC) AS rn
+       |  FROM dv d CROSS JOIN cb_$tag c CROSS JOIN probes p
+       |  WHERE d.id <> p.pid),
+       |adc_$tag AS (SELECT ps.pid, c.sub_id, c.code,
+       |    ${dot("ps.sv", "ps.sv")} - 2*${dot("ps.sv", "c.cvec")} +
+       |      ${dot("c.cvec", "c.cvec")} AS pd2
+       |  FROM cb_$tag c JOIN (SELECT p.pid, s.sub_id,
+       |      list_slice(p.pv, s.sub_id*$dsub+1, s.sub_id*$dsub+$dsub)
+       |        AS sv
+       |    FROM probes p,
+       |         (SELECT unnest(range(0,$nsub)) AS sub_id) s) ps
+       |    USING (sub_id)),
+       |scored_$tag AS (SELECT e.pid, e.id AS nid,
+       |    round(sum(a.pd2), 6) AS dist2
+       |  FROM enc_$tag e JOIN adc_$tag a ON a.pid = e.pid
+       |    AND a.sub_id = e.sub_id AND a.code = e.code
+       |  WHERE e.rn = 1 GROUP BY 1, 2),
+       |approx_$tag AS (SELECT pid, nid FROM (
+       |    SELECT pid, nid, row_number() OVER (PARTITION BY pid
+       |      ORDER BY dist2 ASC, nid ASC) AS rn
+       |    FROM scored_$tag) WHERE rn <= $k),
+       |hits_$tag AS (SELECT pid, count(*) AS h
+       |  FROM approx_$tag JOIN exact USING (pid, nid) GROUP BY 1),
+       |row_$tag AS (SELECT 'pq-l2' AS family, 'codebook=$tag' AS config,
+       |    (SELECT count(*) FROM scored_$tag) AS n_candidates,
+       |    CAST(sum(coalesce(h.h, 0)) AS BIGINT) AS n_verified,
+       |    round(avg(coalesce(h.h, 0) / CAST(ec.ec AS DOUBLE)), 6)
+       |      AS recall
+       |  FROM ec LEFT JOIN hits_$tag h USING (pid))""".stripMargin
+
+  /** q_pq_eval: two full-corpus PQ codebooks scored against the shared
+    * rounded-L2 exact twin, on the shared eval contract.
+    */
+  val pqEval: String = {
+    val (k, nsub, dsub) = (10, 8, 8)
+    s"""WITH dv AS (SELECT vec_id AS id,
+       |              list_transform(embedding, x->CAST(x AS DOUBLE)) AS v
+       |       FROM embeddings WHERE len(embedding) = ${nsub * dsub}),
+       |probes AS (SELECT id AS pid, v AS pv FROM dv
+       |           WHERE id IN (0,23,91)),
+       |subv AS (SELECT id, s.sub_id,
+       |    list_slice(v, s.sub_id*$dsub+1, s.sub_id*$dsub+$dsub) AS sv
+       |  FROM dv, (SELECT unnest(range(0,$nsub)) AS sub_id) s),
+       |exall AS (SELECT p.pid, d.id AS nid,
+       |    round(${dot("d.v", "d.v")} - 2*${dot("d.v", "p.pv")} +
+       |          ${dot("p.pv", "p.pv")}, 6) AS d2
+       |  FROM dv d CROSS JOIN probes p WHERE d.id <> p.pid),
+       |exact AS (SELECT pid, nid FROM (
+       |    SELECT pid, nid, row_number() OVER (PARTITION BY pid
+       |      ORDER BY d2 ASC, nid ASC) AS rn
+       |    FROM exall) WHERE rn <= $k),
+       |ec AS (SELECT pid, count(*) AS ec FROM exact GROUP BY 1),
+       |${pqEvalLeg("8x16", 16, k, dsub, nsub)},
+       |${pqEvalLeg("8x2", 2, k, dsub, nsub)}
+       |SELECT family, config, n_candidates, n_verified, recall,
+       |       round(CASE WHEN n_candidates = 0 THEN 1.0
+       |             ELSE n_verified / CAST(n_candidates AS DOUBLE)
+       |             END, 6) AS precision
+       |FROM (SELECT * FROM row_8x16 UNION ALL SELECT * FROM row_8x2)""".stripMargin
+  }
+
   /** q_index_drift: one Lloyd round on the standing ¾, then the
     * per-list (count, mean assignment cosine) report for standing vs
     * batch against the SAME frozen codebook, drift = the rounded gap.

@@ -4000,6 +4000,8 @@ object SparkEntry {
     "q_pq_topk" -> AnnOracles.pqTopk,
     "q_ivfpq_topk" -> AnnOracles.ivfPqTopk,
     "q_index_drift" -> AnnOracles.indexDrift,
+    "q_ann_eval" -> AnnOracles.annEval,
+    "q_pq_eval" -> AnnOracles.pqEval,
 
     // q_reindex serves nprobe = nlist off the appended-then-rebuilt
     // index, so its contract IS the brute-force top-10 over the whole
