@@ -186,4 +186,30 @@ object CorpusRefresh {
     gSets.unpersist(false)
     survivors
   }
+
+  /** Streaming refresh: the day-2 composition AT INGEST TIME — each
+    * micro-batch runs the batch `refresh` against the established
+    * state, with the persisted table/index/fingerprint stores as the
+    * ONLY state (no Spark streaming state, no watermark — the
+    * MinhashIndex.ingestStream deployment argument). Exactly-once end
+    * to end comes from `refresh`'s replay contract: a replayed epoch
+    * (the foreachBatch at-least-once window) gates and probes
+    * identically (the batch's own fps/postings are excluded from the
+    * standing side), merges the same keys, and appends nothing new —
+    * so every observable artifact is idempotent under replay.
+    * Single-writer contract, as everywhere in the maintenance family.
+    */
+  def refreshStream(stream: DataFrame, idCol: String, textCol: String,
+                    tableRoot: String, indexRoot: String, tau: Double,
+                    minTokens: Int, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        refresh(batch, idCol, textCol, tableRoot, indexRoot,
+                tau, minTokens).unpersist(false)
+        ()
+      }
+      .start()
 }

@@ -91,6 +91,41 @@ class CorpusRefreshSpec extends SparkSpec {
     assert(ids(surv) === Set(7L, 11L))
   }
 
+  test("refreshStream: micro-batch epochs equal sequential batch " +
+       "refreshes, including the second batch screening against the " +
+       "first's survivors") {
+    val root = s"${Sinks.scratchRoot}/spec_refresh_stream"
+    establish(root)
+    val twin = s"${Sinks.scratchRoot}/spec_refresh_stream_twin"
+    establish(twin)
+    val inDir = s"$root/in"; val ckpt = s"$root/ckpt"
+    // batch 1 = the standard fixture; batch 2 = a near-dup of batch 1's
+    // survivor 7 (must be flagged against the GROWN corpus) + a clean doc
+    val b2 = Seq(
+      (13L, fresh7 + "es"),
+      (15L, "a second wave document that is entirely its own thing")
+    ).toDF("doc_id", "text")
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(batch.schema).parquet(inDir)
+      val q = CorpusRefresh.refreshStream(stream, "doc_id", "text",
+        s"$root/table", s"$root/mh", tau, minTok, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    batch.coalesce(1).write.mode("append").parquet(inDir); runOnce()
+    b2.coalesce(1).write.mode("append").parquet(inDir); runOnce()
+    // sequential twin
+    CorpusRefresh.refresh(batch, "doc_id", "text", s"$twin/table",
+                          s"$twin/mh", tau, minTok)
+    CorpusRefresh.refresh(b2, "doc_id", "text", s"$twin/table",
+                          s"$twin/mh", tau, minTok)
+    assert(ids(spark.read.parquet(s"$root/table")) ===
+      ids(spark.read.parquet(s"$twin/table")))
+    // 13 is a near-dup of 7 (which entered the corpus in epoch 0) — the
+    // second epoch must screen against the grown corpus, not day-0's
+    assert(ids(spark.read.parquet(s"$root/table")) ===
+      Set(2L, 4L, 6L, 7L, 11L, 15L))
+  }
+
   test("replaying the same batch reproduces the survivors and leaves " +
        "table and stores unchanged") {
     val root = s"${Sinks.scratchRoot}/spec_refresh_replay"
