@@ -1490,18 +1490,16 @@ object SimilarityOps {
         .select(col(idCol).as("nid"),
                 pqCodesExpr(transform(col(vecCol), x => x.cast("double")),
                             col("__pqcb"), nsub, dsub).as("pq_codes"))
-      // pinned: the ADC-scored frame feeds both the top-k re-rank and
-      // the candidate-volume count — unpinned, the encode+score scan
-      // would re-execute for the count (narrow (pid, nid, dist2) rows,
-      // bounded by scored-pair volume — an eval harness over a probe
-      // SAMPLE by contract, so the cache is sample-bounded at scale)
+      // deliberately NOT pinned: the frame feeds the top-k re-rank and
+      // the candidate-volume count, but a cache boundary here breaks
+      // the encode+score+window codegen fusion — measured ~1 s SLOWER
+      // than letting the count re-run the fused scan (the lshEval
+      // share-the-signatures lesson, same direction)
       val scored = codes
         .crossJoin(adcFoldedTable(cb, probes, dsub, Seq("pid")))
         .filter(col("nid") =!= col("pid"))
         .select(col("pid"), col("nid"), adcDist2(nsub).as("dist2"))
         .filter(col("dist2").isNotNull)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-        .transform(graft.CacheScope.register)
       val approx = scored
         .withColumn("__rn", row_number().over(
           Window.partitionBy(col("pid"))
