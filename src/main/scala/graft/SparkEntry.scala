@@ -1999,10 +1999,12 @@ object SparkEntry {
     // BPE merge training (Sennrich ACL'16): 16 highest-frequency-pair
     // merges over the word-frequency frame — the corpus collapses into
     // the distinct vocabulary in ONE pass, rounds run on that tiny
-    // frame only. Rows-only (iterative argmax isn't SQL-expressible —
-    // recursive CTEs forbid aggregation in the recursive term);
-    // determinism, the hand-computed classic example, encode∘decode=id,
-    // and monotone compression are spec-asserted (BpeSpec)
+    // frame only. Oracle-EXACT (r7): the fixed merge count unrolls to
+    // 16 generated MATERIALIZED-CTE rounds (bpeOracle) — recursive CTEs
+    // forbid aggregation in the recursive term, but an UNROLLED chain
+    // doesn't need one. Determinism, the hand-computed classic example,
+    // encode∘decode=id, and monotone compression stay spec-asserted
+    // (BpeSpec)
     "q_bpe_vocab" -> ((s, dir) =>
       graft.text.Bpe.bpeTrain(t(s, dir, "documents"), "text",
                               numMerges = 16)),
@@ -4003,6 +4005,11 @@ object SparkEntry {
     "q_ann_eval" -> AnnOracles.annEval,
     "q_pq_eval" -> AnnOracles.pqEval,
 
+    // 16 unrolled BPE merge rounds (bpeOracle) — the greedy merge fold's
+    // exact positional twin; formerly "iterative argmax isn't
+    // SQL-expressible", which was true only of RECURSIVE CTEs
+    "q_bpe_vocab" -> bpeOracle,
+
     // q_reindex serves nprobe = nlist off the appended-then-rebuilt
     // index, so its contract IS the brute-force top-10 over the whole
     // table — the same oracle, checking the whole append/retrain/swap
@@ -5376,6 +5383,68 @@ object SparkEntry {
       s"SELECT ${i - 1} AS rank, id AS vec_id, rel, mmr FROM s$i")
     (Seq(head) ++ steps).mkString(",\n") + "\n" +
       out.mkString("\nUNION ALL ")
+  }
+
+  /** q_bpe_vocab twin: 16 unrolled BPE merge rounds. The engine's
+    * left-to-right greedy merge fold ("a symbol just produced does not
+    * re-merge", Bpe.mergePair) has an exact positional equivalent: a
+    * match position is TAKEN iff its offset within its maximal run of
+    * consecutive match positions is even — so each round is pair-count
+    * → argmax (freq desc, left, right — the engine's tie order) →
+    * gaps-and-islands over match positions → rebuild. Round CTEs are
+    * MATERIALIZED: wf{i} is referenced three times per round, and
+    * inlined expansion grows 3^16 (measured: DuckDB exhausts file
+    * handles); materialization is also the semantic twin of the
+    * engine's per-round localCheckpoint. Early-stop (fully fused
+    * corpus) never fires at 16 merges on this fixture.
+    */
+  private val bpeOracle: String = {
+    val k = 16
+    def rnd(i: Int): String =
+      s"""p$i AS MATERIALIZED (
+         |  SELECT s.sym[j] AS l, s.sym[j+1] AS r, sum(s.cnt) AS freq
+         |  FROM wf$i s, LATERAL (SELECT unnest(range(1, len(s.sym))) AS j)
+         |  GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT l, r FROM p$i
+         |  ORDER BY freq DESC, l ASC, r ASC LIMIT 1),
+         |e$i AS (SELECT s.rn AS wid, s.cnt, j.j AS pos, s.sym[j.j] AS sym,
+         |    CASE WHEN j.j < len(s.sym) AND s.sym[j.j] = b.l
+         |          AND s.sym[j.j+1] = b.r THEN 1 ELSE 0 END AS m
+         |  FROM wf$i s, b$i b,
+         |       LATERAL (SELECT unnest(range(1, len(s.sym)+1)) AS j) j),
+         |g$i AS (SELECT *, pos - row_number()
+         |    OVER (PARTITION BY wid, m ORDER BY pos) AS grp FROM e$i),
+         |v$i AS (SELECT *, CASE WHEN m = 1 AND
+         |      (pos - min(pos) OVER (PARTITION BY wid, grp, m)) % 2 = 0
+         |    THEN 1 ELSE 0 END AS valid FROM g$i),
+         |x$i AS (SELECT wid, cnt, pos,
+         |    CASE WHEN valid = 1 THEN sym ||
+         |      lead(sym) OVER (PARTITION BY wid ORDER BY pos)
+         |    ELSE sym END AS osym,
+         |    CASE WHEN lag(valid) OVER (PARTITION BY wid ORDER BY pos) = 1
+         |    THEN 1 ELSE 0 END AS consumed
+         |  FROM v$i),
+         |wf${i + 1} AS MATERIALIZED (SELECT row_number() OVER () AS rn,
+         |    list(osym ORDER BY pos) AS sym, any_value(cnt) AS cnt
+         |  FROM x$i WHERE consumed = 0 GROUP BY wid)""".stripMargin
+    val head =
+      """WITH wrds AS (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(list_filter(string_split_regex(trim(text),
+        |                                                 '\s+'),
+        |                              x -> x <> '')) AS word
+        |    FROM documents) GROUP BY 1),
+        |wf0 AS MATERIALIZED (SELECT row_number() OVER () AS rn,
+        |    list_transform(range(1, len(word)+1),
+        |                   i -> substr(word, CAST(i AS INT), 1)) AS sym,
+        |    cnt
+        |  FROM wrds)""".stripMargin
+    val out = (0 until k).map { i =>
+      s"""SELECT $i AS rank, b.l AS "left", b.r AS "right",
+         |CAST(p.freq AS BIGINT) AS freq
+         |FROM b$i b JOIN p$i p ON p.l = b.l AND p.r = b.r""".stripMargin
+    }.mkString("\nUNION ALL ")
+    (Seq(head) ++ (0 until k).map(rnd)).mkString(",\n") + "\n" + out
   }
 
   /** Shared by the HLL timeline pair (q_user_sketch / q_sketch_append):

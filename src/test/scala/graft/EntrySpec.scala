@@ -43,8 +43,6 @@ class EntrySpec extends SparkSpec {
       "q_ann_multiprobe", "q_lsh_cosine_pairs", "q_lsh_eval",
       // LAPACK eigSym on the driver (reproducible to ~1e-6, not bits)
       "q_pca_embed", "q_pca_scree",
-      // iterative leftmost-greedy merge state
-      "q_bpe_vocab",
       // GD internals — model checksum pinned in the query output
       "q_quality_classifier",
       // file-census bytes are encoding-dependent
