@@ -48,6 +48,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "rolling_hash(str) - base-31 polynomial hash of UTF-8 bytes", 1) {
       exprs => RollingHash(exprs.head)
     }
+    register(e, "deflate_len",
+      "deflate_len(str) - deflate byte count of UTF-8 bytes " +
+        "(compression-ratio quality signal)", 1) {
+      exprs => DeflateLen(exprs.head)
+    }
     register(e, "cosine_sim",
       "cosine_sim(a, b) - cosine similarity of two float/double arrays", 2) {
       exprs => CosineSimilarity(exprs(0), exprs(1))

@@ -7,6 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.dedup.{ConnectedComponents, CorpusRefresh, DedupOps, MinhashIndex}
 import graft.functions.TextExpressions
+import graft.graph.GraphOps
 import graft.io.Sinks
 import graft.multimodal.MultimodalOps
 import graft.ops.{CoreOps, Funnel}
@@ -1240,6 +1241,39 @@ object SparkEntry {
           assumeDistinct = true),
         "members")),
 
+    // ——— Graph analytics (GraphOps scaladoc for the scale contracts:
+    // basket-bounded edge generation, no node-sized broadcasts, degree
+    // orientation) — the link-graph quality signals of web-corpus
+    // curation, demoed on the co-purchase graph. ———
+
+    // PageRank as a document-quality prior: 3 fixed power iterations
+    // (d = 0.85) over the third-basket co-purchase subgraph (modulus 3 —
+    // the fixture dial; the full sf0.1 graph is 1.2M edges × avg degree
+    // 120, a dense demo that priced at ~5.4 s warm), each iteration's
+    // ranks rounded onto a shared 1e-9 grid in BOTH engines so
+    // summation-order ulps never compound (the AnnOracles determinism
+    // recipe, applied to an iterative graph dataflow). Oracle: the same
+    // dataflow as an unrolled 3-step CTE chain. Top 25 parts.
+    "q_pagerank" -> ((s, dir) =>
+      GraphOps.pageRank(
+          GraphOps.coPurchaseEdges(t(s, dir, "lineitem"), modulus = 3),
+          iters = 3)
+        .orderBy(col("pr").desc, col("node").asc).limit(25)
+        .select(col("node").as("part_key"), col("pr"))),
+
+    // Triangle + local-clustering-coefficient census (community /
+    // spam-structure signal) on the eighth-basket subgraph (orderkey %
+    // 8 — wedge volume is Σ out-deg², quadratic in density, so the
+    // census fixture right-sizes harder than PageRank's; the operator
+    // is unchanged at any modulus). Counts are exact integers; lcc is
+    // one rounded exact division — hash-exact arithmetic throughout.
+    "q_triangles" -> ((s, dir) =>
+      GraphOps.triangleStats(
+          GraphOps.coPurchaseEdges(t(s, dir, "lineitem"), modulus = 8))
+        .orderBy(col("tri").desc, col("node").asc).limit(25)
+        .select(col("node").as("part_key"), col("deg"), col("tri"),
+                col("lcc"))),
+
     // SimHash near-dup pairs: 16-bit band candidates, hamming ≤ 3 verify.
     // 4 bands × 16 bits guarantee a band collision for hamming ≤ 3
     // (pigeonhole), so the ≤3 output is COMPLETE; a larger hamming bound
@@ -1668,6 +1702,17 @@ object SparkEntry {
     // graft.streaming.Sessionize, spec-verified)
     "q_sessionize" -> ((s, dir) =>
       graft.streaming.Sessionize.batch(t(s, dir, "events"), 30)),
+
+    // Spark's NATIVE session_window aggregate (engine-managed gap
+    // sessions; one definition serves batch and readStream — the
+    // watermark bounds stream state). Batch plan: two-phase session
+    // merge, one shuffle on the user key, NO per-user sort window.
+    // Session boundaries agree with q_sessionize (closed-interval merge:
+    // split strictly after the gap — SessionWindowSpec pins the
+    // exactly-gap case); the window's end = last event + gap, which the
+    // oracle encodes.
+    "q_session_window" -> ((s, dir) =>
+      StreamingOps.sessionWindowRollup(t(s, dir, "events"), 30)),
 
     // Session-level engagement summary over the sessionize output:
     // volume, mean depth/duration, bounce share — one tiny aggregate
@@ -2138,6 +2183,33 @@ object SparkEntry {
                   .as("rep_ratio"),
                 round(TextOps.dupLineFraction(col("text")), 6)
                   .as("dup_line_frac"))),
+
+    // Compression-ratio quality census (deflate_len native expression —
+    // the machine-generated/boilerplate filter of the web-corpus
+    // recipes, catching long-period and structural repeats the n-gram
+    // censuses above miss; CompressExpressions scaladoc for the
+    // thread-local zlib amortization). Rows-only: the JDK zlib byte
+    // count has no DuckDB identity — CompressSpec pins planted
+    // repetitive/high-entropy fixtures, null handling, and the
+    // codegen ≡ interpreted contract instead.
+    "q_compress_ratio" -> ((s, dir) => {
+      import graft.functions.CompressExpressions
+      val ratio =
+        (CompressExpressions.deflateLen(col("text")).cast("double") /
+          octet_length(col("text"))).as("ratio")
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull && octet_length(col("text")) > 0)
+        .select(col("doc_id"), ratio)
+        .withColumn("band",
+          when(col("ratio") < 0.35, "repetitive")
+            .when(col("ratio") < 0.8, "normal")
+            .otherwise("high_entropy"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("docs"),
+             round(avg("ratio"), 6).as("avg_ratio"),
+             round(min("ratio"), 6).as("min_ratio"),
+             round(max("ratio"), 6).as("max_ratio"))
+    }),
 
     // PII scrub (the pre-training redaction pass): match counts + the
     // redacted text itself, engine-portable regexes
@@ -3072,6 +3144,8 @@ object SparkEntry {
     "q_leakage_audit" -> leakageAuditOracle,
     "q_minhash_lsh" -> jaccardOracle,
     "q_dup_clusters" -> dupClustersOracle,
+    "q_pagerank" -> pagerankOracle,
+    "q_triangles" -> trianglesOracle,
 
     "q_incremental_dedup" ->
       (jaccardPairsCte + "\n" +
@@ -5017,6 +5091,30 @@ object SparkEntry {
         |       count(*) AS n_events
         |FROM s GROUP BY 1, 2""".stripMargin,
 
+    // session_window semantics: closed-interval merge (split strictly
+    // after the gap, same boundary as q_sessionize), end = last + gap
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, date_trunc('milliseconds', ts) AS tsm
+        |           FROM events),
+        |l AS (SELECT user_id, tsm,
+        |        lag(tsm) OVER (PARTITION BY user_id ORDER BY tsm) AS prev
+        |      FROM e),
+        |m AS (SELECT user_id, tsm,
+        |        CASE WHEN prev IS NULL
+        |               OR epoch_ms(tsm) - epoch_ms(prev) > 1800000
+        |             THEN 1 ELSE 0 END AS new_session
+        |      FROM l),
+        |s AS (SELECT user_id, tsm,
+        |        CAST(sum(new_session) OVER (PARTITION BY user_id
+        |          ORDER BY tsm ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |          AS session_seq
+        |      FROM m)
+        |SELECT user_id,
+        |       epoch_ms(min(tsm)) AS session_start_ms,
+        |       epoch_ms(max(tsm)) + 1800000 AS session_end_ms,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, session_seq""".stripMargin,
+
     "q_session_stats" ->
       """WITH e AS (SELECT user_id, date_trunc('milliseconds', ts) AS tsm
         |           FROM events),
@@ -5317,6 +5415,81 @@ object SparkEntry {
     * (max mind ≤ 1e-12, i.e. fewer than k distinct directions) never
     * fires on this fixture and is deliberately not modeled.
     */
+  /** q_pagerank twin: the power iteration UNROLLED to 3 steps (the
+    * kcenterOracle pattern for fixed-step iterative dataflows).
+    * Determinism: both engines round every iteration's ranks to 1e-9, so
+    * each step's inputs sit on identical grid points and the only
+    * cross-engine noise — the ulp from in-neighbor summation order — is
+    * absorbed before it can compound. Teleport/damping arithmetic is
+    * emitted as the SAME double expression tree the engine evaluates
+    * ((1.0 − 0.85)/n, 0.85·s, both sides IEEE doubles).
+    */
+  private val pagerankOracle: String = {
+    val iters = 3
+    def step(i: Int): String =
+      s"""s$i AS (SELECT e.dst AS node, sum(r.pr / d.deg) AS s
+         |  FROM e JOIN r${i - 1} r ON r.node = e.src
+         |         JOIN deg d ON d.src = e.src
+         |  GROUP BY 1),
+         |r$i AS (SELECT d.src AS node,
+         |    round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+         |          + CAST(0.85 AS DOUBLE) * coalesce(s.s, CAST(0.0 AS DOUBLE)),
+         |          9) AS pr
+         |  FROM deg d CROSS JOIN nn LEFT JOIN s$i s ON s.node = d.src)""".stripMargin
+    val head =
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem WHERE l_orderkey % 3 = 0),
+        |e0 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |e AS (SELECT src, dst FROM e0
+        |      UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+        |r0 AS (SELECT src AS node, round(CAST(1.0 AS DOUBLE) / nn.n, 9) AS pr
+        |       FROM deg CROSS JOIN nn)""".stripMargin
+    (Seq(head) ++ (1 to iters).map(step)).mkString(",\n") + "\n" +
+      s"SELECT node AS part_key, pr FROM r$iters" +
+      " ORDER BY pr DESC, node ASC LIMIT 25"
+  }
+
+  /** q_triangles twin: the same degree-oriented wedge-close dataflow in
+    * SQL — exact integers throughout, one rounded exact division (lcc),
+    * so the compare is arithmetic-exact with no grid subtleties.
+    */
+  private val trianglesOracle: String =
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+      |            FROM lineitem WHERE l_orderkey % 8 = 0),
+      |e0 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+      |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |deg AS (SELECT node, count(*) AS deg FROM
+      |         (SELECT src AS node FROM e0
+      |          UNION ALL SELECT dst AS node FROM e0) u GROUP BY 1),
+      |o AS (SELECT CASE WHEN ds.deg < dd.deg
+      |                    OR (ds.deg = dd.deg AND e0.src < e0.dst)
+      |                  THEN e0.src ELSE e0.dst END AS a,
+      |             CASE WHEN ds.deg < dd.deg
+      |                    OR (ds.deg = dd.deg AND e0.src < e0.dst)
+      |                  THEN e0.dst ELSE e0.src END AS b,
+      |             CASE WHEN ds.deg < dd.deg
+      |                    OR (ds.deg = dd.deg AND e0.src < e0.dst)
+      |                  THEN dd.deg ELSE ds.deg END AS db
+      |      FROM e0 JOIN deg ds ON ds.node = e0.src
+      |              JOIN deg dd ON dd.node = e0.dst),
+      |w AS (SELECT o1.a, o1.b, o2.b AS c
+      |      FROM o o1 JOIN o o2 ON o1.a = o2.a
+      |      WHERE o1.db < o2.db OR (o1.db = o2.db AND o1.b < o2.b)),
+      |tr AS (SELECT w.a, w.b, w.c FROM w JOIN o ON o.a = w.b AND o.b = w.c),
+      |pn AS (SELECT node, count(*) AS tri FROM
+      |        (SELECT a AS node FROM tr UNION ALL SELECT b AS node FROM tr
+      |         UNION ALL SELECT c AS node FROM tr) u GROUP BY 1)
+      |SELECT d.node AS part_key, d.deg,
+      |       coalesce(pn.tri, 0) AS tri,
+      |       CASE WHEN d.deg >= 2
+      |            THEN round(CAST(coalesce(pn.tri, 0) AS DOUBLE)
+      |                       / (d.deg * (d.deg - 1) / 2), 6) END AS lcc
+      |FROM deg d LEFT JOIN pn ON pn.node = d.node
+      |ORDER BY tri DESC, part_key ASC LIMIT 25""".stripMargin
+
   private val kcenterOracle: String = {
     val k = 8
     val head =

@@ -1,0 +1,184 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph analytics over entity co-occurrence graphs — the corpus-quality
+  * signals a web-scale training pipeline computes over its link /
+  * co-citation graph (PageRank as a document quality prior, as in
+  * Common-Crawl curation; triangle / clustering-coefficient census as a
+  * community-structure and spam signal).
+  *
+  * The demo graph is the TPC-H co-purchase graph: parts are vertices, an
+  * edge connects two parts that share an order (reference domain has no
+  * link table; co-occurrence-in-a-basket is the standard stand-in and the
+  * pair generation is bounded by basket size, never corpus size).
+  *
+  * Scale contracts (the 100 TB design points):
+  *  - Edge construction self-joins on the basket key, so candidate pairs
+  *    are Σ basket² — bounded by the largest basket (≤ 7 lines in TPC-H),
+  *    the same blocked-quadratic argument as the LSH-bucket joins.
+  *  - PageRank never broadcasts a node-sized frame: ranks and degrees are
+  *    |V|-row frames that JOIN (shuffle on the node key, co-partitioned
+  *    across iterations so the exchange is reused); at demo scale AQE
+  *    converts these to broadcasts on its own, at web scale |V| is
+  *    billions and the shuffle shape is the only one that survives.
+  *  - Triangle counting uses degree orientation (Suri & Vassilvitskii,
+  *    WWW'11): each undirected edge points from its (degree, id)-smaller
+  *    endpoint to the larger, so every wedge is generated exactly once at
+  *    its lowest-degree apex and candidate wedges are Σ out-deg² ≤
+  *    O(m^{3/2}) instead of Σ deg² (which a hub node makes quadratic —
+  *    "the curse of the last reducer").
+  *  - Fixed iteration counts + per-iteration rounding onto a shared
+  *    decimal grid make the whole pipeline a deterministic dataflow, so
+  *    the DuckDB oracle is the same dataflow as an unrolled CTE chain
+  *    (the kcenterOracle / AnnOracles recipe).
+  */
+object GraphOps {
+
+  /** See DedupOps.pinned — multi-consumer operator-internal frames must
+    * be pinned or AQE re-executes their lineage once per consumer.
+    */
+  private def pinned(df: DataFrame): DataFrame =
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+
+  /** Undirected co-purchase edge list from `lineitem`: one (src < dst)
+    * row per part pair sharing an order. `modulus` is the fixture dial:
+    * keep only baskets with l_orderkey % modulus == 0 (1 = full graph) —
+    * a deterministic, SQL-expressible subset so demo fixtures right-size
+    * without changing the operator.
+    *
+    * Pair generation joins the basket with itself on the order key:
+    * shuffle is one exchange on l_orderkey and output is Σ C(basket,2),
+    * bounded by basket size. Multi-edges collapse via distinct (one
+    * exchange on the pair).
+    */
+  def coPurchaseEdges(lineitem: DataFrame, modulus: Int = 1): DataFrame = {
+    val li = lineitem
+      .filter(col("l_orderkey") % modulus === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.as("a").join(li.as("b"), col("a.ok") === col("b.ok") &&
+        col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .distinct()
+  }
+
+  /** PageRank over an undirected edge list (src, dst unique pairs), run
+    * for a FIXED `iters` power iterations at damping `d`, every
+    * iteration's ranks rounded to `scale` decimals in BOTH engines so
+    * aggregation-order ulps never compound across iterations (oracle
+    * determinism; see object scaladoc). Returns (node, pr).
+    *
+    * The symmetrized graph has minimum degree 1, so there is no dangling
+    * mass and the update is exactly
+    *   pr'(v) = (1−d)/n + d · Σ_{u→v} pr(u)/deg(u),
+    * with the teleport term reaching in-degree-0 nodes via the left join
+    * from the degree spine (unreachable here, kept for generality).
+    *
+    * Plan shape per iteration: ranks ⋈ deg on the node key (contribution
+    * m = pr/deg), ⋈ edges on src, aggregate by dst, left-join back onto
+    * the spine — the canonical distributed-PageRank shape where the EDGE
+    * frame is partitioned once and only the |V|-row mass frame moves per
+    * iteration. That "once" must be explicit: the edges are cached
+    * ALREADY HASH-PARTITIONED on src (repartition before persist), so
+    * the per-iteration join's required distribution is satisfied from
+    * cache and the only exchange is the tiny mass side. Without it, AQE
+    * materializes both join stages concurrently and the |E|-row shuffle
+    * is re-paid every iteration — measured 3 × ~20 s task time at sf0.1
+    * before the pre-partition, zero after. The mass side carries a
+    * shuffle-hash hint: an SMJ would re-SORT the cached edges per
+    * iteration, and a per-partition hash map over the small side is the
+    * shape that survives when |V| rows per partition stay bounded.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
+               scale: Int = 9): DataFrame = {
+    // symmetrize in ONE pass (explode, not union: a union would splice
+    // the caller's whole edge-construction lineage into BOTH branches —
+    // measured as a second full self-join+distinct execution at sf0.1)
+    val sym = pinned(
+      edges.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .repartition(col("src")))
+    val deg = pinned(sym.groupBy("src").agg(count(lit(1)).as("deg")))
+    val n = deg.count().toDouble // one driver scalar; materializes both pins
+    val spine = deg.select(col("src").as("node"), col("deg"))
+    var ranks = spine.select(col("node"),
+      round(lit(1.0) / lit(n), scale).as("pr"))
+    for (_ <- 1 to iters) {
+      val mass = ranks.join(spine, "node")
+        .select(col("node").as("src"), (col("pr") / col("deg")).as("m"))
+      val inSum = sym.join(mass.hint("shuffle_hash"), "src")
+        .groupBy(col("dst").as("node")).agg(sum("m").as("s"))
+      ranks = spine.join(inSum, Seq("node"), "left")
+        .select(col("node"),
+          round(lit(1.0 - damping) / lit(n) +
+            lit(damping) * coalesce(col("s"), lit(0.0)), scale).as("pr"))
+    }
+    ranks
+  }
+
+  /** Per-node triangle and clustering-coefficient census over an
+    * undirected (src < dst unique) edge list. Returns
+    * (node, deg, tri, lcc) where lcc = tri / C(deg, 2) rounded to 6
+    * (null when deg < 2 — no wedge to close).
+    *
+    * Degree orientation (object scaladoc): every edge is directed from
+    * its (deg, id)-smaller endpoint; wedges are pairs of out-neighbors
+    * (b, c) of a common apex a with (deg_b, b) < (deg_c, c), so the
+    * closing edge — if it exists — is oriented exactly b→c and one
+    * semi-ish join on (b, c) confirms each triangle exactly once. Each
+    * triangle (a,b,c) then credits all three vertices via a 3-way union.
+    *
+    * deg is a |V|-row frame joined (not broadcast) per the no-node-sized-
+    * broadcast contract; AQE broadcasts it at demo scale on its own.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = pinned(edges.select(col("src"), col("dst")))
+    val deg = pinned(
+      e.select(explode(array(col("src"), col("dst"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg")))
+    // orient: (a, b, degb) with (deg, id)(a) < (deg, id)(b)
+    val withDeg = e
+      .join(deg.select(col("node").as("src"), col("deg").as("ds")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("dd")), "dst")
+    // cached pre-partitioned on the wedge apex: the o1 ⋈ o2 self-join's
+    // required distribution is then satisfied from cache on BOTH sides
+    // (projections preserve partitioning) — zero exchanges for the
+    // wedge-generation join (the pageRank edge-pre-partition argument)
+    val oriented = pinned(withDeg.select(
+      when(col("ds") < col("dd") ||
+           (col("ds") === col("dd") && col("src") < col("dst")),
+        struct(col("src").as("a"), col("dst").as("b"), col("dd").as("db")))
+        .otherwise(
+          struct(col("dst").as("a"), col("src").as("b"), col("ds").as("db")))
+        .as("o"))
+      .select(col("o.a").as("a"), col("o.b").as("b"), col("o.db").as("db"))
+      .repartition(col("a")))
+    val o1 = oriented.select(col("a"), col("b"), col("db"))
+    val o2 = oriented.select(col("a"), col("b").as("c"), col("db").as("dc"))
+    val wedges = o1.join(o2, Seq("a"))
+      .filter(col("db") < col("dc") ||
+              (col("db") === col("dc") && col("b") < col("c")))
+      .select(col("a"), col("b"), col("c"))
+    val closing = oriented.select(col("a").as("b"), col("b").as("c"))
+    // the |wedges|-row frame shuffles on (b, c) — irreducible; the
+    // |E|-row closing side rides a shuffle-hash build, never a sort
+    val tris = pinned(wedges.join(closing.hint("shuffle_hash"),
+      Seq("b", "c")))
+    val perNode = tris.select(col("a").as("node"))
+      .union(tris.select(col("b").as("node")))
+      .union(tris.select(col("c").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        when(col("deg") >= 2,
+          round(coalesce(col("tri"), lit(0L)).cast("double") /
+            (col("deg") * (col("deg") - 1) / 2).cast("double"), 6))
+          .as("lcc"))
+  }
+}

@@ -113,4 +113,36 @@ object StreamingOps {
               (unix_millis(col("ts_b")) - unix_millis(col("ts_a")))
                 .as("gap_ms"))
   }
+
+  /** Gap sessionization via Spark's NATIVE `session_window` aggregate —
+    * the engine-managed twin of `Sessionize` (which implements the same
+    * semantics by hand, as lag/cumsum windows in batch and
+    * flatMapGroupsWithState on streams). One definition serves both
+    * modes: on a stream the watermark bounds the session state and
+    * windows emit on close; on a batch frame it is a plain two-phase
+    * aggregate (partial session-merge map-side, final merge after one
+    * shuffle on the user key — no per-user sort, which is what the
+    * lag/cumsum form costs).
+    *
+    * SEMANTICS (pinned by SessionWindowSpec): merge while diff ≤ gap —
+    * Spark folds a window whose start touches the previous window's end
+    * (closed-interval merge), so an event at EXACTLY gap still extends
+    * the session, agreeing with Sessionize.batch's diff > gap split.
+    * The one divergence: `session_end_ms` is last-event + gap (the
+    * window's close), not the last event time.
+    */
+  def sessionWindowRollup(events: DataFrame, gapMinutes: Int = 30,
+                          lateness: String = "1 minute"): DataFrame = {
+    val trunc = events.select(col("user_id"),
+      date_trunc("millisecond", col("ts")).as("tsm"))
+    val wm = if (events.isStreaming) trunc.withWatermark("tsm", lateness)
+             else trunc
+    wm.groupBy(col("user_id"),
+        session_window(col("tsm"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("w.start")).as("session_start_ms"),
+        unix_millis(col("w.end")).as("session_end_ms"),
+        col("n_events"))
+  }
 }
