@@ -1247,7 +1247,7 @@ object SparkEntry {
     // curation, demoed on the co-purchase graph. ———
 
     // PageRank as a document-quality prior: 3 fixed power iterations
-    // (d = 0.85) over the third-basket co-purchase subgraph (modulus 3 —
+    // (d = 0.85) over the sixth-basket co-purchase subgraph (modulus 6 —
     // the fixture dial; the full sf0.1 graph is 1.2M edges × avg degree
     // 120, a dense demo that priced at ~5.4 s warm), each iteration's
     // ranks rounded onto a shared 1e-9 grid in BOTH engines so
@@ -1256,20 +1256,36 @@ object SparkEntry {
     // dataflow as an unrolled 3-step CTE chain. Top 25 parts.
     "q_pagerank" -> ((s, dir) =>
       GraphOps.pageRank(
-          GraphOps.coPurchaseEdges(t(s, dir, "lineitem"), modulus = 3),
+          GraphOps.coPurchaseEdges(t(s, dir, "lineitem"), modulus = 6),
           iters = 3)
         .orderBy(col("pr").desc, col("node").asc).limit(25)
         .select(col("node").as("part_key"), col("pr"))),
 
+    // Personalized PageRank (Haveliwala WWW'02): teleport over a seed
+    // set — "more parts like these" relevance through co-purchase
+    // structure, the graph-walk counterpart of the ANN/kNN expansion
+    // queries. Seeds = part keys ≡ 0 (mod 100) (deterministic,
+    // SQL-expressible); fifth-basket subgraph; zero-mass rows dropped
+    // before each in-neighbor sum in BOTH engines, so early iterations
+    // cost |frontier|, not |V|. Oracle: the seeded unrolled CTE chain.
+    "q_ppr" -> ((s, dir) =>
+      GraphOps.personalizedPageRank(
+          GraphOps.coPurchaseEdges(t(s, dir, "lineitem"), modulus = 5),
+          t(s, dir, "part").select(col("p_partkey").as("node"))
+            .filter(col("node") % 100 === 0),
+          iters = 3)
+        .orderBy(col("ppr").desc, col("node").asc).limit(25)
+        .select(col("node").as("part_key"), col("ppr"))),
+
     // Triangle + local-clustering-coefficient census (community /
-    // spam-structure signal) on the eighth-basket subgraph (orderkey %
-    // 8 — wedge volume is Σ out-deg², quadratic in density, so the
+    // spam-structure signal) on the twentieth-basket subgraph (orderkey %
+    // 20 — wedge volume is Σ out-deg², quadratic in density, so the
     // census fixture right-sizes harder than PageRank's; the operator
     // is unchanged at any modulus). Counts are exact integers; lcc is
     // one rounded exact division — hash-exact arithmetic throughout.
     "q_triangles" -> ((s, dir) =>
       GraphOps.triangleStats(
-          GraphOps.coPurchaseEdges(t(s, dir, "lineitem"), modulus = 8))
+          GraphOps.coPurchaseEdges(t(s, dir, "lineitem"), modulus = 20))
         .orderBy(col("tri").desc, col("node").asc).limit(25)
         .select(col("node").as("part_key"), col("deg"), col("tri"),
                 col("lcc"))),
@@ -3145,6 +3161,7 @@ object SparkEntry {
     "q_minhash_lsh" -> jaccardOracle,
     "q_dup_clusters" -> dupClustersOracle,
     "q_pagerank" -> pagerankOracle,
+    "q_ppr" -> pprOracle,
     "q_triangles" -> trianglesOracle,
 
     "q_incremental_dedup" ->
@@ -5438,7 +5455,7 @@ object SparkEntry {
          |  FROM deg d CROSS JOIN nn LEFT JOIN s$i s ON s.node = d.src)""".stripMargin
     val head =
       """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
-        |            FROM lineitem WHERE l_orderkey % 3 = 0),
+        |            FROM lineitem WHERE l_orderkey % 6 = 0),
         |e0 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
         |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
         |e AS (SELECT src, dst FROM e0
@@ -5452,13 +5469,57 @@ object SparkEntry {
       " ORDER BY pr DESC, node ASC LIMIT 25"
   }
 
+  /** q_ppr twin: the seeded power iteration unrolled (pagerankOracle
+    * scaffold + seed spine). The zero-mass WHERE matches the engine's
+    * frontier filter — same contributing term set, order ulps absorbed
+    * by the shared grid; teleport arithmetic emitted as the engine's
+    * double expression tree.
+    */
+  private val pprOracle: String = {
+    val iters = 3
+    def step(i: Int): String =
+      s"""s$i AS (SELECT e.dst AS node, sum(r.pr / d.deg) AS s
+         |  FROM e JOIN r${i - 1} r ON r.node = e.src
+         |         JOIN deg d ON d.src = e.src
+         |  WHERE r.pr <> 0
+         |  GROUP BY 1),
+         |r$i AS (SELECT sp.node,
+         |    round(CASE WHEN sp.is_seed = 1
+         |            THEN (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / cnt.c
+         |            ELSE CAST(0.0 AS DOUBLE) END
+         |          + CAST(0.85 AS DOUBLE) * coalesce(s.s, CAST(0.0 AS DOUBLE)),
+         |          9) AS pr
+         |  FROM sp CROSS JOIN cnt LEFT JOIN s$i s ON s.node = sp.node)""".stripMargin
+    val head =
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem WHERE l_orderkey % 5 = 0),
+        |e0 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |e AS (SELECT src, dst FROM e0
+        |      UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |sd AS (SELECT src AS node FROM deg WHERE src % 100 = 0),
+        |cnt AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM sd),
+        |sp AS (SELECT d.src AS node, d.deg,
+        |         CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+        |       FROM deg d LEFT JOIN sd s ON s.node = d.src),
+        |r0 AS (SELECT sp.node,
+        |         CASE WHEN sp.is_seed = 1
+        |           THEN round(CAST(1.0 AS DOUBLE) / cnt.c, 9)
+        |           ELSE CAST(0.0 AS DOUBLE) END AS pr
+        |       FROM sp CROSS JOIN cnt)""".stripMargin
+    (Seq(head) ++ (1 to iters).map(step)).mkString(",\n") + "\n" +
+      s"SELECT node AS part_key, pr AS ppr FROM r$iters" +
+      " ORDER BY ppr DESC, node ASC LIMIT 25"
+  }
+
   /** q_triangles twin: the same degree-oriented wedge-close dataflow in
     * SQL — exact integers throughout, one rounded exact division (lcc),
     * so the compare is arithmetic-exact with no grid subtleties.
     */
   private val trianglesOracle: String =
     """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
-      |            FROM lineitem WHERE l_orderkey % 8 = 0),
+      |            FROM lineitem WHERE l_orderkey % 20 = 0),
       |e0 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
       |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
       |deg AS (SELECT node, count(*) AS deg FROM

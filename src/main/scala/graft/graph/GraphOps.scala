@@ -87,38 +87,115 @@ object GraphOps {
     * cache and the only exchange is the tiny mass side. Without it, AQE
     * materializes both join stages concurrently and the |E|-row shuffle
     * is re-paid every iteration — measured 3 × ~20 s task time at sf0.1
-    * before the pre-partition, zero after. The mass side carries a
+    * before the pre-partition, zero after. The mass side then carries a
     * shuffle-hash hint: an SMJ would re-SORT the cached edges per
     * iteration, and a per-partition hash map over the small side is the
     * shape that survives when |V| rows per partition stay bounded.
+    *
+    * `edgeParts` is that scale dial: at web scale pass the cluster's
+    * edge-partition width to pin the canonical shape above. The default
+    * 0 leaves the plan fully adaptive — AQE coalesces the demo graph's
+    * partitions and broadcasts the mass side, collapsing an iteration to
+    * a cache-local broadcast join (pinning 32-partition shuffles onto a
+    * KB-per-partition graph is pure per-task overhead — measured as MOST
+    * of the query's wall at sf0.01). GraphPlanSpec pins both regimes.
     */
   def pageRank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
-               scale: Int = 9): DataFrame = {
+               scale: Int = 9, edgeParts: Int = 0): DataFrame = {
     // symmetrize in ONE pass (explode, not union: a union would splice
     // the caller's whole edge-construction lineage into BOTH branches —
     // measured as a second full self-join+distinct execution at sf0.1)
+    val sym0 = edges.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     val sym = pinned(
-      edges.select(explode(array(
-          struct(col("src"), col("dst")),
-          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        .repartition(col("src")))
-    val deg = pinned(sym.groupBy("src").agg(count(lit(1)).as("deg")))
-    val n = deg.count().toDouble // one driver scalar; materializes both pins
-    val spine = deg.select(col("src").as("node"), col("deg"))
-    var ranks = spine.select(col("node"),
-      round(lit(1.0) / lit(n), scale).as("pr"))
+      if (edgeParts > 0) sym0.repartition(edgeParts, col("src")) else sym0)
+    def joinMass(mass: DataFrame): DataFrame =
+      if (edgeParts > 0) sym.join(mass.hint("shuffle_hash"), "src")
+      else sym.join(mass, "src")
+    val spine = pinned(sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg")))
+    // |V| as an in-plan 1-row broadcast (no driver action: a count()
+    // here costs a full extra AQE materialization barrier — measured as
+    // a fixed ~1 s on an otherwise sub-second DAG)
+    val nn = broadcast(spine.agg(count(lit(1)).cast("double").as("n")))
+    // the rank frame CARRIES deg, so the per-iteration contribution is a
+    // projection, not a join — one exchange-barrier fewer per iteration
+    var ranks = spine.crossJoin(nn).select(col("node"), col("deg"),
+      round(lit(1.0) / col("n"), scale).as("pr"))
     for (_ <- 1 to iters) {
-      val mass = ranks.join(spine, "node")
-        .select(col("node").as("src"), (col("pr") / col("deg")).as("m"))
-      val inSum = sym.join(mass.hint("shuffle_hash"), "src")
+      val mass = ranks.select(col("node").as("src"),
+        (col("pr") / col("deg")).as("m"))
+      val inSum = joinMass(mass)
         .groupBy(col("dst").as("node")).agg(sum("m").as("s"))
-      ranks = spine.join(inSum, Seq("node"), "left")
-        .select(col("node"),
-          round(lit(1.0 - damping) / lit(n) +
+      ranks = spine.join(inSum, Seq("node"), "left").crossJoin(nn)
+        .select(col("node"), col("deg"),
+          round(lit(1.0 - damping) / col("n") +
             lit(damping) * coalesce(col("s"), lit(0.0)), scale).as("pr"))
     }
-    ranks
+    ranks.select(col("node"), col("pr"))
+  }
+
+  /** Personalized (topic-sensitive) PageRank — Haveliwala, WWW'02: the
+    * teleport mass distributes over a SEED set instead of uniformly, so
+    * ranks measure relevance TO THE SEEDS through link structure (the
+    * "more documents like these" signal over a link/co-citation graph:
+    * seed a few curated domains, harvest the neighborhood). `seeds` is a
+    * one-column (node) frame; the teleport weight (1−d)/|S| is computed
+    * IN-PLAN (1-row count aggregate, broadcast cross join — the 1-row
+    * broadcast-totals pattern) so the operator stays a pure
+    * DataFrame => DataFrame with no driver scalars.
+    *
+    * Same iteration scaffold and determinism contract as [[pageRank]]
+    * (edges cached pre-partitioned on src, only node-sized frames move,
+    * per-iteration rounding onto the shared grid). Non-seed nodes start
+    * at 0 and BOTH engines drop zero-mass rows before the in-neighbor
+    * sum (identical WHERE) — the early iterations then cost |frontier|,
+    * not |V|, the locality that makes PPR the cheap variant at scale.
+    * Returns (node, ppr); unreachable-from-seeds nodes rank 0.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iters: Int = 3, damping: Double = 0.85,
+                           scale: Int = 9, edgeParts: Int = 0): DataFrame = {
+    val sym0 = edges.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val sym = pinned(
+      if (edgeParts > 0) sym0.repartition(edgeParts, col("src")) else sym0)
+    def joinMass(mass: DataFrame): DataFrame =
+      if (edgeParts > 0) sym.join(mass.hint("shuffle_hash"), "src")
+      else sym.join(mass, "src")
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val spine = pinned(deg
+      .join(seeds.select(col("node")).distinct()
+              .withColumn("is_seed", lit(1)),
+            deg("src") === col("node"), "left")
+      .select(col("src").as("node"), col("deg"),
+              coalesce(col("is_seed"), lit(0)).as("is_seed")))
+    val cnt = broadcast(
+      spine.filter(col("is_seed") === 1)
+        .agg(count(lit(1)).cast("double").as("c")))
+    val tele = when(col("is_seed") === 1,
+      lit(1.0 - damping) / col("c")).otherwise(lit(0.0))
+    // rank frame carries deg + is_seed: per-iteration contribution is a
+    // filter+projection, never a join (the pageRank barrier argument)
+    var ranks = spine.crossJoin(cnt).select(col("node"), col("deg"),
+      col("is_seed"),
+      when(col("is_seed") === 1, round(lit(1.0) / col("c"), scale))
+        .otherwise(lit(0.0)).as("ppr"))
+    for (_ <- 1 to iters) {
+      val mass = ranks.filter(col("ppr") =!= 0.0)
+        .select(col("node").as("src"), (col("ppr") / col("deg")).as("m"))
+      val inSum = joinMass(mass)
+        .groupBy(col("dst").as("node")).agg(sum("m").as("s"))
+      ranks = spine.join(inSum, Seq("node"), "left").crossJoin(cnt)
+        .select(col("node"), col("deg"), col("is_seed"),
+          round(tele + lit(damping) * coalesce(col("s"), lit(0.0)),
+                scale).as("ppr"))
+    }
+    ranks.select(col("node"), col("ppr"))
   }
 
   /** Per-node triangle and clustering-coefficient census over an
@@ -136,7 +213,7 @@ object GraphOps {
     * deg is a |V|-row frame joined (not broadcast) per the no-node-sized-
     * broadcast contract; AQE broadcasts it at demo scale on its own.
     */
-  def triangleStats(edges: DataFrame): DataFrame = {
+  def triangleStats(edges: DataFrame, edgeParts: Int = 0): DataFrame = {
     val e = pinned(edges.select(col("src"), col("dst")))
     val deg = pinned(
       e.select(explode(array(col("src"), col("dst"))).as("node"))
@@ -145,11 +222,12 @@ object GraphOps {
     val withDeg = e
       .join(deg.select(col("node").as("src"), col("deg").as("ds")), "src")
       .join(deg.select(col("node").as("dst"), col("deg").as("dd")), "dst")
-    // cached pre-partitioned on the wedge apex: the o1 ⋈ o2 self-join's
-    // required distribution is then satisfied from cache on BOTH sides
-    // (projections preserve partitioning) — zero exchanges for the
-    // wedge-generation join (the pageRank edge-pre-partition argument)
-    val oriented = pinned(withDeg.select(
+    // with edgeParts > 0: cached pre-partitioned on the wedge apex, so
+    // the o1 ⋈ o2 self-join's required distribution is satisfied from
+    // cache on BOTH sides (projections preserve partitioning) — zero
+    // exchanges for the wedge-generation join (the pageRank edgeParts
+    // dial; default 0 stays adaptive for right-sized demo graphs)
+    val oriented0 = withDeg.select(
       when(col("ds") < col("dd") ||
            (col("ds") === col("dd") && col("src") < col("dst")),
         struct(col("src").as("a"), col("dst").as("b"), col("dd").as("db")))
@@ -157,7 +235,9 @@ object GraphOps {
           struct(col("dst").as("a"), col("src").as("b"), col("ds").as("db")))
         .as("o"))
       .select(col("o.a").as("a"), col("o.b").as("b"), col("o.db").as("db"))
-      .repartition(col("a")))
+    val oriented = pinned(
+      if (edgeParts > 0) oriented0.repartition(edgeParts, col("a"))
+      else oriented0)
     val o1 = oriented.select(col("a"), col("b"), col("db"))
     val o2 = oriented.select(col("a"), col("b").as("c"), col("db").as("dc"))
     val wedges = o1.join(o2, Seq("a"))
@@ -165,13 +245,14 @@ object GraphOps {
               (col("db") === col("dc") && col("b") < col("c")))
       .select(col("a"), col("b"), col("c"))
     val closing = oriented.select(col("a").as("b"), col("b").as("c"))
-    // the |wedges|-row frame shuffles on (b, c) — irreducible; the
-    // |E|-row closing side rides a shuffle-hash build, never a sort
-    val tris = pinned(wedges.join(closing.hint("shuffle_hash"),
+    // the |wedges|-row frame shuffles on (b, c) — irreducible; in the
+    // pinned regime the |E|-row closing side rides a shuffle-hash
+    // build (never a sort); adaptively AQE picks broadcast when small
+    val tris = pinned(wedges.join(
+      if (edgeParts > 0) closing.hint("shuffle_hash") else closing,
       Seq("b", "c")))
-    val perNode = tris.select(col("a").as("node"))
-      .union(tris.select(col("b").as("node")))
-      .union(tris.select(col("c").as("node")))
+    val perNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("tri"))
     deg.join(perNode, Seq("node"), "left")
       .select(col("node"), col("deg"),

@@ -113,6 +113,54 @@ class GraphOpsSpec extends SparkSpec {
     assert(pr(2L) === pr(5L))
   }
 
+  // --- personalizedPageRank ---
+
+  test("ppr: mass stays reachable-from-seeds; other component ranks 0") {
+    val g = edges((1L, 2L), (2L, 3L), (10L, 11L))
+    val seeds = Seq(1L).toDF("node")
+    val pr = GraphOps.personalizedPageRank(g, seeds, iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(pr(10L) === 0.0 && pr(11L) === 0.0)
+    assert(pr(1L) > 0 && pr(2L) > 0 && pr(3L) > 0)
+  }
+
+  test("ppr: out-of-graph seeds are ignored (teleport over the " +
+       "intersection, the oracle's seed-spine semantics)") {
+    val g = edges((1L, 2L), (2L, 3L))
+    val withGhost = GraphOps.personalizedPageRank(g,
+      Seq(1L, 99L).toDF("node"), iters = 3)
+      .as[(Long, Double)].collect().toMap
+    val plain = GraphOps.personalizedPageRank(g,
+      Seq(1L).toDF("node"), iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(withGhost === plain)
+  }
+
+  test("ppr: matches an independent scalar replica on the same grid") {
+    val g = edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val seedSet = Set(1L, 4L)
+    val adj = Map(1L -> Seq(2L, 3L), 2L -> Seq(1L, 3L),
+                  3L -> Seq(1L, 2L, 4L), 4L -> Seq(3L))
+    def rnd(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    val c = seedSet.size.toDouble
+    def tele(v: Long) = if (seedSet(v)) (1.0 - 0.85) / c else 0.0
+    var r = adj.keys.map(v =>
+      v -> (if (seedSet(v)) rnd(1.0 / c) else 0.0)).toMap
+    for (_ <- 1 to 3) {
+      r = adj.keys.map { v =>
+        val s = adj.filter(_._2.contains(v))
+          .map { case (u, nb) => r(u) / nb.size }.sum
+        v -> rnd(tele(v) + 0.85 * s)
+      }.toMap
+    }
+    val got = GraphOps.personalizedPageRank(g, seedSet.toSeq.toDF("node"),
+        iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(got === r)
+  }
+
   test("pageRank: matches an independent scalar replica on the same grid") {
     val g = edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
     val iters = 3
