@@ -1719,6 +1719,18 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       graft.streaming.Sessionize.batch(t(s, dir, "events"), 30)),
 
+    // Batch face of the stream-stream interval join (StreamingOps
+    // .intervalJoin): all event pairs within 2 s — the burst/correlation
+    // primitive. The binned self-join is linear in n·density (each pair
+    // meets in exactly one of two bin keys, never a time-cross product);
+    // the SAME definition runs watermarked stream-stream with bounded
+    // state (IntervalJoinStreamSpec certifies the streaming twin and the
+    // conjunct-level bounds state eviction needs). Oracle: the raw
+    // bounded self-join — proving the binning lossless and exactly-once.
+    "q_interval_join" -> ((s, dir) =>
+      StreamingOps.intervalJoin(t(s, dir, "events"), "event_id", "ts",
+                                2000L)),
+
     // Spark's NATIVE session_window aggregate (engine-managed gap
     // sessions; one definition serves batch and readStream — the
     // watermark bounds stream state). Batch plan: two-phase session
@@ -5107,6 +5119,19 @@ object SparkEntry {
         |       epoch_ms(max(tsm)) AS session_end_ms,
         |       count(*) AS n_events
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // the raw bounded self-join: same bound conjuncts as the engine's
+    // binned form (ties broken by id so each unordered pair emits once)
+    "q_interval_join" ->
+      """WITH e AS (SELECT event_id,
+        |                  date_trunc('milliseconds', ts) AS ets
+        |           FROM events)
+        |SELECT a.event_id AS id_a, b.event_id AS id_b,
+        |       epoch_ms(b.ets) - epoch_ms(a.ets) AS gap_ms
+        |FROM e a JOIN e b
+        |  ON b.ets >= a.ets
+        | AND (a.ets < b.ets OR (a.ets = b.ets AND a.event_id < b.event_id))
+        | AND b.ets <= a.ets + INTERVAL 2000 MILLISECOND""".stripMargin,
 
     // session_window semantics: closed-interval merge (split strictly
     // after the gap, same boundary as q_sessionize), end = last + gap
