@@ -1267,13 +1267,16 @@ object SparkEntry {
     // queries. Seeds = part keys ≡ 0 (mod 100) (deterministic,
     // SQL-expressible); fifth-basket subgraph; zero-mass rows dropped
     // before each in-neighbor sum in BOTH engines, so early iterations
-    // cost |frontier|, not |V|. Oracle: the seeded unrolled CTE chain.
+    // cost |frontier|, not |V|. TWO iterations — seeds + the 2-hop
+    // frontier, the short-walk regime PPR is used in (and the iterative
+    // DAG's fixed AQE cost is the whole price at demo scale; q_pagerank
+    // keeps the canonical 3). Oracle: the seeded unrolled CTE chain.
     "q_ppr" -> ((s, dir) =>
       GraphOps.personalizedPageRank(
           GraphOps.coPurchaseEdges(t(s, dir, "lineitem"), modulus = 5),
           t(s, dir, "part").select(col("p_partkey").as("node"))
             .filter(col("node") % 100 === 0),
-          iters = 3)
+          iters = 2)
         .orderBy(col("ppr").desc, col("node").asc).limit(25)
         .select(col("node").as("part_key"), col("ppr"))),
 
@@ -5501,7 +5504,7 @@ object SparkEntry {
     * double expression tree.
     */
   private val pprOracle: String = {
-    val iters = 3
+    val iters = 2
     def step(i: Int): String =
       s"""s$i AS (SELECT e.dst AS node, sum(r.pr / d.deg) AS s
          |  FROM e JOIN r${i - 1} r ON r.node = e.src
