@@ -113,7 +113,37 @@ class GraphOpsSpec extends SparkSpec {
     assert(pr(2L) === pr(5L))
   }
 
+  test("pageRank is structural: node relabeling permutes ranks exactly") {
+    val g = edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val shifted = edges((1001L, 1002L), (1001L, 1003L), (1002L, 1003L),
+                        (1003L, 1004L), (1004L, 1005L))
+    val a = GraphOps.pageRank(g, iters = 3)
+      .as[(Long, Double)].collect().toMap
+    val b = GraphOps.pageRank(shifted, iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(a.map { case (n, v) => (n + 1000L, v) } === b)
+  }
+
+  test("triangles: hub stress — star center collects exactly the " +
+       "planted triangles, leaves at most one") {
+    // star 1-(2..40) + a triangle-closing ring edge between leaves 2-3
+    // and 4-5: center sits on exactly 2 triangles
+    val star = (2L to 40L).map(l => (1L, l))
+    val m = triMap(edges(star ++ Seq((2L, 3L), (4L, 5L)): _*))
+    assert(m(1L)._2 === 2L)
+    assert(m(2L) === ((2L, 1L, Some(1.0))))
+    assert(m(6L)._2 === 0L)
+  }
+
   // --- personalizedPageRank ---
+
+  test("ppr: total mass stays ~1 (no dangling nodes, teleport to seeds)") {
+    val g = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val pr = GraphOps.personalizedPageRank(g, Seq(1L, 3L).toDF("node"),
+        iters = 3)
+      .as[(Long, Double)].collect()
+    assert(math.abs(pr.map(_._2).sum - 1.0) < 1e-6)
+  }
 
   test("ppr: mass stays reachable-from-seeds; other component ranks 0") {
     val g = edges((1L, 2L), (2L, 3L), (10L, 11L))

@@ -38,6 +38,16 @@ class GraphPlanSpec extends SparkSpec {
            rows(GraphOps.triangleStats(edges, edgeParts = 4)))
   }
 
+  test("edge construction prunes the lineitem scan to the two keys") {
+    val df = GraphOps.coPurchaseEdges(
+      Tables.load(spark, sfDir, "lineitem"), modulus = 6)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("l_orderkey") && plan.contains("l_partkey"),
+      s"basket/key columns must reach the scan:\n$plan")
+    assert(!plan.contains("l_extendedprice") && !plan.contains("l_comment"),
+      s"non-key lineitem columns must be pruned from the scan:\n$plan")
+  }
+
   test("pinned pageRank plans shuffle-hash mass joins over the cache") {
     val df = GraphOps.pageRank(edges, edgeParts = 4)
     df.collect()
