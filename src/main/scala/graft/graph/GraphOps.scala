@@ -208,7 +208,8 @@ object GraphOps {
     * (b, c) of a common apex a with (deg_b, b) < (deg_c, c), so the
     * closing edge — if it exists — is oriented exactly b→c and one
     * semi-ish join on (b, c) confirms each triangle exactly once. Each
-    * triangle (a,b,c) then credits all three vertices via a 3-way union.
+    * triangle (a,b,c) then credits all three vertices (one explode pass
+    * over the cached triangle frame).
     *
     * deg is a |V|-row frame joined (not broadcast) per the no-node-sized-
     * broadcast contract; AQE broadcasts it at demo scale on its own.
