@@ -842,6 +842,48 @@ object SparkEntry {
         .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     }),
 
+    // The day-2 flagship AT INGEST TIME: the same composed refresh
+    // driven through Structured Streaming (CorpusRefresh.refreshStream)
+    // — a file source delivers the batch as 3 ascending-id micro-batch
+    // files (maxFilesPerTrigger=1), each foreachBatch runs the
+    // persisted-state refresh, and the FINAL census must hash-match
+    // the one-shot batch refresh's oracle on this half: the
+    // exactly-once-under-replay claim under the driver's eye, not just
+    // CorpusRefreshSpec's. Ascending id order keeps each near-dup
+    // cluster's canonical-min insertion ahead of its members'
+    // screening, so streamed == one-shot (the shared twin verifies it).
+    // ODD half + own scratch root: zero state or run-order coupling
+    // with q_incremental_refresh.
+    "q_refresh_stream" -> ((s, dir) => {
+      val path = scratch(dir, "refresh_stream")
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 2 === 1)
+      if (!CorpusRefresh.established(s, s"$path/mh"))
+        CorpusRefresh.establish(
+          docs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+          "doc_id", "text", s"$path/table", s"$path/mh")
+      val inDir = s"$path/in"
+      val inPath = new org.apache.hadoop.fs.Path(inDir)
+      val fs = inPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(inPath)) {
+        // 3 single-file micro-batches, ascending id tertiles, written
+        // oldest-first (the file source's processing order)
+        val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .withColumn("__t", ntile(3).over(Window.orderBy(col("doc_id"))))
+        (1 to 3).foreach { i =>
+          batch.filter(col("__t") === i).drop("__t")
+            .coalesce(1).write.mode("append").parquet(inDir)
+        }
+      }
+      val q = CorpusRefresh.refreshStream(
+        s.readStream.schema(t(s, dir, "documents").schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir),
+        "doc_id", "text", s"$path/table", s"$path/mh",
+        tau = 0.7, minTokens = 20, checkpoint = s"$path/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$path/table")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    }),
+
     // Semantic-ONLY near-dups: embedding-cosine pairs the lexical
     // (n-gram Jaccard) join cannot see — the paraphrase/translation gap
     // lexical dedup leaves open. Composes two oracle-verified pair sets
@@ -970,13 +1012,18 @@ object SparkEntry {
     // and QualityClassifierSpec pins this exact query path's checksum
     // against an independent scalar reimplementation of the loop — the
     // board row is verified, not just counted.
+    // Distilled quality classifier: heuristic labels → 8 rounds of
+    // full-batch GD (portable md5-bucket features, per-iteration
+    // 1e-9-grid weights) → corpus scores. HASH-EXACT against an
+    // unrolled-CTE oracle that re-trains the model in DuckDB — every
+    // coefficient is verified end-to-end through the served scores
+    // (strictly stronger than r7's driver-side model fingerprint).
     "q_quality_classifier" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val labels = docs.select(col("doc_id"),
         (TextOps.qualityScore(col("text")) >= 0.5).cast("double").as("y"))
       val w = QualityClassifier.train(docs, labels, dim = 64, iters = 8)
       QualityClassifier.score(docs, w)
-        .withColumn("model_checksum", lit(QualityClassifier.checksum(w)))
     }),
 
     // DSIR data selection (Xie et al. NeurIPS'23): src0 is the trusted
@@ -3175,6 +3222,8 @@ object SparkEntry {
     "q_leakage_audit" -> leakageAuditOracle,
     "q_minhash_lsh" -> jaccardOracle,
     "q_dup_clusters" -> dupClustersOracle,
+    "q_quality_classifier" -> qualityClassifierOracle,
+
     "q_pagerank" -> pagerankOracle,
     "q_ppr" -> pprOracle,
     "q_triangles" -> trianglesOracle,
@@ -3234,55 +3283,11 @@ object SparkEntry {
         |        FROM documents
         |        WHERE doc_id % 97 <> 0 AND doc_id % 4 = 0))""".stripMargin,
 
-    "q_incremental_refresh" ->
-      ("""WITH RECURSIVE wh AS (SELECT * FROM documents
-        |      WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0),
-        |nb AS (SELECT * FROM documents
-        |      WHERE doc_id % 2 = 0 AND doc_id % 3 = 0),
-        |g1 AS (SELECT * FROM nb
-        |       WHERE len(list_filter(string_split_regex(trim(text), '\s+'),
-        |                             x -> x <> '')) >= 20
-        |         AND md5(text) NOT IN (SELECT md5(text) FROM wh
-        |                               WHERE text IS NOT NULL)),
-        |idx AS (SELECT unnest(range(1,
-        |    (SELECT CAST(max(len(text)) AS BIGINT) FROM documents))) AS i),
-        |shn AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 12)
-        |          AS s
-        |        FROM g1 JOIN idx ON i <= len(text)-11),
-        |szn AS (SELECT doc_id, count(*) AS n FROM shn GROUP BY 1),
-        |commonb AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |                   count(*) AS c
-        |            FROM shn a JOIN shn b
-        |              ON a.s = b.s AND a.doc_id < b.doc_id
-        |            GROUP BY 1, 2),
-        |bprs AS (SELECT id_a, id_b FROM commonb
-        |         JOIN szn sa ON sa.doc_id = id_a
-        |         JOIN szn sb ON sb.doc_id = id_b
-        |         WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.7),
-        |""".stripMargin +
-        closureCtes("bprs") + """,
-        |drops AS (SELECT id FROM reach
-        |          GROUP BY id HAVING id <> min(lbl)),
-        |canon AS (SELECT * FROM g1
-        |          WHERE doc_id NOT IN (SELECT id FROM drops)),
-        |shw AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 12)
-        |          AS s
-        |        FROM wh JOIN idx ON i <= len(text)-11),
-        |szw AS (SELECT doc_id, count(*) AS n FROM shw GROUP BY 1),
-        |common AS (SELECT w.doc_id AS id_a, b.doc_id AS id_b,
-        |                  count(*) AS c
-        |           FROM shw w JOIN shn b ON w.s = b.s
-        |           WHERE b.doc_id IN (SELECT doc_id FROM canon)
-        |           GROUP BY 1, 2),
-        |flagged AS (SELECT DISTINCT id_b FROM common
-        |            JOIN szw sa ON sa.doc_id = id_a
-        |            JOIN szn sb ON sb.doc_id = id_b
-        |            WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.7),
-        |keep AS (SELECT * FROM canon
-        |         WHERE doc_id NOT IN (SELECT id_b FROM flagged))
-        |SELECT source, count(*) AS n_docs
-        |FROM (SELECT source FROM wh UNION ALL SELECT source FROM keep)
-        |GROUP BY 1""".stripMargin),
+    "q_incremental_refresh" -> refreshOracle(0),
+
+    // the stream query's census must equal the one-shot refresh's on
+    // ITS half — same generated twin, odd parity
+    "q_refresh_stream" -> refreshOracle(1),
 
     "q_semantic_dups" ->
       (jaccardPairsCte + ",\n" +
@@ -5469,6 +5474,146 @@ object SparkEntry {
     * emitted as the SAME double expression tree the engine evaluates
     * ((1.0 − 0.85)/n, 0.85·s, both sides IEEE doubles).
     */
+  /** q_incremental_refresh / q_refresh_stream twin, parameterized by
+    * the doc_id parity that selects the fixture half (0 = the one-shot
+    * batch flagship's even half, 1 = the streaming query's odd half —
+    * disjoint fixtures, so the two board rows share zero scratch
+    * state and no run-order coupling). The streaming form must land
+    * the SAME census as the one-shot refresh of its whole batch: the
+    * micro-batches arrive in ascending id order, so each near-dup
+    * cluster's canonical-min doc is inserted no later than its other
+    * members are screened — the CorpusRefresh replay/idempotence
+    * contract then makes the composition order-insensitive (verified
+    * by this shared twin, not assumed).
+    */
+  private def refreshOracle(parity: Int): String =
+    s"""WITH RECURSIVE wh AS (SELECT * FROM documents
+      |      WHERE doc_id % 2 = $parity AND doc_id % 3 <> 0),
+      |nb AS (SELECT * FROM documents
+      |      WHERE doc_id % 2 = $parity AND doc_id % 3 = 0),
+      |g1 AS (SELECT * FROM nb
+      |       WHERE len(list_filter(string_split_regex(trim(text), '\\s+'),
+      |                             x -> x <> '')) >= 20
+      |         AND md5(text) NOT IN (SELECT md5(text) FROM wh
+      |                               WHERE text IS NOT NULL)),
+      |idx AS (SELECT unnest(range(1,
+      |    (SELECT CAST(max(len(text)) AS BIGINT) FROM documents))) AS i),
+      |shn AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 12)
+      |          AS s
+      |        FROM g1 JOIN idx ON i <= len(text)-11),
+      |szn AS (SELECT doc_id, count(*) AS n FROM shn GROUP BY 1),
+      |commonb AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |                   count(*) AS c
+      |            FROM shn a JOIN shn b
+      |              ON a.s = b.s AND a.doc_id < b.doc_id
+      |            GROUP BY 1, 2),
+      |bprs AS (SELECT id_a, id_b FROM commonb
+      |         JOIN szn sa ON sa.doc_id = id_a
+      |         JOIN szn sb ON sb.doc_id = id_b
+      |         WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.7),
+      |""".stripMargin +
+      closureCtes("bprs") + """,
+      |drops AS (SELECT id FROM reach
+      |          GROUP BY id HAVING id <> min(lbl)),
+      |canon AS (SELECT * FROM g1
+      |          WHERE doc_id NOT IN (SELECT id FROM drops)),
+      |shw AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 12)
+      |          AS s
+      |        FROM wh JOIN idx ON i <= len(text)-11),
+      |szw AS (SELECT doc_id, count(*) AS n FROM shw GROUP BY 1),
+      |common AS (SELECT w.doc_id AS id_a, b.doc_id AS id_b,
+      |                  count(*) AS c
+      |           FROM shw w JOIN shn b ON w.s = b.s
+      |           WHERE b.doc_id IN (SELECT doc_id FROM canon)
+      |           GROUP BY 1, 2),
+      |flagged AS (SELECT DISTINCT id_b FROM common
+      |            JOIN szw sa ON sa.doc_id = id_a
+      |            JOIN szn sb ON sb.doc_id = id_b
+      |            WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.7),
+      |keep AS (SELECT * FROM canon
+      |         WHERE doc_id NOT IN (SELECT id_b FROM flagged))
+      |SELECT source, count(*) AS n_docs
+      |FROM (SELECT source FROM wh UNION ALL SELECT source FROM keep)
+      |GROUP BY 1""".stripMargin
+
+  /** q_quality_classifier twin: the ENTIRE distilled-classifier
+    * pipeline re-trained inside DuckDB — portable md5-prefix feature
+    * buckets (Hashing.bucket's OraclePortable form), heuristic
+    * quality-score labels, 8 unrolled full-batch GD rounds with
+    * per-iteration weights rounded onto the engine's shared 1e-9 grid
+    * (the pagerankOracle recipe: same double expression tree for the
+    * sigmoid/lr arithmetic, grid rounding absorbs exp()/sum-order
+    * ulps), then the scoring pass over every tokenized document.
+    * Every trained coefficient is verified end-to-end through the
+    * served scores. w0 is the empty (all-zero) model, so round 1 falls
+    * out of the same step template (margin 0 → residual 0.5 − y).
+    */
+  private val qualityClassifierOracle: String = {
+    val (dim, iters, lr) = (64, 8, "2.0")
+    def step(i: Int): String =
+      s"""m$i AS MATERIALIZED (SELECT f.doc_id, min(f.y) AS y,
+         |    sum(f.x * coalesce(w.w, CAST(0.0 AS DOUBLE))) AS m
+         |  FROM f LEFT JOIN w${i - 1} w USING (bucket) GROUP BY 1),
+         |g$i AS MATERIALIZED (SELECT f.bucket,
+         |    sum(f.x * (1.0 / (1.0 + exp(-m.m)) - m.y)) AS g
+         |  FROM f JOIN m$i m USING (doc_id) GROUP BY 1),
+         |w$i AS MATERIALIZED (SELECT g.bucket,
+         |    round(coalesce(w.w, CAST(0.0 AS DOUBLE))
+         |          - $lr * g.g / nn.n, 9) AS w
+         |  FROM g$i g LEFT JOIN w${i - 1} w USING (bucket)
+         |  CROSS JOIN nn)""".stripMargin
+    val tokExpr =
+      "list_filter(string_split_regex(trim(text),'\\s+'), x -> x <> '')"
+    val head =
+      s"""WITH tk AS (SELECT doc_id,
+         |    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |                x -> x <> '') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |cnts AS (SELECT doc_id,
+         |    CAST('0x' || substr(md5(term), 1, 4) AS BIGINT) % $dim
+         |      AS bucket,
+         |    CAST(count(*) AS DOUBLE) AS cnt
+         |  FROM (SELECT doc_id, unnest(toks) AS term FROM tk)
+         |  GROUP BY 1, 2),
+         |xs AS MATERIALIZED (SELECT doc_id, bucket,
+         |    cnt / sum(cnt) OVER (PARTITION BY doc_id) AS x FROM cnts),
+         |qs AS (SELECT doc_id, round(
+         |    least(CAST(len($tokExpr) AS DOUBLE) / 100.0, 1.0) * 0.5
+         |    + (CAST(len(list_filter(string_split_regex(trim(text),'\\s+'),
+         |             x -> x IN ('the','a','of','and','to','in','is')))
+         |         AS DOUBLE)
+         |       / CAST(greatest(len($tokExpr), 1) AS DOUBLE)) * 0.3
+         |    + (1.0 - least(CAST(len(regexp_extract_all(text,'[.,!?;:]'))
+         |                        AS DOUBLE)
+         |                   / CAST(greatest(len(text), 1) AS DOUBLE)
+         |                   * 10.0, 1.0)) * 0.2, 6) AS q
+         |  FROM documents),
+         |lab AS (SELECT doc_id,
+         |    CASE WHEN q >= 0.5 THEN CAST(1.0 AS DOUBLE)
+         |         ELSE CAST(0.0 AS DOUBLE) END AS y
+         |  FROM qs WHERE q IS NOT NULL),
+         |f AS MATERIALIZED (SELECT xs.doc_id, xs.bucket, xs.x, lab.y
+         |      FROM xs JOIN lab USING (doc_id)
+         |      UNION ALL
+         |      SELECT d.doc_id, CAST($dim AS BIGINT) AS bucket,
+         |             CAST(1.0 AS DOUBLE) AS x, lab.y
+         |      FROM (SELECT DISTINCT doc_id FROM xs) d
+         |      JOIN lab USING (doc_id)),
+         |nn AS MATERIALIZED (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE)
+         |         AS n
+         |       FROM f),
+         |w0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS bucket,
+         |              CAST(NULL AS DOUBLE) AS w WHERE false)""".stripMargin
+    (Seq(head) ++ (1 to iters).map(step)).mkString(",\n") + "\n" +
+      s"""SELECT xs.doc_id,
+         |       round(1.0 / (1.0 + exp(-(
+         |         sum(xs.x * coalesce(w.w, CAST(0.0 AS DOUBLE)))
+         |         + bias.w))), 6) AS p_good
+         |FROM xs LEFT JOIN w$iters w USING (bucket)
+         |CROSS JOIN (SELECT w FROM w$iters WHERE bucket = $dim) bias
+         |GROUP BY xs.doc_id, bias.w""".stripMargin
+  }
+
   private val pagerankOracle: String = {
     val iters = 3
     def step(i: Int): String =

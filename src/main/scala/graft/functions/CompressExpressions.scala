@@ -29,6 +29,13 @@ object CompressExpressions {
   private val deflaters = new ThreadLocal[Deflater] {
     // raw deflate (nowrap): the 2-byte zlib header/adler trailer are
     // per-stream constants, not signal
+    //
+    // LIFETIME: instances are never end()ed — each executor task
+    // thread retains its ~256 KB of native zlib state for the thread's
+    // lifetime. Spark's task pools are fixed-size and long-lived, so
+    // this is a bounded, amortized cost, not a leak; only a runtime
+    // that churns task threads would accumulate state (register a
+    // thread-exit cleaner there).
     override def initialValue(): Deflater =
       new Deflater(Deflater.DEFAULT_COMPRESSION, true)
   }

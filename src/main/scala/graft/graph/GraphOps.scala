@@ -153,7 +153,10 @@ object GraphOps {
     * at 0 and BOTH engines drop zero-mass rows before the in-neighbor
     * sum (identical WHERE) — the early iterations then cost |frontier|,
     * not |V|, the locality that makes PPR the cheap variant at scale.
-    * Returns (node, ppr); unreachable-from-seeds nodes rank 0.
+    * Returns (node, ppr); unreachable-from-seeds nodes rank 0. At
+    * least one seed must be a node of the graph — a disjoint seed set
+    * raises in-plan (raise_error) instead of silently returning
+    * all-null ranks.
     */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
                            iters: Int = 3, damping: Double = 0.85,
@@ -174,9 +177,16 @@ object GraphOps {
             deg("src") === col("node"), "left")
       .select(col("src").as("node"), col("deg"),
               coalesce(col("is_seed"), lit(0)).as("is_seed")))
+    // PRECONDITION, enforced in-plan: at least one seed must be a graph
+    // node. c = 0 would otherwise divide every teleport term to
+    // null/NaN and return an all-null ranking silently — raise_error
+    // keeps the no-driver-scalars contract while failing loudly.
     val cnt = broadcast(
       spine.filter(col("is_seed") === 1)
-        .agg(count(lit(1)).cast("double").as("c")))
+        .agg(count(lit(1)).cast("double").as("c"))
+        .select(when(col("c") === 0.0, raise_error(lit(
+          "personalizedPageRank: no seed intersects the graph's nodes")))
+          .otherwise(col("c")).as("c")))
     val tele = when(col("is_seed") === 1,
       lit(1.0 - damping) / col("c")).otherwise(lit(0.0))
     // rank frame carries deg + is_seed: per-iteration contribution is a

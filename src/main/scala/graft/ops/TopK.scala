@@ -41,6 +41,44 @@ class TopKAggregator[A](k: Int, ord: Ordering[A],
   override def outputEncoder: Encoder[Seq[A]] = seqEnc
 }
 
+/** Top-k plus a rider ROW COUNT in one mergeable buffer — the eval-grid
+  * accounting shape: recall needs the per-group top-k, precision needs
+  * the group's total candidate count, and computing them as separate
+  * consumers of an (unpinned) scored frame re-runs the whole scan while
+  * a count WINDOW defeats the rank window's map-side group-limit and
+  * ships every row to |groups| partitions. One partial-aggregating
+  * buffer gives both from a single scan with a shuffle of ≤ k rows + one
+  * long per (partition, group) — the same partial/final shape as a sum,
+  * at 100 TB as at 2k rows.
+  */
+class TopKCountAggregator[A](k: Int, ord: Ordering[A],
+                             bufEnc: Encoder[(Long, Seq[A])])
+    extends Aggregator[A, (Long, Seq[A]), (Long, Seq[A])] {
+
+  override def zero: (Long, Seq[A]) = (0L, Vector.empty)
+
+  // buffer seq: descending-sorted by ord, length ≤ k (TopKAggregator's
+  // insert discipline)
+  private def insert(buf: Seq[A], a: A): Seq[A] =
+    if (buf.length >= k && ord.gteq(buf.last, a)) buf
+    else {
+      val (hi, lo) = buf.span(b => ord.gteq(b, a))
+      ((hi :+ a) ++ lo).take(k)
+    }
+
+  override def reduce(b: (Long, Seq[A]), a: A): (Long, Seq[A]) =
+    (b._1 + 1L, insert(b._2, a))
+
+  override def merge(b1: (Long, Seq[A]),
+                     b2: (Long, Seq[A])): (Long, Seq[A]) =
+    (b1._1 + b2._1, b2._2.foldLeft(b1._2)(insert))
+
+  override def finish(r: (Long, Seq[A])): (Long, Seq[A]) = r
+
+  override def bufferEncoder: Encoder[(Long, Seq[A])] = bufEnc
+  override def outputEncoder: Encoder[(Long, Seq[A])] = bufEnc
+}
+
 object TopK {
   /** Top-k of (sortKey, payload) pairs, descending by key then ascending
     * payload for deterministic ties.
@@ -53,6 +91,31 @@ object TopK {
     }
     new TopKAggregator[(Double, Long)](k, ord, tupleEnc,
       org.apache.spark.sql.Encoders.kryo[Seq[(Double, Long)]])
+  }
+
+  /** Smallest-k of (score, id) pairs — score ASCENDING, id ascending on
+    * ties — plus the group's total row count (distance ranks: pqEval's
+    * ADC top-k + candidate-volume accounting in one pass).
+    */
+  def topKPairsAscWithCount(k: Int): TopKCountAggregator[(Double, Long)] = {
+    val ord = Ordering.by[(Double, Long), (Double, Long)] {
+      case (s, id) => (-s, -id)
+    }
+    new TopKCountAggregator[(Double, Long)](k, ord,
+      org.apache.spark.sql.Encoders.kryo[(Long, Seq[(Double, Long)])])
+  }
+
+  /** Largest-k of (score, id) pairs — score DESCENDING, id ascending on
+    * ties — plus the group's total row count (similarity ranks:
+    * annEval's per-(probe, nprobe) top-k + candidate volume in one
+    * pass).
+    */
+  def topKPairsDescWithCount(k: Int): TopKCountAggregator[(Double, Long)] = {
+    val ord = Ordering.by[(Double, Long), (Double, Long)] {
+      case (s, id) => (s, -id)
+    }
+    new TopKCountAggregator[(Double, Long)](k, ord,
+      org.apache.spark.sql.Encoders.kryo[(Long, Seq[(Double, Long)])])
   }
 
   /** Top-k of (score, key1, key2) rows: score descending, then key1/key2

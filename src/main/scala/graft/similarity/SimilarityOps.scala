@@ -589,8 +589,101 @@ object SimilarityOps {
     * stays persisted (nlist rows) and the caller owns its `unpersist()`
     * once the index build that consumes it has run.
     */
+  /** Driver-side Lloyd for `ivfTrain`'s at-or-below-gate regime — the
+    * same algorithm contract bit-for-bit: seed = first `nlist` rows by
+    * id ascending INCLUDING null/degenerate vectors (the seedCentroids
+    * contract); assignment = strict-> argmax cosine in list order with
+    * init (list 0, −2.0), null cosines (length mismatch, zero norm,
+    * null/empty operand) skipped — `nearestListExpr`'s exact
+    * semantics; means include every size>0 vector (zero-norm rows land
+    * in list 0 and still contribute, as in the distributed path); an
+    * empty list keeps its previous centroid. ONE sorted collect
+    * replaces iters × (assign-scan + vector_sum + join + count) rounds
+    * of scheduled jobs. Returns a LOCAL (list_id, cvec) relation.
+    */
+  private def ivfTrainDriver(emb: DataFrame, idCol: String,
+                             vecCol: String, nlist: Int,
+                             iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val vecs: Array[Array[Double]] = emb
+      .select(col(idCol),
+              transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .orderBy(col(idCol).asc)
+      .collect()
+      .map(r => if (r.isNullAt(1)) null else r.getSeq[Double](1).toArray)
+    var cents: Array[Array[Double]] = vecs.take(nlist)
+    // cosineSim's exact arithmetic: null (NaN here) on null operand,
+    // length mismatch, empty, or zero norm; else dot/(√na·√nb)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      if (a == null || b == null || a.length != b.length ||
+          a.length == 0) return Double.NaN
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i); val y = b(i)
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) Double.NaN
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for (_ <- 1 to iters) {
+      val nl = cents.length
+      val sums = new Array[Array[Double]](nl)
+      val cnts = new Array[Long](nl)
+      for (v <- vecs if v != null && v.length > 0) {
+        var best = 0; var bestS = -2.0; var l = 0
+        while (l < nl) {
+          val s = cos(v, cents(l))
+          if (s == s && s > bestS) { best = l; bestS = s }
+          l += 1
+        }
+        // uniform-dim precondition (gated at dispatch) makes the
+        // elementwise sum well-defined, like vector_sum's contract
+        if (sums(best) == null) sums(best) = new Array[Double](v.length)
+        val acc = sums(best); var i = 0
+        while (i < v.length) { acc(i) += v(i); i += 1 }
+        cnts(best) += 1L
+      }
+      cents = Array.tabulate(nl) { l =>
+        if (cnts(l) == 0L) cents(l)
+        else {
+          val m = new Array[Double](sums(l).length); var i = 0
+          while (i < m.length) { m(i) = sums(l)(i) / cnts(l); i += 1 }
+          m
+        }
+      }
+    }
+    import spark.implicits._
+    cents.toSeq.zipWithIndex
+      .map { case (c, l) => (l, Option(c).map(_.toSeq)) }
+      .toDF("list_id", "cvec")
+  }
+
   def ivfTrain(emb: DataFrame, idCol: String, vecCol: String,
                nlist: Int, iters: Int): DataFrame = {
+    // TWO REGIMES, the pqTrain precedent: a training set at or below
+    // PqDriverTrainGate elements (and with one uniform non-empty
+    // vector length — the mixed-dim corner keeps the battle-tested
+    // distributed semantics) collects once and runs Lloyd on the
+    // driver; IVF codebooks train on bounded samples at any corpus
+    // scale (the faiss discipline), so that's the common case.
+    val probe = emb.select(size(col(vecCol)).as("__s"))
+      .agg(sum(when(col("__s") > 0, col("__s").cast("long"))),
+           min(when(col("__s") > 0, col("__s"))),
+           max(when(col("__s") > 0, col("__s")))).head()
+    val elems = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+    val uniform = probe.isNullAt(1) || probe.getInt(1) == probe.getInt(2)
+    if (elems <= PqDriverTrainGate && uniform)
+      ivfTrainDriver(emb, idCol, vecCol, nlist, iters)
+    else
+      ivfTrainDistributed(emb, idCol, vecCol, nlist, iters)
+  }
+
+  /** The above-gate regime of `ivfTrain` — the distributed Lloyd;
+    * `private[graft]` so specs can pin both regimes against each other.
+    */
+  private[graft] def ivfTrainDistributed(
+      emb: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int): DataFrame = {
     // doubles throughout: the per-dimension means are double, and
     // coalesce (empty-cluster carry-over) needs both branches same-typed
     var cents = seedCentroids(emb, idCol, vecCol, nlist)
@@ -749,6 +842,86 @@ object SimilarityOps {
       nearestCode(slice(dvec, s * dsub + 1, lit(dsub)),
                   element_at(cbBySub, s + 1).getField("entries")))
 
+  /** Driver-training gate for `pqTrain`, in total ELEMENTS (rows · d):
+    * at or below it the training set is collected and Lloyd runs on the
+    * driver (4M doubles = 32 MB heap, the size-gated-collect
+    * discipline); above it the distributed per-subspace path runs.
+    * Codebook training on a bounded sample is the standard PQ shape
+    * (faiss trains on ~100k–1M vectors regardless of corpus size), so
+    * at 100 TB the caller passes a sample and lands in the driver
+    * regime on purpose; the distributed path remains for unsampled
+    * corpora.
+    */
+  val PqDriverTrainGate: Long = 4L << 20
+
+  /** Driver-side Lloyd for `pqTrain`'s at-or-below-gate regime — the
+    * SAME algorithm bit-for-bit (seed = first `codes` subvectors by id
+    * ascending; assignment = strict-< argmin of ‖c‖² − 2⟨sv,c⟩ in code
+    * order, `nearestCode`'s exact contract; empty codes keep their
+    * previous centroid), just without a cluster round-trip per Lloyd
+    * iteration: ONE sorted collect replaces ~12 scheduled jobs of
+    * window-seed + broadcast-assign + vector_sum per round (measured:
+    * q_pq_topk 3.8 → ~1.5 s at sf0.1, where the corpus is 2k rows and
+    * the wall is pure scheduling). Returns a LOCAL codebook relation —
+    * zero jobs to re-read, broadcast-ready, nothing to pin.
+    */
+  private def pqTrainDriver(emb: DataFrame, idCol: String, vecCol: String,
+                            nsub: Int, codes: Int, iters: Int,
+                            d: Int, dsub: Int): DataFrame = {
+    val spark = emb.sparkSession
+    // orderBy delegates the seed's id ordering to Spark (exact ordering
+    // semantics for any id type); the collect is gated by
+    // PqDriverTrainGate elements = 32 MB of doubles
+    val vecs: Array[Array[Double]] = emb
+      .filter(size(col(vecCol)) === d)
+      .select(col(idCol),
+              transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .orderBy(col(idCol).asc)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    val nCodes = math.min(codes, vecs.length)
+    var cb: Array[Array[Array[Double]]] =
+      Array.tabulate(nsub, nCodes) { (s, c) =>
+        java.util.Arrays.copyOfRange(vecs(c), s * dsub, (s + 1) * dsub) }
+    def dotSub(v: Array[Double], off: Int, c: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < dsub) { acc += v(off + i) * c(i); i += 1 }
+      acc
+    }
+    for (_ <- 1 to iters) {
+      val c2 = Array.tabulate(nsub, nCodes)((s, c) => {
+        var acc = 0.0; var i = 0
+        while (i < dsub) { acc += cb(s)(c)(i) * cb(s)(c)(i); i += 1 }
+        acc
+      })
+      val sums = Array.fill(nsub, nCodes)(new Array[Double](dsub))
+      val cnts = Array.fill(nsub, nCodes)(0L)
+      for (v <- vecs; s <- 0 until nsub) {
+        var best = -1; var bestObj = Double.MaxValue; var c = 0
+        while (c < nCodes) {
+          val obj = c2(s)(c) - 2.0 * dotSub(v, s * dsub, cb(s)(c))
+          if (obj < bestObj) { best = c; bestObj = obj }
+          c += 1
+        }
+        val acc = sums(s)(best); var i = 0
+        while (i < dsub) { acc(i) += v(s * dsub + i); i += 1 }
+        cnts(s)(best) += 1L
+      }
+      cb = Array.tabulate(nsub, nCodes) { (s, c) =>
+        if (cnts(s)(c) == 0L) cb(s)(c)
+        else {
+          val m = new Array[Double](dsub); var i = 0
+          while (i < dsub) { m(i) = sums(s)(c)(i) / cnts(s)(c); i += 1 }
+          m
+        }
+      }
+    }
+    import spark.implicits._
+    (for (s <- 0 until nsub; c <- 0 until nCodes)
+      yield (s, c, cb(s)(c).toSeq))
+      .toDF("sub_id", "code", "cvec")
+  }
+
   /** Train a PRODUCT-QUANTIZATION codebook (Jégou et al., TPAMI 2011):
     * split each d-dim vector into `nsub` contiguous subvectors and run
     * an independent k-means (`codes` centroids, L2) in every subspace —
@@ -771,19 +944,42 @@ object SimilarityOps {
     * training; `d` is probed with one tiny max(size) action up front
     * (train-time only).
     *
-    * CACHE OWNERSHIP: the subvector frame and the returned codebook are
-    * pinned (evictable) — callers release via `CacheScope.capture`'s
-    * handle or clearCache, the hashedSets/curate contract.
+    * TWO REGIMES (the GraphOps adaptive/pinned precedent): training
+    * sets at or below `PqDriverTrainGate` elements collect once and
+    * Lloyd runs on the driver (`pqTrainDriver` — same algorithm, same
+    * seed/argmin/empty-code contracts, zero per-round jobs); larger
+    * sets run the distributed path below. Codebooks train on bounded
+    * samples at any corpus scale (the faiss discipline), so the driver
+    * regime is the common case by design.
+    *
+    * CACHE OWNERSHIP (distributed regime): the subvector frame and the
+    * returned codebook are pinned (evictable) — callers release via
+    * `CacheScope.capture`'s handle or clearCache, the hashedSets/curate
+    * contract. The driver regime returns a local relation — nothing to
+    * pin or release.
     */
   def pqTrain(emb: DataFrame, idCol: String, vecCol: String,
               nsub: Int, codes: Int, iters: Int): DataFrame = {
     require(nsub >= 1 && codes >= 1 && iters >= 0,
             s"nsub/codes/iters must be positive (got $nsub/$codes/$iters)")
-    val dRow = emb.agg(max(size(col(vecCol)))).head()
+    val dRow = emb.agg(max(size(col(vecCol))), count(lit(1))).head()
     require(!dRow.isNullAt(0), "pqTrain: corpus has no vectors")
     val d = dRow.getInt(0)
     require(d % nsub == 0, s"dimension $d not divisible by nsub=$nsub")
     val dsub = d / nsub
+    if (dRow.getLong(1) * d <= PqDriverTrainGate)
+      pqTrainDriver(emb, idCol, vecCol, nsub, codes, iters, d, dsub)
+    else
+      pqTrainDistributed(emb, idCol, vecCol, nsub, codes, iters, d, dsub)
+  }
+
+  /** The above-gate regime of `pqTrain` — the distributed Lloyd as
+    * documented there; `private[graft]` so PqSpec can pin its seed
+    * plan shape (WindowGroupLimit) without a gate-sized fixture.
+    */
+  private[graft] def pqTrainDistributed(
+      emb: DataFrame, idCol: String, vecCol: String,
+      nsub: Int, codes: Int, iters: Int, d: Int, dsub: Int): DataFrame = {
     val dvec = transform(col(vecCol), x => x.cast("double"))
     val subv = emb.filter(size(col(vecCol)) === d)
       .select(col(idCol).as("id"),
@@ -1356,9 +1552,11 @@ object SimilarityOps {
     *     largest grid point's probe volume, never |corpus|·|probes| —
     *     and the scored candidate frame persists (CACHE OWNERSHIP:
     *     caller releases);
-    *  3. each grid point re-ranks that SAME cached frame (per-probe
-    *     window, WindowGroupLimit-bounded) and joins the also-cached
-    *     exact top-k — work proportional to candidates, not corpus;
+    *  3. ONE mergeable top-k+count aggregate over that cached frame
+    *     (each candidate fans out to the grid points whose nprobe
+    *     covers its list rank) yields every grid point's approx top-k
+    *     and candidate volume — work proportional to candidates, not
+    *     corpus, and never repeated per grid value;
     *  4. ground truth is one batched `knnJoin` (corpus scanned once).
     */
   def annEval(assigned: DataFrame, cents: DataFrame, idCol: String,
@@ -1403,36 +1601,67 @@ object SimilarityOps {
       .select(col("query_id").as("pid"), col("neighbor_id").as("nid"))
       .persist(StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheScope.register)
-    val exactCnt = exact.groupBy(col("pid")).agg(count(lit(1)).as("__ec"))
-    nprobes.distinct.sorted.map { n =>
-      val candN = cand.filter(col("rl") <= n)
-      val approx = candN
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy(col("pid"))
-            .orderBy(col("sim").desc, col("nid").asc)))
-        .filter(col("__rn") <= k)
-        .select(col("pid"), col("nid"))
-      val hits = approx.join(exact, Seq("pid", "nid"))
-        .groupBy(col("pid")).agg(count(lit(1)).as("__h"))
-      exactCnt.join(hits, Seq("pid"), "left_outer")
-        .select(coalesce(col("__h"), lit(0L)).as("__h"),
-                (coalesce(col("__h"), lit(0L)).cast("double") /
-                   col("__ec")).as("__r"))
-        .agg(count(lit(1)).as("n_probes"),
-             round(avg(col("__r")), 6).as("recall"),
-             sum(col("__h")).as("n_verified"))
-        // candidate volume reads the pinned cand cache — one cheap
-        // aggregate per grid point, the lshEval accounting shape
-        .crossJoin(broadcast(
-          candN.agg(count(lit(1)).as("n_candidates"))))
-        .select(lit(n).as("nprobe"), lit(k).as("k"), col("n_probes"),
-                col("n_candidates"),
-                coalesce(col("n_verified"), lit(0L)).as("n_verified"),
-                col("recall"),
-                round(when(col("n_candidates") === 0, 1.0)
-                  .otherwise(col("n_verified").cast("double") /
-                    col("n_candidates")), 6).as("precision"))
-    }.reduce(_ unionByName _)
+    val grid = nprobes.distinct.sorted
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    // the WHOLE grid in ONE pass over the pinned candidate cache:
+    // rl <= n is cumulative, so each candidate fans out to exactly the
+    // grid points that would scan it (≤ |grid| copies of an 8-byte-ish
+    // row), and a single mergeable top-k+count aggregate
+    // (TopKCountAggregator) yields every (probe, nprobe)'s approx
+    // top-k AND candidate volume with a shuffle bounded by
+    // k·|probes|·|grid|. The per-grid-point branch union it replaces
+    // re-read the cache, re-windowed, and re-aggregated once per grid
+    // value — ~8 exchanges × |grid| of AQE fixed cost (measured:
+    // q_ann_eval 1.0 → 1.9 s at sf0.1 on the 4-point grid).
+    val perPidN = cand
+      .select(col("pid").cast("long"), col("nid").cast("long"),
+              col("sim").cast("double"), col("rl").cast("int"))
+      .as[(Long, Long, Double, Int)]
+      .flatMap { case (pid, nid, sim, rl) =>
+        grid.collect { case n if n >= rl => ((pid, n), (sim, nid)) } }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.ops.TopK.topKPairsDescWithCount(k).toColumn.name("tc"))
+      .map { case ((pid, n), (cnt, top)) => (pid, n, cnt, top.map(_._2)) }
+      .toDF("pid", "__n", "__pc", "__nids")
+    // hits via bounded array-intersect against the (persisted,
+    // k·|probes|-row) exact twin — broadcast, no shuffle; a probe with
+    // no exact row contributes 0 recall mass, same as the join shape
+    // it replaces
+    val exactArr = exact.groupBy(col("pid"))
+      .agg(collect_list(col("nid")).as("__en"), count(lit(1)).as("__ec"))
+    val perN = perPidN.join(broadcast(exactArr), Seq("pid"), "left_outer")
+      .select(col("__n"), col("__pc"),
+              coalesce(size(array_intersect(col("__en"), col("__nids")))
+                .cast("long"), lit(0L)).as("__h"),
+              col("__ec"))
+      .select(col("__n"), col("__pc"), col("__h"),
+              when(col("__ec").isNull, lit(0.0))
+                .otherwise(col("__h").cast("double") / col("__ec"))
+                .as("__r"))
+      .groupBy(col("__n"))
+      .agg(sum(col("__pc")).as("n_candidates"),
+           sum(col("__h")).as("n_verified"),
+           sum(col("__r")).as("__sumr"))
+    // left join from the grid literals so a grid point nobody's
+    // candidates reach still emits its (0-candidate, recall-0) row;
+    // recall divides by the TOTAL probe count (probes missing at a
+    // grid point are 0-recall terms, exactly the old avg's semantics)
+    val probeStats = exactArr.agg(count(lit(1)).as("n_probes"))
+    grid.toDF("nprobe")
+      .join(perN, col("nprobe") === col("__n"), "left_outer")
+      .crossJoin(broadcast(probeStats))
+      .select(col("nprobe"), lit(k).as("k"), col("n_probes"),
+              coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+              coalesce(col("n_verified"), lit(0L)).as("n_verified"),
+              round(coalesce(col("__sumr"), lit(0.0)) /
+                col("n_probes"), 6).as("recall"))
+      .withColumn("precision",
+        round(when(col("n_candidates") === 0, 1.0)
+          .otherwise(col("n_verified").cast("double") /
+            col("n_candidates")), 6))
+      .orderBy(col("nprobe"))
   }
 
   /** Recall@k across PQ CODEBOOK configurations — the bits half of the
@@ -1482,7 +1711,6 @@ object SimilarityOps {
       .select(col("pid"), col("nid"))
       .persist(StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheScope.register)
-    val exactCnt = exact.groupBy(col("pid")).agg(count(lit(1)).as("__ec"))
     codebooks.map { case (label, cb) =>
       val (nsub, dsub) = pqShape(cb)
       val codes = emb.filter(size(col(vecCol)) === nsub * dsub)
@@ -1490,33 +1718,54 @@ object SimilarityOps {
         .select(col(idCol).as("nid"),
                 pqCodesExpr(transform(col(vecCol), x => x.cast("double")),
                             col("__pqcb"), nsub, dsub).as("pq_codes"))
-      // deliberately NOT pinned: the frame feeds the top-k re-rank and
-      // the candidate-volume count, but a cache boundary here breaks
-      // the encode+score+window codegen fusion — measured ~1 s SLOWER
-      // than letting the count re-run the fused scan (the lshEval
-      // share-the-signatures lesson, same direction)
+      // deliberately NOT pinned — and everything downstream is a SINGLE
+      // consumer, so the fused encode+score scan runs exactly once per
+      // config. (A cache boundary here was measured ~1 s SLOWER — it
+      // breaks the encode+score codegen fusion; and a separate
+      // scored.agg(count) accounting branch re-ran the whole unpinned
+      // scan: measured q_pq_eval 2.7 → 4.7 s at sf0.1.)
       val scored = codes
         .crossJoin(adcFoldedTable(cb, probes, dsub, Seq("pid")))
         .filter(col("nid") =!= col("pid"))
         .select(col("pid"), col("nid"), adcDist2(nsub).as("dist2"))
         .filter(col("dist2").isNotNull)
-      val approx = scored
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy(col("pid"))
-            .orderBy(col("dist2").asc, col("nid").asc)))
-        .filter(col("__rn") <= k)
-        .select(col("pid"), col("nid"))
-      val hits = approx.join(exact, Seq("pid", "nid"))
-        .groupBy(col("pid")).agg(count(lit(1)).as("__h"))
-      exactCnt.join(hits, Seq("pid"), "left_outer")
-        .select(coalesce(col("__h"), lit(0L)).as("__h"),
-                (coalesce(col("__h"), lit(0L)).cast("double") /
-                   col("__ec")).as("__r"))
+      // top-k AND candidate volume from ONE mergeable aggregate
+      // (TopKCountAggregator): map-side partials bound the shuffle at
+      // k rows + one count per (partition, probe) — no rank window, no
+      // second scan, and the shape survives a 100 TB corpus where a
+      // per-probe window would ship |corpus|·|probes| rows to |probes|
+      // partitions
+      val agged = {
+        val spark = emb.sparkSession
+        import spark.implicits._
+        scored.select(col("pid").cast("long"), col("nid").cast("long"),
+                      col("dist2").cast("double"))
+          .as[(Long, Long, Double)]
+          .groupByKey(_._1)
+          .mapValues { case (_, nid, d2) => (d2, nid) }
+          .agg(graft.ops.TopK.topKPairsAscWithCount(k).toColumn.name("tc"))
+          .map { case (pid, (cnt, top)) => (pid, cnt, top.map(_._2)) }
+          .toDF("pid", "__pc", "__nids")
+      }
+      // hits = |approx top-k ∩ exact top-k| as a bounded array
+      // intersect against the (persisted, k·|probes|-row) exact twin —
+      // broadcast join, no shuffle; probes are corpus members, so every
+      // scored pid appears in exact and the left_outer drops nothing
+      val exactArr = exact.groupBy(col("pid"))
+        .agg(collect_list(col("nid")).as("__en"),
+             count(lit(1)).as("__ec"))
+      exactArr.join(broadcast(agged), Seq("pid"), "left_outer")
+        .select(
+          coalesce(size(array_intersect(col("__en"), col("__nids")))
+            .cast("long"), lit(0L)).as("__h"),
+          col("__pc"), col("__ec"))
+        .select(col("__h"),
+                (col("__h").cast("double") / col("__ec")).as("__r"),
+                col("__pc"))
         .agg(count(lit(1)).as("n_probes"),
              round(avg(col("__r")), 6).as("recall"),
-             sum(col("__h")).as("n_verified"))
-        .crossJoin(broadcast(
-          scored.agg(count(lit(1)).as("n_candidates"))))
+             sum(col("__h")).as("n_verified"),
+             coalesce(sum(col("__pc")), lit(0L)).as("n_candidates"))
         .select(lit(label).as("config"), lit(k).as("k"),
                 col("n_probes"), col("n_candidates"),
                 coalesce(col("n_verified"), lit(0L)).as("n_verified"),

@@ -35,17 +35,24 @@ import org.apache.spark.storage.StorageLevel
 object QualityClassifier {
 
   /** Hashed bag-of-words features as sparse triples (id, bucket, x):
-    * Murmur3 token hash mod dim, counts L1-normalized per document (the
+    * `Hashing.bucket` token hash mod dim (md5-prefix in the
+    * oracle-portable default — identical in DuckDB, which is what makes
+    * the full GD loop hash-exact against its unrolled-CTE twin;
+    * xxhash64 in Production), counts L1-normalized per document (the
     * per-doc window partitions on the doc id — a bounded group, at most
     * dim rows). Lowercased whitespace tokens, the TextOps contract.
     */
   def hashedFeatures(df: DataFrame, idCol: String = "doc_id",
-                     textCol: String = "text", dim: Int = 256): DataFrame = {
+                     textCol: String = "text", dim: Int = 256,
+                     mode: Hashing.Mode = Hashing.OraclePortable)
+      : DataFrame = {
     require(dim >= 2, s"dim must be >= 2 (got $dim)")
     val w = Window.partitionBy(col(idCol))
     df.select(col(idCol),
               explode(TextOps.tokens(lower(col(textCol)))).as("__term"))
-      .select(col(idCol), pmod(hash(col("__term")), lit(dim)).as("bucket"))
+      .select(col(idCol),
+              Hashing.bucket(col("__term"), dim, mode).cast("int")
+                .as("bucket"))
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).cast("double").as("__cnt"))
       .withColumn("x", col("__cnt") / sum(col("__cnt")).over(w))
@@ -67,12 +74,13 @@ object QualityClassifier {
     */
   def train(df: DataFrame, labels: DataFrame, idCol: String = "doc_id",
             textCol: String = "text", labelCol: String = "y",
-            dim: Int = 256, iters: Int = 10, lr: Double = 2.0)
+            dim: Int = 256, iters: Int = 10, lr: Double = 2.0,
+            mode: Hashing.Mode = Hashing.OraclePortable)
       : Array[Double] = {
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
     val lab = labels.select(col(idCol), col(labelCol).cast("double").as("y"))
       .filter(col("y").isNotNull)
-    val feats = hashedFeatures(df, idCol, textCol, dim)
+    val feats = hashedFeatures(df, idCol, textCol, dim, mode)
     val ids = feats.select(col(idCol)).distinct()
     val bias = ids.select(col(idCol), lit(dim).as("bucket"), lit(1.0).as("x"))
     val f = feats.unionByName(bias).join(lab, idCol)
@@ -107,7 +115,14 @@ object QualityClassifier {
           val b = row.getInt(0)
           next(b) -= lr * row.getDouble(1) / n
         }
-        w = next
+        // shared decimal grid (scale 9), the iterative-oracle recipe:
+        // per-iteration rounding absorbs engine/aggregation-order ulps
+        // (Java vs DuckDB exp(), window-sum order) so the unrolled-CTE
+        // twin stays hash-exact; 1e-9 is noise three orders below the
+        // 1e-6 score grid. BigDecimal.valueOf = Spark round()'s
+        // shortest-decimal-repr HALF_UP semantics.
+        w = next.map(v => java.math.BigDecimal.valueOf(v)
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue())
       }
       w
     } finally f.unpersist()
@@ -138,10 +153,11 @@ object QualityClassifier {
     * tokens have no features and drop out — the lmScore contract.
     */
   def score(df: DataFrame, model: Array[Double],
-            idCol: String = "doc_id", textCol: String = "text")
+            idCol: String = "doc_id", textCol: String = "text",
+            mode: Hashing.Mode = Hashing.OraclePortable)
       : DataFrame = {
     val dim = model.length - 1
-    hashedFeatures(df, idCol, textCol, dim)
+    hashedFeatures(df, idCol, textCol, dim, mode)
       .groupBy(col(idCol))
       .agg(sum(col("x") * element_at(lit(model), col("bucket") + 1))
              .as("__m"))

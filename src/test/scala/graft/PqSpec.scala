@@ -96,12 +96,41 @@ class PqSpec extends SparkSpec {
     // pass and a straggler on an unsampled corpus
     val rows = (0L until 64L)
       .map(i => (i, Array.tabulate(8)(j => (i + j).toFloat)))
-    val cb = SimilarityOps.pqTrain(rows.toDF("vec_id", "embedding"),
-                                   "vec_id", "embedding",
-                                   nsub = 4, codes = 4, iters = 0)
+    // the DISTRIBUTED regime's seed plan (pqTrain itself would route
+    // this gate-sized fixture to the driver trainer)
+    val cb = SimilarityOps.pqTrainDistributed(
+      rows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      nsub = 4, codes = 4, iters = 0, d = 8, dsub = 2)
     val plan = cb.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"seed plan lost the " +
       s"group-limit pushdown:\n$plan")
+    spark.catalog.clearCache()
+  }
+
+  test("driver-regime pqTrain ≡ distributed pqTrain (same seeds, argmins, means)") {
+    import spark.implicits._
+    // mixed-sign, irregular values; 3 Lloyd rounds; some vectors with
+    // the wrong dimension (must be excluded from training identically)
+    val rows = ((0L until 40L).map { i =>
+      (i, Array.tabulate(8)(j =>
+        (math.sin(i * 3 + j) * (1 + (i % 5))).toFloat))
+    } ++ Seq((100L, Array(1.0f, 2.0f)))).toDF("vec_id", "embedding")
+    val drv = SimilarityOps.pqTrain(rows, "vec_id", "embedding",
+                                    nsub = 4, codes = 4, iters = 3)
+    val dst = SimilarityOps.pqTrainDistributed(
+      rows, "vec_id", "embedding", nsub = 4, codes = 4, iters = 3,
+      d = 8, dsub = 2)
+    def slurp(df: org.apache.spark.sql.DataFrame) = df
+      .select($"sub_id".cast("int"), $"code".cast("int"), $"cvec")
+      .as[(Int, Int, Seq[Double])].collect()
+      .sortBy(t => (t._1, t._2))
+    val (a, b) = (slurp(drv), slurp(dst))
+    assert(a.map(t => (t._1, t._2)).toSeq === b.map(t => (t._1, t._2)).toSeq)
+    a.zip(b).foreach { case ((s, c, va), (_, _, vb)) =>
+      va.zip(vb).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-12,
+          s"sub=$s code=$c: driver $x vs distributed $y") }
+    }
     spark.catalog.clearCache()
   }
 

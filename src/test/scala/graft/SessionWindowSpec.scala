@@ -66,7 +66,7 @@ class SessionWindowSpec extends SparkSpec {
   }
 
   test("streaming twin: readStream over files ≡ batch") {
-    val root = "/root/repo/target/scratch/session_window_stream"
+    val root = s"${graft.io.Sinks.scratchRoot}/session_window_stream"
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     val in = s"$root/in"
     val data = Seq(

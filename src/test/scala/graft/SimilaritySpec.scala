@@ -318,6 +318,34 @@ class SimilaritySpec extends SparkSpec {
     cents.unpersist()
   }
 
+  test("driver-regime ivfTrain ≡ distributed ivfTrain (seeds, argmax, means)") {
+    // irregular values + the two degenerate corners (empty vector,
+    // zero-norm vector — both must shape the codebook identically in
+    // the two regimes: empty excluded from means, zero-norm summed
+    // into list 0)
+    val rows = ((0L until 30L).map { i =>
+      (i, Seq.tabulate(6)(j =>
+        (math.cos(i * 7 + j) * (1 + (i % 4))).toFloat))
+    } ++ Seq((40L, Seq.empty[Float]),
+             (41L, Seq.fill(6)(0.0f)))).toDF("vec_id", "embedding")
+    val drv = SimilarityOps.ivfTrain(rows, "vec_id", "embedding",
+                                     nlist = 3, iters = 3)
+    val dst = SimilarityOps.ivfTrainDistributed(rows, "vec_id",
+                                                "embedding", 3, 3)
+    def slurp(df: org.apache.spark.sql.DataFrame) = df
+      .select($"list_id".cast("int"), $"cvec")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1)
+    val (a, b) = (slurp(drv), slurp(dst))
+    assert(a.map(_._1).toSeq === b.map(_._1).toSeq)
+    a.zip(b).foreach { case ((l, va), (_, vb)) =>
+      assert(va.size === vb.size, s"list $l dim mismatch")
+      va.zip(vb).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-12,
+          s"list $l: driver $x vs distributed $y") }
+    }
+    spark.catalog.clearCache()
+  }
+
   test("ivfTrain: spherical k-means objective is monotone non-decreasing") {
     // objective = mean cosine of each vector to its assigned centroid;
     // assign(max-cosine) + update(mean direction) must not decrease it
