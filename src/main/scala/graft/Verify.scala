@@ -35,7 +35,7 @@ object Verify {
     // exercise the SQL-function registration path on the live session
     GraftExtensions.registerAll(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
