@@ -1555,10 +1555,30 @@ object SparkEntry {
     // The scree report off the same single-pass covariance: per-
     // component eigenvalue + cumulative fraction of total variance —
     // the "how many dims does MY corpus need" dial that prices the
-    // PCA/IVF/PQ dimension choices. Rows-only (same internals).
-    "q_pca_scree" -> ((s, dir) =>
+    // PCA/IVF/PQ dimension choices. HASH-EXACT via a PLANTED SPECTRUM:
+    // each doc becomes a single-nonzero-coordinate vector (coordinate
+    // = ⌊doc_id/2⌋ mod 8, magnitude = coordinate+1, sign alternating
+    // within each consecutive id pair), so coordinate means cancel to
+    // EXACTLY 0.0 (pairwise ±integer sums stay integral in FP) and the
+    // empirical covariance is exactly diagonal with distinct entries —
+    // the eigenvalues ARE the per-coordinate variances, computable in
+    // SQL without touching LAPACK's basis-sign hazard, while the
+    // operator still runs its full covariance-aggregate + driver-eigen
+    // path. The real-corpus demo stays on q_pca_embed (rows-only,
+    // spec-pinned).
+    "q_pca_scree" -> ((s, dir) => {
+      val d = 8
+      val coord = pmod(shiftright(col("doc_id"), 1), lit(d))
+      val sign = when(pmod(col("doc_id"), lit(2)) === 0, lit(1.0))
+        .otherwise(lit(-1.0))
+      val planted = t(s, dir, "documents").select(
+        transform(sequence(lit(0), lit(d - 1)), j =>
+          when(j.cast("long") === coord,
+               sign * (coord + 1).cast("double"))
+            .otherwise(lit(0.0))).as("embedding"))
       graft.similarity.EmbeddingPca.varianceExplained(
-        t(s, dir, "embeddings"), "embedding", k = 16)),
+        planted, "embedding", k = 16)
+    }),
 
     // IVF with a TRAINED codebook: two spherical k-means iterations
     // (assign → per-dimension mean → repeat, all distributed), then the
@@ -3233,6 +3253,28 @@ object SparkEntry {
     "q_minhash_lsh" -> jaccardOracle,
     "q_dup_clusters" -> dupClustersOracle,
     "q_quality_classifier" -> qualityClassifierOracle,
+
+    // planted spectrum: exactly-diagonal covariance (means cancel to
+    // an exact 0.0), so eigenvalues = per-coordinate variances and the
+    // whole scree is plain SQL — mirrors the query's construction
+    "q_pca_scree" ->
+      """WITH v AS (SELECT CAST((doc_id // 2) % 8 AS INTEGER) AS coord,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE -1.0 END)
+        |      * CAST((doc_id // 2) % 8 + 1 AS DOUBLE) AS x
+        |  FROM documents),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+        |pc AS (SELECT coord, sum(x*x) AS sq, sum(x) AS sm
+        |       FROM v GROUP BY 1),
+        |ev AS (SELECT coord, sq/nn.n - (sm/nn.n)*(sm/nn.n) AS ev
+        |       FROM pc, nn),
+        |ord AS (SELECT row_number() OVER (ORDER BY ev DESC, coord) - 1
+        |          AS component, ev FROM ev),
+        |tot AS (SELECT sum(ev) AS t FROM ev)
+        |SELECT CAST(component AS INTEGER) AS component,
+        |       round(ev, 6) AS eigenvalue,
+        |       round(sum(ev) OVER (ORDER BY component) / tot.t, 6)
+        |         AS cum_var_frac
+        |FROM ord, tot""".stripMargin,
 
     "q_pagerank" -> pagerankOracle,
     "q_ppr" -> pprOracle,
