@@ -910,32 +910,50 @@ object DedupOps {
               tau: Double): DataFrame = {
     require(bandsGrid.nonEmpty && bandsGrid.forall(b => k % b == 0),
       s"every bands value must divide k=$k (got $bandsGrid)")
+    val spark = sets.sparkSession
+    import spark.implicits._
+    val grid = bandsGrid.distinct
     val truth = ngramJaccardPairsFromSets(sets, tau)
       .agg(count(lit(1)).as("n_truth"))
-    // NOTE (measured, r6): sharing ONE pinned signature frame across
-    // the grid looks like it should save a k-permutation pass per
-    // config, but it ran ~1 s SLOWER here — the banding+self-join fuses
-    // into one codegen pipeline per config when the signatures stay
-    // lazy, and the cache boundary costs more than the tiny signing
-    // pass it saves. Keep the per-config fused form; revisit only if
-    // the grid grows far beyond two points.
-    val perConfig = bandsGrid.map { b =>
-      val bucketed = lshBuckets(sets, k, b)
-      val cand = bucketed.as("a")
-        .join(bucketed.as("b"),
+    // ONE k-permutation signing pass serves the WHOLE grid: every
+    // config's banding is a projection of the same in-flight signature
+    // row (multiBandPostings), so the dominant per-config compute —
+    // the k-hash pass over every shingle array — is paid once, and one
+    // self-join keyed by (cfg, band, bh) produces every config's
+    // candidates together. No cache boundary on the signatures (the
+    // r6 share-the-signatures lesson): the multi-banding explode stays
+    // fused with the signing projection. (r6 had measured the
+    // pin-the-signatures variant slower; THIS form keeps the fusion
+    // and still de-duplicates the signing — measured faster than both.)
+    val bucketed = multiBandPostings(minhashSignatures(sets, k), k, grid)
+    val cand = bucketed.as("a")
+      .join(bucketed.as("b"),
+            col("a.cfg") === col("b.cfg") &&
               col("a.band") === col("b.band") &&
-                col("a.bh") === col("b.bh") &&
-                col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .distinct()
-        .transform(pinned)
-      cand.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(verifyPairs(cand, sets, tau)
-          .agg(count(lit(1)).as("n_verified")))
-        .select(lit(k).as("k"), lit(b).as("bands"), lit(k / b).as("r"),
-                col("n_candidates"), col("n_verified"))
-    }.reduce(_ unionByName _)
-    perConfig.crossJoin(broadcast(truth))
+              col("a.bh") === col("b.bh") &&
+              col("a.id") < col("b.id"))
+      .select(col("a.cfg").as("cfg"),
+              col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+      .transform(pinned)
+    // grid configs overlap heavily in candidates: exact-verify each
+    // DISTINCT pair once and attribute per config afterwards — the
+    // Jaccard work scales with the candidate UNION, not the grid sum
+    val ver = verifyPairs(
+        cand.select(col("id_a"), col("id_b")).distinct(), sets, tau)
+      .select(col("id_a"), col("id_b"))
+    val counts = cand.groupBy(col("cfg"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val verified = cand.join(ver, Seq("id_a", "id_b"))
+      .groupBy(col("cfg")).agg(count(lit(1)).as("n_verified"))
+    grid.toDF("cfg") // a config with zero candidates still reports
+      .join(counts, Seq("cfg"), "left_outer")
+      .join(verified, Seq("cfg"), "left_outer")
+      .select(lit(k).as("k"), col("cfg").as("bands"),
+              (lit(k) / col("cfg")).cast("int").as("r"),
+              coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+              coalesce(col("n_verified"), lit(0L)).as("n_verified"))
+      .crossJoin(broadcast(truth))
       .withColumn("recall",
         round(when(col("n_truth") === 0, 1.0)
           .otherwise(col("n_verified").cast("double") / col("n_truth")), 6))
@@ -943,6 +961,23 @@ object DedupOps {
         round(when(col("n_candidates") === 0, 1.0)
           .otherwise(col("n_verified").cast("double") /
             col("n_candidates")), 6))
+  }
+
+  /** Band postings for EVERY banding config of one signature frame in
+    * a single projection: (id, cfg, band, bh) where cfg is the config's
+    * band count — the lshEval grid's shared signing pass.
+    */
+  private def multiBandPostings(sig: DataFrame, k: Int,
+                                grid: Seq[Int]): DataFrame = {
+    val structs = array(grid.flatMap { bands =>
+      val r = k / bands
+      (0 until bands).map(b =>
+        struct(lit(bands).as("cfg"), lit(b).as("band"),
+               xxhash64(slice(col("sig"), b * r + 1, r)).as("bh")))
+    }: _*)
+    sig.select(col("id"), explode(structs).as("bb"))
+      .select(col("id"), col("bb.cfg").as("cfg"),
+              col("bb.band").as("band"), col("bb.bh").as("bh"))
   }
 
   /** LSH band postings (id, band, bh) for a hashed-sets frame — the
