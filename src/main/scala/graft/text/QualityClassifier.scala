@@ -87,45 +87,102 @@ object QualityClassifier {
       .repartition(col(idCol))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = f.select(col(idCol)).distinct().count().toDouble
-      require(n > 0, "no labeled documents with tokens to train on")
-      var w = Array.fill(dim + 1)(0.0)
-      // ONE pass over the cached triples per iteration: the doc margin
-      // is a whole-partition window sum (f is hash-partitioned by id,
-      // so the window plans with NO exchange), the residual projects
-      // per row (every row of a doc carries its y), and the gradient
-      // aggregates by bucket. The groupBy-margin + join-back
-      // formulation read the cache twice per iteration and paid a join
-      // — measured as 8 near-identical stages dominating
-      // q_quality_classifier.
-      val byId = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(idCol))
-      for (_ <- 0 until iters) {
-        val grad = f
-          .withColumn("m",
-            sum(col("x") * element_at(lit(w), col("bucket") + 1))
-              .over(byId))
-          .withColumn("r",
-            lit(1.0) / (lit(1.0) + exp(-col("m"))) - col("y"))
-          .groupBy(col("bucket"))
-          .agg(sum(col("x") * col("r")).as("g"))
-          .collect() // ≤ dim+1 rows by construction
-        val next = w.clone()
-        grad.foreach { row =>
-          val b = row.getInt(0)
-          next(b) -= lr * row.getDouble(1) / n
-        }
-        // shared decimal grid (scale 9), the iterative-oracle recipe:
-        // per-iteration rounding absorbs engine/aggregation-order ulps
-        // (Java vs DuckDB exp(), window-sum order) so the unrolled-CTE
-        // twin stays hash-exact; 1e-9 is noise three orders below the
-        // 1e-6 score grid. BigDecimal.valueOf = Spark round()'s
-        // shortest-decimal-repr HALF_UP semantics.
-        w = next.map(v => java.math.BigDecimal.valueOf(v)
-          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue())
-      }
-      w
+      // TWO REGIMES, the pqTrain precedent: the labeled slice is SMALL
+      // BY DESIGN (the whole distill premise — label a small slice
+      // expensively, train a tiny model, filter 100 TB cheaply), so a
+      // triples frame at or below the gate collects once and runs the
+      // GD on the driver — one action replaces iters × (window + agg +
+      // collect) scheduled rounds (measured: q_quality_classifier's 8
+      // iteration stages dominated its wall). Same arithmetic, same
+      // 1e-9 grid; DriverGdSpec-style equivalence pinned in
+      // QualityClassifierSpec. Above the gate the distributed loop
+      // below runs unchanged.
+      if (f.count() <= DriverTrainGate) trainDriver(f, idCol, dim, iters, lr)
+      else trainDistributed(f, idCol, dim, iters, lr)
     } finally f.unpersist()
+  }
+
+  /** Triples gate for the driver GD regime (rows of (id, bucket, x, y);
+    * 1M triples ≈ tens of MB of driver heap — the size-gated-collect
+    * discipline). A distill pipeline's labeled slice sits far below it
+    * at any corpus scale; the distributed loop serves the rest.
+    */
+  val DriverTrainGate: Long = 1L << 20
+
+  /** Driver regime of `train`: ONE collect of the cached triples, then
+    * the identical GD arithmetic (margins as per-doc sums, gradient by
+    * bucket, the shared 1e-9 weight grid) as a scalar loop — sum-order
+    * ulps vs the distributed window/aggregate are absorbed by the grid,
+    * exactly the property the unrolled-CTE oracle already relies on.
+    */
+  private def trainDriver(f: DataFrame, idCol: String, dim: Int,
+                          iters: Int, lr: Double): Array[Double] = {
+    val byDoc = f.select(col(idCol), col("bucket").cast("int"),
+                         col("x").cast("double"), col("y").cast("double"))
+      .collect()
+      .groupBy(_.get(0)).values.toArray
+    val n = byDoc.length.toDouble
+    require(n > 0, "no labeled documents with tokens to train on")
+    var w = Array.fill(dim + 1)(0.0)
+    for (_ <- 0 until iters) {
+      val g = new Array[Double](dim + 1)
+      byDoc.foreach { ts =>
+        var m = 0.0
+        ts.foreach(r => m += r.getDouble(2) * w(r.getInt(1)))
+        val res = 1.0 / (1.0 + math.exp(-m)) - ts.head.getDouble(3)
+        ts.foreach(r => g(r.getInt(1)) += r.getDouble(2) * res)
+      }
+      w = Array.tabulate(dim + 1)(b =>
+        java.math.BigDecimal.valueOf(w(b) - lr * g(b) / n)
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue())
+    }
+    w
+  }
+
+  /** Distributed regime of `train` — `private[graft]` so the spec can
+    * pin driver ≡ distributed without a gate-sized fixture.
+    */
+  private[graft] def trainDistributed(f: DataFrame, idCol: String,
+                                      dim: Int, iters: Int,
+                                      lr: Double): Array[Double] = {
+    val n = f.select(col(idCol)).distinct().count().toDouble
+    require(n > 0, "no labeled documents with tokens to train on")
+    var w = Array.fill(dim + 1)(0.0)
+    // ONE pass over the cached triples per iteration: the doc margin
+    // is a whole-partition window sum (f is hash-partitioned by id,
+    // so the window plans with NO exchange), the residual projects
+    // per row (every row of a doc carries its y), and the gradient
+    // aggregates by bucket. The groupBy-margin + join-back
+    // formulation read the cache twice per iteration and paid a join
+    // — measured as 8 near-identical stages dominating
+    // q_quality_classifier.
+    val byId = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+    for (_ <- 0 until iters) {
+      val grad = f
+        .withColumn("m",
+          sum(col("x") * element_at(lit(w), col("bucket") + 1))
+            .over(byId))
+        .withColumn("r",
+          lit(1.0) / (lit(1.0) + exp(-col("m"))) - col("y"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("x") * col("r")).as("g"))
+        .collect() // ≤ dim+1 rows by construction
+      val next = w.clone()
+      grad.foreach { row =>
+        val b = row.getInt(0)
+        next(b) -= lr * row.getDouble(1) / n
+      }
+      // shared decimal grid (scale 9), the iterative-oracle recipe:
+      // per-iteration rounding absorbs engine/aggregation-order ulps
+      // (Java vs DuckDB exp(), window-sum order) so the unrolled-CTE
+      // twin stays hash-exact; 1e-9 is noise three orders below the
+      // 1e-6 score grid. BigDecimal.valueOf = Spark round()'s
+      // shortest-decimal-repr HALF_UP semantics.
+      w = next.map(v => java.math.BigDecimal.valueOf(v)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue())
+    }
+    w
   }
 
   /** Deterministic fingerprint of a trained model: a 64-bit fold of

@@ -95,6 +95,27 @@ class QualityClassifierSpec extends SparkSpec {
       QualityClassifier.checksum(w))
   }
 
+  test("driver-regime train ≡ distributed train on the shared 1e-9 grid") {
+    val (docs, labels) = toy()
+    val (dim, iters, lr) = (32, 5, 2.0)
+    val got = QualityClassifier.train(docs, labels, dim = dim,
+                                      iters = iters, lr = lr)
+    // rebuild train's triples frame and force the distributed loop
+    val lab = labels.select(col("doc_id"), col("y").cast("double").as("y"))
+    val feats = QualityClassifier.hashedFeatures(docs, dim = dim)
+    val bias = feats.select(col("doc_id")).distinct()
+      .select(col("doc_id"), lit(dim).as("bucket"), lit(1.0).as("x"))
+    val f = feats.unionByName(bias).join(lab, "doc_id")
+      .repartition(col("doc_id"))
+    val dst = QualityClassifier.trainDistributed(f, "doc_id", dim,
+                                                 iters, lr)
+    assert(got.length === dst.length)
+    got.zip(dst).foreach { case (a, b) =>
+      assert(a === b, s"regime drift: driver $a vs distributed $b")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q_quality_classifier reproduces bit-identically from a fresh " +
        "training run (RNG-free GD; the oracle now verifies the model)") {
     val out = SparkEntry.queries("q_quality_classifier")(spark, sfDir)
