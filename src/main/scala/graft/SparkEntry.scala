@@ -2162,6 +2162,27 @@ object SparkEntry {
       graft.text.Bpe.bpeTrain(t(s, dir, "documents"), "text",
                               numMerges = 16)),
 
+    // BPE ENCODE — apply the trained merge table to every document
+    // (the subword-tokenize step a training pipeline runs over the
+    // whole corpus for budget accounting and packing). The merge table
+    // folds into the projection as literals (broadcast-codebook
+    // discipline — no join, no corpus shuffle, one narrow pass).
+    // Oracle-EXACT (r8): training's per-round vocab evolution IS the
+    // greedy encode of every distinct word (same mergePair fold), so
+    // the bpeOracle chain's final wf16, with word identity threaded
+    // through, maps word → final symbols; the twin flattens them back
+    // in token order per doc. Encode∘decode=id stays spec-pinned
+    // (BpeSpec).
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.text.Bpe.bpeTrain(docs, "text", numMerges = 16)
+      graft.text.Bpe.bpeEncode(
+          docs.filter(TextOps.tokenCount(col("text")) > 0),
+          "doc_id", "text", merges)
+        .select(col("doc_id"), size(col("bpe")).cast("long").as("n_bpe"),
+                concat_ws(" ", col("bpe")).as("bpe_text"))
+    }),
+
     // Vocabulary APPLICATION — encode every document against the built
     // vocab (the corpus → token-id step before training). The vocab side
     // broadcasts (distinct tokens ≪ corpus); OOV tokens count but don't
@@ -4174,6 +4195,8 @@ object SparkEntry {
     // SQL-expressible", which was true only of RECURSIVE CTEs
     "q_bpe_vocab" -> bpeOracle,
 
+    "q_bpe_encode" -> bpeEncodeOracle,
+
     // q_reindex serves nprobe = nlist off the appended-then-rebuilt
     // index, so its contract IS the brute-force top-10 over the whole
     // table — the same oracle, checking the whole append/retrain/swap
@@ -5858,7 +5881,7 @@ object SparkEntry {
     * engine's per-round localCheckpoint. Early-stop (fully fused
     * corpus) never fires at 16 merges on this fixture.
     */
-  private val bpeOracle: String = {
+  private val (bpeOracle, bpeEncodeOracle): (String, String) = {
     val k = 16
     def rnd(i: Int): String =
       s"""p$i AS MATERIALIZED (
@@ -5867,7 +5890,8 @@ object SparkEntry {
          |  GROUP BY 1, 2),
          |b$i AS MATERIALIZED (SELECT l, r FROM p$i
          |  ORDER BY freq DESC, l ASC, r ASC LIMIT 1),
-         |e$i AS (SELECT s.rn AS wid, s.cnt, j.j AS pos, s.sym[j.j] AS sym,
+         |e$i AS (SELECT s.rn AS wid, s.word, s.cnt, j.j AS pos,
+         |    s.sym[j.j] AS sym,
          |    CASE WHEN j.j < len(s.sym) AND s.sym[j.j] = b.l
          |          AND s.sym[j.j+1] = b.r THEN 1 ELSE 0 END AS m
          |  FROM wf$i s, b$i b,
@@ -5877,7 +5901,7 @@ object SparkEntry {
          |v$i AS (SELECT *, CASE WHEN m = 1 AND
          |      (pos - min(pos) OVER (PARTITION BY wid, grp, m)) % 2 = 0
          |    THEN 1 ELSE 0 END AS valid FROM g$i),
-         |x$i AS (SELECT wid, cnt, pos,
+         |x$i AS (SELECT wid, word, cnt, pos,
          |    CASE WHEN valid = 1 THEN sym ||
          |      lead(sym) OVER (PARTITION BY wid ORDER BY pos)
          |    ELSE sym END AS osym,
@@ -5885,7 +5909,8 @@ object SparkEntry {
          |    THEN 1 ELSE 0 END AS consumed
          |  FROM v$i),
          |wf${i + 1} AS MATERIALIZED (SELECT row_number() OVER () AS rn,
-         |    list(osym ORDER BY pos) AS sym, any_value(cnt) AS cnt
+         |    any_value(word) AS word, list(osym ORDER BY pos) AS sym,
+         |    any_value(cnt) AS cnt
          |  FROM x$i WHERE consumed = 0 GROUP BY wid)""".stripMargin
     val head =
       """WITH wrds AS (
@@ -5894,7 +5919,7 @@ object SparkEntry {
         |                                                 '\s+'),
         |                              x -> x <> '')) AS word
         |    FROM documents) GROUP BY 1),
-        |wf0 AS MATERIALIZED (SELECT row_number() OVER () AS rn,
+        |wf0 AS MATERIALIZED (SELECT row_number() OVER () AS rn, word,
         |    list_transform(range(1, len(word)+1),
         |                   i -> substr(word, CAST(i AS INT), 1)) AS sym,
         |    cnt
@@ -5904,7 +5929,24 @@ object SparkEntry {
          |CAST(p.freq AS BIGINT) AS freq
          |FROM b$i b JOIN p$i p ON p.l = b.l AND p.r = b.r""".stripMargin
     }.mkString("\nUNION ALL ")
-    (Seq(head) ++ (0 until k).map(rnd)).mkString(",\n") + "\n" + out
+    val chain = (Seq(head) ++ (0 until k).map(rnd)).mkString(",\n")
+    (chain + "\n" + out,
+     chain + ",\n" +
+       s"""tk2 AS (SELECT doc_id,
+          |    list_filter(string_split_regex(trim(text), '\\s+'),
+          |                x -> x <> '') AS toks
+          |  FROM documents WHERE text IS NOT NULL),
+          |tok AS (SELECT doc_id, i, toks[i] AS word
+          |        FROM tk2, unnest(range(1, len(toks)+1)) AS u(i)
+          |        WHERE len(toks) > 0),
+          |enc AS (SELECT word, sym FROM wf$k),
+          |fl AS (SELECT t.doc_id, t.i, j.j, e.sym[j.j] AS s
+          |       FROM tok t JOIN enc e USING (word),
+          |            LATERAL (SELECT unnest(range(1, len(e.sym)+1))
+          |                     AS j) j)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bpe,
+          |       array_to_string(list(s ORDER BY i, j), ' ') AS bpe_text
+          |FROM fl GROUP BY 1""".stripMargin)
   }
 
   /** Shared by the HLL timeline pair (q_user_sketch / q_sketch_append):

@@ -64,9 +64,107 @@ object Bpe {
     * (freq desc, left asc, right asc). Stops early when no adjacent
     * pair remains (every word fused to one symbol).
     */
+  /** Vocabulary-row gate for the driver training/encode regime: BPE's
+    * working set IS the distinct vocabulary (bounded at any corpus
+    * scale — the model-artifact discipline), so at or below the gate
+    * the vocab collects once and the merge rounds run as a scalar loop
+    * (the classic single-node BPE trainer) — zero cluster round-trips
+    * per round. Above it, the distributed loop runs unchanged.
+    */
+  val DriverVocabGate: Long = 1L << 17
+
+  /** Spark's string ordering is unsigned UTF-8 byte order — the driver
+    * regime's tie-breaks must match it exactly (Java String compareTo
+    * is UTF-16 and differs beyond the BMP).
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Driver twin of `mergePair` — the same left-to-right greedy
+    * non-remerge pass (a symbol just produced never re-merges as the
+    * LEFT side within its pass), on plain arrays.
+    */
+  private def mergePassDriver(sym: Array[String], l: String,
+                              r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < sym.length) {
+      if (i + 1 < sym.length && sym(i) == l && sym(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += sym(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Driver regime of `bpeTrain`: one collect of the (word, cnt)
+    * vocabulary, then the identical rounds — integer pair counts (no
+    * FP), argmax on (freq desc, left asc, right asc) in Spark's
+    * unsigned-UTF-8 string order, `mergePair`'s exact pass semantics,
+    * the same early stop. Spec-pinned ≡ the distributed twin.
+    */
+  private def bpeTrainDriver(wf: Array[(String, Long)], numMerges: Int,
+                             spark: org.apache.spark.sql.SparkSession)
+      : DataFrame = {
+    var syms: Array[(Array[String], Long)] =
+      wf.map { case (w, c) => (w.split(""), c) }
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var r = 0
+    var done = false
+    while (r < numMerges && !done) {
+      val freq = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      syms.foreach { case (s, c) =>
+        var i = 0
+        while (i + 1 < s.length) {
+          val k = (s(i), s(i + 1))
+          freq(k) = freq.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      if (freq.isEmpty) done = true
+      else {
+        val ((l, rr), f) = freq.minBy { case ((a, b), c) =>
+          (c, a, b)
+        }(Ordering.Tuple3(Ordering.Long.reverse,
+          Ordering.fromLessThan[String](utf8Lt),
+          Ordering.fromLessThan[String](utf8Lt)))
+        merges += ((r, l, rr, f))
+        syms = syms.map { case (s, c) => (mergePassDriver(s, l, rr), c) }
+        r += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "freq")
+  }
+
   def bpeTrain(docs: DataFrame, textCol: String,
                numMerges: Int): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1 (got $numMerges)")
+    val spark0 = docs.sparkSession
+    val wfDf = wordFreq(docs, textCol)
+    val wf = wfDf.limit(DriverVocabGate.toInt + 1).collect()
+    if (wf.length <= DriverVocabGate)
+      return bpeTrainDriver(
+        wf.map(r => (r.getString(0), r.getLong(1))), numMerges, spark0)
+    bpeTrainDistributed(docs, textCol, numMerges)
+  }
+
+  /** The above-gate regime of `bpeTrain` — the distributed rounds;
+    * `private[graft]` so BpeSpec can pin driver ≡ distributed.
+    */
+  private[graft] def bpeTrainDistributed(docs: DataFrame, textCol: String,
+                                         numMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     // localCheckpoint per round, NOT the persist+unpersist chain the
     // other training loops use: every round rewrites the whole frame,
@@ -108,25 +206,78 @@ object Bpe {
     * characters, then replay the merges in rank order — the greedy
     * deterministic BPE encode. The merge table is a model artifact
     * (numMerges rows), folded into the projection as literals — the
-    * broadcast-codebook discipline, no join, no corpus shuffle; one
-    * narrow pass over the documents.
+    * broadcast-codebook discipline.
+    *
+    * Encoding is a pure function of the WORD, so the merge fold (the
+    * expensive part) runs over the DISTINCT vocabulary once, never per
+    * token instance (the per-instance form re-paid the fold per token —
+    * 580 000× more fold work than the vocabulary needs on the bench
+    * corpus, and at 100 TB the vocabulary is bounded while token
+    * instances are not). At or below `DriverVocabGate` the word →
+    * symbols table folds on the driver and embeds as a MAP LITERAL in
+    * one projection — a per-token hash lookup, zero joins, zero
+    * shuffles over the corpus; above the gate the encodings are built
+    * in-plan over the distinct vocab and broadcast-joined back, with
+    * per-doc order reassembled from token positions (array_sort over
+    * (pos, syms) structs — bounded per doc).
     *
     * Returns (idCol…, bpe: array<string>) where `bpe` is the
     * concatenation of each token's merged symbols in token order —
     * `concat_ws("", bpe)` per token restores the original text's
-    * tokens exactly (encode∘decode = id; spec-pinned).
+    * tokens exactly (encode∘decode = id; spec-pinned). Null text
+    * encodes to null; tokenless text to an empty array.
     */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
                 merges: DataFrame): DataFrame = {
     val table = merges.orderBy(col("rank").asc)
       .select(col("left"), col("right"))
       .collect().map(r => (r.getString(0), r.getString(1)))
-    def encodeTok(t: Column): Column =
-      table.foldLeft(split(t, ""): Column) {
-        case (sym, (l, rr)) => mergePair(sym, lit(l), lit(rr))
-      }
-    docs.select(col(idCol),
-      flatten(transform(TextOps.tokens(col(textCol)), encodeTok(_)))
-        .as("bpe"))
+    val toks = docs.select(col(idCol),
+                           TextOps.tokens(col(textCol)).as("__toks"))
+    // the corpus vocabulary (size-gated: the same bounded artifact the
+    // trainer collects)
+    val vocab = toks.select(explode(col("__toks")).as("__w")).distinct()
+      .limit(DriverVocabGate.toInt + 1).collect().map(_.getString(0))
+    if (vocab.length <= DriverVocabGate) {
+      // word → symbols as a MAP LITERAL inside one projection: a
+      // per-token hash lookup, zero joins, zero shuffles — the corpus
+      // is touched by exactly one narrow codegen'd pass (the merge
+      // fold runs |vocab| times on the driver, never per instance)
+      val encMap: Map[String, Seq[String]] = vocab.map { w =>
+        w -> table.foldLeft(w.split(""): Array[String]) {
+          case (s, (l, r)) => mergePassDriver(s, l, r)
+        }.toSeq
+      }.toMap
+      toks.select(col(idCol),
+        flatten(transform(col("__toks"),
+                          t => element_at(typedLit(encMap), t)))
+          .as("bpe"))
+    } else {
+      // unbounded-vocab fallback: fold over the distinct vocab in-plan
+      // and broadcast-join the encodings back onto the token stream
+      // (fold cost still scales with |vocab|, not corpus tokens)
+      def encodeTok(t: Column): Column =
+        table.foldLeft(split(t, ""): Column) {
+          case (sym, (l, rr)) => mergePair(sym, lit(l), lit(rr))
+        }
+      val vocabEnc = broadcast(
+        toks.select(explode(col("__toks")).as("__w")).distinct()
+          .select(col("__w"), encodeTok(col("__w")).as("__syms")))
+      val enc = toks
+        .select(col(idCol),
+                posexplode(col("__toks")).as(Seq("__p", "__w")))
+        .join(vocabEnc, "__w")
+        .groupBy(col(idCol))
+        .agg(flatten(transform(
+               array_sort(collect_list(struct(col("__p"),
+                                              col("__syms")))),
+               e => e.getField("__syms"))).as("__bpe"))
+      toks.join(enc, Seq(idCol), "left_outer")
+        .select(col(idCol),
+                when(col("__toks").isNull, lit(null))
+                  .otherwise(coalesce(col("__bpe"),
+                                      array().cast("array<string>")))
+                  .as("bpe"))
+    }
   }
 }

@@ -63,6 +63,24 @@ class BpeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("driver-regime bpeTrain ≡ distributed bpeTrain (ranks, pairs, freqs)") {
+    import spark.implicits._
+    // irregular multi-word docs with repeated substructure and ties
+    val docs = Seq(
+      "low lower lowest low low", "new newer newest wide widest",
+      "wide wider lowest newest", "low wide new new newer"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def slurp(df: org.apache.spark.sql.DataFrame) =
+      df.select($"rank".cast("int"), $"left", $"right",
+                $"freq".cast("long"))
+        .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    val drv = slurp(graft.text.Bpe.bpeTrain(docs, "text", numMerges = 12))
+    val dst = slurp(graft.text.Bpe.bpeTrainDistributed(docs, "text",
+                                                       numMerges = 12))
+    assert(drv === dst)
+  }
+
   test("early-stop: a fully fusable corpus stops before numMerges") {
     // one word repeated: after len-1 merges everything is one symbol
     val merges = Bpe.bpeTrain(
