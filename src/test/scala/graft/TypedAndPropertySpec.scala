@@ -48,6 +48,52 @@ class TypedAndPropertySpec extends SparkSpec {
     assert(viaAgg === viaWindow)
   }
 
+  test("topK+count aggregator: top-k equals the window's, count equals " +
+       "groupBy's, across merges (the eval-accounting buffer)") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select($"l_returnflag", $"l_extendedprice", $"l_orderkey")
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_extendedprice".asc, $"l_orderkey".asc)
+    val viaWindow = li.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 4)
+      .select($"l_returnflag", $"l_orderkey")
+      .as[(String, Long)].collect().toSet
+    val counts = li.groupBy($"l_returnflag").count()
+      .as[(String, Long)].collect().toMap
+    // ASC variant (distance-rank semantics), repartitioned so the
+    // merge path (multiple partial buffers per group) genuinely runs
+    val got = li.repartition(32)
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(TopK.topKPairsAscWithCount(4).toColumn.name("tc"))
+      .collect()
+    assert(got.map { case (rf, (cnt, _)) => rf -> cnt }.toMap === counts)
+    val gotTop = got.flatMap { case (rf, (_, top)) =>
+      top.map(t => (rf, t._2)) }.toSet
+    assert(gotTop === viaWindow)
+    // buffer stays bounded at k and sorted ascending by (score, id)
+    got.foreach { case (rf, (_, top)) =>
+      assert(top.length <= 4)
+      assert(top === top.sortBy(t => (t._1, t._2)), s"unsorted: $rf")
+    }
+    // DESC variant mirrors the similarity-rank window
+    val wD = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey".asc)
+    val viaWindowD = li.withColumn("rn", row_number().over(wD))
+      .filter($"rn" <= 3)
+      .select($"l_returnflag", $"l_orderkey")
+      .as[(String, Long)].collect().toSet
+    val gotD = li.repartition(32)
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(TopK.topKPairsDescWithCount(3).toColumn.name("tc"))
+      .flatMap { case (rf, (_, top)) => top.map(t => (rf, t._2)) }
+      .collect().toSet
+    assert(gotD === viaWindowD)
+  }
+
   test("CSV re-read coerces unparseable timestamps to null (S3 semantics)") {
     val path = "/root/repo/target/scratch/test_csv_coerce"
     Seq(("1", "2024-01-01 10:00:00"), ("2", "not-a-timestamp"),
