@@ -95,6 +95,22 @@ class QualityClassifierSpec extends SparkSpec {
       QualityClassifier.checksum(w))
   }
 
+  test("Production hash mode (xxhash64 buckets) trains a working " +
+       "classifier too — same contracts, different coins") {
+    import graft.text.Hashing
+    val (docs, labels) = toy()
+    val w = QualityClassifier.train(docs, labels, dim = 256, iters = 30,
+                                    mode = Hashing.Production)
+    val p = QualityClassifier.score(docs, w, mode = Hashing.Production)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert((1L to 20L).forall(p(_) > 0.5))
+    assert((21L to 40L).forall(p(_) < 0.5))
+    // the two modes bucket differently, so the models genuinely differ
+    val wMd5 = QualityClassifier.train(docs, labels, dim = 256, iters = 30)
+    assert(QualityClassifier.checksum(w) !==
+      QualityClassifier.checksum(wMd5))
+  }
+
   test("driver-regime train ≡ distributed train on the shared 1e-9 grid") {
     val (docs, labels) = toy()
     val (dim, iters, lr) = (32, 5, 2.0)
