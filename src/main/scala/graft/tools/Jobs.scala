@@ -22,6 +22,9 @@ object Jobs {
       .config("spark.sql.adaptive.enabled", "true")
       .config(Tables.NanosConf, "true")
       .config("spark.ui.enabled", "false")
+      // bench-parity commit algorithm (Bench.scala scaladoc)
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+              "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val jobStart = mutable.Map[Int, Long]()

@@ -21,6 +21,9 @@ object TimeQ {
       .config("spark.sql.adaptive.enabled", "true")
       .config(Tables.NanosConf, "true")
       .config("spark.ui.enabled", "false")
+      // bench-parity commit algorithm (Bench.scala scaladoc)
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+              "2")
     // ad-hoc conf overrides for profiling, e.g.
     // SPARK_GRAFT_EXTRA_CONF="spark.eventLog.enabled=true;spark.eventLog.dir=/tmp/spark-events"
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach {
