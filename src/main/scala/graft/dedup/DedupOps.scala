@@ -969,6 +969,8 @@ object DedupOps {
     */
   private def multiBandPostings(sig: DataFrame, k: Int,
                                 grid: Seq[Int]): DataFrame = {
+    require(grid.nonEmpty && grid.forall(b => b >= 1 && k % b == 0),
+      s"every band count must divide k=$k, got $grid")
     val structs = array(grid.flatMap { bands =>
       val r = k / bands
       (0 until bands).map(b =>
@@ -1004,17 +1006,14 @@ object DedupOps {
     sets.filter(col("sz") > 0).select(col("id"),
       ShingleExpressions.minhashSigFromHashes(col("hs"), k).as("sig"))
 
-  /** Band postings (id, band, bh) for a signature frame. */
+  /** Band postings (id, band, bh) for a signature frame — the
+    * single-config projection of `multiBandPostings` (ONE banding
+    * definition: a change to the slice/hash convention cannot diverge
+    * the index from the geometry sweep).
+    */
   private[dedup] def bandPostings(sig: DataFrame, k: Int,
-                                  bands: Int): DataFrame = {
-    require(k % bands == 0, "k must divide into bands")
-    val r = k / bands
-    val bandStructs = array((0 until bands).map(b =>
-      struct(lit(b).as("band"),
-             xxhash64(slice(col("sig"), b * r + 1, r)).as("bh"))): _*)
-    sig.select(col("id"), explode(bandStructs).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-  }
+                                  bands: Int): DataFrame =
+    multiBandPostings(sig, k, Seq(bands)).drop("cfg")
 
   /** The REMOVAL action for `sharedSpans` (the Lee et al. dedup step):
     * cut every shared span out of the HIGHER-id document of its pair —

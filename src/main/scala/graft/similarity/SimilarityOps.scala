@@ -669,10 +669,16 @@ object SimilarityOps {
     val probe = emb.select(size(col(vecCol)).as("__s"))
       .agg(sum(when(col("__s") > 0, col("__s").cast("long"))),
            min(when(col("__s") > 0, col("__s"))),
-           max(when(col("__s") > 0, col("__s")))).head()
+           max(when(col("__s") > 0, col("__s"))),
+           count(lit(1))).head()
     val elems = if (probe.isNullAt(0)) 0L else probe.getLong(0)
     val uniform = probe.isNullAt(1) || probe.getInt(1) == probe.getInt(2)
-    if (elems <= PqDriverTrainGate && uniform)
+    // the ROW count gates too: ivfTrainDriver collects every row
+    // (null/empty vectors included — they are part of the seed-order
+    // contract), so a corpus that is mostly degenerate rows must not
+    // slip under an element-only gate and unbound the collect
+    val rows = probe.getLong(3)
+    if (elems <= PqDriverTrainGate && rows <= PqDriverTrainGate && uniform)
       ivfTrainDriver(emb, idCol, vecCol, nlist, iters)
     else
       ivfTrainDistributed(emb, idCol, vecCol, nlist, iters)
@@ -1583,8 +1589,15 @@ object SimilarityOps {
     val cand = assigned
       .join(probeLists, col("list_id").cast("int") === col("lid"))
       .filter(col(idCol) =!= col("pid"))
+      // degenerate corpus vectors (null/empty/zero-norm/mismatched dim)
+      // score null from cosineSim; they must still COUNT as scanned
+      // candidates (the nprobe cost accounting) but can never rank, so
+      // they enter the typed top-k pass as -Inf — the window form this
+      // replaced ordered them last (desc = NULLS LAST) with the same
+      // effect, and a bare null would crash the non-nullable decode
       .select(col("pid"), col("rl"), col(idCol).as("nid"),
-              round(cosineSim(col(vecCol), col("__pv")), 6).as("sim"))
+              coalesce(round(cosineSim(col(vecCol), col("__pv")), 6),
+                       lit(Double.NegativeInfinity)).as("sim"))
       .persist(StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheScope.register)
     // exact twin, self-matches excluded then re-ranked to k (knnJoin's

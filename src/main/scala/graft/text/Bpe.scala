@@ -152,20 +152,28 @@ object Bpe {
                numMerges: Int): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1 (got $numMerges)")
     val spark0 = docs.sparkSession
-    val wfDf = wordFreq(docs, textCol)
-    val wf = wfDf.limit(DriverVocabGate.toInt + 1).collect()
+    // ONE corpus pass serves the gate probe AND whichever regime runs:
+    // the eager checkpoint freezes the (word, cnt) vocabulary, so an
+    // above-gate corpus is not scanned a second time by the
+    // distributed rounds (the probe's limit-collect alone used to
+    // leave the distributed regime re-deriving wordFreq from docs)
+    val wfCp = wordFreq(docs, textCol).localCheckpoint()
+    val wf = wfCp.limit(DriverVocabGate.toInt + 1).collect()
     if (wf.length <= DriverVocabGate)
       return bpeTrainDriver(
         wf.map(r => (r.getString(0), r.getLong(1))), numMerges, spark0)
-    bpeTrainDistributed(docs, textCol, numMerges)
+    bpeTrainFromWf(wfCp, numMerges)
   }
 
   /** The above-gate regime of `bpeTrain` — the distributed rounds;
     * `private[graft]` so BpeSpec can pin driver ≡ distributed.
     */
   private[graft] def bpeTrainDistributed(docs: DataFrame, textCol: String,
-                                         numMerges: Int): DataFrame = {
-    val spark = docs.sparkSession
+                                         numMerges: Int): DataFrame =
+    bpeTrainFromWf(wordFreq(docs, textCol), numMerges)
+
+  private def bpeTrainFromWf(wf0: DataFrame, numMerges: Int): DataFrame = {
+    val spark = wf0.sparkSession
     // localCheckpoint per round, NOT the persist+unpersist chain the
     // other training loops use: every round rewrites the whole frame,
     // so a cache chain makes round r+1's LOGICAL plan embed all rounds
@@ -176,7 +184,7 @@ object Bpe {
     // the plan to a constant-size LogicalRDD: rounds never re-touch the
     // corpus and round cost stays flat. Blocks are vocabulary-sized;
     // dropped references are swept by the ContextCleaner.
-    var wf = wordFreq(docs, textCol)
+    var wf = wf0
       .select(split(col("word"), "").as("sym"), col("cnt"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer
@@ -235,8 +243,12 @@ object Bpe {
     val toks = docs.select(col(idCol),
                            TextOps.tokens(col(textCol)).as("__toks"))
     // the corpus vocabulary (size-gated: the same bounded artifact the
-    // trainer collects)
-    val vocab = toks.select(explode(col("__toks")).as("__w")).distinct()
+    // trainer collects) — checkpointed so the above-gate branch folds
+    // over THIS frame instead of re-running the distinct corpus pass
+    // the probe already paid
+    val vocabDf = toks.select(explode(col("__toks")).as("__w")).distinct()
+      .localCheckpoint()
+    val vocab = vocabDf
       .limit(DriverVocabGate.toInt + 1).collect().map(_.getString(0))
     if (vocab.length <= DriverVocabGate) {
       // word → symbols as a MAP LITERAL inside one projection: a
@@ -261,8 +273,7 @@ object Bpe {
           case (sym, (l, rr)) => mergePair(sym, lit(l), lit(rr))
         }
       val vocabEnc = broadcast(
-        toks.select(explode(col("__toks")).as("__w")).distinct()
-          .select(col("__w"), encodeTok(col("__w")).as("__syms")))
+        vocabDf.select(col("__w"), encodeTok(col("__w")).as("__syms")))
       val enc = toks
         .select(col(idCol),
                 posexplode(col("__toks")).as(Seq("__p", "__w")))

@@ -109,6 +109,17 @@ object QualityClassifier {
     */
   val DriverTrainGate: Long = 1L << 20
 
+  /** The shared 1e-9 weight grid both regimes round onto after every
+    * iteration (BigDecimal.valueOf = Spark round()'s shortest-decimal
+    * HALF_UP semantics) — ONE definition so the regimes and the
+    * unrolled-CTE oracle can never drift apart on the grid. The spec's
+    * scalar replica keeps its own copy on purpose: it is the
+    * independent pin.
+    */
+  private def grid9(v: Double): Double =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+
   /** Driver regime of `train`: ONE collect of the cached triples, then
     * the identical GD arithmetic (margins as per-doc sums, gradient by
     * bucket, the shared 1e-9 weight grid) as a scalar loop — sum-order
@@ -132,9 +143,7 @@ object QualityClassifier {
         val res = 1.0 / (1.0 + math.exp(-m)) - ts.head.getDouble(3)
         ts.foreach(r => g(r.getInt(1)) += r.getDouble(2) * res)
       }
-      w = Array.tabulate(dim + 1)(b =>
-        java.math.BigDecimal.valueOf(w(b) - lr * g(b) / n)
-          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue())
+      w = Array.tabulate(dim + 1)(b => grid9(w(b) - lr * g(b) / n))
     }
     w
   }
@@ -177,10 +186,8 @@ object QualityClassifier {
       // per-iteration rounding absorbs engine/aggregation-order ulps
       // (Java vs DuckDB exp(), window-sum order) so the unrolled-CTE
       // twin stays hash-exact; 1e-9 is noise three orders below the
-      // 1e-6 score grid. BigDecimal.valueOf = Spark round()'s
-      // shortest-decimal-repr HALF_UP semantics.
-      w = next.map(v => java.math.BigDecimal.valueOf(v)
-        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue())
+      // 1e-6 score grid.
+      w = next.map(grid9)
     }
     w
   }

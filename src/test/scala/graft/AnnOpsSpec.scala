@@ -148,6 +148,40 @@ class AnnOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("annEval: a degenerate (zero-norm) corpus vector counts as a " +
+       "scanned candidate but never ranks — and never crashes the " +
+       "typed top-k pass") {
+    // ivfAssignTo parks null-cosine rows on list 0 (nearestListExpr's
+    // seed accumulator), so the zero vector is scanned whenever list 0
+    // is probed; its sim is null from cosineSim and the typed
+    // aggregation must treat it as -Inf (counted, unrankable) rather
+    // than crash the non-nullable Double decode — the regression this
+    // spec pins
+    def v(axis: Int): Seq[Double] = {
+      val a = Array.fill(4)(0.0); a(axis) = 1.0; a.toSeq
+    }
+    val emb = (Seq((0L, v(0)), (1L, v(1)), (2L, v(0)), (3L, v(0)),
+                   (4L, v(0)), (5L, v(1)), (6L, v(1)), (7L, v(1)),
+                   (99L, Seq(0.0, 0.0, 0.0, 0.0))))
+      .toDF("vec_id", "embedding")
+    val cents = SimilarityOps.seedCentroids(emb, "vec_id", "embedding",
+                                            nlist = 2)
+    val assigned = SimilarityOps.ivfAssignTo(emb, "vec_id", "embedding",
+                                             cents)
+    val got = SimilarityOps.annEval(assigned, cents, "vec_id",
+        "embedding", probeIds = Seq(0L), k = 3, nprobes = Seq(1, 2))
+      .orderBy($"nprobe")
+      .select($"nprobe", $"n_candidates", $"recall")
+      .as[(Int, Long, Double)].collect().toSeq
+    // list 0 = {0,2,3,4,99}: probing it scans 4 candidates (probe
+    // excluded) INCLUDING the zero vector; both lists scan all 8
+    assert(got.map(_._2) === Seq(4L, 8L),
+           s"candidate accounting must include the degenerate row: $got")
+    // the axis-0 trio out-ranks the zero vector at every grid point
+    assert(got.forall(_._3 === 1.0), s"recall: $got")
+    spark.catalog.clearCache()
+  }
+
   test("indexDrift: in-distribution batch drifts ~0; a planted " +
        "off-distribution batch shows positive drift on its landing list") {
     // two tight clusters on orthogonal axes; the index is trained on
