@@ -864,19 +864,45 @@ object DedupOps {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 5, k: Int = 32, bands: Int = 8,
-                      tau: Double = 0.8): DataFrame =
+                      tau: Double = 0.8, maxBucket: Long = 0L): DataFrame =
     minhashLshPairsFromSets(hashedSets(docs, idCol, textCol, n),
-                            k, bands, tau)
+                            k, bands, tau, maxBucket)
 
   /** The LSH pair join over PRE-BUILT hashed shingle sets (id, hs, sz) —
     * lets a pipeline that already paid the shingling pass (e.g.
     * CorpusPipeline.curate's shared enrichment frame) band and verify
     * without re-scanning documents. `minhashLshPairs` is this over
     * `hashedSets`.
+    *
+    * `maxBucket` is the hot-bucket cap (the `sharedSpans.maxDf`
+    * analog): a band bucket wider than the cap is dropped BEFORE the
+    * self-join. A near-identical boilerplate cluster of f docs
+    * collides in the SAME bucket of every band, costing O(bands·f²)
+    * candidate pairs — the one quadratic the banding bound does not
+    * control, and at crawl scale f reaches millions. The trade is
+    * explicit and one-sided: a pair is lost only if EVERY band where
+    * it collides is hot (for same-cluster pairs that is exactly the
+    * boilerplate family a pipeline dedups by fingerprint or cluster
+    * election instead); any pair sharing one sub-cap bucket survives,
+    * and every emitted pair is still exact-verified. Default 0 = no
+    * cap, the oracle-checked contract.
     */
   def minhashLshPairsFromSets(sets: DataFrame, k: Int, bands: Int,
-                              tau: Double): DataFrame = {
-    val bucketed = lshBuckets(sets, k, bands)
+                              tau: Double,
+                              maxBucket: Long = 0L): DataFrame = {
+    val bucketed0 = lshBuckets(sets, k, bands)
+    val bucketed =
+      if (maxBucket <= 0L) bucketed0
+      else {
+        // hot buckets are FEW by definition (≤ postings/cap rows
+        // survive the width filter) — broadcast anti-join, the maxDf
+        // shape
+        val hot = bucketed0.groupBy(col("band"), col("bh"))
+          .agg(count(lit(1)).as("__w"))
+          .filter(col("__w") > maxBucket)
+          .select(col("band"), col("bh"))
+        bucketed0.join(broadcast(hot), Seq("band", "bh"), "left_anti")
+      }
     val cand = bucketed.as("a")
       .join(bucketed.as("b"),
             col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&

@@ -62,6 +62,31 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh === pairs)
   }
 
+  test("minhashLshPairs maxBucket: hot buckets drop their quadratic, " +
+       "sub-cap pairs survive, cap 0 is exact") {
+    // a 20-doc boilerplate cluster (identical text → identical
+    // signature → ONE width-20 bucket per band) plus one distinct
+    // near-dup pair in width-2 buckets
+    val boiler = "breaking news site navigation copyright footer text"
+    val docs = ((0L until 20L).map(i => (i, boiler)) ++ Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"),
+      (101L, "the quick brown fox jumps over the lazy dog y'day")))
+      .toDF("doc_id", "text")
+    def run(cap: Long) = DedupOps.minhashLshPairs(docs, "doc_id", "text",
+        n = 5, k = 64, bands = 16, tau = 0.5, maxBucket = cap)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val exact = run(0L)
+    // no cap: the full C(20,2) cluster + the distinct pair
+    assert(exact.size === 190 + 1)
+    assert(exact.contains((100L, 101L)))
+    // cap 10: every cluster bucket is width 20 > 10 in EVERY band, so
+    // the cluster's quadratic vanishes; the (100,101) buckets are
+    // width ≤ 2 and the pair survives exact-verified
+    assert(run(10L) === Set((100L, 101L)))
+    // a cap nothing exceeds changes nothing
+    assert(run(50L) === exact)
+  }
+
   test("multi-byte shingle hashes equal per-window UTF-8 hashing") {
     // pins the O(len) boundary-table path against a direct per-window
     // recomputation (the path used to re-walk bytes via substringSQL)
