@@ -76,18 +76,20 @@ object MinhashIndex {
     * already-ingested batch must not self-match).
     */
   def probe(batch: DataFrame, idCol: String, textCol: String,
-            root: String, tau: Double): DataFrame = {
+            root: String, tau: Double, maxBucket: Long = 0L): DataFrame = {
     val spark = batch.sparkSession
     val (n, k, bands) = readParams(spark, root)
     val bsets = DedupOps.hashedSets(batch, idCol, textCol, n)
-    val out = probeSets(bsets, root, tau, k, bands)
+    val out = probeSets(bsets, root, tau, k, bands, maxBucket)
     bsets.unpersist(false)
     out
   }
 
   private[dedup] def probeSets(bsets: DataFrame, root: String, tau: Double,
-                               k: Int, bands: Int): DataFrame =
-    probePostings(bsets, DedupOps.lshBuckets(bsets, k, bands), root, tau)
+                               k: Int, bands: Int,
+                               maxBucket: Long = 0L): DataFrame =
+    probePostings(bsets, DedupOps.lshBuckets(bsets, k, bands), root, tau,
+                  maxBucket)
 
   /** Probe with the batch's band postings supplied by the caller — lets
     * a pipeline that already banded the batch (CorpusRefresh pins ONE
@@ -95,10 +97,34 @@ object MinhashIndex {
     * `postings` must be `lshBuckets(bsets, k, bands)` under the index's
     * frozen geometry (or a row-subset of it for a doc-subset probe).
     */
+  /** `maxBucket` (default 0 = off, the oracle-checked contract) is the
+    * probe-side hot-bucket cap — the persisted twin of
+    * `DedupOps.minhashLshPairsFromSets`' dial: STORED buckets wider
+    * than the cap are excluded from the candidate join, bounding the
+    * per-probe-posting fan-out a boilerplate mega-bucket in the
+    * standing corpus would otherwise cost (batch-width × stored-width
+    * candidates per band). One-sided on the stored side because that
+    * is the 100 TB side; the width scan rides the same postings read
+    * the join already pays. Same explicit trade as the pair join: a
+    * batch doc misses an index member only if EVERY shared band's
+    * stored bucket is hot, and every emitted pair stays
+    * exact-verified. Probe-time only — the stored layout is unchanged
+    * and ingest/refresh always screen uncapped.
+    */
   private[dedup] def probePostings(bsets: DataFrame, postings: DataFrame,
-                                   root: String, tau: Double): DataFrame = {
+                                   root: String, tau: Double,
+                                   maxBucket: Long = 0L): DataFrame = {
     val spark = bsets.sparkSession
-    val stored = spark.read.parquet(s"$root/buckets")
+    val stored0 = spark.read.parquet(s"$root/buckets")
+    val stored =
+      if (maxBucket <= 0L) stored0
+      else {
+        val hot = stored0.groupBy(col("band"), col("bh"))
+          .agg(count(lit(1)).as("__w"))
+          .filter(col("__w") > maxBucket)
+          .select(col("band"), col("bh"))
+        stored0.join(broadcast(hot), Seq("band", "bh"), "left_anti")
+      }
     // index members sharing an id with ANY probe doc are excluded (not
     // just the same-row pairing): same id = same document by contract,
     // and the anti-join makes a REPLAYED ingest's probe independent of

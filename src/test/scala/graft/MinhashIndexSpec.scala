@@ -53,6 +53,37 @@ class MinhashIndexSpec extends SparkSpec {
     assert(!got.exists(t => Set(t._1, t._2) === Set(3L, 5L)))
   }
 
+  test("probe maxBucket: a hot stored bucket drops its fan-out, " +
+       "narrow matches survive, cap 0 is exact") {
+    val root = s"${Sinks.scratchRoot}/spec_mhindex_cap"
+    Sinks.dropTable(spark, root)
+    // standing corpus: a 20-doc boilerplate cluster (identical text →
+    // one width-20 stored bucket per band) + one distinct doc
+    val boiler = "breaking news site navigation copyright footer text"
+    val corpus = ((0L until 40L by 2L).map(i => (i, boiler)) :+
+      ((100L, "the quick brown fox jumps over the lazy dog today")))
+      .toDF("doc_id", "text")
+    MinhashIndex.build(corpus, "doc_id", "text", root, n, k, bands)
+    // batch: one boilerplate variant + one fox variant (odd ids)
+    val batch = Seq(
+      (201L, boiler),
+      (203L, "the quick brown fox jumps over the lazy dog y'day"))
+      .toDF("doc_id", "text")
+    def run(cap: Long) =
+      MinhashIndex.probe(batch, "doc_id", "text", root, tau,
+                         maxBucket = cap)
+        .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    val exact = run(0L)
+    // uncapped: the boiler batch doc matches all 20 cluster members,
+    // the fox doc matches its standing twin
+    assert(exact.size === 21 && exact.contains((100L, 203L)), s"$exact")
+    // capped at 10: the width-20 stored buckets drop in every band, so
+    // the boilerplate fan-out vanishes; the width-1 fox bucket survives
+    assert(run(10L) === Set((100L, 203L)))
+    // a cap nothing exceeds changes nothing
+    assert(run(50L) === exact)
+  }
+
   test("append is retry-safe and probe is side-effect free") {
     val root = s"${Sinks.scratchRoot}/spec_mhindex_retry"
     Sinks.dropTable(spark, root)
