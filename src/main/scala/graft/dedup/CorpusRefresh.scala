@@ -207,8 +207,19 @@ object CorpusRefresh {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        refresh(batch, idCol, textCol, tableRoot, indexRoot,
-                tau, minTokens).unpersist(false)
+        // per-epoch cache ownership (the ingestStream pattern):
+        // refresh's internal pins (gated batch, banded postings,
+        // election drops, verify candidates) register into this scope
+        // and are released once its commits return — an unscoped
+        // stream would orphan them per epoch, growing the
+        // CacheManager without bound. All of refresh's own actions
+        // (the store commits) run INSIDE the scope; the returned
+        // survivors frame is not consumed further.
+        val (_, release) = graft.CacheScope.capture {
+          refresh(batch, idCol, textCol, tableRoot, indexRoot,
+                  tau, minTokens)
+        }
+        release()
         ()
       }
       .start()

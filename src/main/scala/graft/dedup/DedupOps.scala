@@ -245,8 +245,8 @@ object DedupOps {
     val cand = prefix.as("a")
       .join(prefix.as("b"),
             col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
-              col("a.sz") >= lit(tau) * col("b.sz") &&
-              col("b.sz") >= lit(tau) * col("a.sz") &&
+              col("a.sz") >= lit(tau) * col("b.sz") - lit(1e-9) &&
+              col("b.sz") >= lit(tau) * col("a.sz") - lit(1e-9) &&
               overlapBound >= minOverlap &&
               inIndexPrefix)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -329,8 +329,8 @@ object DedupOps {
     val cand = prefix.filter(col("side") === 0).as("a")
       .join(prefix.filter(col("side") === 1).as("b"),
             col("a.sh") === col("b.sh") &&
-              col("a.sz") >= lit(tau) * col("b.sz") &&
-              col("b.sz") >= lit(tau) * col("a.sz") &&
+              col("a.sz") >= lit(tau) * col("b.sz") - lit(1e-9) &&
+              col("b.sz") >= lit(tau) * col("a.sz") - lit(1e-9) &&
               overlapBound >= minOverlap &&
               inIndexPrefix)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

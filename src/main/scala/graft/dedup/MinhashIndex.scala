@@ -79,10 +79,15 @@ object MinhashIndex {
             root: String, tau: Double, maxBucket: Long = 0L): DataFrame = {
     val spark = batch.sparkSession
     val (n, k, bands) = readParams(spark, root)
-    val bsets = DedupOps.hashedSets(batch, idCol, textCol, n)
-    val out = probeSets(bsets, root, tau, k, bands, maxBucket)
-    bsets.unpersist(false)
-    out
+    // CACHE OWNERSHIP: the batch's pinned shingle sets feed the
+    // RETURNED lazy plan from several branches (postings, the id
+    // anti-join, the verify union) — the caller releases them
+    // (CacheScope.capture / clearCache, the hashedSets contract). An
+    // eager unpersist here dropped the pin before any action filled
+    // it, re-shingling the batch once per plan branch; `ingest` can
+    // release because its localCheckpoint materializes first.
+    probeSets(DedupOps.hashedSets(batch, idCol, textCol, n),
+              root, tau, k, bands, maxBucket)
   }
 
   private[dedup] def probeSets(bsets: DataFrame, root: String, tau: Double,
@@ -119,11 +124,17 @@ object MinhashIndex {
     val stored =
       if (maxBucket <= 0L) stored0
       else {
-        val hot = stored0.groupBy(col("band"), col("bh"))
+        // widths count LIVE postings only: tombstoned members never
+        // reach the verify (liveSets), so a heavily-forgotten bucket's
+        // dead rows must not push its live fan-out over the cap
+        val live = tombstonesOf(spark, root)
+          .map(t => stored0.join(t, Seq("id"), "left_anti"))
+          .getOrElse(stored0)
+        val hot = live.groupBy(col("band"), col("bh"))
           .agg(count(lit(1)).as("__w"))
           .filter(col("__w") > maxBucket)
           .select(col("band"), col("bh"))
-        stored0.join(broadcast(hot), Seq("band", "bh"), "left_anti")
+        live.join(broadcast(hot), Seq("band", "bh"), "left_anti")
       }
     // index members sharing an id with ANY probe doc are excluded (not
     // just the same-row pairing): same id = same document by contract,
@@ -227,10 +238,21 @@ object MinhashIndex {
   private[dedup] def appendPostings(bsets: DataFrame, postings: DataFrame,
                                     root: String): Unit = {
     val spark = bsets.sparkSession
-    val existing = spark.read.parquet(s"$root/sets").select(col("id"))
-    bsets.join(existing, Seq("id"), "left_anti")
+    // Each append anti-joins against ITS OWN store: a crash between
+    // the two writes is then healed by replay — the committed side
+    // no-ops, the missing side fills in. (Using sets-presence as a
+    // proxy for both left a crash window where replayed docs existed
+    // in sets/ but never regained band postings — permanently
+    // invisible to probes, breaking the replay-is-a-no-op contract.)
+    // Interim states are safe either way: a doc with only one side
+    // present is simply not probe-visible until the replay completes
+    // (candidates need buckets/, verify needs sets/).
+    val existingSets = spark.read.parquet(s"$root/sets").select(col("id"))
+    bsets.join(existingSets, Seq("id"), "left_anti")
       .write.mode("append").parquet(s"$root/sets")
-    postings.join(existing, Seq("id"), "left_anti")
+    val existingPostings = spark.read.parquet(s"$root/buckets")
+      .select(col("id")).distinct()
+    postings.join(existingPostings, Seq("id"), "left_anti")
       .repartition(col("band"))
       .write.mode("append").partitionBy("band")
       .parquet(s"$root/buckets")
@@ -285,10 +307,18 @@ object MinhashIndex {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val pairs = ingest(batch, idCol, textCol, root, tau)
-        pairs.write.mode("overwrite")
+        // per-epoch cache ownership: ingest's operator-internal pins
+        // (batch shingle sets, verify candidates) route through
+        // CacheScope.register, which is a no-op outside a scope — an
+        // unscoped long-running stream would orphan one set of cache
+        // entries per epoch (CacheManager holds them strongly). The
+        // capture bounds the session's cache to the current epoch.
+        val (pairs, release) = graft.CacheScope.capture {
+          ingest(batch, idCol, textCol, root, tau)
+        }
+        try pairs.write.mode("overwrite")
           .parquet(s"$pairsOut/batch_id=$batchId")
-        pairs.unpersist(false)
+        finally release()
         ()
       }
       .start()

@@ -909,9 +909,16 @@ object SimilarityOps {
           if (obj < bestObj) { best = c; bestObj = obj }
           c += 1
         }
-        val acc = sums(s)(best); var i = 0
-        while (i < dsub) { acc(i) += v(s * dsub + i); i += 1 }
-        cnts(s)(best) += 1L
+        // a non-finite subvector (NaN element) scores NaN against every
+        // code, so best stays -1 — the distributed twin's nearestCode
+        // likewise yields a phantom code its means-join drops, so the
+        // row contributes to no mean in EITHER regime (indexing
+        // sums(s)(-1) crashed here before)
+        if (best >= 0) {
+          val acc = sums(s)(best); var i = 0
+          while (i < dsub) { acc(i) += v(s * dsub + i); i += 1 }
+          cnts(s)(best) += 1L
+        }
       }
       cb = Array.tabulate(nsub, nCodes) { (s, c) =>
         if (cnts(s)(c) == 0L) cb(s)(c)
@@ -968,12 +975,21 @@ object SimilarityOps {
               nsub: Int, codes: Int, iters: Int): DataFrame = {
     require(nsub >= 1 && codes >= 1 && iters >= 0,
             s"nsub/codes/iters must be positive (got $nsub/$codes/$iters)")
-    val dRow = emb.agg(max(size(col(vecCol))), count(lit(1))).head()
-    require(!dRow.isNullAt(0), "pqTrain: corpus has no vectors")
-    val d = dRow.getInt(0)
+    // d = the MODAL vector length (ties: smaller), one tiny aggregate:
+    // max(size) let a single stray higher-dimensional row redefine d,
+    // train the codebook on that one vector and silently exclude the
+    // entire real corpus from training AND encoding (size === d filters
+    // everywhere downstream). The mode trains on the corpus's actual
+    // dimension and excludes strays of ANY size; its row count is also
+    // exactly what the driver regime collects, so it drives the gate.
+    val dims = emb.groupBy(size(col(vecCol)).as("__d"))
+      .agg(count(lit(1)).as("__c")).filter(col("__d") > 0)
+      .orderBy(col("__c").desc, col("__d").asc).limit(1).collect()
+    require(dims.nonEmpty, "pqTrain: corpus has no vectors")
+    val d = dims(0).getInt(0)
     require(d % nsub == 0, s"dimension $d not divisible by nsub=$nsub")
     val dsub = d / nsub
-    if (dRow.getLong(1) * d <= PqDriverTrainGate)
+    if (dims(0).getLong(1) * d <= PqDriverTrainGate)
       pqTrainDriver(emb, idCol, vecCol, nsub, codes, iters, d, dsub)
     else
       pqTrainDistributed(emb, idCol, vecCol, nsub, codes, iters, d, dsub)

@@ -53,6 +53,41 @@ class MinhashIndexSpec extends SparkSpec {
     assert(!got.exists(t => Set(t._1, t._2) === Set(3L, 5L)))
   }
 
+  test("replay after a crash BETWEEN the two appends restores the " +
+       "missing band postings (each append anti-joins its own store)") {
+    val root = s"${Sinks.scratchRoot}/spec_mhindex_crash"
+    Sinks.dropTable(spark, root)
+    MinhashIndex.build(docs.filter($"doc_id" % 2 === 0),
+                       "doc_id", "text", root, n, k, bands)
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    // simulate the crash window: the sets append committed, the
+    // buckets append did not (the ingest epoch died in between)
+    val crashed = DedupOps.hashedSets(batch, "doc_id", "text", n)
+    crashed.write.mode("append").parquet(s"$root/sets")
+    crashed.unpersist()
+    Sinks.invalidate(spark, root)
+    assert(!spark.read.parquet(s"$root/buckets")
+      .select("id").as[Long].collect().toSet.contains(3L))
+    // replay the epoch: sets must no-op (no double insert), buckets
+    // must FILL IN — sets-presence as the proxy for both blocked this
+    // forever and left the docs invisible to every future probe
+    MinhashIndex.append(batch, "doc_id", "text", root)
+    val bucketIds = spark.read.parquet(s"$root/buckets")
+      .select("id").as[Long].collect().toSet
+    assert(Set(1L, 3L, 5L).subsetOf(bucketIds), s"$bucketIds")
+    assert(spark.read.parquet(s"$root/sets")
+      .filter($"id" === 3L).count() === 1L)
+    // and the healed docs are probe-visible: a fresh near-dup of the
+    // shared sentence now matches the odd-id members too
+    val pairs = MinhashIndex.probe(
+      Seq((9L, base + " and once more for good measur"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", root, tau)
+      .select($"id_a").as[Long].collect().toSet
+    assert(pairs.contains(3L), s"probe should reach the healed doc: $pairs")
+    spark.catalog.clearCache()
+  }
+
   test("probe maxBucket: a hot stored bucket drops its fan-out, " +
        "narrow matches survive, cap 0 is exact") {
     val root = s"${Sinks.scratchRoot}/spec_mhindex_cap"

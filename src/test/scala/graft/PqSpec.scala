@@ -134,6 +134,55 @@ class PqSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("pqTrain dimension is the corpus MODE: a stray higher-dim row " +
+       "cannot hijack d and exclude the real corpus") {
+    import spark.implicits._
+    // 30 dim-8 vectors + one dim-16 stray (16 IS divisible by nsub, so
+    // the old max(size) probe picked d = 16, trained the codebook on
+    // the single stray and silently excluded every real vector from
+    // training and encoding)
+    val rows = ((0L until 30L).map { i =>
+      (i, Array.tabulate(8)(j => (i + j).toFloat))
+    } :+ ((100L, Array.tabulate(16)(_.toFloat))))
+      .toDF("vec_id", "embedding")
+    val cb = SimilarityOps.pqTrain(rows, "vec_id", "embedding",
+                                   nsub = 4, codes = 2, iters = 1)
+    // trained at d = 8: dsub = 2 per subspace
+    val lens = cb.select($"cvec").as[Seq[Double]].collect().map(_.size)
+    assert(lens.nonEmpty && lens.forall(_ === 2), s"dsub: ${lens.toSeq}")
+    // and the REAL corpus serves: a probe's top-1 is a real neighbor
+    val top = SimilarityOps.pqTopK(rows, "vec_id", "embedding", cb,
+                                   probeId = 0L, k = 1)
+      .select($"vec_id").as[Long].collect()
+    assert(top.length === 1 && top(0) < 30L, s"served: ${top.toSeq}")
+  }
+
+  test("driver-regime pqTrain survives a NaN vector identically to the " +
+       "distributed regime (phantom code contributes to no mean)") {
+    import spark.implicits._
+    val rows = ((0L until 12L).map { i =>
+      (i, Array.tabulate(4)(j => (math.cos(i * 2 + j) * 3).toFloat))
+    } :+ ((50L, Array(Float.NaN, 1.0f, 2.0f, 3.0f))))
+      .toDF("vec_id", "embedding")
+    // below the gate → driver regime (used to throw AIOOBE on the -1
+    // phantom code); the distributed twin must agree coefficient-wise
+    val drv = SimilarityOps.pqTrain(rows, "vec_id", "embedding",
+                                    nsub = 2, codes = 3, iters = 2)
+    val dst = SimilarityOps.pqTrainDistributed(
+      rows, "vec_id", "embedding", nsub = 2, codes = 3, iters = 2,
+      d = 4, dsub = 2)
+    def slurp(df: org.apache.spark.sql.DataFrame) = df
+      .select($"sub_id".cast("int"), $"code".cast("int"), $"cvec")
+      .as[(Int, Int, Seq[Double])].collect().sortBy(t => (t._1, t._2))
+    val (a, b) = (slurp(drv), slurp(dst))
+    assert(a.map(t => (t._1, t._2)).toSeq === b.map(t => (t._1, t._2)).toSeq)
+    a.zip(b).foreach { case ((s, c, va), (_, _, vb)) =>
+      va.zip(vb).foreach { case (x, y) =>
+        assert((x.isNaN && y.isNaN) || math.abs(x - y) < 1e-12,
+          s"sub=$s code=$c: driver $x vs distributed $y") } }
+    spark.catalog.clearCache()
+  }
+
   test("pqTopK with an absent probe id returns no rows, not null-ranked ones") {
     import spark.implicits._
     val rows = Seq(

@@ -62,6 +62,30 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh === pairs)
   }
 
+  test("ngramJaccardPairs length-ratio bound holds at the exact " +
+       "J = tau boundary (the FP guard the prefix bound already has)") {
+    // |A| = 55 contained in |B| = 100 at tau = 0.55: J = 55/100 = tau
+    // exactly, and the unguarded ratio filter a.sz >= tau * b.sz
+    // compares 55 >= 55.000000000000007 — false in doubles — silently
+    // dropping a true pair the exact-quadratic oracle keeps. The 1e-9
+    // guard (shared with every other candidate bound) keeps the filter
+    // lossless; verify's exact J >= tau still gates emission.
+    val sets = Seq(
+      (1L, (1L to 55L).toArray, 55),
+      (2L, (1L to 100L).toArray, 100))
+      .toDF("id", "hs", "sz")
+    val both = DedupOps.ngramJaccardPairsFromSets(sets, tau = 0.55)
+      .select($"id_a", $"id_b", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(both === Seq((1L, 2L, 0.55)))
+    // the two-sided R-S twin shares the bound (and the guard)
+    val rs = DedupOps.ngramJaccardPairsBetween(
+        sets.filter($"id" === 1L), sets.filter($"id" === 2L), tau = 0.55)
+      .select($"id_a", $"id_b", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(rs === Seq((1L, 2L, 0.55)))
+  }
+
   test("minhashLshPairs maxBucket: hot buckets drop their quadratic, " +
        "sub-cap pairs survive, cap 0 is exact") {
     // a 20-doc boilerplate cluster (identical text → identical
