@@ -100,20 +100,32 @@ object GraphOps {
     * KB-per-partition graph is pure per-task overhead — measured as MOST
     * of the query's wall at sf0.01). GraphPlanSpec pins both regimes.
     */
-  def pageRank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
-               scale: Int = 9, edgeParts: Int = 0): DataFrame = {
-    // symmetrize in ONE pass (explode, not union: a union would splice
-    // the caller's whole edge-construction lineage into BOTH branches —
-    // measured as a second full self-join+distinct execution at sf0.1)
+  /** The shared iteration scaffold of [[pageRank]] and
+    * [[personalizedPageRank]]: the symmetrized (pinned, optionally
+    * pre-partitioned) edge frame plus its mass-join shape — ONE
+    * definition so the two operators' measured plan contracts cannot
+    * diverge. Symmetrize in ONE pass (explode, not union: a union
+    * would splice the caller's whole edge-construction lineage into
+    * BOTH branches — measured as a second full self-join+distinct
+    * execution at sf0.1).
+    */
+  private def symmetrized(edges: DataFrame, edgeParts: Int)
+      : (DataFrame, DataFrame => DataFrame) = {
     val sym0 = edges.select(explode(array(
         struct(col("src"), col("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
     val sym = pinned(
       if (edgeParts > 0) sym0.repartition(edgeParts, col("src")) else sym0)
-    def joinMass(mass: DataFrame): DataFrame =
+    val joinMass = (mass: DataFrame) =>
       if (edgeParts > 0) sym.join(mass.hint("shuffle_hash"), "src")
       else sym.join(mass, "src")
+    (sym, joinMass)
+  }
+
+  def pageRank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
+               scale: Int = 9, edgeParts: Int = 0): DataFrame = {
+    val (sym, joinMass) = symmetrized(edges, edgeParts)
     val spine = pinned(sym.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg")))
     // |V| as an in-plan 1-row broadcast (no driver action: a count()
@@ -161,15 +173,7 @@ object GraphOps {
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
                            iters: Int = 3, damping: Double = 0.85,
                            scale: Int = 9, edgeParts: Int = 0): DataFrame = {
-    val sym0 = edges.select(explode(array(
-        struct(col("src"), col("dst")),
-        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-    val sym = pinned(
-      if (edgeParts > 0) sym0.repartition(edgeParts, col("src")) else sym0)
-    def joinMass(mass: DataFrame): DataFrame =
-      if (edgeParts > 0) sym.join(mass.hint("shuffle_hash"), "src")
-      else sym.join(mass, "src")
+    val (sym, joinMass) = symmetrized(edges, edgeParts)
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
     val spine = pinned(deg
       .join(seeds.select(col("node")).distinct()

@@ -156,12 +156,23 @@ object Bm25Index {
     true
   }
 
-  /** Build the index from a corpus (epoch 1). */
+  /** Build the index from a corpus (epoch 1). Refuses a root that
+    * already carries committed epochs: overwriting `params` (notably
+    * `buckets`) would leave the standing epochs term-bucketed under
+    * the PREVIOUS geometry while probes prune under the new one —
+    * silently missing terms, the mixed-geometry failure the frozen
+    * params exist to make inexpressible. Rebuild into a fresh root (or
+    * `compactIndex`, which squashes epochs under the FROZEN geometry).
+    */
   def build(docs: DataFrame, root: String, idCol: String = "doc_id",
             textCol: String = "text", k1: Double = 1.2,
             b: Double = 0.75, buckets: Int = 16): Unit = {
     require(buckets >= 1, s"buckets must be >= 1 (got $buckets)")
     val spark = docs.sparkSession
+    require(committedEpochs(spark, root).isEmpty,
+      s"Bm25Index.build: $root already carries committed epochs — " +
+        "rebuilding in place would mix bucket geometries; use a fresh " +
+        "root (or compactIndex to rewrite under the frozen geometry)")
     graft.io.Sinks.requireAtomicRename(spark, root)
     import spark.implicits._
     Seq((k1, b, buckets, idCol, textCol))
@@ -287,6 +298,55 @@ object Bm25Index {
     * `bm25TopK`: (id, bm25) on the 1e-6 grid, rounded-score-desc /
     * id-asc total order, TakeOrderedAndProject.
     */
+  /** Served global stats = committed snapshot MINUS tombstone totals —
+    * both exact integer-valued sums, so logical forget keeps serving
+    * on the same grid as a physical rewrite would. ONE definition for
+    * probe and batchProbe (their spec-pinned score identity rides it).
+    * The 1-row tombstone aggregate carries a broadcast hint: AQE would
+    * pick one anyway, the hint makes the plan deterministic.
+    */
+  private def servedStats(spark: SparkSession, root: String,
+                          committed: Seq[Int],
+                          tomb: Option[DataFrame]): DataFrame = {
+    val snap = spark.read.parquet(s"$root/stats/epoch=${committed.max}")
+    tomb
+      .map { t =>
+        val rm = t.agg(
+          coalesce(count(lit(1)).cast("double"), lit(0d)).as("__rn"),
+          coalesce(sum(col("dl")), lit(0d)).as("__rs"))
+        snap.crossJoin(broadcast(rm))
+          .select((col("n") - col("__rn")).as("n"),
+                  ((col("sum_dl") - col("__rs")) /
+                    (col("n") - col("__rn"))).as("avgdl"))
+      }
+      .getOrElse(snap.select(col("n"), (col("sum_dl") / col("n")).as("avgdl")))
+  }
+
+  /** Tombstoned docs leave the pruned postings BEFORE df derivation,
+    * so per-term df is live-exact too. Shared by probe/batchProbe.
+    */
+  private def liveOnly(pruned: DataFrame,
+                       tomb: Option[DataFrame]): DataFrame =
+    tomb
+      .map(t => pruned.join(broadcast(t.select(col("doc_id"))),
+                            Seq("doc_id"), "left_anti"))
+      .getOrElse(pruned)
+
+  /** The BM25 per-(doc, term) weight on the shared 1e-6 grid — the ONE
+    * scoring expression probe, batchProbe and (structurally)
+    * TextOps.bm25TopK must agree on; input carries tf, dl, df, n,
+    * avgdl columns.
+    */
+  private def scoreW(frame: DataFrame, k1: Double, b: Double): DataFrame =
+    frame
+      .withColumn("idf",
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .withColumn("w",
+        round(col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 6))
+
   def probe(spark: SparkSession, root: String, queryTerms: Seq[String],
             k: Int = 10): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
@@ -303,47 +363,16 @@ object Bm25Index {
         .cast("int").as("tb"))
       .distinct().as[Int].collect().toSeq
     val tomb = tombstonesOf(spark, root)
-    // served stats = committed snapshot MINUS tombstone totals — both
-    // exact integer-valued sums, so logical forget keeps serving on
-    // the same grid as a physical rewrite would
-    val stats = tomb
-      .map { t =>
-        val rm = t.agg(
-          coalesce(count(lit(1)).cast("double"), lit(0d)).as("__rn"),
-          coalesce(sum(col("dl")), lit(0d)).as("__rs"))
-        // broadcast the 1-row tombstone aggregate: AQE would pick a
-        // broadcast anyway, but the hint makes the plan deterministic
-        // (the sibling stats crossJoin at :336 already carries it)
-        spark.read.parquet(s"$root/stats/epoch=${committed.max}")
-          .crossJoin(broadcast(rm))
-          .select((col("n") - col("__rn")).as("n"),
-                  ((col("sum_dl") - col("__rs")) /
-                    (col("n") - col("__rn"))).as("avgdl"))
-      }
-      .getOrElse(
-        spark.read.parquet(s"$root/stats/epoch=${committed.max}")
-          .select(col("n"), (col("sum_dl") / col("n")).as("avgdl")))
+    val stats = servedStats(spark, root, committed, tomb)
     val pruned = spark.read.parquet(s"$root/postings")
       .filter(col("epoch").isin(committed.map(Int.box): _*) &&
               col("tb").isin(tbs.map(Int.box): _*) &&
               col("term").isin(queryTerms: _*))
-    // tombstoned docs leave the pruned stream BEFORE df derivation, so
-    // per-term df is live-exact too
-    val post = tomb
-      .map(t => pruned.join(broadcast(t.select(col("doc_id"))),
-                            Seq("doc_id"), "left_anti"))
-      .getOrElse(pruned)
+    val post = liveOnly(pruned, tomb)
     val dfreq = post.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
-    post.join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
-          (col("df") + lit(0.5))))
-      .withColumn("w",
-        round(col("idf") * col("tf") * lit(k1 + 1.0) /
-          (col("tf") + lit(k1) *
-            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 6))
+    scoreW(post.join(broadcast(dfreq), "term")
+             .crossJoin(broadcast(stats)), k1, b)
       .groupBy(col("doc_id"))
       .agg(round(sum(col("w")), 6).as("bm25"))
       .select(col("doc_id").as(idCol), col("bm25"))
@@ -385,44 +414,20 @@ object Bm25Index {
           .cast("int").as("tb"))
       .distinct().as[Int].collect().toSeq
     val tomb = tombstonesOf(spark, root)
-    val stats = tomb
-      .map { t =>
-        val rm = t.agg(
-          coalesce(count(lit(1)).cast("double"), lit(0d)).as("__rn"),
-          coalesce(sum(col("dl")), lit(0d)).as("__rs"))
-        // broadcast hint for plan determinism — see probe's twin above
-        spark.read.parquet(s"$root/stats/epoch=${committed.max}")
-          .crossJoin(broadcast(rm))
-          .select((col("n") - col("__rn")).as("n"),
-                  ((col("sum_dl") - col("__rs")) /
-                    (col("n") - col("__rn"))).as("avgdl"))
-      }
-      .getOrElse(
-        spark.read.parquet(s"$root/stats/epoch=${committed.max}")
-          .select(col("n"), (col("sum_dl") / col("n")).as("avgdl")))
+    val stats = servedStats(spark, root, committed, tomb)
     val pruned = spark.read.parquet(s"$root/postings")
       .filter(col("epoch").isin(committed.map(Int.box): _*) &&
               col("tb").isin(tbs.map(Int.box): _*))
       .join(broadcast(q.select(col("term")).distinct()), Seq("term"))
-    val post = tomb
-      .map(t => pruned.join(broadcast(t.select(col("doc_id"))),
-                            Seq("doc_id"), "left_anti"))
-      .getOrElse(pruned)
+    val post = liveOnly(pruned, tomb)
     // df is per-term and query-independent — computed once over the
     // union, every query sharing a term shares its idf
     val dfreq = post.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
-    val scored = post
-      .join(broadcast(dfreq), "term")
-      .join(broadcast(q), Seq("term"))
-      .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
-          (col("df") + lit(0.5))))
-      .withColumn("w",
-        round(col("idf") * col("tf") * lit(k1 + 1.0) /
-          (col("tf") + lit(k1) *
-            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 6))
+    val scored = scoreW(post
+        .join(broadcast(dfreq), "term")
+        .join(broadcast(q), Seq("term"))
+        .crossJoin(broadcast(stats)), k1, b)
       .groupBy(col(qidCol), col("doc_id"))
       .agg(round(sum(col("w")), 6).as("bm25"))
     val w = org.apache.spark.sql.expressions.Window

@@ -73,6 +73,24 @@ object Bpe {
     */
   val DriverVocabGate: Long = 1L << 17
 
+  /** Split a word into per-CODE-POINT symbols — the driver twin of
+    * Spark's `split(col, "")`, which advances by code point. Java's
+    * `String.split("")` advances by UTF-16 code unit, shearing any
+    * supplementary-plane character (emoji, rare CJK) into two lone
+    * surrogates — the regimes would then count different pairs and
+    * train different merge tables for the same corpus.
+    */
+  private def codePointSplit(w: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
   /** Spark's string ordering is unsigned UTF-8 byte order — the driver
     * regime's tie-breaks must match it exactly (Java String compareTo
     * is UTF-16 and differs beyond the BMP).
@@ -116,7 +134,7 @@ object Bpe {
                              spark: org.apache.spark.sql.SparkSession)
       : DataFrame = {
     var syms: Array[(Array[String], Long)] =
-      wf.map { case (w, c) => (w.split(""), c) }
+      wf.map { case (w, c) => (codePointSplit(w), c) }
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long)]
     var r = 0
@@ -256,7 +274,7 @@ object Bpe {
       // is touched by exactly one narrow codegen'd pass (the merge
       // fold runs |vocab| times on the driver, never per instance)
       val encMap: Map[String, Seq[String]] = vocab.map { w =>
-        w -> table.foldLeft(w.split(""): Array[String]) {
+        w -> table.foldLeft(codePointSplit(w)) {
           case (s, (l, r)) => mergePassDriver(s, l, r)
         }.toSeq
       }.toMap

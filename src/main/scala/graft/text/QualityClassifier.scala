@@ -80,7 +80,13 @@ object QualityClassifier {
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
     val lab = labels.select(col(idCol), col(labelCol).cast("double").as("y"))
       .filter(col("y").isNotNull)
-    val feats = hashedFeatures(df, idCol, textCol, dim, mode)
+    // featurize ONLY the labeled slice: the inner join below would drop
+    // unlabeled docs anyway, but Catalyst cannot push that join under
+    // hashedFeatures' aggregate + window — without this semi-join the
+    // distill recipe ("label a small slice, filter 100 TB cheaply")
+    // paid a full-corpus tokenize/shuffle to keep the sliver
+    val labeled = df.join(lab.select(col(idCol)), Seq(idCol), "left_semi")
+    val feats = hashedFeatures(labeled, idCol, textCol, dim, mode)
     val ids = feats.select(col(idCol)).distinct()
     val bias = ids.select(col(idCol), lit(dim).as("bucket"), lit(1.0).as("x"))
     val f = feats.unionByName(bias).join(lab, idCol)
@@ -236,10 +242,13 @@ object QualityClassifier {
     */
   def logLoss(df: DataFrame, labels: DataFrame, model: Array[Double],
               idCol: String = "doc_id", textCol: String = "text",
-              labelCol: String = "y"): Double = {
+              labelCol: String = "y",
+              mode: Hashing.Mode = Hashing.OraclePortable): Double = {
     val lab = labels.select(col(idCol), col(labelCol).cast("double").as("y"))
     val eps = 1e-12
-    score(df, model, idCol, textCol).join(lab, idCol)
+    // mode must thread through (a Production-trained model scored in
+    // OraclePortable buckets yields a meaningless loss, silently)
+    score(df, model, idCol, textCol, mode).join(lab, idCol)
       .select(avg(-(col("y") * log(greatest(col("p_good"), lit(eps))) +
         (lit(1.0) - col("y")) *
           log(greatest(lit(1.0) - col("p_good"), lit(eps))))).as("l"))

@@ -1415,10 +1415,17 @@ object TextOps {
           col("__toff"))
       // `div`, not `/`: Spark's / is always double division, and a
       // floor(double) round-trip loses exactness past 2^53 — integral
-      // long division is what keeps the boundary oracle-exact at scale
-      .withColumn("shard", coalesce(least(
-        expr(s"(__cum_before * ${nShards.toLong}L) div __total"),
-        lit(nShards.toLong - 1)), lit(0L)))
+      // long division is what keeps the boundary oracle-exact at scale.
+      // The zero-total case (every doc tokenless) must be guarded by a
+      // BRANCH, not a coalesce: under Spark 4's default ANSI mode
+      // `div 0` throws DIVIDE_BY_ZERO before a null ever reaches the
+      // coalesce — CaseWhen's per-row lazy branches are what keep the
+      // division unevaluated
+      .withColumn("shard",
+        when(col("__total") > 0, least(
+          expr(s"(__cum_before * ${nShards.toLong}L) div __total"),
+          lit(nShards.toLong - 1)))
+        .otherwise(lit(0L)))
       .select(col(idCol), col("shard"), col("n_tokens"))
   }
 

@@ -35,7 +35,13 @@ class BpeSpec extends SparkSpec {
   }
 
   test("encode then decode restores every document's tokens") {
+    import spark.implicits._
+    // the appended emoji doc pins code-point splitting through the
+    // driver encode map (a surrogate shear would break the round-trip)
     val docs = Tables.load(spark, sfDir, "documents").limit(100)
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((100000L, "go😀al go😀od plain"))
+        .toDF("doc_id", "text"))
     val merges = Bpe.bpeTrain(docs, "text", numMerges = 10)
     val bad = Bpe.bpeEncode(docs, "doc_id", "text", merges)
       .join(docs, "doc_id")
@@ -65,10 +71,16 @@ class BpeSpec extends SparkSpec {
 
   test("driver-regime bpeTrain ≡ distributed bpeTrain (ranks, pairs, freqs)") {
     import spark.implicits._
-    // irregular multi-word docs with repeated substructure and ties
+    // irregular multi-word docs with repeated substructure and ties —
+    // the emoji words pin the code-point split contract: Spark's
+    // split(col, "") advances by code point, and the driver regime
+    // must NOT shear the supplementary-plane char into surrogates
+    // (Java String.split("")'s behavior) or the regimes count
+    // different pairs
     val docs = Seq(
       "low lower lowest low low", "new newer newest wide widest",
-      "wide wider lowest newest", "low wide new new newer"
+      "wide wider lowest newest", "low wide new new newer",
+      "go😀al go😀al go😀od"
     ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
     def slurp(df: org.apache.spark.sql.DataFrame) =

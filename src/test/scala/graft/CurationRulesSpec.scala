@@ -268,6 +268,20 @@ class CurationRulesSpec extends SparkSpec {
     }
   }
 
+  test("shardAssign: an all-tokenless batch lands whole in shard 0 " +
+       "instead of ANSI DIVIDE_BY_ZERO") {
+    import spark.implicits._
+    // every doc empty/whitespace → __total = 0; the shard expression
+    // must BRANCH around the integral div (under Spark 4's default
+    // ANSI mode `div 0` throws before any coalesce sees a null)
+    val docs = Seq((1L, ""), (2L, "   "), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextOps.shardAssign(docs, nShards = 4, seed = "s")
+      .select(col("doc_id"), col("shard")).as[(Long, Long)]
+      .collect().toMap
+    assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
   test("shardAssign: contiguous runs, token-balanced within one doc") {
     import spark.implicits._
     val docs = (1L to 200L)
