@@ -78,11 +78,25 @@ object Kmv {
   def toUnit(h: Long): Double =
     ((h >>> 1).toDouble * 2.0 + (h & 1L).toDouble + 1.0) / 1.8446744073709552e19
 
+  /** A null slot is a corrupt sketch, never valid data — rejected
+    * EXPLICITLY (the Dd.requireSlot discipline): ArrayData.getLong on a
+    * null slot silently reads garbage, and parquet round-trips
+    * array<bigint> as containsNull=true, so the analysis-time check
+    * alone cannot protect the persisted-table path.
+    */
+  def requireSlot(a: ArrayData, i: Int, who: String): Long = {
+    if (a.isNullAt(i))
+      throw new IllegalArgumentException(
+        s"$who: sketch array has a null slot at $i — not a kmv_agg/" +
+          "kmv_merge output")
+    a.getLong(i)
+  }
+
   private def toArray(a: ArrayData): Array[Long] = {
     val n = a.numElements()
     val out = new Array[Long](n)
     var i = 0
-    while (i < n) { out(i) = a.getLong(i); i += 1 }
+    while (i < n) { out(i) = requireSlot(a, i, "kmv"); i += 1 }
     out
   }
 
@@ -92,7 +106,8 @@ object Kmv {
   def countEstimate(sketch: ArrayData, k: Int): Long = {
     val n = sketch.numElements()
     if (n < k) n.toLong
-    else math.round((k - 1).toDouble / toUnit(sketch.getLong(n - 1)))
+    else math.round((k - 1).toDouble /
+      toUnit(requireSlot(sketch, n - 1, "kmv_count")))
   }
 
   /** Set-operation statistics via the union sketch X = k-min(A ∪ B)
@@ -141,10 +156,12 @@ object Kmv {
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
     e.dataType match {
-      case ArrayType(LongType, false) => TypeCheckSuccess
-      case ArrayType(LongType, true) => TypeCheckFailure(
-        s"$who sketch argument must be array<bigint> without nulls " +
-          "(use kmv_agg output)")
+      // containsNull=true is accepted because parquet round-trips the
+      // sketch that way (the DdExpressions precedent — a persisted
+      // sketch table is the API's whole point); null SLOTS are
+      // rejected at runtime (Kmv.requireSlot) instead of silently
+      // reading garbage
+      case ArrayType(LongType, _) => TypeCheckSuccess
       case other => TypeCheckFailure(
         s"$who requires array<bigint> sketch input, got " +
           other.catalogString)
@@ -264,7 +281,9 @@ case class KmvMergeAgg(
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
       var i = 0
-      while (i < arr.numElements()) { insert(buffer, arr.getLong(i)); i += 1 }
+      while (i < arr.numElements()) {
+        insert(buffer, Kmv.requireSlot(arr, i, prettyName)); i += 1
+      }
     }
     buffer
   }

@@ -39,6 +39,55 @@ object ShingleExpressions {
 
   def minhashSigFromHashes(hashes: Column, k: Int): Column =
     Bridge.toColumn(MinHashSigFromHashes(Bridge.toExpression(hashes), k))
+
+  /** xxhash64 of every n-char window of `s` IN POSITION ORDER — the
+    * ONE hashing definition (ASCII fast path + O(len) multi-byte
+    * boundary table) shared by ShingleHashes (which sorts and dedups
+    * it) and ShingleHashesPos (which returns it as-is): a seed or
+    * boundary-walk change in one can no longer diverge the set and
+    * positional variants on the same document. Returns null-free
+    * windows; empty when numChars < n.
+    *
+    * Multi-byte path: ONE forward pass computes every char's byte
+    * offset, then windows hash in place from the boundary table —
+    * same bytes as substringSQL(i+1, n) per window. (The substringSQL
+    * formulation re-walked the string from byte 0 for every window:
+    * O(len²), a single-task straggler on a megabyte CJK document.)
+    */
+  private[functions] def windowHashes(s: UTF8String, n: Int): Array[Long] = {
+    val numBytes = s.numBytes
+    val numChars = s.numChars()
+    if (numChars < n) return Array.emptyLongArray
+    val m = numChars - n + 1
+    val out = new Array[Long](m)
+    if (numChars == numBytes) {
+      // ASCII: char windows are byte windows — hash in place
+      var i = 0
+      while (i < m) {
+        out(i) = XXH64.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset + i, n, TextExpressions.Seed)
+        i += 1
+      }
+    } else {
+      val bounds = new Array[Int](numChars + 1)
+      var off = 0
+      var c = 0
+      while (c < numChars) {
+        bounds(c) = off
+        off += UTF8String.numBytesForFirstByte(s.getByte(off))
+        c += 1
+      }
+      bounds(numChars) = numBytes
+      var i = 0
+      while (i < m) {
+        out(i) = XXH64.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset + bounds(i),
+          bounds(i + n) - bounds(i), TextExpressions.Seed)
+        i += 1
+      }
+    }
+    out
+  }
 }
 
 /** text → sorted distinct xxhash64 values of all n-CHAR windows.
@@ -64,42 +113,9 @@ case class ShingleHashes(child: Expression, n: Int)
   }
 
   def compute(s: UTF8String): GenericArrayData = {
-    val numBytes = s.numBytes
-    val numChars = s.numChars()
-    if (numChars < n) return new GenericArrayData(Array.emptyLongArray)
-    val m = numChars - n + 1
-    val out = new Array[Long](m)
-    if (numChars == numBytes) {
-      // ASCII: char windows are byte windows — hash in place
-      var i = 0
-      while (i < m) {
-        out(i) = XXH64.hashUnsafeBytes(
-          s.getBaseObject, s.getBaseOffset + i, n, TextExpressions.Seed)
-        i += 1
-      }
-    } else {
-      // multi-byte: ONE forward pass computes every char's byte offset,
-      // then windows hash in place from the boundary table — O(len),
-      // same bytes as substringSQL(i+1, n) per window. (The substringSQL
-      // formulation re-walked the string from byte 0 for every window:
-      // O(len²), a single-task straggler on a megabyte CJK document.)
-      val bounds = new Array[Int](numChars + 1)
-      var off = 0
-      var c = 0
-      while (c < numChars) {
-        bounds(c) = off
-        off += UTF8String.numBytesForFirstByte(s.getByte(off))
-        c += 1
-      }
-      bounds(numChars) = numBytes
-      var i = 0
-      while (i < m) {
-        out(i) = XXH64.hashUnsafeBytes(
-          s.getBaseObject, s.getBaseOffset + bounds(i),
-          bounds(i + n) - bounds(i), TextExpressions.Seed)
-        i += 1
-      }
-    }
+    val out = ShingleExpressions.windowHashes(s, n)
+    val m = out.length
+    if (m == 0) return new GenericArrayData(out)
     Arrays.sort(out)
     // in-place dedup of the sorted array
     var w = 0
@@ -148,39 +164,8 @@ case class ShingleHashesPos(child: Expression, n: Int)
       TextExpressions.requireType(child, prettyName, "string")(_ == StringType)
   }
 
-  def compute(s: UTF8String): GenericArrayData = {
-    val numBytes = s.numBytes
-    val numChars = s.numChars()
-    if (numChars < n) return new GenericArrayData(Array.emptyLongArray)
-    val m = numChars - n + 1
-    val out = new Array[Long](m)
-    if (numChars == numBytes) {
-      var i = 0
-      while (i < m) {
-        out(i) = XXH64.hashUnsafeBytes(
-          s.getBaseObject, s.getBaseOffset + i, n, TextExpressions.Seed)
-        i += 1
-      }
-    } else {
-      val bounds = new Array[Int](numChars + 1)
-      var off = 0
-      var c = 0
-      while (c < numChars) {
-        bounds(c) = off
-        off += UTF8String.numBytesForFirstByte(s.getByte(off))
-        c += 1
-      }
-      bounds(numChars) = numBytes
-      var i = 0
-      while (i < m) {
-        out(i) = XXH64.hashUnsafeBytes(
-          s.getBaseObject, s.getBaseOffset + bounds(i),
-          bounds(i + n) - bounds(i), TextExpressions.Seed)
-        i += 1
-      }
-    }
-    new GenericArrayData(out)
-  }
+  def compute(s: UTF8String): GenericArrayData =
+    new GenericArrayData(ShingleExpressions.windowHashes(s, n))
 
   override def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[UTF8String])

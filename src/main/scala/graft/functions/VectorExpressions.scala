@@ -75,6 +75,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
+        // a null SLOT is a degenerate vector, not a zero: reading it
+        // unchecked yields 0.0 (or stale unsafe-row bytes) and a
+        // silently wrong similarity — propagate null like every other
+        // degenerate case this expression already handles
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
         val x = getElem(left, a, i); val y = getElem(right, b, i)
         dot += x * y; na += x * x; nb += y * y
         i += 1
@@ -100,12 +105,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |else {
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
          |    double $x = ${genGet(left, a, i)};
          |    double $y = ${genGet(right, b, i)};
          |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
-         |  if ($na == 0.0 || $nb == 0.0) { ${ev.isNull} = true; }
-         |  else { ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb)); }
+         |  if (!${ev.isNull}) {
+         |    if ($na == 0.0 || $nb == 0.0) { ${ev.isNull} = true; }
+         |    else { ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb)); }
+         |  }
          |}
        """.stripMargin
     })
@@ -127,6 +137,8 @@ case class DotProduct(left: Expression, right: Expression)
       var dot = 0.0
       var i = 0
       while (i < n) {
+        // null slot → null result (CosineSimilarity's rule)
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
         dot += getElem(left, a, i) * getElem(right, b, i); i += 1
       }
       dot
@@ -145,9 +157,12 @@ case class DotProduct(left: Expression, right: Expression)
          |else {
          |  double $dot = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
          |    $dot += (${genGet(left, a, i)}) * (${genGet(right, b, i)});
          |  }
-         |  ${ev.value} = $dot;
+         |  if (!${ev.isNull}) { ${ev.value} = $dot; }
          |}
        """.stripMargin
     })

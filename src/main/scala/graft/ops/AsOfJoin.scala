@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   * `rightTiebreak` ascending, so the carried payload is the max-tiebreak
   * quote; right rows sort before left rows at the same timestamp
   * (inclusive ≤ semantics).
+  *
+  * Output = every left column plus the matched right row's columns,
+  * MINUS right columns whose names collide with a left column (always
+  * at least the join key): emitting both sides' copies made any
+  * later by-name reference to them AMBIGUOUS_REFERENCE. The left copy
+  * wins — for the key the two agree on every matched row anyway, and
+  * the probe side is what callers group/filter on.
   */
 object AsOfJoin {
 
@@ -61,6 +68,7 @@ object AsOfJoin {
       .withColumn("__carried", last(col("__quote"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(leftCols.map(c => col("__probe").getField(c).as(c)) ++
-        rightCols.map(c => col("__carried").getField(c).as(c)): _*)
+        rightCols.filterNot(leftCols.contains)
+          .map(c => col("__carried").getField(c).as(c)): _*)
   }
 }

@@ -108,7 +108,8 @@ object Funnel {
                         touchType: String = "click",
                         userCol: String = "user_id", tsCol: String = "ts",
                         idCol: String = "event_id",
-                        valCol: String = "value"): DataFrame = {
+                        valCol: String = "value",
+                        typeCol: String = "event_type"): DataFrame = {
     require(windowHours >= 1, s"windowHours must be >= 1")
     val delta = windowHours.toLong * 3600L * 1000L
     val base = events
@@ -116,11 +117,11 @@ object Funnel {
       .withColumn("__ms",
         unix_millis(date_trunc("millisecond", col(tsCol))))
       .withColumn("__bin", expr(s"__ms div ${delta}L"))
-    val p = base.filter(col("event_type") === convType)
+    val p = base.filter(col(typeCol) === convType)
       .select(col(idCol).as("__pid"), col(userCol).as("__u"),
               col("__ms").as("__pms"), col("__bin").as("__pbin"),
               coalesce(col(valCol), lit(0.0)).as("__val"))
-    val c = base.filter(col("event_type") === touchType)
+    val c = base.filter(col(typeCol) === touchType)
       .select(col(userCol).as("__u"), col("__ms").as("__cms"),
               col("__bin").as("__cbin"), channelCol.as("channel"))
     val bound = col("__cms") <= col("__pms") &&

@@ -117,19 +117,33 @@ object SketchOps {
                           path: String, batch: DataFrame,
                           keyCol: String = "user_id",
                           tsCol: String = "ts", p: Int = 12): Unit = {
+    // the batch aggregate is consumed twice below (the days collect and
+    // the union) — pin it or the whole batch re-aggregates per consumer
     val fresh = dailySketches(batch, keyCol, tsCol, p)
-    val merged = scala.util.Try(spark.read.parquet(path)) match {
-      case scala.util.Failure(_) => fresh // bootstrap: no standing table
-      case scala.util.Success(standing) =>
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.register)
+    // bootstrap ONLY on provable absence (fs.exists, the
+    // appendDailyValueSketches discipline): a Try around the read took
+    // the bootstrap branch on ANY transient read failure and silently
+    // REPLACED the affected days' standing sketches with batch-only
+    // ones — a permanent undercount; a real read error must propagate
+    val p0 = new org.apache.hadoop.fs.Path(path)
+    val exists = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(p0)
+    val merged =
+      if (!exists) fresh // bootstrap: no standing table
+      else {
         // affected days only: a tiny driver-side list, folded as isin
         // (partition-prunable if the sketch table is day-partitioned)
         val days = fresh.select(col("day")).collect().map(_.getDate(0))
-        standing.filter(col("day").isin(days.toIndexedSeq: _*))
+        spark.read.parquet(path)
+          .filter(col("day").isin(days.toIndexedSeq: _*))
           .unionByName(fresh)
           .groupBy(col("day"))
           .agg(hllMerge(col("sketch"), p).as("sketch"))
-    }
+      }
     graft.io.Sinks.mergeByKey(merged, Seq("day"), path)
+    fresh.unpersist(false): Unit
   }
 
   /** Per-day KMV key sketch table: like [[dailySketches]] but the

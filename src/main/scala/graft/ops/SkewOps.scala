@@ -65,6 +65,9 @@ object SkewOps {
 
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  n: Int = 8, rowIdCol: Option[String] = None): DataFrame = {
+    // n = 0 would make pmod null on every fact row and the salt
+    // sequence step DOWNWARD — an empty join result with no error
+    require(n >= 1, s"salt count n must be >= 1 (got $n)")
     val saltSrc = rowIdCol match {
       case Some(id) => xxhash64(col(id))
       case None     => xxhash64(fact.columns.map(col): _*)

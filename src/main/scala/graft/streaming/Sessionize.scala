@@ -81,7 +81,13 @@ object Sessionize {
       val times = rows.collect {
         case e if e.ts != null => e.ts.getTime
       }.toSeq.sorted
-      if (times.isEmpty) return Iterator.empty
+      if (times.isEmpty) {
+        // GroupState resets the timeout on EVERY invocation — an
+        // all-null batch for a key with an open session must re-arm it
+        // or the session is never closed and its state leaks
+        if (idleTimeout && state.exists) state.setTimeoutDuration(gapMs)
+        return Iterator.empty
+      }
       var s = state.getOption.getOrElse(
         SessionState(times.head, times.head, 0L))
       val closed = Seq.newBuilder[SessionState]

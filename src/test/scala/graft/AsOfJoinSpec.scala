@@ -35,6 +35,20 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got("p4") === None)     // no quotes at all
   }
 
+  test("asof join output carries ONE copy of the join key — by-name " +
+       "references to it resolve") {
+    val probes = Seq(("A", ts("2024-01-01 10:00:00"), "p1"))
+      .toDF("k", "pts", "probe_id")
+    val quotes = Seq(("A", ts("2024-01-01 09:00:00"), 1L))
+      .toDF("k", "qts", "quote_id")
+    val out = AsOfJoin.asofJoin(probes, quotes, "k", "pts", "qts",
+                                "quote_id")
+    // both inputs carry `k`; emitting both made groupBy("k") an
+    // AMBIGUOUS_REFERENCE — the probe-side copy wins
+    assert(out.columns.count(_ == "k") === 1, out.columns.mkString(","))
+    assert(out.groupBy("k").count().head().getLong(1) === 1L)
+  }
+
   test("asof join tie-break: max tiebreak among equal-ts quotes") {
     val probes = Seq(("A", ts("2024-01-01 10:00:00"), "p")).toDF("k", "pts", "pid")
     val quotes = Seq(

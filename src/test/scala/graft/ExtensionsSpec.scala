@@ -38,6 +38,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(sims.forall { case (s, d) => s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9 && d > 0 })
   }
 
+  test("cosine_sim / dot_product: a null array SLOT yields null, " +
+       "never a silently-zeroed similarity") {
+    GraftExtensions.registerAll(spark)
+    val got = spark.sql(
+      """SELECT
+        |  cosine_sim(array(1.0d, cast(null as double)),
+        |             array(1.0d, 1.0d)) AS c,
+        |  dot_product(array(1.0d, cast(null as double)),
+        |              array(1.0d, 1.0d)) AS d,
+        |  cosine_sim(array(1.0d, 0.0d), array(1.0d, 1.0d)) AS ok
+        |""".stripMargin).head()
+    // the unchecked read treated the null slot as 0.0 (or stale unsafe
+    // bytes) — a plausible-looking wrong answer
+    assert(got.isNullAt(0) && got.isNullAt(1))
+    assert(math.abs(got.getDouble(2) - 1.0 / math.sqrt(2)) < 1e-9)
+  }
+
   test("SQL functions reject bad arity with a clear error") {
     GraftExtensions.registerAll(spark)
     val e = intercept[Exception] {

@@ -129,6 +129,30 @@ class KmvSpec extends SparkSpec {
     }
   }
 
+  test("a parquet-persisted sketch table still serves kmv_count/" +
+       "kmv_jaccard (containsNull=true round-trip accepted)") {
+    import spark.implicits._
+    GraftExtensions.registerAll(spark)
+    val path = graft.io.Sinks.scratchRoot + "/kmv_persist_spec"
+    graft.io.Sinks.dropTable(spark, path)
+    spark.range(500)
+      .select((col("id") % 5).as("g"), xxhash64(col("id")).as("h"))
+      .groupBy("g")
+      .agg(expr(s"kmv_agg(h, $K)").as("sketch"))
+      .write.parquet(path)
+    // parquet round-trips array<bigint> as containsNull=true — the
+    // analysis-time check must accept it (null SLOTS still reject at
+    // runtime, the DdExpressions discipline)
+    val back = spark.read.parquet(path)
+    assert(back.schema("sketch").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
+    val counts = back.select(expr(s"kmv_count(sketch, $K)"))
+      .as[Long].collect()
+    assert(counts.length === 5 && counts.forall(c => c === 100L),
+           s"exact regime per group: ${counts.toSeq}")
+    spark.catalog.clearCache()
+  }
+
   test("SQL surface: kmv_* registered and composable") {
     GraftExtensions.registerAll(spark)
     spark.range(3000).createOrReplaceTempView("kmv_in")
