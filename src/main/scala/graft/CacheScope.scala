@@ -60,6 +60,15 @@ object CacheScope {
     current.set(buf)
     val result =
       try body
+      catch {
+        // the release handle is never returned on a failed build, so
+        // frames the body already persisted would otherwise outlive it
+        // with no owner — exactly the clearCache-only leak this class
+        // exists to replace
+        case t: Throwable =>
+          buf.foreach(_.unpersist(false))
+          throw t
+      }
       finally current.set(outer)
     (result, () => buf.foreach(_.unpersist(false)))
   }

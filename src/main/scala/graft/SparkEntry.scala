@@ -5431,7 +5431,7 @@ object SparkEntry {
         |             coalesce(share_a, 0) AS share_a,
         |             coalesce(share_b, 0) AS share_b
         |           FROM pa FULL OUTER JOIN pb
-        |             ON pa.event_type = pb.event_type)
+        |             ON pa.event_type IS NOT DISTINCT FROM pb.event_type)
         |SELECT event_type,
         |       round(share_a, 6) AS share_a,
         |       round(share_b, 6) AS share_b,
@@ -6052,10 +6052,12 @@ object SparkEntry {
         |                   ELSE 'test' END AS split
         |       FROM documents)
         |SELECT p.id_a, p.id_b, p.jaccard,
-        |       sa.split AS split_a, sb.split AS split_b
-        |FROM pairs p JOIN sp sa ON sa.doc_id = p.id_a
-        |             JOIN sp sb ON sb.doc_id = p.id_b
-        |WHERE sa.split <> sb.split""".stripMargin
+        |       coalesce(sa.split, 'unsplit') AS split_a,
+        |       coalesce(sb.split, 'unsplit') AS split_b
+        |FROM pairs p LEFT JOIN sp sa ON sa.doc_id = p.id_a
+        |             LEFT JOIN sp sb ON sb.doc_id = p.id_b
+        |WHERE coalesce(sa.split, 'unsplit')
+        |      <> coalesce(sb.split, 'unsplit')""".stripMargin
 
   /** Brute-force cosine top-10 for probe 0 — the contract of BOTH
     * q_cosine_topk (the direct exact twin) and q_reindex (served at

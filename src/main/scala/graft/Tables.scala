@@ -34,10 +34,17 @@ object Tables {
       spark.conf.set(NanosConf, "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") df.schema("ts").dataType match {
-      // `div` = integral division: ns/1000 through a double would round
-      // (ns epoch values exceed the 53-bit mantissa) and can cross a
-      // µs/ms boundary; floor-truncation matches DuckDB's behavior.
-      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // Integral arithmetic: ns/1000 through a double would round (ns
+      // epoch values exceed the 53-bit mantissa) and can cross a µs/ms
+      // boundary. FLOOR semantics need one more step: `div` truncates
+      // toward zero, which rounds pre-epoch nanos the wrong way
+      // (-500 ns div 1000 = 0 µs, floor = -1 µs — a one-unit bucket
+      // shift vs DuckDB's calendar arithmetic over native ns).
+      // Subtracting pmod (always non-negative) first makes the operand
+      // an exact multiple, so the division IS the floor — exact in
+      // long arithmetic for the full range.
+      case LongType => df.withColumn("ts",
+        timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
       // tz-less parquet µs timestamps read as TIMESTAMP_NTZ under Spark
       // 4's inferTimestampNTZ default; normalize to TimestampType (the
       // session TZ is pinned UTC, so the cast reinterprets the same

@@ -199,8 +199,11 @@ object MultimodalOps {
       // (scratch-file-per-image otherwise; everything here is in-memory)
       ImageIO.setUseCache(false)
       rows.map { r =>
-        MediaFeatures(r.doc_id, r.format, r.media.length.toLong,
-                      decode(r.media))
+        // a null payload (toMediaTable over a null-text doc) is an
+        // EMPTY payload, not a task-killing NPE: n_bytes 0, stub zeros
+        val bytes = if (r.media == null) Array.emptyByteArray else r.media
+        MediaFeatures(r.doc_id, r.format, bytes.length.toLong,
+                      decode(bytes))
       }
     }
   }
@@ -213,11 +216,12 @@ object MultimodalOps {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
+        val bytes = if (r.media == null) Array.emptyByteArray else r.media
         val scale = math.min(1.0,
           (newWidth.toDouble * newHeight) /
             math.max(1, r.width.toDouble * r.height))
-        val n = math.max(1, (r.media.length * scale).toInt)
-        MediaRow(r.doc_id, r.media.take(n), r.format, newWidth, newHeight)
+        val n = math.max(1, (bytes.length * scale).toInt)
+        MediaRow(r.doc_id, bytes.take(n), r.format, newWidth, newHeight)
       }
     }
   }
@@ -230,7 +234,8 @@ object MultimodalOps {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       rows.flatMap { r =>
-        val frames = r.media.grouped(1024).zipWithIndex
+        val bytes = if (r.media == null) Array.emptyByteArray else r.media
+        val frames = bytes.grouped(1024).zipWithIndex
         frames.collect { case (f, idx) if idx % stride == 0 =>
           FrameSample(r.doc_id, idx, f.length.toLong)
         }

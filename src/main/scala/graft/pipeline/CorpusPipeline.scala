@@ -219,10 +219,17 @@ object CorpusPipeline {
                            col(splitCol).as("split_a"))
     val sb = splits.select(col(idCol).as("id_b"),
                            col(splitCol).as("split_b"))
-    pairs.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+    // LEFT joins, missing split = the explicit 'unsplit' label: an
+    // AUDIT must surface a pair member the split table never covered
+    // (splits computed over a filtered subset), not silently drop the
+    // pair and certify "no leakage" for pairs it never checked — an
+    // unsplit-vs-train pair is a finding, not a non-event
+    pairs.join(sa, Seq("id_a"), "left_outer")
+      .join(sb, Seq("id_b"), "left_outer")
+      .select(pairs.columns.map(col) ++ Seq(
+        coalesce(col("split_a"), lit("unsplit")).as("split_a"),
+        coalesce(col("split_b"), lit("unsplit")).as("split_b")): _*)
       .filter(col("split_a") =!= col("split_b"))
-      .select(pairs.columns.map(col) ++
-                Seq(col("split_a"), col("split_b")): _*)
   }
 
   /** `clusterSplit` over an ALREADY-COMPUTED (id, comp) component frame
@@ -283,9 +290,17 @@ object CorpusPipeline {
     val spark = docs.sparkSession
     // ONE curation pass supplies both the survivors and the component
     // frame the split rides — re-deriving either would re-shingle the
-    // corpus and re-run the CC rounds the curation already paid for
-    val (curated, comp) =
+    // corpus and re-run the CC rounds the curation already paid for.
+    // Scoped INTERNALLY (unlike curate, whose returned plan still reads
+    // its pins): the JSONL write below is the last consumer of the
+    // curation caches, and the returned census is a fresh scan of the
+    // written files — leaving the corpus-scale enrichment pinned after
+    // return would accumulate dead blocks across repeated exports in a
+    // long-lived session
+    val ((curated, comp), releaseCuration) = graft.CacheScope.capture {
       curateParts(docs, lang, tau, minTokens, hashMode = hashMode)
+    }
+    try {
     val assigned = clusterSplitFromComponents(
       curated.select(col("doc_id"), col("lang")), comp,
       hashMode = hashMode)
@@ -302,6 +317,7 @@ object CorpusPipeline {
               col("chunk_tokens"), col("bin"), col("split"))
       .repartition(col("split"))
       .write.mode("overwrite").partitionBy("split").json(outPath)
+    } finally releaseCuration()
     spark.read
       .schema("doc_id long, lang string, chunk_idx long, chunk string, " +
               "chunk_tokens long, bin long, split string")

@@ -32,6 +32,8 @@ object Quality {
     */
   def requireNoNulls(df: DataFrame,
                      cols: Seq[String]): Either[QualityError, DataFrame] = {
+    require(cols.nonEmpty,
+      "requireNoNulls: need at least one column (empty.reduce otherwise)")
     val anyNull = cols.map(c => col(c).isNull).reduce(_ || _)
     val bad = df.filter(anyNull).limit(1).count()
     if (bad == 0) Right(df)
@@ -105,8 +107,16 @@ object Quality {
     // through the other side's term (JSD's finiteness guarantee)
     def term(p: Column, m: Column): Column =
       when(p > 0d, p * log2(p / m) * 0.5).otherwise(lit(0d))
-    pa.join(pb, Seq(dim), "full_outer")
-      .select(col(dim),
+    // null-SAFE key: a null dimension value is one real category, and
+    // a plain equi-join would never match the two sides' null groups —
+    // two rows whose js_bits sum to (share_a+share_b)/2 bits for a
+    // possibly-unchanged distribution (a drift monitor firing on
+    // stability); the oracle twin joins IS NOT DISTINCT FROM. Explicit
+    // aliases: both snapshots usually derive from ONE source frame, and
+    // dataframe-column references trip the ambiguous-self-join check
+    pa.as("__pa").join(pb.as("__pb"),
+        col(s"__pa.$dim") <=> col(s"__pb.$dim"), "full_outer")
+      .select(coalesce(col(s"__pa.$dim"), col(s"__pb.$dim")).as(dim),
               coalesce(col("share_a"), lit(0d)).as("share_a"),
               coalesce(col("share_b"), lit(0d)).as("share_b"))
       .withColumn("__m",
@@ -159,6 +169,10 @@ object Quality {
                    checks: Seq[Expectation]): DataFrame = {
     import Expectation._
     require(checks.nonEmpty, "expectations: no checks given")
+    require(checks.forall {
+      case Unique(cs) => cs.nonEmpty
+      case _ => true
+    }, "expectations: Unique needs at least one column")
     def violations(cond: Column): Column =
       coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L))
     val labeled = checks.zipWithIndex.map {

@@ -87,6 +87,19 @@ class RetrievalSplitSpec extends SparkSpec {
         pairs.select(col("id_a"), col("id_b")))
       .select(col("doc_id"), col("split"))
     assert(CorpusPipeline.leakageAudit(cs, pairs).count() === 0L)
+
+    // an AUDIT surfaces pairs whose member the split table never
+    // covered (splits computed over a filtered subset) as 'unsplit' —
+    // the inner-join form silently dropped them and certified "no
+    // leakage" for pairs it never checked
+    val partial = Seq((1L, "train"), (2L, "test"), (3L, "val"))
+      .toDF("doc_id", "split") // 4, 5, 6 unsplit
+    val holes = CorpusPipeline.leakageAudit(partial, pairs)
+      .orderBy(col("id_a"))
+      .as[(Long, Long, Double, String, String)].collect().toSeq
+    assert(holes === Seq((1L, 2L, 0.9, "train", "test"),
+                         (3L, 4L, 0.8, "val", "unsplit")))
+    // (5,6): BOTH unsplit → same label → correctly not a finding
   }
 
   test("clusterSplit split arm matches the md5 hex-digit contract") {
