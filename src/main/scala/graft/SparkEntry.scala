@@ -56,9 +56,14 @@ object SparkEntry {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
-    Await.result(
-      Future.sequence(tasks.map(task => Future(task()))), Duration.Inf
-    ): Unit
+    // settle ALL tasks, then rethrow the first failure: a fail-fast
+    // Future.sequence returns while sibling Spark actions still run —
+    // orphan jobs that keep mutating store directories (and, in a
+    // bench, inflate the NEXT query's timed window)
+    val results = Await.result(
+      Future.sequence(tasks.map(task => Future(scala.util.Try(task())))),
+      Duration.Inf)
+    results.collectFirst { case scala.util.Failure(e) => throw e }: Unit
   }
 
   // ---------------------------------------------------------------- queries
@@ -3077,11 +3082,15 @@ object SparkEntry {
         |         PARTITION BY o_custkey ORDER BY o_orderkey) AS next_key
         |FROM orders""".stripMargin,
 
+    // ts IS NOT NULL: Spark's window() analyzer inserts an implicit
+    // IsNotNull(ts), so a null-ts row silently drops from the Spark
+    // side while a bare GROUP BY would keep a NULL hour group (the
+    // q_hopping_rollup twin carries the same guard)
     "q_hourly_rollup" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
         |         AS hour_start,
         |       count(*) AS n, round(sum(value), 4) AS v
-        |FROM events GROUP BY 1""".stripMargin,
+        |FROM events WHERE ts IS NOT NULL GROUP BY 1""".stripMargin,
 
     "q_text_stats" ->
       """SELECT doc_id,
@@ -4290,11 +4299,12 @@ object SparkEntry {
         |                          ORDER BY s ASC, id ASC) = 1 AS kept
         |FROM mem""".stripMargin),
 
+    // ts IS NOT NULL — the q_hourly_rollup guard (window() drops nulls)
     "q_stream_rollup" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
         |         AS hour_start,
         |       event_type, count(*) AS n, round(sum(value), 4) AS v
-        |FROM events GROUP BY 1, 2""".stripMargin,
+        |FROM events WHERE ts IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
     "q_pivot" ->
       """SELECT CAST(user_id % 10 AS INTEGER) AS bucket,

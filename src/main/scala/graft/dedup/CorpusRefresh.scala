@@ -54,9 +54,14 @@ object CorpusRefresh {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
-    Await.result(
-      Future.sequence(tasks.map(task => Future(task()))), Duration.Inf
-    ): Unit
+    // settle ALL tasks, then rethrow the first failure: a fail-fast
+    // Future.sequence returns while sibling store writes still run —
+    // orphan jobs racing the caller's error handling (SparkEntry's
+    // twin carries the same contract)
+    val results = Await.result(
+      Future.sequence(tasks.map(task => Future(scala.util.Try(task())))),
+      Duration.Inf)
+    results.collectFirst { case scala.util.Failure(e) => throw e }: Unit
   }
 
   /** True when `indexRoot` already carries an established screening

@@ -256,8 +256,13 @@ object Sinks {
     recoverSwap(spark, path)
     val exists = fsFor(spark, path)
       .exists(new org.apache.hadoop.fs.Path(path))
-    if (!exists) updates.write.mode("overwrite").parquet(path)
-    else {
+    if (!exists) {
+      updates.write.mode("overwrite").parquet(path)
+      // the invalidate contract covers the bootstrap too: a cached
+      // plan over a just-dropped path must see the new table, not its
+      // stale file list
+      invalidate(spark, path)
+    } else {
       // updates feeds the plan twice (key side + union side): persist so
       // an expensive update pipeline (the refresh flagship's gated/
       // screened survivors) executes once
@@ -424,9 +429,14 @@ object Sinks {
     doomed
   }
 
-  /** Remove a table/versioned root entirely (test + re-run hygiene). */
-  def dropTable(spark: SparkSession, path: String): Unit =
+  /** Remove a table/versioned root entirely (test + re-run hygiene).
+    * Invalidates like every other mutation — a cached plan over the
+    * path must not keep serving the deleted files.
+    */
+  def dropTable(spark: SparkSession, path: String): Unit = {
     fsFor(spark, path).delete(new org.apache.hadoop.fs.Path(path), true)
+    invalidate(spark, path)
+  }
 
   /** Layout health report — the "do I need to compact / rebalance?"
     * signal feeding `compact`/`zorderWrite` decisions: per partition
@@ -450,10 +460,22 @@ object Sinks {
     def dataFiles(p: org.apache.hadoop.fs.Path): Seq[Long] = {
       val it = fs.listFiles(p, true)
       val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      // hidden-ness applies to EVERY path component under the census
+      // root, not just the leaf: a streaming sink's _spark_metadata/
+      // holds batch files named "0", "9.compact" whose leaf names look
+      // like data — counting them fakes the compaction signal
+      def hidden(f: org.apache.hadoop.fs.Path): Boolean = {
+        var cur = f
+        while (cur != null && cur.toUri.getPath != p.toUri.getPath) {
+          val n = cur.getName
+          if (n.startsWith("_") || n.startsWith(".")) return true
+          cur = cur.getParent
+        }
+        false
+      }
       while (it.hasNext) {
         val st = it.next()
-        val n = st.getPath.getName
-        if (!n.startsWith("_") && !n.startsWith(".")) out += st.getLen
+        if (!hidden(st.getPath)) out += st.getLen
       }
       out.toSeq
     }
@@ -496,6 +518,9 @@ object Sinks {
     require(zCols.nonEmpty && zCols.size <= ZOrder.MaxDims,
       s"zorderWrite takes 1..${ZOrder.MaxDims} columns, got ${zCols.size}")
     require(numFiles >= 1, s"numFiles must be >= 1 (got $numFiles)")
+    require(!df.columns.contains("__z"),
+      "zorderWrite: input already has a __z column — it would be " +
+        "silently overwritten and dropped from the written table")
     zCols.foreach { c =>
       val dt = df.schema(c).dataType
       require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
