@@ -106,6 +106,37 @@ class SinkMaintenanceSpec extends SparkSpec {
     assert(!new java.io.File(path + "__stage").exists())
   }
 
+  test("layoutStats excludes files under HIDDEN directories (a " +
+       "streaming sink's _spark_metadata batch files are not data)") {
+    val path = s"${Sinks.scratchRoot}/spec_layout_hidden"
+    Sinks.dropTable(spark, path)
+    Seq((1L, "x")).toDF("id", "v").coalesce(1).write.parquet(path)
+    val clean = Sinks.layoutStats(spark, path)
+      .select($"n_files", $"total_bytes").as[(Long, Long)].head()
+    // plant a _spark_metadata dir whose batch files have DATA-looking
+    // leaf names ("0", "9.compact") — leaf-only hidden checks count
+    // them and fake the compaction signal
+    val meta = new java.io.File(s"$path/_spark_metadata")
+    assert(meta.mkdirs())
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$path/_spark_metadata/0"), "{}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$path/_spark_metadata/9.compact"), "{}")
+    val withMeta = Sinks.layoutStats(spark, path)
+      .select($"n_files", $"total_bytes").as[(Long, Long)].head()
+    assert(withMeta === clean,
+      s"metadata files leaked into the census: $clean -> $withMeta")
+  }
+
+  test("zorderWrite refuses an input that already carries __z") {
+    val bad = Seq((1L, 2L, 3L)).toDF("a", "b", "__z")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.zorderWrite(bad, Seq("a", "b"),
+                        s"${Sinks.scratchRoot}/spec_z_refuse", 1)
+    }
+    assert(e.getMessage.contains("__z"))
+  }
+
   test("layoutStats census drives compactPartitions; layout survives, " +
        "markers excluded, small-file count tracks the threshold") {
     val path = s"${Sinks.scratchRoot}/spec_layout"
