@@ -3262,23 +3262,7 @@ object SparkEntry {
 
     "q_ngram_jaccard" -> jaccardOracle,
 
-    "q_containment_join" ->
-      """WITH snip AS (SELECT doc_id + 100000 AS doc_id,
-        |                     substr(text, 51, 150) AS text
-        |              FROM documents
-        |              WHERE doc_id % 7 = 0 AND len(text) >= 250),
-        |idx AS (SELECT unnest(range(1,
-        |    (SELECT CAST(max(len(text)) AS BIGINT) FROM documents))) AS i),
-        |sha AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 12) AS s
-        |        FROM snip JOIN idx ON i <= len(text)-11),
-        |shb AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 12) AS s
-        |        FROM documents JOIN idx ON i <= len(text)-11),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sha GROUP BY 1),
-        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-        |           FROM sha a JOIN shb b ON a.s = b.s GROUP BY 1,2)
-        |SELECT id_a, id_b, round(CAST(c AS DOUBLE)/sa.n, 6) AS containment
-        |FROM common JOIN sizes sa ON sa.doc_id = id_a
-        |WHERE CAST(c AS DOUBLE)/sa.n >= 0.9""".stripMargin,
+    "q_containment_join" -> containmentOracleGen(12, 0.9, 7, 51, 150, 250),
     "q_leakage_audit" -> leakageAuditOracle,
     "q_minhash_lsh" -> jaccardOracle,
     "q_dup_clusters" -> dupClustersOracle,
@@ -3985,23 +3969,9 @@ object SparkEntry {
     // bit-identical contract: screen + exact verify ≡ the exact join
     "q_decontaminate_bloom" -> decontaminateOracle,
 
-    "q_substring_dedup" ->
-      ("WITH " + spanCtes(25, "documents", "documents",
-                          "a.doc_id < b.doc_id") + """
-        |SELECT id_a, id_b, CAST(pa0 AS INTEGER) AS start_a,
-        |       CAST(pa0 - diag AS INTEGER) AS start_b, span_len
-        |FROM sp WHERE span_len >= 50""".stripMargin),
+    "q_substring_dedup" -> substringOracleGen(25, 50),
 
-    "q_decontaminate_spans" ->
-      ("""WITH ben AS (SELECT doc_id, text FROM documents
-        |            WHERE source = 'src0'),
-        |cor AS (SELECT doc_id, text FROM documents
-        |        WHERE source <> 'src0'),
-        |""".stripMargin +
-        spanCtes(30, "ben", "cor", "a.doc_id <> b.doc_id") + """
-        |SELECT id_a, id_b, CAST(pa0 AS INTEGER) AS start_a,
-        |       CAST(pa0 - diag AS INTEGER) AS start_b, span_len
-        |FROM sp WHERE span_len >= 60""".stripMargin),
+    "q_decontaminate_spans" -> deconSpansOracleGen(30, 60, "src0"),
 
     "q_span_removal" ->
       ("WITH " + spanCtes(25, "documents", "documents",
@@ -4148,36 +4118,7 @@ object SparkEntry {
         |      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
         |            FROM documents))""".stripMargin,
 
-    "q_line_dedup" ->
-      """WITH lines AS (
-        |  SELECT doc_id,
-        |    CAST(generate_subscripts(string_split(text, chr(10)), 1) - 1
-        |      AS BIGINT) AS pos,
-        |    unnest(string_split(text, chr(10))) AS line
-        |  FROM documents),
-        |stats AS (SELECT line, min(doc_id) AS fd
-        |          FROM lines WHERE len(trim(line)) >= 1
-        |          GROUP BY 1
-        |          HAVING count(DISTINCT doc_id) >= 2),
-        |fp AS (SELECT s.line, s.fd, min(l.pos) AS fpos
-        |       FROM stats s JOIN lines l
-        |         ON l.line = s.line AND l.doc_id = s.fd
-        |       GROUP BY 1, 2),
-        |kept AS (SELECT l.doc_id, l.pos, l.line
-        |         FROM lines l LEFT JOIN fp f ON l.line = f.line
-        |         WHERE f.line IS NULL
-        |            OR (l.doc_id = f.fd AND l.pos = f.fpos)),
-        |ka AS (SELECT doc_id, count(*) AS n_kept,
-        |              string_agg(line, chr(10) ORDER BY pos) AS clean
-        |       FROM kept GROUP BY 1)
-        |SELECT d.doc_id,
-        |       CAST(len(string_split(d.text, chr(10))) AS BIGINT)
-        |         AS n_lines,
-        |       CAST(len(string_split(d.text, chr(10)))
-        |            - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
-        |       CASE WHEN d.text IS NULL THEN NULL
-        |            ELSE coalesce(k.clean, '') END AS clean_text
-        |FROM documents d LEFT JOIN ka k ON k.doc_id = d.doc_id""".stripMargin,
+    "q_line_dedup" -> lineDedupOracleGen(2),
 
     "q_cosine_topk" -> cosineTopkOracle,
 
@@ -4212,18 +4153,7 @@ object SparkEntry {
     // chain preserved the corpus exactly
     "q_reindex" -> cosineTopkOracle,
 
-    "q_cosine_pairs" ->
-      """WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-        |                     generate_subscripts(embedding,1) AS i
-        |              FROM embeddings),
-        |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM flat GROUP BY 1),
-        |dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v*b.v) AS dot
-        |         FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
-        |         GROUP BY 1,2)
-        |SELECT id_a, id_b, round(dot/(na.nrm*nb.nrm), 6) AS sim
-        |FROM dots JOIN norms na ON na.vec_id = id_a
-        |          JOIN norms nb ON nb.vec_id = id_b
-        |WHERE dot/(na.nrm*nb.nrm) >= 0.45""".stripMargin,
+    "q_cosine_pairs" -> cosinePairsOracleGen(0.45),
 
     "q_hard_negatives" ->
       """WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
@@ -6010,16 +5940,25 @@ object SparkEntry {
         |             ((1.0+0.01)/(1.0-0.01) + 1.0), 6) AS p99
         |FROM pick""".stripMargin
 
+  /** Parameterized top-k-per-group twin (board: k=3 by l_returnflag on
+    * l_extendedprice; the fuzzer sweeps k/group/order). Tie-break is
+    * always (l_orderkey, l_linenumber) — the deterministic total order
+    * both physical strategies (window and bounded-buffer Aggregator)
+    * promise.
+    */
+  private[graft] def topkOracleGen(k: Int, grp: String, ord: String): String =
+    s"""SELECT $grp, rn, l_orderkey, l_linenumber, $ord
+       |FROM (
+       |  SELECT $grp, l_orderkey, l_linenumber, $ord,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY $grp
+       |           ORDER BY $ord DESC, l_orderkey ASC,
+       |                    l_linenumber ASC) AS INTEGER) AS rn
+       |  FROM lineitem)
+       |WHERE rn <= $k""".stripMargin
+
   private val topkOracle: String =
-    """SELECT l_returnflag, rn, l_orderkey, l_linenumber, l_extendedprice
-      |FROM (
-      |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
-      |         CAST(row_number() OVER (
-      |           PARTITION BY l_returnflag
-      |           ORDER BY l_extendedprice DESC, l_orderkey ASC,
-      |                    l_linenumber ASC) AS INTEGER) AS rn
-      |  FROM lineitem)
-      |WHERE rn <= 3""".stripMargin
+    topkOracleGen(3, "l_returnflag", "l_extendedprice")
 
   /** Shared truth for both near-dup joins: exact 12-gram Jaccard ≥ 0.7.
     * q_ngram_jaccard reaches it by prefix filtering, q_minhash_lsh by
@@ -6030,21 +5969,32 @@ object SparkEntry {
     * `pairs` relation — the ground truth for q_ngram_jaccard,
     * q_minhash_lsh, and the cluster oracle built on top of it.
     */
-  private val jaccardPairsCte: String =
-    """WITH idx AS (SELECT unnest(range(1,
-      |    (SELECT CAST(max(len(text)) AS BIGINT) FROM documents))) AS i),
-      |sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 12) AS s
-      |       FROM documents JOIN idx ON i <= len(text)-11),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-      |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-      |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |           GROUP BY 1,2),
-      |pairs AS (SELECT id_a, id_b,
-      |                 round(CAST(c AS DOUBLE)/(sa.n + sb.n - c), 6)
-      |                   AS jaccard
-      |          FROM common JOIN sizes sa ON sa.doc_id = id_a
-      |                      JOIN sizes sb ON sb.doc_id = id_b
-      |          WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.7)""".stripMargin
+  /** Parameterized form of the pair-truth CTE — ONE definition serves
+    * the board (n=12, τ=0.7 over `documents`) and the differential
+    * fuzzer (`tools.Fuzz`), which sweeps (n, τ, fixture slice); a
+    * second hand-written copy could drift from the board contract.
+    * `rel` may be a bare table or an unaliased subquery slice.
+    */
+  private[graft] def jaccardPairsCteGen(n: Int, tau: Double,
+                                        rel: String): String = {
+    val n1 = n - 1
+    s"""WITH idx AS (SELECT unnest(range(1,
+       |    (SELECT CAST(max(len(text)) AS BIGINT) FROM $rel))) AS i),
+       |sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), $n) AS s
+       |       FROM $rel JOIN idx ON i <= len(text)-$n1),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |           GROUP BY 1,2),
+       |pairs AS (SELECT id_a, id_b,
+       |                 round(CAST(c AS DOUBLE)/(sa.n + sb.n - c), 6)
+       |                   AS jaccard
+       |          FROM common JOIN sizes sa ON sa.doc_id = id_a
+       |                      JOIN sizes sb ON sb.doc_id = id_b
+       |          WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= $tau)""".stripMargin
+  }
+
+  private val jaccardPairsCte: String = jaccardPairsCteGen(12, 0.7, "documents")
 
   private val jaccardOracle: String =
     jaccardPairsCte + "\nSELECT id_a, id_b, jaccard FROM pairs"
@@ -6073,22 +6023,28 @@ object SparkEntry {
     * q_cosine_topk (the direct exact twin) and q_reindex (served at
     * nprobe = nlist off the rebuilt index, which must equal it).
     */
-  private val cosineTopkOracle: String =
-    """WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-      |                     generate_subscripts(embedding,1) AS i
-      |              FROM embeddings),
-      |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM flat GROUP BY 1),
-      |probe AS (SELECT i, v FROM flat WHERE vec_id = 0),
-      |pnorm AS (SELECT nrm FROM norms WHERE vec_id = 0),
-      |dots AS (SELECT f.vec_id, sum(f.v*p.v) AS dot
-      |         FROM flat f JOIN probe p ON f.i = p.i
-      |         WHERE f.vec_id <> 0 GROUP BY 1)
-      |SELECT d.vec_id,
-      |       round(d.dot/(n.nrm*(SELECT nrm FROM pnorm)), 6) AS sim
-      |FROM dots d JOIN norms n ON n.vec_id = d.vec_id
-      |ORDER BY round(d.dot/(n.nrm*(SELECT nrm FROM pnorm)), 6) DESC,
-      |         d.vec_id ASC
-      |LIMIT 10""".stripMargin
+  /** Parameterized brute-force cosine top-k twin (board: probe 0,
+    * k=10 — shared by q_cosine_topk and q_reindex; the fuzzer sweeps
+    * probe id and k).
+    */
+  private[graft] def cosineTopkOracleGen(probe: Long, k: Int): String =
+    s"""WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |                     generate_subscripts(embedding,1) AS i
+       |              FROM embeddings),
+       |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM flat GROUP BY 1),
+       |probe AS (SELECT i, v FROM flat WHERE vec_id = $probe),
+       |pnorm AS (SELECT nrm FROM norms WHERE vec_id = $probe),
+       |dots AS (SELECT f.vec_id, sum(f.v*p.v) AS dot
+       |         FROM flat f JOIN probe p ON f.i = p.i
+       |         WHERE f.vec_id <> $probe GROUP BY 1)
+       |SELECT d.vec_id,
+       |       round(d.dot/(n.nrm*(SELECT nrm FROM pnorm)), 6) AS sim
+       |FROM dots d JOIN norms n ON n.vec_id = d.vec_id
+       |ORDER BY round(d.dot/(n.nrm*(SELECT nrm FROM pnorm)), 6) DESC,
+       |         d.vec_id ASC
+       |LIMIT $k""".stripMargin
+
+  private val cosineTopkOracle: String = cosineTopkOracleGen(0L, 10)
 
   /** Recursive min-label transitive closure over a pair relation
     * (id_a, id_b) — the `reach` fixpoint terminates because the
@@ -6115,8 +6071,8 @@ object SparkEntry {
     * discipline. Callers open with `WITH ` (plus any prefix CTEs) and
     * filter `span_len` themselves.
     */
-  private def spanCtes(n: Int, docsA: String, docsB: String,
-                       pairCond: String): String = {
+  private[graft] def spanCtes(n: Int, docsA: String, docsB: String,
+                              pairCond: String): String = {
     val n1 = n - 1
     s"""ga AS (SELECT doc_id,
        |         unnest(generate_series(1,
@@ -6240,17 +6196,121 @@ object SparkEntry {
     * definition serves both (the spanCtes/curateKeptCtes no-drift
     * discipline).
     */
-  private val decontaminateOracle: String =
-    """WITH idx AS (SELECT unnest(range(1,
-      |    (SELECT CAST(max(len(text)) AS BIGINT) FROM documents))) AS i),
-      |sh AS (SELECT DISTINCT doc_id, source,
-      |              substr(text, CAST(i AS INTEGER), 30) AS s
-      |       FROM documents JOIN idx ON i <= len(text)-29),
-      |bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0')
-      |SELECT c.doc_id, count(*) AS shared
-      |FROM sh c JOIN bench b ON c.s = b.s
-      |WHERE c.source <> 'src0'
-      |GROUP BY 1""".stripMargin
+  /** Parameterized q_cosine_pairs twin (board: τ=0.45). */
+  private[graft] def cosinePairsOracleGen(tau: Double): String =
+    s"""WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |                     generate_subscripts(embedding,1) AS i
+       |              FROM embeddings),
+       |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM flat GROUP BY 1),
+       |dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v*b.v) AS dot
+       |         FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+       |         GROUP BY 1,2)
+       |SELECT id_a, id_b, round(dot/(na.nrm*nb.nrm), 6) AS sim
+       |FROM dots JOIN norms na ON na.vec_id = id_a
+       |          JOIN norms nb ON nb.vec_id = id_b
+       |WHERE dot/(na.nrm*nb.nrm) >= $tau""".stripMargin
+
+  /** Parameterized q_line_dedup twin (board: minDocs=2, minChars=1). */
+  private[graft] def lineDedupOracleGen(minDocs: Int,
+                                        minChars: Int = 1): String =
+    s"""WITH lines AS (
+       |  SELECT doc_id,
+       |    CAST(generate_subscripts(string_split(text, chr(10)), 1) - 1
+       |      AS BIGINT) AS pos,
+       |    unnest(string_split(text, chr(10))) AS line
+       |  FROM documents),
+       |stats AS (SELECT line, min(doc_id) AS fd
+       |          FROM lines WHERE len(trim(line)) >= $minChars
+       |          GROUP BY 1
+       |          HAVING count(DISTINCT doc_id) >= $minDocs),
+       |fp AS (SELECT s.line, s.fd, min(l.pos) AS fpos
+       |       FROM stats s JOIN lines l
+       |         ON l.line = s.line AND l.doc_id = s.fd
+       |       GROUP BY 1, 2),
+       |kept AS (SELECT l.doc_id, l.pos, l.line
+       |         FROM lines l LEFT JOIN fp f ON l.line = f.line
+       |         WHERE f.line IS NULL
+       |            OR (l.doc_id = f.fd AND l.pos = f.fpos)),
+       |ka AS (SELECT doc_id, count(*) AS n_kept,
+       |              string_agg(line, chr(10) ORDER BY pos) AS clean
+       |       FROM kept GROUP BY 1)
+       |SELECT d.doc_id,
+       |       CAST(len(string_split(d.text, chr(10))) AS BIGINT)
+       |         AS n_lines,
+       |       CAST(len(string_split(d.text, chr(10)))
+       |            - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+       |       CASE WHEN d.text IS NULL THEN NULL
+       |            ELSE coalesce(k.clean, '') END AS clean_text
+       |FROM documents d LEFT JOIN ka k ON k.doc_id = d.doc_id""".stripMargin
+
+  /** Parameterized q_substring_dedup twin (board: n=25, minLen=50). */
+  private[graft] def substringOracleGen(n: Int, minLen: Int): String =
+    "WITH " + spanCtes(n, "documents", "documents",
+                       "a.doc_id < b.doc_id") + s"""
+      |SELECT id_a, id_b, CAST(pa0 AS INTEGER) AS start_a,
+      |       CAST(pa0 - diag AS INTEGER) AS start_b, span_len
+      |FROM sp WHERE span_len >= $minLen""".stripMargin
+
+  /** Parameterized q_decontaminate_spans twin (board: n=30, minLen=60,
+    * benchmark = src0).
+    */
+  private[graft] def deconSpansOracleGen(n: Int, minLen: Int,
+                                         benchSrc: String): String =
+    s"""WITH ben AS (SELECT doc_id, text FROM documents
+       |            WHERE source = '$benchSrc'),
+       |cor AS (SELECT doc_id, text FROM documents
+       |        WHERE source <> '$benchSrc'),
+       |""".stripMargin +
+      spanCtes(n, "ben", "cor", "a.doc_id <> b.doc_id") + s"""
+      |SELECT id_a, id_b, CAST(pa0 AS INTEGER) AS start_a,
+      |       CAST(pa0 - diag AS INTEGER) AS start_b, span_len
+      |FROM sp WHERE span_len >= $minLen""".stripMargin
+
+  /** Parameterized R-S containment twin (board: 12-grams, τ=0.9,
+    * snippets = chars [start, start+len) of every `mod`-th doc with
+    * len(text) ≥ minTextLen, re-keyed +100000). Containment denominator
+    * is the SNIPPET's gram count (asymmetric, quote-detection shape).
+    */
+  private[graft] def containmentOracleGen(n: Int, tau: Double, mod: Int,
+                                          snipStart: Int, snipLen: Int,
+                                          minTextLen: Int): String = {
+    val n1 = n - 1
+    s"""WITH snip AS (SELECT doc_id + 100000 AS doc_id,
+       |                     substr(text, $snipStart, $snipLen) AS text
+       |              FROM documents
+       |              WHERE doc_id % $mod = 0 AND len(text) >= $minTextLen),
+       |idx AS (SELECT unnest(range(1,
+       |    (SELECT CAST(max(len(text)) AS BIGINT) FROM documents))) AS i),
+       |sha AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), $n) AS s
+       |        FROM snip JOIN idx ON i <= len(text)-$n1),
+       |shb AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), $n) AS s
+       |        FROM documents JOIN idx ON i <= len(text)-$n1),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sha GROUP BY 1),
+       |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |           FROM sha a JOIN shb b ON a.s = b.s GROUP BY 1,2)
+       |SELECT id_a, id_b, round(CAST(c AS DOUBLE)/sa.n, 6) AS containment
+       |FROM common JOIN sizes sa ON sa.doc_id = id_a
+       |WHERE CAST(c AS DOUBLE)/sa.n >= $tau""".stripMargin
+  }
+
+  private[graft] def decontaminateOracleGen(n: Int, benchSrc: String,
+                                            minShared: Long = 1L): String = {
+    val n1 = n - 1
+    val having =
+      if (minShared > 1L) s"\nHAVING count(*) >= $minShared" else ""
+    s"""WITH idx AS (SELECT unnest(range(1,
+       |    (SELECT CAST(max(len(text)) AS BIGINT) FROM documents))) AS i),
+       |sh AS (SELECT DISTINCT doc_id, source,
+       |              substr(text, CAST(i AS INTEGER), $n) AS s
+       |       FROM documents JOIN idx ON i <= len(text)-$n1),
+       |bench AS (SELECT DISTINCT s FROM sh WHERE source = '$benchSrc')
+       |SELECT c.doc_id, count(*) AS shared
+       |FROM sh c JOIN bench b ON c.s = b.s
+       |WHERE c.source <> '$benchSrc'
+       |GROUP BY 1""".stripMargin + having
+  }
+
+  private val decontaminateOracle: String = decontaminateOracleGen(30, "src0")
 
   private val clusterSplitOracle: String =
     jaccardPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +

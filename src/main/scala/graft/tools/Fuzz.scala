@@ -1,0 +1,404 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Bench, GraftExtensions, SparkEntry, Tables}
+import graft.dedup.DedupOps
+import graft.similarity.SimilarityOps
+
+/** Parameter-space differential fuzzer vs the DuckDB oracle.
+  *
+  * The board (`SparkEntry.queries`/`oracleSql`) pins each operator at ONE
+  * parameter point; the r8 adversarial sweep showed latent defects live at
+  * parameter boundaries (τ·sz integral, prefix-length ±1, gate seams).
+  * This main draws N random configurations across the oracle-twinned
+  * operator families, runs the Spark side, and emits the driver-compatible
+  * layout (`<out>/<name>` parquet + `<out>/oracle_sql.json`) so
+  * `tools/local_check.py` hash-compares every configuration exactly the way
+  * the driver's correctness gate does. The paired oracle SQL comes from the
+  * SAME parameterized builders the board uses (`SparkEntry.*OracleGen`) —
+  * one definition, no drift.
+  *
+  * Usage: runMain graft.tools.Fuzz <sfDir> <outDir> <nConfigs> <seed>
+  *        [families]   (comma-separated subset, default all)
+  *
+  * Determinism: every parameter draw comes from ONE seeded Random, consumed
+  * in a fixed order per case, so (seed, n, families) reproduces the sweep
+  * exactly; the manifest records each case's parameters for single-case
+  * replay.
+  */
+object Fuzz {
+
+  final case class FuzzCase(name: String, family: String, params: String,
+                            run: (SparkSession, String) => DataFrame,
+                            sql: String)
+
+  // ---- parameter draws -----------------------------------------------
+
+  private def tauGrid(r: Random, lo: Int = 10, hi: Int = 19): Double =
+    (lo + r.nextInt(hi - lo + 1)) / 20.0 // 0.05 grid: exact decimal text
+
+  private def sliceRel(m: Int, rem: Int): String =
+    if (m <= 1) "documents"
+    else s"(SELECT * FROM documents WHERE doc_id % $m = $rem)"
+
+  // ---- families ------------------------------------------------------
+
+  /** n-gram Jaccard self-join: sweeps shingle width, threshold, AND the
+    * fixture slice (doc_id mod class) — the prefix/positional/indexing
+    * filters' ±1 bounds all move with (n, τ, corpus).
+    */
+  private def genJaccard(r: Random, i: Int): FuzzCase = {
+    val n = 8 + r.nextInt(9)            // 8..16
+    val tau = tauGrid(r)                // 0.50..0.95
+    val m = 1 + r.nextInt(3)            // slice modulus 1..3
+    val rem = r.nextInt(m)
+    FuzzCase(f"fz_jaccard_$i%03d", "jaccard", s"n=$n tau=$tau m=$m r=$rem",
+      (s, dir) => {
+        val docs0 = Tables.load(s, dir, "documents")
+        val docs = if (m > 1) docs0.filter(pmod(col("doc_id"), lit(m)) === rem)
+                   else docs0
+        DedupOps.ngramJaccardPairs(docs, "doc_id", "text", n, tau)
+      },
+      SparkEntry.jaccardPairsCteGen(n, tau, sliceRel(m, rem)) +
+        "\nSELECT id_a, id_b, jaccard FROM pairs")
+  }
+
+  /** R-S containment join: snippet geometry (start/len/stride) and τ all
+    * randomized; containment denominator is the snippet's gram count.
+    */
+  private def genContainment(r: Random, i: Int): FuzzCase = {
+    val n = 10 + r.nextInt(5)           // 10..14
+    val tau = tauGrid(r)                // 0.50..0.95
+    val mod = 5 + r.nextInt(5)          // 5..9
+    val start = 21 + r.nextInt(60)      // 21..80
+    val slen = 80 + r.nextInt(121)      // 80..200
+    val minTextLen = start + slen + 49
+    FuzzCase(f"fz_contain_$i%03d", "containment",
+      s"n=$n tau=$tau mod=$mod start=$start slen=$slen",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val snips = docs
+          .filter(pmod(col("doc_id"), lit(mod)) === 0 &&
+                  length(col("text")) >= minTextLen)
+          .select((col("doc_id") + 100000).as("doc_id"),
+                  substring(col("text"), start, slen).as("text"))
+        DedupOps.containmentJoin(
+          DedupOps.hashedSets(snips, "doc_id", "text", n),
+          DedupOps.hashedSets(docs, "doc_id", "text", n), tau)
+      },
+      SparkEntry.containmentOracleGen(n, tau, mod, start, slen, minTextLen))
+  }
+
+  /** Top-k per group over lineitem: k, group column and order column all
+    * drawn; tie-break fixed at (l_orderkey, l_linenumber).
+    */
+  private def genTopk(r: Random, i: Int): FuzzCase = {
+    val k = 1 + r.nextInt(8)
+    val grp = Seq("l_returnflag", "l_linestatus")(r.nextInt(2))
+    val ord = Seq("l_extendedprice", "l_quantity", "l_discount")(r.nextInt(3))
+    FuzzCase(f"fz_topk_$i%03d", "topk", s"k=$k grp=$grp ord=$ord",
+      (s, dir) => {
+        val w = Window.partitionBy(col(grp))
+          .orderBy(col(ord).desc, col("l_orderkey").asc,
+                   col("l_linenumber").asc)
+        Tables.load(s, dir, "lineitem")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k)
+          .select(col(grp), col("rn"), col("l_orderkey"),
+                  col("l_linenumber"), col(ord))
+      },
+      SparkEntry.topkOracleGen(k, grp, ord))
+  }
+
+  /** Brute-force cosine top-k: probe id and k drawn. */
+  private def genCosTopk(r: Random, i: Int): FuzzCase = {
+    val probe = r.nextInt(500).toLong
+    val k = 3 + r.nextInt(23)           // 3..25
+    FuzzCase(f"fz_costopk_$i%03d", "cos_topk", s"probe=$probe k=$k",
+      (s, dir) =>
+        SimilarityOps.topKNeighbors(Tables.load(s, dir, "embeddings"),
+                                    "vec_id", "embedding", probe, k),
+      SparkEntry.cosineTopkOracleGen(probe, k))
+  }
+
+  /** All-pairs cosine ≥ τ. */
+  private def genCosPairs(r: Random, i: Int): FuzzCase = {
+    val tau = tauGrid(r, 6, 16)         // 0.30..0.80
+    FuzzCase(f"fz_cospairs_$i%03d", "cos_pairs", s"tau=$tau",
+      (s, dir) =>
+        SimilarityOps.cosinePairs(Tables.load(s, dir, "embeddings"),
+                                  "vec_id", "embedding", tau),
+      SparkEntry.cosinePairsOracleGen(tau))
+  }
+
+  /** Doc-level decontamination: gram width, benchmark source, and the
+    * minShared floor drawn.
+    */
+  private def genDecon(r: Random, i: Int): FuzzCase = {
+    val n = 20 + r.nextInt(21)          // 20..40
+    val src = s"src${r.nextInt(20)}"
+    val minShared = 1L + r.nextInt(3)   // 1..3
+    FuzzCase(f"fz_decon_$i%03d", "decon", s"n=$n src=$src min=$minShared",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        DedupOps.contamination(docs.filter(col("source") =!= src),
+                               docs.filter(col("source") === src),
+                               "doc_id", "text", n, minShared)
+      },
+      SparkEntry.decontaminateOracleGen(n, src, minShared))
+  }
+
+  /** Cross-document maximal shared spans: anchor gram width and span
+    * floor drawn (the gaps-and-islands diagonal logic must hold for all).
+    */
+  private def genSpans(r: Random, i: Int): FuzzCase = {
+    val n = 15 + r.nextInt(16)          // 15..30
+    val minLen = n + 15 + r.nextInt(41) // n+15..n+55
+    FuzzCase(f"fz_spans_$i%03d", "spans", s"n=$n minLen=$minLen",
+      (s, dir) =>
+        DedupOps.sharedSpans(Tables.load(s, dir, "documents"),
+                             "doc_id", "text", n, minLen),
+      SparkEntry.substringOracleGen(n, minLen))
+  }
+
+  /** Benchmark-vs-corpus span decontamination. */
+  private def genDeconSpans(r: Random, i: Int): FuzzCase = {
+    val n = 20 + r.nextInt(16)          // 20..35
+    val minLen = n + 20 + r.nextInt(41) // n+20..n+60
+    val src = s"src${r.nextInt(20)}"
+    FuzzCase(f"fz_dspans_$i%03d", "decon_spans",
+      s"n=$n minLen=$minLen src=$src",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        DedupOps.sharedSpansBetween(docs.filter(col("source") =!= src),
+                                    docs.filter(col("source") === src),
+                                    "doc_id", "text", n, minLen)
+      },
+      SparkEntry.deconSpansOracleGen(n, minLen, src))
+  }
+
+  /** Line-granular cross-doc dedup: duplication floor and blank-exemption
+    * width drawn.
+    */
+  private def genLineDedup(r: Random, i: Int): FuzzCase = {
+    val minDocs = 2 + r.nextInt(3)      // 2..4
+    val minChars = 1 + r.nextInt(3)     // 1..3
+    FuzzCase(f"fz_lined_$i%03d", "line_dedup",
+      s"minDocs=$minDocs minChars=$minChars",
+      (s, dir) =>
+        DedupOps.lineDedup(Tables.load(s, dir, "documents"),
+                           "doc_id", "text", minDocs, minChars),
+      SparkEntry.lineDedupOracleGen(minDocs, minChars))
+  }
+
+  /** Keyed exact dedup over a random key subset. */
+  private def genDedupKeyed(r: Random, i: Int): FuzzCase = {
+    val all = Seq("lang", "source")
+    val keys = r.shuffle(all).take(1 + r.nextInt(all.size))
+    FuzzCase(f"fz_keyed_$i%03d", "dedup_keyed", s"keys=${keys.mkString("+")}",
+      (s, dir) =>
+        DedupOps.dedupKeyed(Tables.load(s, dir, "documents"), keys, "doc_id"),
+      s"""SELECT ${keys.mkString(", ")}, min(doc_id) AS doc_id
+         |FROM documents GROUP BY ${keys.mkString(", ")}""".stripMargin)
+  }
+
+  /** Hour-range predicate with random (possibly degenerate) bounds —
+    * BETWEEN boundary semantics.
+    */
+  private def genHour(r: Random, i: Int): FuzzCase = {
+    val lo = r.nextInt(24)
+    val hi = lo + r.nextInt(24 - lo)
+    FuzzCase(f"fz_hour_$i%03d", "hour", s"lo=$lo hi=$hi",
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .filter(hour(col("ts")).between(lo, hi))
+          .agg(count(lit(1)).as("n_rows")),
+      s"""SELECT count(*) AS n_rows FROM events
+         |WHERE date_part('hour', ts) BETWEEN $lo AND $hi""".stripMargin)
+  }
+
+  // ---- generic group-by/agg family -----------------------------------
+
+  private final case class TableSpec(name: String, grpCols: Seq[String],
+                                     intCols: Seq[String],
+                                     dblCols: Seq[String],
+                                     strVals: Map[String, Seq[String]])
+
+  private val aggTables = Seq(
+    TableSpec("lineitem", Seq("l_returnflag", "l_linestatus"),
+              Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"),
+              Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+              Map("l_returnflag" -> Seq("A", "N", "R"),
+                  "l_linestatus" -> Seq("F", "O"))),
+    TableSpec("orders", Seq("o_orderstatus", "o_orderpriority"),
+              Seq("o_orderkey", "o_custkey"), Seq("o_totalprice"), Map.empty),
+    TableSpec("customer", Seq("c_mktsegment"),
+              Seq("c_custkey", "c_nationkey"), Seq("c_acctbal"), Map.empty),
+    TableSpec("part", Seq("p_brand", "p_type"),
+              Seq("p_partkey", "p_size"), Seq("p_retailprice"), Map.empty))
+
+  /** Random group-by/aggregate/filter over a TPC-H-ish table — a narrow
+    * SQLsmith. Aggregates restricted to hash-exact-portable forms: counts,
+    * int sums (CAST BIGINT on the DuckDB side — HUGEINT would arrive as
+    * Decimal and fail the type-sensitive compare), min/max (exact on any
+    * type), and round(avg(int), 6) (integer sums are exact doubles below
+    * 2^53, so the division is bit-identical). Double SUMS are excluded:
+    * their low bits depend on accumulation order.
+    */
+  private def genAgg(r: Random, i: Int): FuzzCase = {
+    val tb = aggTables(r.nextInt(aggTables.size))
+    val nGrp = r.nextInt(math.min(2, tb.grpCols.size) + 1) // 0..2
+    val grps = r.shuffle(tb.grpCols).take(nGrp)
+
+    // aggregate draws: (sparkCol, sqlExpr, alias)
+    var aggs = Vector.empty[(Column, String)]
+    def draw(): Unit = r.nextInt(5) match {
+      case 0 =>
+        aggs :+= (count(lit(1)).as("a_cnt"), "count(*) AS a_cnt")
+      case 1 =>
+        val c = tb.intCols(r.nextInt(tb.intCols.size))
+        aggs :+= (sum(col(c)).as(s"a_sum_$c"),
+                  s"CAST(sum($c) AS BIGINT) AS a_sum_$c")
+      case 2 =>
+        val c = (tb.intCols ++ tb.dblCols)(
+          r.nextInt(tb.intCols.size + tb.dblCols.size))
+        if (r.nextBoolean())
+          aggs :+= (min(col(c)).as(s"a_min_$c"), s"min($c) AS a_min_$c")
+        else
+          aggs :+= (max(col(c)).as(s"a_max_$c"), s"max($c) AS a_max_$c")
+      case 3 =>
+        val c = tb.intCols(r.nextInt(tb.intCols.size))
+        aggs :+= (countDistinct(col(c)).as(s"a_cntd_$c"),
+                  s"count(DISTINCT $c) AS a_cntd_$c")
+      case 4 =>
+        val c = tb.intCols(r.nextInt(tb.intCols.size))
+        aggs :+= (round(avg(col(c)), 6).as(s"a_avg_$c"),
+                  s"round(avg($c), 6) AS a_avg_$c")
+    }
+    val nAgg = 1 + r.nextInt(3)
+    while (aggs.size < nAgg) { draw(); aggs = aggs.distinctBy(_._2) }
+
+    // optional filter: int mod-class or known string equality
+    val filt: Option[(Column, String)] = r.nextInt(3) match {
+      case 0 => None
+      case 1 =>
+        val c = tb.intCols(r.nextInt(tb.intCols.size))
+        val k = 2 + r.nextInt(6)
+        val v = r.nextInt(k)
+        Some((pmod(col(c), lit(k)) === v, s"$c % $k = $v"))
+      case 2 if tb.strVals.nonEmpty =>
+        val (c, vals) = tb.strVals.toSeq(r.nextInt(tb.strVals.size))
+        val v = vals(r.nextInt(vals.size))
+        Some((col(c) === v, s"$c = '$v'"))
+      case _ => None
+    }
+
+    val sqlSel =
+      (grps ++ aggs.map(_._2)).mkString(", ")
+    val sqlWhere = filt.map(f => s"\nWHERE ${f._2}").getOrElse("")
+    val sqlGroup =
+      if (grps.nonEmpty) s"\nGROUP BY ${grps.mkString(", ")}" else ""
+    FuzzCase(f"fz_agg_$i%03d", "agg",
+      s"tb=${tb.name} grp=${grps.mkString("+")} aggs=${aggs.size} " +
+        s"filt=${filt.map(_._2).getOrElse("none")}",
+      (s, dir) => {
+        val base0 = Tables.load(s, dir, tb.name)
+        val base = filt.map(f => base0.filter(f._1)).getOrElse(base0)
+        val cols = aggs.map(_._1)
+        if (grps.nonEmpty)
+          base.groupBy(grps.map(col): _*).agg(cols.head, cols.tail: _*)
+        else base.agg(cols.head, cols.tail: _*)
+      },
+      s"SELECT $sqlSel\nFROM ${tb.name}$sqlWhere$sqlGroup")
+  }
+
+  // ---- driver --------------------------------------------------------
+
+  private val families: Seq[(String, (Random, Int) => FuzzCase)] = Seq(
+    "jaccard" -> genJaccard _,
+    "containment" -> genContainment _,
+    "topk" -> genTopk _,
+    "cos_topk" -> genCosTopk _,
+    "cos_pairs" -> genCosPairs _,
+    "decon" -> genDecon _,
+    "spans" -> genSpans _,
+    "decon_spans" -> genDeconSpans _,
+    "line_dedup" -> genLineDedup _,
+    "dedup_keyed" -> genDedupKeyed _,
+    "hour" -> genHour _,
+    "agg" -> genAgg _)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val n = if (args.length > 2) args(2).toInt else 60
+    val seed = if (args.length > 3) args(3).toLong else 9L
+    val fams =
+      if (args.length > 4) {
+        val want = args(4).split(",").toSet
+        families.filter { case (f, _) => want(f) }
+      } else families
+    require(fams.nonEmpty, s"no matching families in ${args.lift(4)}")
+
+    val cpus = Bench.defaultCpus
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(Tables.NanosConf, "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.registerAll(spark)
+    new java.io.File(outDir).mkdirs()
+
+    val rng = new Random(seed)
+    // round-robin over families so every family gets ~n/|fams| draws
+    val cases = (0 until n).map(i => fams(i % fams.size)._2(rng, i))
+
+    var oracle = Map.empty[String, String]
+    var manifest = Vector.empty[String]
+    var nOk = 0
+    var nErr = 0
+    cases.foreach { c =>
+      val t0 = System.nanoTime()
+      try {
+        c.run(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/${c.name}")
+        oracle += (c.name -> c.sql)
+        nOk += 1
+        val sec = (System.nanoTime() - t0) / 1e9
+        manifest :+= s"""{"name":${Bench.jsonQuote(c.name)},"family":${
+          Bench.jsonQuote(c.family)},"params":${Bench.jsonQuote(c.params)},"sec":${
+          f"$sec%.2f"}}"""
+        println(f"[fuzz] ${c.name} ${c.family}%-12s ${c.params}%-40s $sec%6.2fs")
+      } catch { case e: Throwable =>
+        nErr += 1
+        manifest :+= s"""{"name":${Bench.jsonQuote(c.name)},"family":${
+          Bench.jsonQuote(c.family)},"params":${Bench.jsonQuote(c.params)},"error":${
+          Bench.jsonQuote(String.valueOf(e.getMessage))}}"""
+        System.err.println(s"[fuzz] ${c.name} FAILED (${c.params}): " +
+          e.toString)
+      }
+      spark.catalog.clearCache()
+    }
+
+    val json = oracle.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${Bench.jsonQuote(k)}: ${Bench.jsonQuote(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/fuzz_manifest.json"),
+      manifest.mkString("[", ",\n", "]"))
+    println(s"[fuzz] done: $nOk ok, $nErr spark-side errors, " +
+      s"seed=$seed n=$n families=${fams.map(_._1).mkString(",")}")
+    spark.stop()
+    if (nErr > 0) sys.exit(2)
+  }
+}
