@@ -659,7 +659,8 @@ object SimilarityOps {
   }
 
   def ivfTrain(emb: DataFrame, idCol: String, vecCol: String,
-               nlist: Int, iters: Int): DataFrame = {
+               nlist: Int, iters: Int,
+               gate: Long = PqDriverTrainGate): DataFrame = {
     // TWO REGIMES, the pqTrain precedent: a training set at or below
     // PqDriverTrainGate elements (and with one uniform non-empty
     // vector length — the mixed-dim corner keeps the battle-tested
@@ -678,7 +679,7 @@ object SimilarityOps {
     // contract), so a corpus that is mostly degenerate rows must not
     // slip under an element-only gate and unbound the collect
     val rows = probe.getLong(3)
-    if (elems <= PqDriverTrainGate && rows <= PqDriverTrainGate && uniform)
+    if (elems <= gate && rows <= gate && uniform)
       ivfTrainDriver(emb, idCol, vecCol, nlist, iters)
     else
       ivfTrainDistributed(emb, idCol, vecCol, nlist, iters)
@@ -972,7 +973,8 @@ object SimilarityOps {
     * pin or release.
     */
   def pqTrain(emb: DataFrame, idCol: String, vecCol: String,
-              nsub: Int, codes: Int, iters: Int): DataFrame = {
+              nsub: Int, codes: Int, iters: Int,
+              gate: Long = PqDriverTrainGate): DataFrame = {
     require(nsub >= 1 && codes >= 1 && iters >= 0,
             s"nsub/codes/iters must be positive (got $nsub/$codes/$iters)")
     // d = the MODAL vector length (ties: smaller), one tiny aggregate:
@@ -989,7 +991,7 @@ object SimilarityOps {
     val d = dims(0).getInt(0)
     require(d % nsub == 0, s"dimension $d not divisible by nsub=$nsub")
     val dsub = d / nsub
-    if (dims(0).getLong(1) * d <= PqDriverTrainGate)
+    if (dims(0).getLong(1) * d <= gate)
       pqTrainDriver(emb, idCol, vecCol, nsub, codes, iters, d, dsub)
     else
       pqTrainDistributed(emb, idCol, vecCol, nsub, codes, iters, d, dsub)

@@ -167,7 +167,8 @@ object Bpe {
   }
 
   def bpeTrain(docs: DataFrame, textCol: String,
-               numMerges: Int): DataFrame = {
+               numMerges: Int,
+               gate: Long = DriverVocabGate): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1 (got $numMerges)")
     val spark0 = docs.sparkSession
     // ONE corpus pass serves the gate probe AND whichever regime runs:
@@ -176,8 +177,8 @@ object Bpe {
     // distributed rounds (the probe's limit-collect alone used to
     // leave the distributed regime re-deriving wordFreq from docs)
     val wfCp = wordFreq(docs, textCol).localCheckpoint()
-    val wf = wfCp.limit(DriverVocabGate.toInt + 1).collect()
-    if (wf.length <= DriverVocabGate)
+    val wf = wfCp.limit(gateLimit(gate)).collect()
+    if (wf.length <= gate)
       return bpeTrainDriver(
         wf.map(r => (r.getString(0), r.getLong(1))), numMerges, spark0)
     bpeTrainFromWf(wfCp, numMerges)
@@ -253,8 +254,13 @@ object Bpe {
     * tokens exactly (encode∘decode = id; spec-pinned). Null text
     * encodes to null; tokenless text to an empty array.
     */
+  /** Clamp a (possibly huge) gate to a usable `limit(n+1)` probe size. */
+  private def gateLimit(gate: Long): Int =
+    math.min(gate, (Int.MaxValue - 1).toLong).toInt + 1
+
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
-                merges: DataFrame): DataFrame = {
+                merges: DataFrame,
+                gate: Long = DriverVocabGate): DataFrame = {
     val table = merges.orderBy(col("rank").asc)
       .select(col("left"), col("right"))
       .collect().map(r => (r.getString(0), r.getString(1)))
@@ -267,8 +273,8 @@ object Bpe {
     val vocabDf = toks.select(explode(col("__toks")).as("__w")).distinct()
       .localCheckpoint()
     val vocab = vocabDf
-      .limit(DriverVocabGate.toInt + 1).collect().map(_.getString(0))
-    if (vocab.length <= DriverVocabGate) {
+      .limit(gateLimit(gate)).collect().map(_.getString(0))
+    if (vocab.length <= gate) {
       // word → symbols as a MAP LITERAL inside one projection: a
       // per-token hash lookup, zero joins, zero shuffles — the corpus
       // is touched by exactly one narrow codegen'd pass (the merge

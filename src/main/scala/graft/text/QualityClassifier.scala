@@ -75,7 +75,8 @@ object QualityClassifier {
   def train(df: DataFrame, labels: DataFrame, idCol: String = "doc_id",
             textCol: String = "text", labelCol: String = "y",
             dim: Int = 256, iters: Int = 10, lr: Double = 2.0,
-            mode: Hashing.Mode = Hashing.OraclePortable)
+            mode: Hashing.Mode = Hashing.OraclePortable,
+            gate: Long = DriverTrainGate)
       : Array[Double] = {
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
     val lab = labels.select(col(idCol), col(labelCol).cast("double").as("y"))
@@ -103,7 +104,7 @@ object QualityClassifier {
       // 1e-9 grid; DriverGdSpec-style equivalence pinned in
       // QualityClassifierSpec. Above the gate the distributed loop
       // below runs unchanged.
-      if (f.count() <= DriverTrainGate) trainDriver(f, idCol, dim, iters, lr)
+      if (f.count() <= gate) trainDriver(f, idCol, dim, iters, lr)
       else trainDistributed(f, idCol, dim, iters, lr)
     } finally f.unpersist()
   }
