@@ -1541,21 +1541,51 @@ object SparkEntry {
                             probeId = 0L, k = 10, nprobe = 8)
     }),
 
-    // PCA projection of the embedding corpus to 8 components: ONE
-    // global aggregate builds mean + covariance (each row folds its
-    // d²-double outer product into a vector_sum buffer), a d×d driver
-    // eigendecomposition (O(d²) driver state by construction), then a
-    // zero-shuffle projection against the broadcast basis. Rows-only
-    // (LAPACK internals); planted-axis recovery, orthonormality, exact
-    // full-rank reconstruction and unit-variance whitening are
-    // spec-pinned (PcaSpec).
-    "q_pca_embed" -> ((s, dir) =>
-      Verify.stringifyArrays(
-        graft.similarity.EmbeddingPca.pcaProject(
-          t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
-          .select(col("vec_id"),
-                  transform(col("proj"), x => round(x, 4)).as("proj")),
-        "proj")),
+    // PCA projection, HASH-EXACT via sign-invariant outputs on the
+    // planted-spectrum fixture (the q_pca_scree recipe, r9 promotion):
+    // single-nonzero-coordinate vectors make the covariance EXACTLY
+    // diagonal (off-diagonal sums are sums of 0.0; coordinate means
+    // cancel to exactly 0.0 — integer ± pairs are exact in FP at any
+    // summation order, so the usual "covariance moves by ulps across
+    // partitionings" hazard is structurally absent), the eigenvalues
+    // are the per-coordinate variances, and the top-6 eigenBASIS is the
+    // 6 largest-variance coordinate axes. The emitted quantities never
+    // see LAPACK's basis-sign: per-component SQUARED projections p0..p5
+    // and the reconstruction error ‖x−μ‖² − ‖proj‖² (orthonormal-basis
+    // identity — nonzero exactly for docs whose planted coordinate
+    // ranks below the kept 6). The operator still runs its full
+    // covariance-aggregate + driver-eigen + broadcast-projection path;
+    // the real-corpus demo rides PcaSpec (orthonormality, planted-axis
+    // recovery, whitening) where basis signs are free to be LAPACK's.
+    "q_pca_embed" -> ((s, dir) => {
+      val d = 8
+      val k = 6
+      val coord = pmod(shiftright(col("doc_id"), 1), lit(d))
+      val sign = when(pmod(col("doc_id"), lit(2)) === 0, lit(1.0))
+        .otherwise(lit(-1.0))
+      val planted = t(s, dir, "documents").select(
+        col("doc_id"),
+        transform(sequence(lit(0), lit(d - 1)), j =>
+          when(j.cast("long") === coord,
+               sign * (coord + 1).cast("double"))
+            .otherwise(lit(0.0))).as("embedding"))
+      val model = graft.similarity.EmbeddingPca.fit(planted, "embedding", k)
+      val proj = graft.similarity.EmbeddingPca.project(
+        planted, "doc_id", "embedding", model)
+      val mu = typedLit(model.mean.toSeq)
+      val xNorm2 = aggregate(
+        zip_with(col("embedding"), mu, (x, m) => (x - m) * (x - m)),
+        lit(0.0), (acc, v) => acc + v)
+      val pNorm2 = aggregate(
+        transform(col("proj"), p => p * p), lit(0.0), (acc, v) => acc + v)
+      val pCols = (0 until k).map { i =>
+        val p = element_at(col("proj"), i + 1)
+        round(p * p, 6).as(s"p$i")
+      }
+      planted.join(proj, "doc_id")
+        .select(Seq(col("doc_id")) ++ pCols :+
+          round(xNorm2 - pNorm2, 6).as("rec_err2"): _*)
+    }),
 
     // The scree report off the same single-pass covariance: per-
     // component eigenvalue + cumulative fraction of total variance —
@@ -3271,6 +3301,34 @@ object SparkEntry {
     // planted spectrum: exactly-diagonal covariance (means cancel to
     // an exact 0.0), so eigenvalues = per-coordinate variances and the
     // whole scree is plain SQL — mirrors the query's construction
+    // same planted-diagonal construction as q_pca_scree; the basis of
+    // the top-6 components is the 6 largest-variance coordinate axes,
+    // so squared projections and the reconstruction error are plain
+    // CASE expressions on the doc's own planted coordinate — no LAPACK
+    "q_pca_embed" ->
+      """WITH v AS (SELECT doc_id,
+        |    CAST((doc_id // 2) % 8 AS INTEGER) AS coord,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE -1.0 END)
+        |      * CAST((doc_id // 2) % 8 + 1 AS DOUBLE) AS x
+        |  FROM documents),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+        |pc AS (SELECT coord, sum(x*x) AS sq, sum(x) AS sm
+        |       FROM v GROUP BY 1),
+        |ev AS (SELECT coord, sq/nn.n - (sm/nn.n)*(sm/nn.n) AS ev
+        |       FROM pc, nn),
+        |rk AS (SELECT coord, row_number() OVER (ORDER BY ev DESC, coord)
+        |         - 1 AS comp FROM ev)
+        |SELECT v.doc_id,
+        |       round(CASE WHEN r.comp = 0 THEN v.x*v.x ELSE 0.0 END, 6) AS p0,
+        |       round(CASE WHEN r.comp = 1 THEN v.x*v.x ELSE 0.0 END, 6) AS p1,
+        |       round(CASE WHEN r.comp = 2 THEN v.x*v.x ELSE 0.0 END, 6) AS p2,
+        |       round(CASE WHEN r.comp = 3 THEN v.x*v.x ELSE 0.0 END, 6) AS p3,
+        |       round(CASE WHEN r.comp = 4 THEN v.x*v.x ELSE 0.0 END, 6) AS p4,
+        |       round(CASE WHEN r.comp = 5 THEN v.x*v.x ELSE 0.0 END, 6) AS p5,
+        |       round(CASE WHEN r.comp >= 6 THEN v.x*v.x ELSE 0.0 END, 6)
+        |         AS rec_err2
+        |FROM v JOIN rk r ON r.coord = v.coord""".stripMargin,
+
     "q_pca_scree" ->
       """WITH v AS (SELECT CAST((doc_id // 2) % 8 AS INTEGER) AS coord,
         |    (CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE -1.0 END)
