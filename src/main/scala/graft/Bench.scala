@@ -62,13 +62,50 @@ object Bench {
   /** The one-line detailed JSON metric (pure — spec'd so the
     * driver-parseability contract can't silently regress).
     */
-  def renderJson(results: Seq[(String, Double)], sfDir: String): String = {
+  def renderJson(results: Seq[(String, Double)], sfDir: String,
+                 prev: Map[String, Double] = Map.empty): String = {
     val qs = results.map { case (k, v) => jsonQuote(k) + ":" + v }
       .mkString("{", ",", "}")
     s"""{"metric":"total","value":${totalOf(results)},"unit":"sec",""" +
-      r1Fields(results) +
+      r1Fields(results) + regressionField(results, prev) +
       s""""queries":$qs,"sf":${jsonQuote(sfDir)}}"""
   }
+
+  /** Per-query regression tripwire vs the previous round's named record
+    * (r8 verdict task: r7 burned a verdict cycle adjudicating
+    * environmental-vs-code movers by hand). A query REGRESSES when it
+    * ran in both rounds, is ≥ 1.5× its previous seconds, AND moved by
+    * more than the 0.3 s scheduling-noise floor — the same thresholds
+    * the adaptive tie-breaker uses for "these two samples disagree
+    * beyond noise". Read protocol (PLANS): a flagged query is a LEAD,
+    * not a conviction — re-measure it on an idle box before treating it
+    * as a code regression; this box's contention windows produce 2-10×
+    * one-off spikes (r2/r3), which is why the field exists at all.
+    */
+  private[graft] def regressions(results: Seq[(String, Double)],
+                                 prev: Map[String, Double])
+      : Seq[(String, Double, Double)] =
+    results.flatMap { case (name, cur) =>
+      prev.get(name) match {
+        case Some(p) if p > 0 && cur >= 0 &&
+            cur > 1.5 * p && cur - p > 0.3 =>
+          Some((name, p, cur))
+        case _ => None
+      }
+    }.sortBy { case (_, p, c) => -(c / p) }
+
+  private def regressionField(results: Seq[(String, Double)],
+                              prev: Map[String, Double]): String =
+    if (prev.isEmpty) ""
+    else {
+      val regs = regressions(results, prev)
+      val body = regs.map { case (n, p, c) =>
+        val pv = BigDecimal(p).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+        val cv = BigDecimal(c).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+        s"${jsonQuote(n)}:[$pv,$cv]"
+      }.mkString("{", ",", "}")
+      s""""regressions":$body,"""
+    }
 
   /** The round-1 first-green suite (52 queries, BENCH_r01.json) — the
     * set the 129.7 s BASELINE total was recorded over. The suite has
@@ -117,7 +154,8 @@ object Bench {
     * Fail-safe: if a future suite outgrows the window, qv is dropped
     * rather than risk an unparseable final line.
     */
-  def renderShortJson(results: Seq[(String, Double)], sfDir: String): String = {
+  def renderShortJson(results: Seq[(String, Double)], sfDir: String,
+                      prev: Map[String, Double] = Map.empty): String = {
     val total = totalOf(results)
     val base =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":${jsonQuote(sfDir)}"""
@@ -125,9 +163,58 @@ object Bench {
       if (v < 0) "-1"
       else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     }.mkString("[", ",", "]")
-    val full = base + "," + r1Fields(results) +
-      s""""nq":${results.size},"order":"name-asc","qv":$qv}"""
-    if (full.length <= 1900) full else base + "}"
+    val tail = s""""nq":${results.size},"order":"name-asc","qv":$qv}"""
+    // regressions ride the short line so the driver's BENCH_r{N}.json
+    // carries them; qv is the more load-bearing field, so when the
+    // window is tight the regressions map is dropped FIRST, then qv
+    // (the pre-existing fail-safe) — the final line must always parse
+    val withRegs =
+      base + "," + r1Fields(results) + regressionField(results, prev) + tail
+    val withoutRegs = base + "," + r1Fields(results) + tail
+    if (withRegs.length <= 1900) withRegs
+    else if (withoutRegs.length <= 1900) withoutRegs
+    else base + "}"
+  }
+
+  /** Load the PREVIOUS round's per-query seconds from the driver's
+    * `BENCH_r{n}.json` (highest n in `dir`): the short line's positional
+    * `qv` zipped with the same round's sorted `CORRECTNESS_r{n}.json`
+    * query names (the documented name-recovery protocol). Any missing
+    * file, parse failure, or count mismatch disables the tripwire
+    * (returns empty) rather than poisoning the bench.
+    */
+  private[graft] def loadPrevRound(dir: String): Map[String, Double] = {
+    try {
+      val d = new java.io.File(dir)
+      val rounds = Option(d.list()).getOrElse(Array.empty[String])
+        .flatMap { f =>
+          val m = "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(f)
+          m.map(_.group(1).toInt)
+        }
+      if (rounds.isEmpty) return Map.empty
+      val n = rounds.max
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val bench = om.readTree(
+        Files.readString(Paths.get(dir, f"BENCH_r$n%02d.json")))
+      val parsed = bench.get("parsed")
+      if (parsed == null || parsed.get("qv") == null ||
+          parsed.get("order") == null ||
+          parsed.get("order").asText() != "name-asc") return Map.empty
+      val qv = parsed.get("qv")
+      val corr = om.readTree(
+        Files.readString(Paths.get(dir, f"CORRECTNESS_r$n%02d.json")))
+      val names = {
+        val it = corr.fieldNames()
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next()
+        b.result().sorted
+      }
+      if (names.size != qv.size()) return Map.empty
+      names.zipWithIndex.flatMap { case (name, i) =>
+        val v = qv.get(i).asDouble(-1.0)
+        if (v >= 0) Some(name -> v) else None
+      }.toMap
+    } catch { case _: Throwable => Map.empty }
   }
 
   /** local[N] width: env override, else the machine's core count — a
@@ -254,7 +341,9 @@ object Bench {
         }
       name -> best
     }
-    val json = renderJson(results, sfDir)
+    val prev = loadPrevRound(
+      sys.env.getOrElse("SPARK_GRAFT_PREV_DIR", "/root/repo"))
+    val json = renderJson(results, sfDir, prev)
     // absolute fallback path: the driver may invoke from any cwd (same
     // rationale as Sinks.scratchRoot)
     val outDir = Paths.get(
@@ -279,7 +368,7 @@ object Bench {
     // line of `sbt "runMain graft.Bench"`; a stderr copy is the backup
     // channel in case the driver merges or switches streams.
     println(json)
-    println(renderShortJson(results, sfDir))
-    System.err.println(renderShortJson(results, sfDir))
+    println(renderShortJson(results, sfDir, prev))
+    System.err.println(renderShortJson(results, sfDir, prev))
   }
 }

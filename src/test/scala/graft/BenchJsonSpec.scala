@@ -92,4 +92,61 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(math.abs(node.get("value").asDouble() - 400.0) < 1e-9)
     assert(short.length < 200)
   }
+
+  test("regression tripwire: >1.5x AND >0.3s movers only, ranked by ratio") {
+    val prev = Map("q_a" -> 1.0, "q_b" -> 0.1, "q_c" -> 2.0,
+                   "q_d" -> 0.5, "q_e" -> 1.0)
+    val results = Seq(
+      "q_a" -> 1.6,   // 1.6x and +0.6s -> flagged
+      "q_b" -> 0.25,  // 2.5x but only +0.15s -> noise floor, not flagged
+      "q_c" -> 2.9,   // 1.45x -> under ratio, not flagged
+      "q_d" -> 2.5,   // 5.0x and +2.0s -> flagged, ranked first
+      "q_e" -> -1.0,  // failed run -> excluded (poisons the total instead)
+      "q_new" -> 9.9) // no previous record -> excluded
+    val regs = Bench.regressions(results, prev)
+    assert(regs.map(_._1) === Seq("q_d", "q_a"))
+    assert(regs.head === (("q_d", 0.5, 2.5)))
+  }
+
+  test("regressions ride both lines and parse; absent prev omits the field") {
+    val prev = Map("q_slow" -> 1.0)
+    val results = Seq("q_slow" -> 2.0, "q_fine" -> 0.2)
+    val det = mapper.readTree(Bench.renderJson(results, "sf", prev))
+    val arr = det.get("regressions").get("q_slow")
+    assert(arr.get(0).asDouble() === 1.0 && arr.get(1).asDouble() === 2.0)
+    val short = mapper.readTree(Bench.renderShortJson(results, "sf", prev))
+    val sarr = short.get("regressions").get("q_slow")
+    assert(sarr.get(0).asDouble() === 1.0 && sarr.get(1).asDouble() === 2.0)
+    // no previous round -> no field at all (not an empty object)
+    assert(mapper.readTree(Bench.renderJson(results, "sf"))
+      .get("regressions") == null)
+    // a clean round against a prev record -> empty object, still parseable
+    val clean = mapper.readTree(
+      Bench.renderShortJson(Seq("q_slow" -> 1.0), "sf", prev))
+    assert(clean.get("regressions").size() === 0)
+  }
+
+  test("short line drops regressions BEFORE qv when the window is tight") {
+    // ~130 queries fit with qv but not with a huge regressions map:
+    // every query regressed 10x from 1s to 10s
+    val results = (1 to 130).map(i => f"q_query_number_$i%03d" -> 10.0)
+    val prev = results.map { case (n, _) => n -> 1.0 }.toMap
+    val short = Bench.renderShortJson(results, "sf", prev)
+    assert(short.length <= 1900)
+    val node = mapper.readTree(short)
+    assert(node.get("qv") != null, "qv must survive")
+    assert(node.get("regressions") == null, "regressions dropped first")
+  }
+
+  test("loadPrevRound recovers the last driver round's named seconds") {
+    val prev = Bench.loadPrevRound("/root/repo")
+    if (prev.nonEmpty) { // absent on a fresh checkout — that's the off switch
+      assert(prev.keys.forall(_.startsWith("q_")))
+      assert(prev.valuesIterator.forall(_ >= 0))
+      // spot-check a stable member against the positional protocol
+      assert(prev.contains("q_row_count"))
+    }
+    // a directory with no records disables the tripwire
+    assert(Bench.loadPrevRound("/nonexistent-dir-xyz").isEmpty)
+  }
 }
