@@ -899,6 +899,51 @@ object SparkEntry {
         .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     }),
 
+    // MinhashIndex.ingestStream board row (r8 verdict task): streaming
+    // probe+append against the persisted signature index — the ingest
+    // quarter (mod-4 ≡ 2) arrives as 2 ascending-id-half micro-batch
+    // files against the standing mod-4 ≡ 0 index. Epoch 1 probes the
+    // original index; epoch 2 probes index ∪ epoch 1 (its append is
+    // live), so the streamed union = cross-quarter pairs PLUS the
+    // within-quarter pairs that straddle the half boundary — the oracle
+    // models the boundary with the same ntile(2) split. Establish-once
+    // (q_refresh_stream recipe): later runs replay processAllAvailable
+    // as a checkpointed no-op and the pairs census must stay
+    // bit-identical — the exactly-once-under-replay contract,
+    // driver-checked. id_a = index member at probe time, id_b = probe
+    // member (so within-quarter pairs carry id_a from the FIRST half).
+    "q_ingest_stream" -> ((s, dir) => {
+      val root = scratch(dir, "mhingest")
+      val docs = t(s, dir, "documents")
+      val mhRoot = s"$root/mh"
+      val inDir = s"$root/in"
+      val pairsOut = s"$root/pairs"
+      val marker = new org.apache.hadoop.fs.Path(s"$mhRoot/params")
+      val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) {
+        Sinks.dropTable(s, root)
+        MinhashIndex.build(docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+                           "doc_id", "text", mhRoot,
+                           n = 12, k = 64, bands = 16)
+        // 2 single-file micro-batches: ascending-id halves of the
+        // ingest quarter, written oldest-first (file-source order)
+        val tiled = docs.filter(pmod(col("doc_id"), lit(4)) === 2)
+          .withColumn("__h", ntile(2).over(Window.orderBy(col("doc_id"))))
+        (1 to 2).foreach { i =>
+          tiled.filter(col("__h") === i).drop("__h")
+            .coalesce(1).write.mode("append").parquet(inDir)
+        }
+      }
+      val q = MinhashIndex.ingestStream(
+        s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir),
+        "doc_id", "text", mhRoot, tau = 0.7, pairsOut,
+        checkpoint = s"$root/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(pairsOut)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }),
+
     // Semantic-ONLY near-dups: embedding-cosine pairs the lexical
     // (n-gram Jaccard) join cannot see — the paraphrase/translation gap
     // lexical dedup leaves open. Composes two oracle-verified pair sets
@@ -3406,6 +3451,27 @@ object SparkEntry {
         |                             x -> x <> '')) AS term
         |        FROM documents
         |        WHERE doc_id % 97 <> 0 AND doc_id % 4 = 0))""".stripMargin,
+
+    // the exact-Jaccard pair truth restricted to what the two-epoch
+    // stream observes: cross-quarter pairs (canonicalized index-side
+    // first) plus within-quarter pairs straddling the ntile(2) half
+    // boundary (epoch 2 probing epoch 1's freshly-appended half)
+    "q_ingest_stream" ->
+      (jaccardPairsCte + ",\n" +
+        """q2 AS (SELECT doc_id, ntile(2) OVER (ORDER BY doc_id) AS half
+          |       FROM documents WHERE doc_id % 4 = 2)
+          |SELECT CASE WHEN p.id_a % 4 = 2 AND p.id_b % 4 = 0
+          |            THEN p.id_b ELSE p.id_a END AS id_a,
+          |       CASE WHEN p.id_a % 4 = 2 AND p.id_b % 4 = 0
+          |            THEN p.id_a ELSE p.id_b END AS id_b,
+          |       p.jaccard
+          |FROM pairs p
+          |LEFT JOIN q2 ha ON ha.doc_id = p.id_a
+          |LEFT JOIN q2 hb ON hb.doc_id = p.id_b
+          |WHERE (p.id_a % 4 = 0 AND p.id_b % 4 = 2)
+          |   OR (p.id_a % 4 = 2 AND p.id_b % 4 = 0)
+          |   OR (p.id_a % 4 = 2 AND p.id_b % 4 = 2
+          |       AND ha.half = 1 AND hb.half = 2)""".stripMargin),
 
     "q_incremental_refresh" -> refreshOracle(0),
 
