@@ -77,6 +77,12 @@ object MinhashIndex {
     */
   def probe(batch: DataFrame, idCol: String, textCol: String,
             root: String, tau: Double, maxBucket: Long = 0L): DataFrame = {
+    // CALLER-OWNED CACHES: the returned plan reads the batch's pinned
+    // shingle sets — release them after your consuming action with
+    // CacheScope (wrap the probe in `CacheScope.capture`, or use
+    // `probeWith` below, which does it for you). A long-lived session
+    // issuing bare `probe` calls outside any scope accumulates one
+    // pinned frame per probe.
     val spark = batch.sparkSession
     val (n, k, bands) = readParams(spark, root)
     // CACHE OWNERSHIP: the batch's pinned shingle sets feed the
@@ -89,6 +95,21 @@ object MinhashIndex {
     probeSets(DedupOps.hashedSets(batch, idCol, textCol, n),
               root, tau, k, bands, maxBucket)
   }
+
+  /** Scoped `probe`: runs the consuming action inside a CacheScope and
+    * releases the probe's internal pins before returning — the
+    * leak-proof shape for a long-lived session.
+    * {{{
+    *   val n = MinhashIndex.probeWith(batch, "id", "text", root, 0.7) {
+    *     pairs => pairs.count()
+    *   }
+    * }}}
+    */
+  def probeWith[T](batch: DataFrame, idCol: String, textCol: String,
+                   root: String, tau: Double, maxBucket: Long = 0L)
+                  (use: DataFrame => T): T =
+    graft.CacheScope.withScope(
+      probe(batch, idCol, textCol, root, tau, maxBucket))(use)
 
   private[dedup] def probeSets(bsets: DataFrame, root: String, tau: Double,
                                k: Int, bands: Int,

@@ -463,10 +463,17 @@ object Sinks {
       // hidden-ness applies to EVERY path component under the census
       // root, not just the leaf: a streaming sink's _spark_metadata/
       // holds batch files named "0", "9.compact" whose leaf names look
-      // like data — counting them fakes the compaction signal
+      // like data — counting them fakes the compaction signal.
+      // The walk stops at the QUALIFIED census root: listFiles returns
+      // fully-qualified FileStatus paths, so comparing ancestors
+      // against a caller's RELATIVE `p` never terminated and the walk
+      // ascended past the table root — a dot/underscore-named ancestor
+      // directory (a table under /x/.cache/) then marked every file
+      // hidden and the census reported an empty table
+      val stop = fs.makeQualified(p).toUri.getPath
       def hidden(f: org.apache.hadoop.fs.Path): Boolean = {
         var cur = f
-        while (cur != null && cur.toUri.getPath != p.toUri.getPath) {
+        while (cur != null && cur.toUri.getPath != stop) {
           val n = cur.getName
           if (n.startsWith("_") || n.startsWith(".")) return true
           cur = cur.getParent

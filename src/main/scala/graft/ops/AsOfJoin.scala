@@ -23,11 +23,14 @@ import org.apache.spark.sql.functions._
   * (inclusive ≤ semantics).
   *
   * Output = every left column plus the matched right row's columns,
-  * MINUS right columns whose names collide with a left column (always
-  * at least the join key): emitting both sides' copies made any
-  * later by-name reference to them AMBIGUOUS_REFERENCE. The left copy
-  * wins — for the key the two agree on every matched row anyway, and
-  * the probe side is what callers group/filter on.
+  * MINUS the right copy of the join key (the two agree on every matched
+  * row; emitting both made any later by-name reference
+  * AMBIGUOUS_REFERENCE). Any OTHER name shared by both sides is
+  * rejected up front: silently preferring the left copy would vanish
+  * the matched quote's value (e.g. both frames carrying a 'ts' payload
+  * column), and emitting both copies positionally is a trap for every
+  * by-name consumer — rename before joining, as pandas merge_asof's
+  * suffixes force explicitly.
   */
 object AsOfJoin {
 
@@ -36,6 +39,11 @@ object AsOfJoin {
                rightTiebreak: String): DataFrame = {
     val leftCols = left.columns.toSeq
     val rightCols = right.columns.toSeq
+    val clashes = rightCols.filter(leftCols.contains).filterNot(_ == key)
+    require(clashes.isEmpty,
+      s"asofJoin: right columns ${clashes.mkString(", ")} collide with " +
+        "left columns; rename them before joining (only the join key " +
+        s"'$key' may be shared)")
     val leftStruct = org.apache.spark.sql.types.StructType(
       leftCols.map(left.schema(_)))
     val rightStruct = org.apache.spark.sql.types.StructType(
@@ -68,7 +76,7 @@ object AsOfJoin {
       .withColumn("__carried", last(col("__quote"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(leftCols.map(c => col("__probe").getField(c).as(c)) ++
-        rightCols.filterNot(leftCols.contains)
+        rightCols.filterNot(_ == key)
           .map(c => col("__carried").getField(c).as(c)): _*)
   }
 }

@@ -81,4 +81,21 @@ class AsOfJoinSpec extends SparkSpec {
       .as[(String, Double)].collect().toSet
     assert(got === Set(("chB", 10.0), ("chC", 20.0), ("direct", 40.0)))
   }
+
+  test("non-key name collision fails fast instead of silently dropping " +
+       "the right copy (both sides carrying a 'px' payload)") {
+    val probes = Seq(("A", ts("2024-01-01 10:00:00"), 1.0))
+      .toDF("k", "pts", "px")
+    val quotes = Seq(("A", ts("2024-01-01 09:00:00"), 2.0, 1L))
+      .toDF("k", "qts", "px", "quote_id")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asofJoin(probes, quotes, "k", "pts", "qts", "quote_id")
+    }
+    assert(e.getMessage.contains("px"))
+    // the join KEY itself stays shareable (left copy emitted once)
+    val ok = AsOfJoin.asofJoin(
+      probes, quotes.drop("px"), "k", "pts", "qts", "quote_id")
+    assert(ok.columns.count(_ == "k") === 1)
+    assert(ok.select($"quote_id").as[Option[Long]].head() === Some(1L))
+  }
 }

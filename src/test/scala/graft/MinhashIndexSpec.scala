@@ -224,4 +224,24 @@ class MinhashIndexSpec extends SparkSpec {
       MinhashIndex.ingest(b2, "doc_id", "text", idx, tau)) === e1)
     assert(spark.read.parquet(s"$idx/sets").count() === setsN)
   }
+
+  test("probeWith releases the probe's pinned frames after the action " +
+       "(the long-lived-session shape); bare probe leaves them to the " +
+       "caller") {
+    val root = s"${Sinks.scratchRoot}/spec_mh_probewith"
+    Sinks.dropTable(spark, root)
+    MinhashIndex.build(docs.filter($"doc_id" % 2 === 0),
+                       "doc_id", "text", root, n, k, bands)
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val found = MinhashIndex.probeWith(
+      docs.filter($"doc_id" % 2 =!= 0), "doc_id", "text", root, tau) {
+      pairs => pairs.count()
+    }
+    assert(found >= 1L, "probe found the planted near-dups")
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(after.diff(before).isEmpty,
+      s"probeWith leaked pinned frames: ${after.diff(before)}")
+    spark.catalog.clearCache()
+  }
 }

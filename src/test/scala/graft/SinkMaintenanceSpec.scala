@@ -128,6 +128,24 @@ class SinkMaintenanceSpec extends SparkSpec {
       s"metadata files leaked into the census: $clean -> $withMeta")
   }
 
+  test("layoutStats censuses a RELATIVE path under a dot-named ancestor " +
+       "(the ancestor walk must stop at the qualified census root)") {
+    // table under a hidden-looking ancestor, addressed RELATIVELY: the
+    // unqualified stop-path comparison never matched the qualified
+    // FileStatus ancestors, the walk ascended into ".cache", and every
+    // file censused hidden -> 0 files
+    val relRoot = ".cache-spec-layout"
+    val rel = s"$relRoot/tbl"
+    Sinks.dropTable(spark, relRoot)
+    try {
+      Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+        .coalesce(1).write.parquet(rel)
+      val got = Sinks.layoutStats(spark, rel)
+        .select($"n_files").as[Long].head()
+      assert(got === 1L, s"census under dot-ancestor: $got files")
+    } finally Sinks.dropTable(spark, relRoot)
+  }
+
   test("zorderWrite refuses an input that already carries __z") {
     val bad = Seq((1L, 2L, 3L)).toDF("a", "b", "__z")
     val e = intercept[IllegalArgumentException] {
