@@ -3625,13 +3625,7 @@ object SparkEntry {
         |                 WHEN 'src2' THEN 0.0 ELSE 1.0 END) * 256.0
         |GROUP BY source""".stripMargin,
 
-    "q_stratified_sample" ->
-      """SELECT source, doc_id FROM (
-        |  SELECT source, doc_id, row_number() OVER (
-        |    PARTITION BY source
-        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-        |  FROM documents)
-        |WHERE rn <= 20""".stripMargin,
+    "q_stratified_sample" -> stratifiedOracleGen(20),
 
     "q_weighted_sample" ->
       """SELECT doc_id, weight, skey FROM (
@@ -4067,29 +4061,7 @@ object SparkEntry {
         |  ON p1.day = p7.day AND p1.event_type = p7.event_type"""
         .stripMargin,
 
-    "q_semantic_decon" ->
-      """WITH flat AS (SELECT vec_id, label,
-        |                     CAST(unnest(embedding) AS DOUBLE) AS v,
-        |                     generate_subscripts(embedding, 1) AS i
-        |              FROM embeddings),
-        |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm
-        |          FROM flat GROUP BY 1),
-        |dots AS (SELECT cf.vec_id AS cid, bf.vec_id AS bid,
-        |                sum(cf.v * bf.v) AS dot
-        |         FROM flat cf JOIN flat bf ON cf.i = bf.i
-        |         WHERE cf.label <> 0 AND bf.label = 0
-        |         GROUP BY 1, 2),
-        |sims AS (SELECT cid, bid, dot / (cn.nrm * bn.nrm) AS sim
-        |         FROM dots
-        |         JOIN norms cn ON cn.vec_id = cid
-        |         JOIN norms bn ON bn.vec_id = bid),
-        |ranked AS (SELECT cid, bid, sim,
-        |                  row_number() OVER (PARTITION BY cid
-        |                                     ORDER BY sim DESC, bid ASC)
-        |                    AS rn
-        |           FROM sims)
-        |SELECT cid AS vec_id, bid AS bench_id, round(sim, 6) AS max_sim
-        |FROM ranked WHERE rn = 1 AND sim >= 0.4""".stripMargin,
+    "q_semantic_decon" -> semDeconOracleGen(0.4),
     // bit-identical contract: screen + exact verify ≡ the exact join
     "q_decontaminate_bloom" -> decontaminateOracle,
 
@@ -4202,14 +4174,7 @@ object SparkEntry {
         |       a.avg_chars, a.med_tokens, t.top_lang
         |FROM agg a JOIN top t USING (source)""".stripMargin,
 
-    "q_heavy_grams" ->
-      """WITH idx AS (SELECT unnest(range(1,
-        |    (SELECT CAST(max(len(text)) AS BIGINT) FROM documents))) AS i),
-        |sh AS (SELECT DISTINCT doc_id,
-        |              substr(text, CAST(i AS INTEGER), 12) AS gram
-        |       FROM documents JOIN idx ON i <= len(text)-11)
-        |SELECT gram, count(*) AS df
-        |FROM sh GROUP BY 1 HAVING count(*) >= 10""".stripMargin,
+    "q_heavy_grams" -> heavyGramsOracleGen(12, 10),
 
     "q_length_batches" ->
       """WITH tk AS (
@@ -4715,16 +4680,7 @@ object SparkEntry {
     // DuckDB's jaro_winkler_similarity IS the engine's native
     // expression's contract (threshold 0.7, p=0.1, prefix<=4) — same
     // blocking key, same rounded-threshold filter
-    "q_fuzzy_pairs" ->
-      """WITH names AS (SELECT DISTINCT p_name AS name FROM part
-        |               WHERE p_name IS NOT NULL),
-        |b AS (SELECT name, lower(string_split(name, ' ')[-1]) AS blk
-        |      FROM names)
-        |SELECT a.name AS name_a, c.name AS name_b,
-        |       round(jaro_winkler_similarity(a.name, c.name), 6) AS jw
-        |FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
-        |WHERE round(jaro_winkler_similarity(a.name, c.name), 6)
-        |      >= 0.8""".stripMargin,
+    "q_fuzzy_pairs" -> fuzzyOracleGen(0.8),
 
     // same clamped fixed-width bins, add-one smoothing, and psi formula
     // over the month's two halves; spine = range(0, 11)
@@ -4758,13 +4714,7 @@ object SparkEntry {
     // the plain quadratic formulation — the engine's length-key
     // candidate generation is lossless (|len diff| > d ⇒ dist > d),
     // so the sets must be identical
-    "q_edit_pairs" ->
-      """WITH names AS (SELECT DISTINCT p_name AS name FROM part
-        |               WHERE p_name IS NOT NULL)
-        |SELECT a.name AS name_a, b.name AS name_b,
-        |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
-        |FROM names a JOIN names b ON a.name < b.name
-        |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin,
+    "q_edit_pairs" -> editOracleGen(2),
 
     // list-level twin of the narrow array expressions (same int/int
     // division chain, so the doubles agree bit-for-bit before round)
@@ -5365,25 +5315,7 @@ object SparkEntry {
         |      FROM documents) t
         |WHERE rn <= 20""".stripMargin,
 
-    "q_winsorize" ->
-      """WITH cuts AS (SELECT event_type,
-        |         quantile_cont(value, 0.05) AS lo,
-        |         quantile_cont(value, 0.95) AS hi
-        |       FROM events WHERE value IS NOT NULL GROUP BY 1)
-        |SELECT e.event_type, count(e.value) AS n_values,
-        |       round(min(c.lo), 6) AS lo, round(min(c.hi), 6) AS hi,
-        |       CAST(coalesce(sum(CASE WHEN e.value < c.lo
-        |                               THEN 1 ELSE 0 END), 0) AS BIGINT)
-        |         AS n_clipped_lo,
-        |       CAST(coalesce(sum(CASE WHEN e.value > c.hi
-        |                               THEN 1 ELSE 0 END), 0) AS BIGINT)
-        |         AS n_clipped_hi,
-        |       round(sum(CASE WHEN e.value < c.lo THEN c.lo
-        |                      WHEN e.value > c.hi THEN c.hi
-        |                      ELSE e.value END), 4) AS sum_w
-        |FROM events e LEFT JOIN cuts c
-        |  ON e.event_type IS NOT DISTINCT FROM c.event_type
-        |GROUP BY 1""".stripMargin,
+    "q_winsorize" -> winsorizeOracleGen(0.05, 0.95),
 
     // prove-it violation semantics: NULL can only violate not_null;
     // unique = surplus among non-null keys (SQL UNIQUE)
@@ -5864,8 +5796,7 @@ object SparkEntry {
       |FROM deg d LEFT JOIN pn ON pn.node = d.node
       |ORDER BY tri DESC, part_key ASC LIMIT 25""".stripMargin
 
-  private val kcenterOracle: String = {
-    val k = 8
+  private[graft] def kcenterOracleGen(k: Int): String = {
     val head =
       s"""WITH base AS (
          |  SELECT vec_id AS id,
@@ -5894,30 +5825,32 @@ object SparkEntry {
       out.mkString("\nUNION ALL ")
   }
 
+  private val kcenterOracle: String = kcenterOracleGen(8)
+
   /** q_mmr_rerank twin: the MMR greedy UNROLLED to k picks over the
     * top-n pool (the kcenterOracle pattern). Every quantity the argmax
     * and the running max-sim state see is rounded to 6 IN THE ENGINE
     * (mmrRerank reproduces the distributed round), so the SQL twin
     * lands on identical grid points and the pick sequence is exact.
     */
-  private val mmrOracle: String = {
-    val k = 10
+  private[graft] def mmrOracleGen(probe: Long, lam: Double,
+                                  n: Int, k: Int): String = {
     val head =
       s"""WITH dv AS (
          |  SELECT vec_id AS id,
          |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings
          |),
-         |probe AS (SELECT v FROM dv WHERE id = 0),
+         |probe AS (SELECT v FROM dv WHERE id = $probe),
          |pool1 AS (
          |  SELECT d.id, round(${duckCos("d.v", "p.v")}, 6) AS rel, d.v,
          |         0.0 AS maxs
-         |  FROM dv d, probe p WHERE d.id <> 0
-         |  ORDER BY rel DESC, id ASC LIMIT 20
+         |  FROM dv d, probe p WHERE d.id <> $probe
+         |  ORDER BY rel DESC, id ASC LIMIT $n
          |)""".stripMargin
     val steps = (1 to k).flatMap { i =>
       val pick = s"s$i AS (SELECT id, rel, v, " +
-        "round(0.5*rel - 0.5*maxs, 6) AS mmr " +
+        s"round($lam*rel - ${1.0 - lam}*maxs, 6) AS mmr " +
         s"FROM pool$i ORDER BY mmr DESC, id ASC LIMIT 1)"
       if (i < k)
         Seq(pick,
@@ -5931,6 +5864,8 @@ object SparkEntry {
     (Seq(head) ++ steps).mkString(",\n") + "\n" +
       out.mkString("\nUNION ALL ")
   }
+
+  private val mmrOracle: String = mmrOracleGen(0L, 0.5, 20, 10)
 
   /** q_bpe_vocab twin: 16 unrolled BPE merge rounds. The engine's
     * left-to-right greedy merge fold ("a symbol just produced does not
@@ -6366,6 +6301,94 @@ object SparkEntry {
        |       CASE WHEN d.text IS NULL THEN NULL
        |            ELSE coalesce(k.clean, '') END AS clean_text
        |FROM documents d LEFT JOIN ka k ON k.doc_id = d.doc_id""".stripMargin
+
+  /** Parameterized q_semantic_decon twin (board: τ=0.4). */
+  private[graft] def semDeconOracleGen(tau: Double): String =
+    s"""WITH flat AS (SELECT vec_id, label,
+        |                     CAST(unnest(embedding) AS DOUBLE) AS v,
+        |                     generate_subscripts(embedding, 1) AS i
+        |              FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm
+        |          FROM flat GROUP BY 1),
+        |dots AS (SELECT cf.vec_id AS cid, bf.vec_id AS bid,
+        |                sum(cf.v * bf.v) AS dot
+        |         FROM flat cf JOIN flat bf ON cf.i = bf.i
+        |         WHERE cf.label <> 0 AND bf.label = 0
+        |         GROUP BY 1, 2),
+        |sims AS (SELECT cid, bid, dot / (cn.nrm * bn.nrm) AS sim
+        |         FROM dots
+        |         JOIN norms cn ON cn.vec_id = cid
+        |         JOIN norms bn ON bn.vec_id = bid),
+        |ranked AS (SELECT cid, bid, sim,
+        |                  row_number() OVER (PARTITION BY cid
+        |                                     ORDER BY sim DESC, bid ASC)
+        |                    AS rn
+        |           FROM sims)
+        |SELECT cid AS vec_id, bid AS bench_id, round(sim, 6) AS max_sim
+        |FROM ranked WHERE rn = 1 AND sim >= $tau""".stripMargin
+
+  /** Parameterized q_fuzzy_pairs twin (board: τ=0.8). */
+  private[graft] def fuzzyOracleGen(tau: Double): String =
+    s"""WITH names AS (SELECT DISTINCT p_name AS name FROM part
+       |               WHERE p_name IS NOT NULL),
+       |b AS (SELECT name, lower(string_split(name, ' ')[-1]) AS blk
+       |      FROM names)
+       |SELECT a.name AS name_a, c.name AS name_b,
+       |       round(jaro_winkler_similarity(a.name, c.name), 6) AS jw
+       |FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+       |WHERE round(jaro_winkler_similarity(a.name, c.name), 6)
+       |      >= $tau""".stripMargin
+
+  /** Parameterized q_edit_pairs twin (board: d=2). */
+  private[graft] def editOracleGen(d: Int): String =
+    s"""WITH names AS (SELECT DISTINCT p_name AS name FROM part
+       |               WHERE p_name IS NOT NULL)
+       |SELECT a.name AS name_a, b.name AS name_b,
+       |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+       |FROM names a JOIN names b ON a.name < b.name
+       |WHERE levenshtein(a.name, b.name) <= $d""".stripMargin
+
+  /** Parameterized q_winsorize twin (board: 0.05/0.95). */
+  private[graft] def winsorizeOracleGen(lo: Double, hi: Double): String =
+    s"""WITH cuts AS (SELECT event_type,
+       |         quantile_cont(value, $lo) AS lo,
+       |         quantile_cont(value, $hi) AS hi
+       |       FROM events WHERE value IS NOT NULL GROUP BY 1)
+       |SELECT e.event_type, count(e.value) AS n_values,
+       |       round(min(c.lo), 6) AS lo, round(min(c.hi), 6) AS hi,
+       |       CAST(coalesce(sum(CASE WHEN e.value < c.lo
+       |                               THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |         AS n_clipped_lo,
+       |       CAST(coalesce(sum(CASE WHEN e.value > c.hi
+       |                               THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |         AS n_clipped_hi,
+       |       round(sum(CASE WHEN e.value < c.lo THEN c.lo
+       |                      WHEN e.value > c.hi THEN c.hi
+       |                      ELSE e.value END), 4) AS sum_w
+       |FROM events e LEFT JOIN cuts c
+       |  ON e.event_type IS NOT DISTINCT FROM c.event_type
+       |GROUP BY 1""".stripMargin
+
+  /** Parameterized q_stratified_sample twin (board: k=20). */
+  private[graft] def stratifiedOracleGen(k: Int): String =
+    s"""SELECT source, doc_id FROM (
+       |  SELECT source, doc_id, row_number() OVER (
+       |    PARTITION BY source
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |  FROM documents)
+       |WHERE rn <= $k""".stripMargin
+
+  /** Parameterized q_heavy_grams twin (board: n=12, minDf=10). */
+  private[graft] def heavyGramsOracleGen(n: Int, minDf: Long): String = {
+    val n1 = n - 1
+    s"""WITH idx AS (SELECT unnest(range(1,
+       |    (SELECT CAST(max(len(text)) AS BIGINT) FROM documents))) AS i),
+       |sh AS (SELECT DISTINCT doc_id,
+       |              substr(text, CAST(i AS INTEGER), $n) AS gram
+       |       FROM documents JOIN idx ON i <= len(text)-$n1)
+       |SELECT gram, count(*) AS df
+       |FROM sh GROUP BY 1 HAVING count(*) >= $minDf""".stripMargin
+  }
 
   /** Parameterized q_substring_dedup twin (board: n=25, minLen=50). */
   private[graft] def substringOracleGen(n: Int, minLen: Int): String =

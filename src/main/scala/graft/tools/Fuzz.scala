@@ -224,6 +224,146 @@ object Fuzz {
          |WHERE date_part('hour', ts) BETWEEN $lo AND $hi""".stripMargin)
   }
 
+  /** k-center greedy coreset: k drawn; the unrolled CTE chain's length
+    * follows.
+    */
+  private def genKcenter(r: Random, i: Int): FuzzCase = {
+    val k = 2 + r.nextInt(9)            // 2..10
+    FuzzCase(f"fz_kcenter_$i%03d", "kcenter", s"k=$k",
+      (s, dir) =>
+        SimilarityOps.kCenterSelect(Tables.load(s, dir, "embeddings"),
+                                    "vec_id", "embedding", k),
+      SparkEntry.kcenterOracleGen(k))
+  }
+
+  /** MMR greedy re-rank: (probe, λ, pool, k) all drawn; λ on the 0.05
+    * grid so the oracle's `$lam*rel - ${1-lam}*maxs` text parses to the
+    * exact doubles the engine computes.
+    */
+  private def genMmr(r: Random, i: Int): FuzzCase = {
+    val probe = r.nextInt(200).toLong
+    val lam = tauGrid(r, 6, 16)         // 0.30..0.80
+    val k = 4 + r.nextInt(9)            // 4..12
+    val n = k + 5 + r.nextInt(16)       // k+5..k+20
+    FuzzCase(f"fz_mmr_$i%03d", "mmr", s"probe=$probe lam=$lam n=$n k=$k",
+      (s, dir) =>
+        SimilarityOps.mmrRerank(Tables.load(s, dir, "embeddings"),
+                                "vec_id", "embedding", probe, lam, n, k),
+      SparkEntry.mmrOracleGen(probe, lam, n, k))
+  }
+
+  /** Top-k per group through the bounded-buffer Aggregator — the SAME
+    * contract as the window path (genTopk) via a different physical
+    * strategy, so one oracle serves both; k and group drawn.
+    */
+  private def genTopkAgg(r: Random, i: Int): FuzzCase = {
+    val k = 1 + r.nextInt(8)
+    val grp = Seq("l_returnflag", "l_linestatus")(r.nextInt(2))
+    FuzzCase(f"fz_topkagg_$i%03d", "topk_agg", s"k=$k grp=$grp",
+      (s, dir) => {
+        import s.implicits._
+        val ds = Tables.load(s, dir, "lineitem")
+          .select(col(grp), col("l_extendedprice"),
+                  col("l_orderkey"), col("l_linenumber"))
+          .as[(String, Double, Long, Int)]
+        ds.groupByKey(_._1)
+          .mapValues { case (_, price, okey, ln) => (price, okey, ln) }
+          .agg(graft.ops.TopK.topKTriples(k).toColumn.name("top"))
+          .flatMap { case (flag, top) =>
+            top.zipWithIndex.map { case ((price, okey, ln), j) =>
+              (flag, j + 1, okey, ln, price)
+            }
+          }
+          .toDF(grp, "rn", "l_orderkey", "l_linenumber",
+                "l_extendedprice")
+      },
+      SparkEntry.topkOracleGen(k, grp, "l_extendedprice"))
+  }
+
+  /** Blocked Jaro-Winkler entity resolution: τ drawn (the native
+    * expression must stay DuckDB-identical at every threshold).
+    */
+  private def genFuzzy(r: Random, i: Int): FuzzCase = {
+    val tau = tauGrid(r, 14, 19)        // 0.70..0.95
+    FuzzCase(f"fz_fuzzy_$i%03d", "fuzzy", s"tau=$tau",
+      (s, dir) =>
+        graft.ops.FuzzyMatch.fuzzyPairs(Tables.load(s, dir, "part"),
+                                        "p_name", tau),
+      SparkEntry.fuzzyOracleGen(tau))
+  }
+
+  /** Edit-distance join: d drawn (the 2d+1 length-key generation must
+    * stay lossless at every radius).
+    */
+  private def genEdit(r: Random, i: Int): FuzzCase = {
+    val d = 1 + r.nextInt(3)            // 1..3
+    FuzzCase(f"fz_edit_$i%03d", "edit", s"d=$d",
+      (s, dir) =>
+        graft.ops.FuzzyMatch.editPairs(Tables.load(s, dir, "part"),
+                                       "p_name", d),
+      SparkEntry.editOracleGen(d))
+  }
+
+  /** Winsorization census: the (lo, hi) quantile pair drawn on the 0.05
+    * grid — exact interpolated quantiles must agree at every cut.
+    */
+  private def genWinsorize(r: Random, i: Int): FuzzCase = {
+    val lo = (1 + r.nextInt(5)) / 20.0  // 0.05..0.25
+    val hi = (15 + r.nextInt(5)) / 20.0 // 0.75..0.95
+    FuzzCase(f"fz_winsor_$i%03d", "winsorize", s"lo=$lo hi=$hi",
+      (s, dir) =>
+        graft.ops.CoreOps.winsorize(Tables.load(s, dir, "events"),
+                                    "value", "event_type", lo, hi)
+          .groupBy(col("event_type"))
+          .agg(count(col("value")).as("n_values"),
+               round(min(col("value_lo")), 6).as("lo"),
+               round(min(col("value_hi")), 6).as("hi"),
+               sum(when(col("value") < col("value_lo"), 1L).otherwise(0L))
+                 .as("n_clipped_lo"),
+               sum(when(col("value") > col("value_hi"), 1L).otherwise(0L))
+                 .as("n_clipped_hi"),
+               round(sum(col("value_w")), 4).as("sum_w")),
+      SparkEntry.winsorizeOracleGen(lo, hi))
+  }
+
+  /** Stratified sample: the per-group budget k drawn. */
+  private def genStratified(r: Random, i: Int): FuzzCase = {
+    val k = 3 + r.nextInt(28)           // 3..30
+    FuzzCase(f"fz_strat_$i%03d", "stratified", s"k=$k",
+      (s, dir) =>
+        graft.text.TextOps.stratifiedSample(
+          Tables.load(s, dir, "documents"), "source", "doc_id", k)
+          .select(col("source"), col("doc_id")),
+      SparkEntry.stratifiedOracleGen(k))
+  }
+
+  /** Heavy-hitter grams: (n, minDf) drawn — the CMS screen must stay
+    * lossless (screen + exact verify ≡ plain group-count) at every
+    * width/floor combination.
+    */
+  private def genHeavyGrams(r: Random, i: Int): FuzzCase = {
+    val n = 8 + r.nextInt(9)            // 8..16
+    val minDf = 3L + r.nextInt(18)      // 3..20
+    FuzzCase(f"fz_heavy_$i%03d", "heavy_grams", s"n=$n minDf=$minDf",
+      (s, dir) =>
+        DedupOps.heavyGrams(Tables.load(s, dir, "documents"),
+                            "doc_id", "text", n, minDf, width = 1 << 17),
+      SparkEntry.heavyGramsOracleGen(n, minDf))
+  }
+
+  /** Semantic decontamination: τ drawn. */
+  private def genSemDecon(r: Random, i: Int): FuzzCase = {
+    val tau = tauGrid(r, 4, 12)         // 0.20..0.60
+    FuzzCase(f"fz_semdecon_$i%03d", "sem_decon", s"tau=$tau",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        SimilarityOps.semanticDecontaminate(
+          emb.filter(col("label") =!= 0), emb.filter(col("label") === 0),
+          "vec_id", "embedding", tau)
+      },
+      SparkEntry.semDeconOracleGen(tau))
+  }
+
   // ---- generic group-by/agg family -----------------------------------
 
   private final case class TableSpec(name: String, grpCols: Seq[String],
@@ -333,7 +473,16 @@ object Fuzz {
     "line_dedup" -> genLineDedup _,
     "dedup_keyed" -> genDedupKeyed _,
     "hour" -> genHour _,
-    "agg" -> genAgg _)
+    "agg" -> genAgg _,
+    "kcenter" -> genKcenter _,
+    "mmr" -> genMmr _,
+    "topk_agg" -> genTopkAgg _,
+    "fuzzy" -> genFuzzy _,
+    "edit" -> genEdit _,
+    "winsorize" -> genWinsorize _,
+    "stratified" -> genStratified _,
+    "heavy_grams" -> genHeavyGrams _,
+    "sem_decon" -> genSemDecon _)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -41,10 +41,9 @@ class EntrySpec extends SparkSpec {
       // xxhash64 / simhash / MinHash banding internals
       "q_simhash_pairs", "q_fingerprints", "q_ann_topk",
       "q_ann_multiprobe", "q_lsh_cosine_pairs", "q_lsh_eval",
-      // LAPACK eigSym on the driver (reproducible to ~1e-6, not bits;
-      // q_pca_scree escaped via its r8 planted-diagonal spectrum, and
-      // q_quality_classifier via the unrolled-GD twin — both now EXACT)
-      "q_pca_embed",
+      // (q_pca_embed left this set in r9: sign-invariant squared
+      // projections + reconstruction error on the planted spectrum —
+      // LAPACK's basis sign never reaches the output)
       // file-census bytes are encoding-dependent
       "q_layout_stats",
       // JDK zlib deflate byte count — no DuckDB identity (CompressSpec
