@@ -5798,7 +5798,7 @@ object SparkEntry {
 
   private[graft] def kcenterOracleGen(k: Int): String = {
     val head =
-      s"""WITH base AS (
+      s"""WITH base AS MATERIALIZED (
          |  SELECT vec_id AS id,
          |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings
@@ -5810,7 +5810,7 @@ object SparkEntry {
          |d1 AS (SELECT b.id, b.v, 1 - ${duckCos("b.v", "c0.v")} AS mind
          |       FROM base b, c0)""".stripMargin
     val steps = (1 until k).flatMap { i =>
-      val pick = s"p$i AS (SELECT id, v, mind FROM d$i " +
+      val pick = s"p$i AS MATERIALIZED (SELECT id, v, mind FROM d$i " +
         "ORDER BY mind DESC, id ASC LIMIT 1)"
       if (i < k - 1)
         Seq(pick,
@@ -5836,20 +5836,24 @@ object SparkEntry {
   private[graft] def mmrOracleGen(probe: Long, lam: Double,
                                   n: Int, k: Int): String = {
     val head =
-      s"""WITH dv AS (
+      s"""WITH dv AS MATERIALIZED (
          |  SELECT vec_id AS id,
          |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings
          |),
          |probe AS (SELECT v FROM dv WHERE id = $probe),
-         |pool1 AS (
+         |pool1 AS MATERIALIZED (
          |  SELECT d.id, round(${duckCos("d.v", "p.v")}, 6) AS rel, d.v,
          |         0.0 AS maxs
          |  FROM dv d, probe p WHERE d.id <> $probe
          |  ORDER BY rel DESC, id ASC LIMIT $n
          |)""".stripMargin
     val steps = (1 to k).flatMap { i =>
-      val pick = s"s$i AS (SELECT id, rel, v, " +
+      // s_i and pool_i are each referenced twice (the output UNION /
+      // the next pool) — un-materialized, DuckDB re-evaluates the whole
+      // upstream chain per reference and the k=10 board query cost 31 s;
+      // MATERIALIZED everywhere makes it 0.05 s, rows identical
+      val pick = s"s$i AS MATERIALIZED (SELECT id, rel, v, " +
         s"round($lam*rel - ${1.0 - lam}*maxs, 6) AS mmr " +
         s"FROM pool$i ORDER BY mmr DESC, id ASC LIMIT 1)"
       if (i < k)
