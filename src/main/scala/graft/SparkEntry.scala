@@ -4546,18 +4546,7 @@ object SparkEntry {
         |WHERE t.token <> ''
         |GROUP BY t.doc_id""".stripMargin,
 
-    "q_chunk_docs" ->
-      """WITH tk AS (SELECT doc_id,
-        |              list_filter(string_split_regex(trim(text), '\s+'),
-        |                          x -> x <> '') AS toks
-        |            FROM documents WHERE text IS NOT NULL),
-        |idx AS (SELECT unnest(range(0,
-        |    (SELECT CAST(max(len(toks)) AS BIGINT) FROM tk), 40)) AS s)
-        |SELECT doc_id, CAST(s // 40 AS BIGINT) AS chunk_idx,
-        |       array_to_string(toks[CAST(s+1 AS INTEGER):
-        |                            CAST(s+50 AS INTEGER)], ' ') AS chunk,
-        |       CAST(least(len(toks) - s, 50) AS BIGINT) AS chunk_tokens
-        |FROM tk JOIN idx ON (s = 0 OR s < len(toks) - 10)""".stripMargin,
+    "q_chunk_docs" -> chunkDocsOracleGen(50, 10),
 
     "q_union_distinct" ->
       """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
@@ -4790,14 +4779,7 @@ object SparkEntry {
         |   AND o.o_orderdate <= date_trunc('milliseconds', e.ts))
         |SELECT event_id, o_orderkey FROM ranked WHERE rn = 1""".stripMargin,
 
-    "q_range_join" ->
-      """WITH e AS (SELECT event_id,
-        |             epoch_ms(date_trunc('milliseconds', ts)) AS ms
-        |           FROM events)
-        |SELECT count(*) AS n_pairs, round(avg(b.ms - a.ms), 6) AS avg_gap_ms
-        |FROM e a JOIN e b
-        |  ON (a.ms < b.ms OR (a.ms = b.ms AND a.event_id < b.event_id))
-        | AND b.ms - a.ms <= 60000""".stripMargin,
+    "q_range_join" -> rangeJoinOracleGen(60000L),
 
     // the two surviving snapshots recomputed from the base table; the
     // version numbers are deterministic (fresh root every run)
@@ -5196,40 +5178,11 @@ object SparkEntry {
         |         AS conversion
         |FROM census c LEFT JOIN census p ON p.step = c.step - 1""".stripMargin,
 
-    "q_sessionize" ->
-      """WITH e AS (SELECT user_id, date_trunc('milliseconds', ts) AS tsm
-        |           FROM events),
-        |l AS (SELECT user_id, tsm,
-        |        lag(tsm) OVER (PARTITION BY user_id ORDER BY tsm) AS prev
-        |      FROM e),
-        |m AS (SELECT user_id, tsm,
-        |        CASE WHEN prev IS NULL
-        |               OR epoch_ms(tsm) - epoch_ms(prev) > 1800000
-        |             THEN 1 ELSE 0 END AS new_session
-        |      FROM l),
-        |s AS (SELECT user_id, tsm,
-        |        CAST(sum(new_session) OVER (PARTITION BY user_id
-        |          ORDER BY tsm ROWS UNBOUNDED PRECEDING) AS BIGINT)
-        |          AS session_seq
-        |      FROM m)
-        |SELECT user_id, session_seq,
-        |       epoch_ms(min(tsm)) AS session_start_ms,
-        |       epoch_ms(max(tsm)) AS session_end_ms,
-        |       count(*) AS n_events
-        |FROM s GROUP BY 1, 2""".stripMargin,
+    "q_sessionize" -> sessionizeOracleGen(30),
 
     // the raw bounded self-join: same bound conjuncts as the engine's
     // binned form (ties broken by id so each unordered pair emits once)
-    "q_interval_join" ->
-      """WITH e AS (SELECT event_id,
-        |                  date_trunc('milliseconds', ts) AS ets
-        |           FROM events)
-        |SELECT a.event_id AS id_a, b.event_id AS id_b,
-        |       epoch_ms(b.ets) - epoch_ms(a.ets) AS gap_ms
-        |FROM e a JOIN e b
-        |  ON b.ets >= a.ets
-        | AND (a.ets < b.ets OR (a.ets = b.ets AND a.event_id < b.event_id))
-        | AND b.ets <= a.ets + INTERVAL 2000 MILLISECOND""".stripMargin,
+    "q_interval_join" -> intervalJoinOracleGen(2000L),
 
     // session_window semantics: closed-interval merge (split strictly
     // after the gap, same boundary as q_sessionize), end = last + gap
@@ -6392,6 +6345,71 @@ object SparkEntry {
        |       FROM documents JOIN idx ON i <= len(text)-$n1)
        |SELECT gram, count(*) AS df
        |FROM sh GROUP BY 1 HAVING count(*) >= $minDf""".stripMargin
+  }
+
+  /** Parameterized q_sessionize twin (board: gap = 30 min). */
+  private[graft] def sessionizeOracleGen(gapMinutes: Int): String = {
+    val gapMs = gapMinutes * 60000L
+    s"""WITH e AS (SELECT user_id, date_trunc('milliseconds', ts) AS tsm
+       |           FROM events),
+       |l AS (SELECT user_id, tsm,
+       |        lag(tsm) OVER (PARTITION BY user_id ORDER BY tsm) AS prev
+       |      FROM e),
+       |m AS (SELECT user_id, tsm,
+       |        CASE WHEN prev IS NULL
+       |               OR epoch_ms(tsm) - epoch_ms(prev) > $gapMs
+       |             THEN 1 ELSE 0 END AS new_session
+       |      FROM l),
+       |s AS (SELECT user_id, tsm,
+       |        CAST(sum(new_session) OVER (PARTITION BY user_id
+       |          ORDER BY tsm ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |          AS session_seq
+       |      FROM m)
+       |SELECT user_id, session_seq,
+       |       epoch_ms(min(tsm)) AS session_start_ms,
+       |       epoch_ms(max(tsm)) AS session_end_ms,
+       |       count(*) AS n_events
+       |FROM s GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Parameterized q_interval_join twin (board: δ = 2000 ms). */
+  private[graft] def intervalJoinOracleGen(deltaMs: Long): String =
+    s"""WITH e AS (SELECT event_id,
+       |                  date_trunc('milliseconds', ts) AS ets
+       |           FROM events)
+       |SELECT a.event_id AS id_a, b.event_id AS id_b,
+       |       epoch_ms(b.ets) - epoch_ms(a.ets) AS gap_ms
+       |FROM e a JOIN e b
+       |  ON b.ets >= a.ets
+       | AND (a.ets < b.ets OR (a.ets = b.ets AND a.event_id < b.event_id))
+       | AND b.ets <= a.ets + INTERVAL $deltaMs MILLISECOND""".stripMargin
+
+  /** Parameterized q_range_join twin (board: δ = 60 s). */
+  private[graft] def rangeJoinOracleGen(deltaMs: Long): String =
+    s"""WITH e AS (SELECT event_id,
+       |             epoch_ms(date_trunc('milliseconds', ts)) AS ms
+       |           FROM events)
+       |SELECT count(*) AS n_pairs, round(avg(b.ms - a.ms), 6) AS avg_gap_ms
+       |FROM e a JOIN e b
+       |  ON (a.ms < b.ms OR (a.ms = b.ms AND a.event_id < b.event_id))
+       | AND b.ms - a.ms <= $deltaMs""".stripMargin
+
+  /** Parameterized q_chunk_docs twin (board: 50-token windows, overlap
+    * 10 — stride 40).
+    */
+  private[graft] def chunkDocsOracleGen(size: Int, overlap: Int): String = {
+    val stride = size - overlap
+    s"""WITH tk AS (SELECT doc_id,
+       |              list_filter(string_split_regex(trim(text), '\\s+'),
+       |                          x -> x <> '') AS toks
+       |            FROM documents WHERE text IS NOT NULL),
+       |idx AS (SELECT unnest(range(0,
+       |    (SELECT CAST(max(len(toks)) AS BIGINT) FROM tk), $stride)) AS s)
+       |SELECT doc_id, CAST(s // $stride AS BIGINT) AS chunk_idx,
+       |       array_to_string(toks[CAST(s+1 AS INTEGER):
+       |                            CAST(s+$size AS INTEGER)], ' ') AS chunk,
+       |       CAST(least(len(toks) - s, $size) AS BIGINT) AS chunk_tokens
+       |FROM tk JOIN idx ON (s = 0 OR s < len(toks) - $overlap)""".stripMargin
   }
 
   /** Parameterized q_substring_dedup twin (board: n=25, minLen=50). */

@@ -364,6 +364,56 @@ object Fuzz {
       SparkEntry.semDeconOracleGen(tau))
   }
 
+  /** Gap sessionization: the gap drawn (the lag/cumsum boundary must
+    * hold at every width).
+    */
+  private def genSessionize(r: Random, i: Int): FuzzCase = {
+    val gap = 5 + r.nextInt(116)        // 5..120 minutes
+    FuzzCase(f"fz_sess_$i%03d", "sessionize", s"gap=${gap}m",
+      (s, dir) =>
+        graft.streaming.Sessionize.batch(Tables.load(s, dir, "events"), gap),
+      SparkEntry.sessionizeOracleGen(gap))
+  }
+
+  /** Interval self-join: δ drawn — the δ-bin equi-key decomposition
+    * must stay lossless (each pair meets in exactly one bin key) at
+    * every width.
+    */
+  private def genIntervalJoin(r: Random, i: Int): FuzzCase = {
+    val delta = 200L + r.nextInt(4801)  // 200..5000 ms
+    FuzzCase(f"fz_ivj_$i%03d", "interval_join", s"delta=${delta}ms",
+      (s, dir) =>
+        graft.streaming.StreamingOps.intervalJoin(
+          Tables.load(s, dir, "events"), "event_id", "ts", delta),
+      SparkEntry.intervalJoinOracleGen(delta))
+  }
+
+  /** Range-join pair census: δ drawn. */
+  private def genRangeJoin(r: Random, i: Int): FuzzCase = {
+    val delta = 5000L + 1000L * r.nextInt(116) // 5..120 s
+    FuzzCase(f"fz_rgj_$i%03d", "range_join", s"delta=${delta}ms",
+      (s, dir) =>
+        graft.ops.RangeJoin.pairsWithin(Tables.load(s, dir, "events"),
+                                        "event_id", "ts", delta)
+          .agg(count(lit(1)).as("n_pairs"),
+               round(avg(col("gap_ms")), 6).as("avg_gap_ms")),
+      SparkEntry.rangeJoinOracleGen(delta))
+  }
+
+  /** Context-window chunking: (size, overlap) drawn — the tail-window
+    * emit condition (s = 0 OR s < len − overlap) and the final short
+    * chunk must agree at every geometry.
+    */
+  private def genChunk(r: Random, i: Int): FuzzCase = {
+    val size = 20 + r.nextInt(61)       // 20..80 tokens
+    val overlap = r.nextInt(size / 2 + 1)
+    FuzzCase(f"fz_chunk_$i%03d", "chunk", s"size=$size overlap=$overlap",
+      (s, dir) =>
+        graft.text.TextOps.chunkDocs(Tables.load(s, dir, "documents"),
+                                     "text", size, overlap),
+      SparkEntry.chunkDocsOracleGen(size, overlap))
+  }
+
   // ---- generic group-by/agg family -----------------------------------
 
   private final case class TableSpec(name: String, grpCols: Seq[String],
@@ -482,7 +532,11 @@ object Fuzz {
     "winsorize" -> genWinsorize _,
     "stratified" -> genStratified _,
     "heavy_grams" -> genHeavyGrams _,
-    "sem_decon" -> genSemDecon _)
+    "sem_decon" -> genSemDecon _,
+    "sessionize" -> genSessionize _,
+    "interval_join" -> genIntervalJoin _,
+    "range_join" -> genRangeJoin _,
+    "chunk" -> genChunk _)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
