@@ -3877,24 +3877,7 @@ object SparkEntry {
         |            ELSE 'tail' END AS bucket
         |FROM pp JOIN cuts USING (lang)""".stripMargin,
 
-    "q_token_budget" ->
-      """WITH tk AS (
-        |  SELECT doc_id,
-        |         coalesce(len(list_filter(
-        |           string_split_regex(trim(text), '\s+'),
-        |           x -> x <> '')), 0) AS n_tokens
-        |  FROM documents),
-        |o AS (
-        |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-        |         row_number() OVER (
-        |           ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id)
-        |           - 1 AS pos,
-        |         CAST(sum(n_tokens) OVER (
-        |           ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id
-        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
-        |  FROM tk)
-        |SELECT doc_id, pos, n_tokens, cum_tokens
-        |FROM o WHERE cum_tokens <= 10000""".stripMargin,
+    "q_token_budget" -> tokenBudgetOracleGen(10000L, "42"),
 
     "q_recipe_mix" ->
       """WITH r(source, budget_g) AS (
@@ -4937,14 +4920,7 @@ object SparkEntry {
         |       count(*) AS n, round(sum(value), 4) AS v
         |FROM asg GROUP BY 1, 2""".stripMargin,
 
-    "q_rolling_avg" ->
-      """SELECT event_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
-        |       CAST(count(value) OVER w AS BIGINT) AS trail_n,
-        |       round(avg(value) OVER w, 6) AS trail_avg
-        |FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
-        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-        |             RANGE BETWEEN 86400000000 PRECEDING
-        |             AND CURRENT ROW)""".stripMargin,
+    "q_rolling_avg" -> rollingAvgOracleGen(24),
 
     "q_trend_lines" ->
       """WITH hourly AS (
@@ -5076,20 +5052,7 @@ object SparkEntry {
         |FROM per JOIN obs ON obs.d = per.d
         |GROUP BY 1""".stripMargin,
 
-    "q_active_users" ->
-      """WITH pairs AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
-        |               FROM events
-        |               WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-        |obs AS (SELECT DISTINCT d FROM pairs),
-        |contrib AS (SELECT u, d + CAST(k AS INTEGER) AS d
-        |            FROM pairs, (SELECT unnest(range(0, 7)) AS k)),
-        |wau AS (SELECT c.d, count(DISTINCT u) AS wau
-        |        FROM contrib c JOIN obs ON obs.d = c.d GROUP BY 1),
-        |dau AS (SELECT d, count(*) AS dau FROM pairs GROUP BY 1)
-        |SELECT strftime(d, '%Y-%m-%d') AS day,
-        |       CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
-        |       round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
-        |FROM dau JOIN wau USING (d)""".stripMargin,
+    "q_active_users" -> activeUsersOracleGen(7),
 
     "q_linear_attribution" ->
       """WITH p AS (SELECT event_id AS pid, user_id,
@@ -6346,6 +6309,81 @@ object SparkEntry {
        |SELECT gram, count(*) AS df
        |FROM sh GROUP BY 1 HAVING count(*) >= $minDf""".stripMargin
   }
+
+  /** Parameterized q_token_budget twin (board: 10000 tokens, seed 42). */
+  private[graft] def tokenBudgetOracleGen(budget: Long,
+                                          seed: String): String =
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |         coalesce(len(list_filter(
+       |           string_split_regex(trim(text), '\\s+'),
+       |           x -> x <> '')), 0) AS n_tokens
+       |  FROM documents),
+       |o AS (
+       |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |         row_number() OVER (
+       |           ORDER BY md5('$seed|' || CAST(doc_id AS VARCHAR)), doc_id)
+       |           - 1 AS pos,
+       |         CAST(sum(n_tokens) OVER (
+       |           ORDER BY md5('$seed|' || CAST(doc_id AS VARCHAR)), doc_id
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM tk)
+       |SELECT doc_id, pos, n_tokens, cum_tokens
+       |FROM o WHERE cum_tokens <= $budget""".stripMargin
+
+  /** Parameterized q_rolling_avg twin (board: 24 h). */
+  private[graft] def rollingAvgOracleGen(hours: Int): String = {
+    val micros = hours * 3600000000L
+    s"""SELECT event_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+       |       CAST(count(value) OVER w AS BIGINT) AS trail_n,
+       |       round(avg(value) OVER w, 6) AS trail_avg
+       |FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+       |             RANGE BETWEEN $micros PRECEDING
+       |             AND CURRENT ROW)""".stripMargin
+  }
+
+  /** Parameterized q_active_users twin (board: trailing 7 days). */
+  private[graft] def activeUsersOracleGen(days: Int): String =
+    s"""WITH pairs AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+       |               FROM events
+       |               WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       |obs AS (SELECT DISTINCT d FROM pairs),
+       |contrib AS (SELECT u, d + CAST(k AS INTEGER) AS d
+       |            FROM pairs, (SELECT unnest(range(0, $days)) AS k)),
+       |wau AS (SELECT c.d, count(DISTINCT u) AS wau
+       |        FROM contrib c JOIN obs ON obs.d = c.d GROUP BY 1),
+       |dau AS (SELECT d, count(*) AS dau FROM pairs GROUP BY 1)
+       |SELECT strftime(d, '%Y-%m-%d') AS day,
+       |       CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+       |       round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+       |FROM dau JOIN wau USING (d)""".stripMargin
+
+  /** Parameterized shard-census twin (board q_shard_export: 8 shards,
+    * seed 42 — the fuzz family censuses shardAssign directly, no sink).
+    */
+  private[graft] def shardCensusOracleGen(nShards: Int,
+                                          seed: String): String =
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |         coalesce(len(list_filter(
+       |           string_split_regex(trim(text), '\\s+'),
+       |           x -> x <> '')), 0) AS n_tokens
+       |  FROM documents),
+       |o AS (
+       |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |         CAST(coalesce(sum(n_tokens) OVER (
+       |           ORDER BY md5('$seed|' || CAST(doc_id AS VARCHAR)), doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS BIGINT) AS cum_before,
+       |         CAST((SELECT sum(n_tokens) FROM tk) AS BIGINT) AS total
+       |  FROM tk)
+       |SELECT least(cum_before * $nShards // total, ${nShards - 1})
+       |         AS shard,
+       |       count(*) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |FROM o
+       |GROUP BY 1""".stripMargin
 
   /** Parameterized q_sessionize twin (board: gap = 30 min). */
   private[graft] def sessionizeOracleGen(gapMinutes: Int): String = {

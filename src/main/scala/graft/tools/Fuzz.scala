@@ -414,6 +414,57 @@ object Fuzz {
       SparkEntry.chunkDocsOracleGen(size, overlap))
   }
 
+  /** Token-budget prefix sample: (budget, seed) drawn — the global
+    * prefix-sum assembly and the md5 shuffle order must agree at every
+    * cut point and seed.
+    */
+  private def genTokenBudget(r: Random, i: Int): FuzzCase = {
+    val budget = 500L * (1 + r.nextInt(60)) // 500..30000 tokens
+    val seed = r.nextInt(1000).toString
+    FuzzCase(f"fz_tokbud_$i%03d", "token_budget", s"budget=$budget seed=$seed",
+      (s, dir) =>
+        graft.text.TextOps.tokenBudget(Tables.load(s, dir, "documents"),
+                                       budget, seed),
+      SparkEntry.tokenBudgetOracleGen(budget, seed))
+  }
+
+  /** Trailing value-range rolling aggregate: the window width drawn. */
+  private def genRolling(r: Random, i: Int): FuzzCase = {
+    val hours = 1 + r.nextInt(72)
+    FuzzCase(f"fz_roll_$i%03d", "rolling", s"hours=$hours",
+      (s, dir) =>
+        graft.ops.TimeSeries.rollingAgg(Tables.load(s, dir, "events"),
+                                        "event_id", "user_id", "ts",
+                                        "value", hours),
+      SparkEntry.rollingAvgOracleGen(hours))
+  }
+
+  /** Trailing-distinct active users: the window drawn. */
+  private def genActiveUsers(r: Random, i: Int): FuzzCase = {
+    val days = 2 + r.nextInt(20) // 2..21
+    FuzzCase(f"fz_actusr_$i%03d", "active_users", s"days=$days",
+      (s, dir) =>
+        graft.ops.TimeSeries.activeUsers(Tables.load(s, dir, "events"),
+                                         days),
+      SparkEntry.activeUsersOracleGen(days))
+  }
+
+  /** Balanced shard assignment census: (nShards, seed) drawn — the
+    * token-mass boundary arithmetic at every shard count.
+    */
+  private def genShard(r: Random, i: Int): FuzzCase = {
+    val n = 2 + r.nextInt(31) // 2..32
+    val seed = r.nextInt(1000).toString
+    FuzzCase(f"fz_shard_$i%03d", "shard", s"n=$n seed=$seed",
+      (s, dir) =>
+        graft.text.TextOps.shardAssign(Tables.load(s, dir, "documents"),
+                                       n, seed)
+          .groupBy(col("shard").cast("long").as("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("n_tokens")).as("n_tokens")),
+      SparkEntry.shardCensusOracleGen(n, seed))
+  }
+
   // ---- generic group-by/agg family -----------------------------------
 
   private final case class TableSpec(name: String, grpCols: Seq[String],
@@ -536,7 +587,11 @@ object Fuzz {
     "sessionize" -> genSessionize _,
     "interval_join" -> genIntervalJoin _,
     "range_join" -> genRangeJoin _,
-    "chunk" -> genChunk _)
+    "chunk" -> genChunk _,
+    "token_budget" -> genTokenBudget _,
+    "rolling" -> genRolling _,
+    "active_users" -> genActiveUsers _,
+    "shard" -> genShard _)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
