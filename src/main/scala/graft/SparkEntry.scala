@@ -6433,7 +6433,11 @@ object SparkEntry {
        | AND b.ms - a.ms <= $deltaMs""".stripMargin
 
   /** Parameterized q_chunk_docs twin (board: 50-token windows, overlap
-    * 10 — stride 40).
+    * 10 — stride 40). The chunk string is coalesced to '': a ZERO-token
+    * document's single chunk is the join of zero tokens — '' in the
+    * engine (concat_ws) — but DuckDB's array_to_string returns NULL for
+    * an empty slice (r9 perturbation-fuzz finding; the board corpus has
+    * no tokenless docs, so the fixture never reached the seam).
     */
   private[graft] def chunkDocsOracleGen(size: Int, overlap: Int): String = {
     val stride = size - overlap
@@ -6444,8 +6448,9 @@ object SparkEntry {
        |idx AS (SELECT unnest(range(0,
        |    (SELECT CAST(max(len(toks)) AS BIGINT) FROM tk), $stride)) AS s)
        |SELECT doc_id, CAST(s // $stride AS BIGINT) AS chunk_idx,
-       |       array_to_string(toks[CAST(s+1 AS INTEGER):
-       |                            CAST(s+$size AS INTEGER)], ' ') AS chunk,
+       |       coalesce(array_to_string(toks[CAST(s+1 AS INTEGER):
+       |                            CAST(s+$size AS INTEGER)], ' '), '')
+       |         AS chunk,
        |       CAST(least(len(toks) - s, $size) AS BIGINT) AS chunk_tokens
        |FROM tk JOIN idx ON (s = 0 OR s < len(toks) - $overlap)""".stripMargin
   }

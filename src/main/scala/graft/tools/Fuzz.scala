@@ -48,6 +48,63 @@ object Fuzz {
     if (m <= 1) "documents"
     else s"(SELECT * FROM documents WHERE doc_id % $m = $rem)"
 
+  // ---- corpus perturbation -------------------------------------------
+  // Crafted degenerate docs injected on BOTH sides (drawn per case):
+  // null text, empty, whitespace-only, single char, and a multi-byte
+  // unicode near-dup pair (é/ö two-byte, CJK three-byte, emoji four-byte
+  // — any code-unit-vs-code-point disagreement between the engines'
+  // substr/len shows up as a pair/census mismatch). The operators claim
+  // totality over these shapes (the r8 hardening sweep); perturbation
+  // makes every fuzzed configuration re-prove it against DuckDB.
+
+  private val craftedDocs: Seq[(Long, String, String, String, Long)] = Seq(
+    (900001L, null.asInstanceOf[String], "en", "srcX", 0L),
+    (900002L, "", "en", "srcX", 0L),
+    (900003L, "   ", "zz", "srcX", 3L),
+    (900004L, "a", "en", "srcY", 1L),
+    (900005L, "héllo wörld 你好 🌍 héllo wörld 你好 🌍 once more", "zh",
+     "srcY", 40L),
+    (900006L, "héllo wörld 你好 🌍 héllo wörld 你好 🌍 once again", "zh",
+     "srcY", 40L))
+
+  private def craftedValuesSql: String =
+    craftedDocs.map { case (id, text, lang, src, nc) =>
+      val t = Option(text).map(x => "'" + x.replace("'", "''") + "'")
+        .getOrElse("CAST(NULL AS VARCHAR)")
+      s"($id, $t, '$lang', '$src', $nc)"
+    }.mkString(", ")
+
+  /** The documents frame, optionally with the crafted rows unioned in. */
+  private def docsOf(s: SparkSession, dir: String,
+                     perturb: Boolean): DataFrame = {
+    val base = Tables.load(s, dir, "documents")
+    if (!perturb) base
+    else {
+      import s.implicits._
+      base.unionByName(
+        craftedDocs.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    }
+  }
+
+  /** Rewrite a generated oracle to read the perturbed corpus: every
+    * `documents` reference retargets to a `pdocs` CTE = base UNION ALL
+    * crafted VALUES. Token-level replace is safe — the literal string
+    * "documents" appears in no fixture text or SQL literal.
+    */
+  private def wrapSql(sql: String, perturb: Boolean): String =
+    if (!perturb) sql
+    else {
+      val body = sql.replace("documents", "pdocs")
+      val cte = "pdocs AS (SELECT * FROM documents UNION ALL\n" +
+        s"  SELECT * FROM (VALUES $craftedValuesSql)\n" +
+        "    v(doc_id, text, lang, source, n_chars))"
+      if (body.startsWith("WITH RECURSIVE "))
+        body.replaceFirst("WITH RECURSIVE ", s"WITH RECURSIVE $cte,\n")
+      else if (body.startsWith("WITH "))
+        body.replaceFirst("WITH ", s"WITH $cte,\n")
+      else s"WITH $cte\n" + body
+    }
+
   // ---- families ------------------------------------------------------
 
   /** n-gram Jaccard self-join: sweeps shingle width, threshold, AND the
@@ -59,15 +116,17 @@ object Fuzz {
     val tau = tauGrid(r)                // 0.50..0.95
     val m = 1 + r.nextInt(3)            // slice modulus 1..3
     val rem = r.nextInt(m)
-    FuzzCase(f"fz_jaccard_$i%03d", "jaccard", s"n=$n tau=$tau m=$m r=$rem",
+    val pert = r.nextInt(100) < 35
+    FuzzCase(f"fz_jaccard_$i%03d", "jaccard",
+      s"n=$n tau=$tau m=$m r=$rem pert=$pert",
       (s, dir) => {
-        val docs0 = Tables.load(s, dir, "documents")
+        val docs0 = docsOf(s, dir, pert)
         val docs = if (m > 1) docs0.filter(pmod(col("doc_id"), lit(m)) === rem)
                    else docs0
         DedupOps.ngramJaccardPairs(docs, "doc_id", "text", n, tau)
       },
-      SparkEntry.jaccardPairsCteGen(n, tau, sliceRel(m, rem)) +
-        "\nSELECT id_a, id_b, jaccard FROM pairs")
+      wrapSql(SparkEntry.jaccardPairsCteGen(n, tau, sliceRel(m, rem)) +
+        "\nSELECT id_a, id_b, jaccard FROM pairs", pert))
   }
 
   /** R-S containment join: snippet geometry (start/len/stride) and τ all
@@ -80,10 +139,11 @@ object Fuzz {
     val start = 21 + r.nextInt(60)      // 21..80
     val slen = 80 + r.nextInt(121)      // 80..200
     val minTextLen = start + slen + 49
+    val pert = r.nextInt(100) < 35
     FuzzCase(f"fz_contain_$i%03d", "containment",
-      s"n=$n tau=$tau mod=$mod start=$start slen=$slen",
+      s"n=$n tau=$tau mod=$mod start=$start slen=$slen pert=$pert",
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
+        val docs = docsOf(s, dir, pert)
         val snips = docs
           .filter(pmod(col("doc_id"), lit(mod)) === 0 &&
                   length(col("text")) >= minTextLen)
@@ -93,7 +153,8 @@ object Fuzz {
           DedupOps.hashedSets(snips, "doc_id", "text", n),
           DedupOps.hashedSets(docs, "doc_id", "text", n), tau)
       },
-      SparkEntry.containmentOracleGen(n, tau, mod, start, slen, minTextLen))
+      wrapSql(SparkEntry.containmentOracleGen(n, tau, mod, start, slen,
+                                              minTextLen), pert))
   }
 
   /** Top-k per group over lineitem: k, group column and order column all
@@ -145,14 +206,16 @@ object Fuzz {
     val n = 20 + r.nextInt(21)          // 20..40
     val src = s"src${r.nextInt(20)}"
     val minShared = 1L + r.nextInt(3)   // 1..3
-    FuzzCase(f"fz_decon_$i%03d", "decon", s"n=$n src=$src min=$minShared",
+    val pert = r.nextInt(100) < 35
+    FuzzCase(f"fz_decon_$i%03d", "decon",
+      s"n=$n src=$src min=$minShared pert=$pert",
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
+        val docs = docsOf(s, dir, pert)
         DedupOps.contamination(docs.filter(col("source") =!= src),
                                docs.filter(col("source") === src),
                                "doc_id", "text", n, minShared)
       },
-      SparkEntry.decontaminateOracleGen(n, src, minShared))
+      wrapSql(SparkEntry.decontaminateOracleGen(n, src, minShared), pert))
   }
 
   /** Cross-document maximal shared spans: anchor gram width and span
@@ -161,11 +224,12 @@ object Fuzz {
   private def genSpans(r: Random, i: Int): FuzzCase = {
     val n = 15 + r.nextInt(16)          // 15..30
     val minLen = n + 15 + r.nextInt(41) // n+15..n+55
-    FuzzCase(f"fz_spans_$i%03d", "spans", s"n=$n minLen=$minLen",
+    val pert = r.nextInt(100) < 35
+    FuzzCase(f"fz_spans_$i%03d", "spans", s"n=$n minLen=$minLen pert=$pert",
       (s, dir) =>
-        DedupOps.sharedSpans(Tables.load(s, dir, "documents"),
+        DedupOps.sharedSpans(docsOf(s, dir, pert),
                              "doc_id", "text", n, minLen),
-      SparkEntry.substringOracleGen(n, minLen))
+      wrapSql(SparkEntry.substringOracleGen(n, minLen), pert))
   }
 
   /** Benchmark-vs-corpus span decontamination. */
@@ -173,15 +237,16 @@ object Fuzz {
     val n = 20 + r.nextInt(16)          // 20..35
     val minLen = n + 20 + r.nextInt(41) // n+20..n+60
     val src = s"src${r.nextInt(20)}"
+    val pert = r.nextInt(100) < 35
     FuzzCase(f"fz_dspans_$i%03d", "decon_spans",
-      s"n=$n minLen=$minLen src=$src",
+      s"n=$n minLen=$minLen src=$src pert=$pert",
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
+        val docs = docsOf(s, dir, pert)
         DedupOps.sharedSpansBetween(docs.filter(col("source") =!= src),
                                     docs.filter(col("source") === src),
                                     "doc_id", "text", n, minLen)
       },
-      SparkEntry.deconSpansOracleGen(n, minLen, src))
+      wrapSql(SparkEntry.deconSpansOracleGen(n, minLen, src), pert))
   }
 
   /** Line-granular cross-doc dedup: duplication floor and blank-exemption
@@ -190,23 +255,27 @@ object Fuzz {
   private def genLineDedup(r: Random, i: Int): FuzzCase = {
     val minDocs = 2 + r.nextInt(3)      // 2..4
     val minChars = 1 + r.nextInt(3)     // 1..3
+    val pert = r.nextInt(100) < 35
     FuzzCase(f"fz_lined_$i%03d", "line_dedup",
-      s"minDocs=$minDocs minChars=$minChars",
+      s"minDocs=$minDocs minChars=$minChars pert=$pert",
       (s, dir) =>
-        DedupOps.lineDedup(Tables.load(s, dir, "documents"),
+        DedupOps.lineDedup(docsOf(s, dir, pert),
                            "doc_id", "text", minDocs, minChars),
-      SparkEntry.lineDedupOracleGen(minDocs, minChars))
+      wrapSql(SparkEntry.lineDedupOracleGen(minDocs, minChars), pert))
   }
 
   /** Keyed exact dedup over a random key subset. */
   private def genDedupKeyed(r: Random, i: Int): FuzzCase = {
     val all = Seq("lang", "source")
     val keys = r.shuffle(all).take(1 + r.nextInt(all.size))
-    FuzzCase(f"fz_keyed_$i%03d", "dedup_keyed", s"keys=${keys.mkString("+")}",
+    val pert = r.nextInt(100) < 35
+    FuzzCase(f"fz_keyed_$i%03d", "dedup_keyed",
+      s"keys=${keys.mkString("+")} pert=$pert",
       (s, dir) =>
-        DedupOps.dedupKeyed(Tables.load(s, dir, "documents"), keys, "doc_id"),
-      s"""SELECT ${keys.mkString(", ")}, min(doc_id) AS doc_id
-         |FROM documents GROUP BY ${keys.mkString(", ")}""".stripMargin)
+        DedupOps.dedupKeyed(docsOf(s, dir, pert), keys, "doc_id"),
+      wrapSql(s"""SELECT ${keys.mkString(", ")}, min(doc_id) AS doc_id
+         |FROM documents GROUP BY ${keys.mkString(", ")}""".stripMargin,
+        pert))
   }
 
   /** Hour-range predicate with random (possibly degenerate) bounds —
@@ -329,12 +398,13 @@ object Fuzz {
   /** Stratified sample: the per-group budget k drawn. */
   private def genStratified(r: Random, i: Int): FuzzCase = {
     val k = 3 + r.nextInt(28)           // 3..30
-    FuzzCase(f"fz_strat_$i%03d", "stratified", s"k=$k",
+    val pert = r.nextInt(100) < 35
+    FuzzCase(f"fz_strat_$i%03d", "stratified", s"k=$k pert=$pert",
       (s, dir) =>
         graft.text.TextOps.stratifiedSample(
-          Tables.load(s, dir, "documents"), "source", "doc_id", k)
+          docsOf(s, dir, pert), "source", "doc_id", k)
           .select(col("source"), col("doc_id")),
-      SparkEntry.stratifiedOracleGen(k))
+      wrapSql(SparkEntry.stratifiedOracleGen(k), pert))
   }
 
   /** Heavy-hitter grams: (n, minDf) drawn — the CMS screen must stay
@@ -344,11 +414,13 @@ object Fuzz {
   private def genHeavyGrams(r: Random, i: Int): FuzzCase = {
     val n = 8 + r.nextInt(9)            // 8..16
     val minDf = 3L + r.nextInt(18)      // 3..20
-    FuzzCase(f"fz_heavy_$i%03d", "heavy_grams", s"n=$n minDf=$minDf",
+    val pert = r.nextInt(100) < 35
+    FuzzCase(f"fz_heavy_$i%03d", "heavy_grams",
+      s"n=$n minDf=$minDf pert=$pert",
       (s, dir) =>
-        DedupOps.heavyGrams(Tables.load(s, dir, "documents"),
+        DedupOps.heavyGrams(docsOf(s, dir, pert),
                             "doc_id", "text", n, minDf, width = 1 << 17),
-      SparkEntry.heavyGramsOracleGen(n, minDf))
+      wrapSql(SparkEntry.heavyGramsOracleGen(n, minDf), pert))
   }
 
   /** Semantic decontamination: τ drawn. */
@@ -407,11 +479,13 @@ object Fuzz {
   private def genChunk(r: Random, i: Int): FuzzCase = {
     val size = 20 + r.nextInt(61)       // 20..80 tokens
     val overlap = r.nextInt(size / 2 + 1)
-    FuzzCase(f"fz_chunk_$i%03d", "chunk", s"size=$size overlap=$overlap",
+    val pert = r.nextInt(100) < 35
+    FuzzCase(f"fz_chunk_$i%03d", "chunk",
+      s"size=$size overlap=$overlap pert=$pert",
       (s, dir) =>
-        graft.text.TextOps.chunkDocs(Tables.load(s, dir, "documents"),
+        graft.text.TextOps.chunkDocs(docsOf(s, dir, pert),
                                      "text", size, overlap),
-      SparkEntry.chunkDocsOracleGen(size, overlap))
+      wrapSql(SparkEntry.chunkDocsOracleGen(size, overlap), pert))
   }
 
   /** Token-budget prefix sample: (budget, seed) drawn — the global
@@ -421,11 +495,12 @@ object Fuzz {
   private def genTokenBudget(r: Random, i: Int): FuzzCase = {
     val budget = 500L * (1 + r.nextInt(60)) // 500..30000 tokens
     val seed = r.nextInt(1000).toString
-    FuzzCase(f"fz_tokbud_$i%03d", "token_budget", s"budget=$budget seed=$seed",
+    val pert = r.nextInt(100) < 35
+    FuzzCase(f"fz_tokbud_$i%03d", "token_budget",
+      s"budget=$budget seed=$seed pert=$pert",
       (s, dir) =>
-        graft.text.TextOps.tokenBudget(Tables.load(s, dir, "documents"),
-                                       budget, seed),
-      SparkEntry.tokenBudgetOracleGen(budget, seed))
+        graft.text.TextOps.tokenBudget(docsOf(s, dir, pert), budget, seed),
+      wrapSql(SparkEntry.tokenBudgetOracleGen(budget, seed), pert))
   }
 
   /** Trailing value-range rolling aggregate: the window width drawn. */
@@ -455,14 +530,14 @@ object Fuzz {
   private def genShard(r: Random, i: Int): FuzzCase = {
     val n = 2 + r.nextInt(31) // 2..32
     val seed = r.nextInt(1000).toString
-    FuzzCase(f"fz_shard_$i%03d", "shard", s"n=$n seed=$seed",
+    val pert = r.nextInt(100) < 35
+    FuzzCase(f"fz_shard_$i%03d", "shard", s"n=$n seed=$seed pert=$pert",
       (s, dir) =>
-        graft.text.TextOps.shardAssign(Tables.load(s, dir, "documents"),
-                                       n, seed)
+        graft.text.TextOps.shardAssign(docsOf(s, dir, pert), n, seed)
           .groupBy(col("shard").cast("long").as("shard"))
           .agg(count(lit(1)).as("n_docs"),
                sum(col("n_tokens")).as("n_tokens")),
-      SparkEntry.shardCensusOracleGen(n, seed))
+      wrapSql(SparkEntry.shardCensusOracleGen(n, seed), pert))
   }
 
   // ---- generic group-by/agg family -----------------------------------
