@@ -5171,9 +5171,11 @@ object SparkEntry {
         |       count(*) AS n_events
         |FROM s GROUP BY user_id, session_seq""".stripMargin,
 
+    // null user/ts rows excluded — the Sessionize.batch contract (r9)
     "q_session_stats" ->
       """WITH e AS (SELECT user_id, date_trunc('milliseconds', ts) AS tsm
-        |           FROM events),
+        |           FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
         |l AS (SELECT user_id, tsm,
         |        lag(tsm) OVER (PARTITION BY user_id ORDER BY tsm) AS prev
         |      FROM e),
@@ -6385,11 +6387,16 @@ object SparkEntry {
        |FROM o
        |GROUP BY 1""".stripMargin
 
-  /** Parameterized q_sessionize twin (board: gap = 30 min). */
+  /** Parameterized q_sessionize twin (board: gap = 30 min). Null
+    * user/ts rows excluded — the engine's contract (see
+    * Sessionize.batch: a null ts has no defined gap-order position and
+    * the engines disagree on null placement).
+    */
   private[graft] def sessionizeOracleGen(gapMinutes: Int): String = {
     val gapMs = gapMinutes * 60000L
     s"""WITH e AS (SELECT user_id, date_trunc('milliseconds', ts) AS tsm
-       |           FROM events),
+       |           FROM events
+       |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
        |l AS (SELECT user_id, tsm,
        |        lag(tsm) OVER (PARTITION BY user_id ORDER BY tsm) AS prev
        |      FROM e),

@@ -24,10 +24,21 @@ object Sessionize {
 
   /** Batch gap sessionization. Output: one row per (user, session) with
     * epoch-ms bounds and event count.
+    *
+    * Rows with a null user or null timestamp are EXCLUDED: a session is
+    * a gap-bounded run of timestamped events by a known key, and a
+    * null-ts row has no defined position in the gap order — Spark
+    * windows sort nulls FIRST while SQL engines default NULLS LAST, so
+    * an unguarded null either opened a phantom session or silently
+    * merged into the key's last one depending on the engine (r9
+    * perturbation-fuzz finding). The streaming twin's SessionEvent
+    * carries non-nullable (key, ts) — this guard is also what keeps
+    * batch ≡ stream on dirty input.
     */
   def batch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("tsm"))
     events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .withColumn("tsm", date_trunc("millisecond", col("ts")))
       .withColumn("prev", lag(col("tsm"), 1).over(byUser))
       .withColumn("new_session",

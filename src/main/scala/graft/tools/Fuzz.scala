@@ -87,20 +87,84 @@ object Fuzz {
   }
 
   /** Rewrite a generated oracle to read the perturbed corpus: every
-    * `documents` reference retargets to a `pdocs` CTE = base UNION ALL
-    * crafted VALUES. Token-level replace is safe — the literal string
-    * "documents" appears in no fixture text or SQL literal.
+    * table REFERENCE (`FROM documents` / `JOIN documents`) retargets to
+    * a `pdocs` CTE = base UNION ALL crafted VALUES. Scoped to the
+    * FROM/JOIN positions — a whole-token replace once renamed an output
+    * ALIAS (n_events -> n_pevents in the events twin) and failed the
+    * schema compare.
     */
   private def wrapSql(sql: String, perturb: Boolean): String =
     if (!perturb) sql
     else {
-      val body = sql.replace("documents", "pdocs")
+      val body = sql.replace("FROM documents", "FROM pdocs")
+        .replace("JOIN documents", "JOIN pdocs")
       val cte = "pdocs AS (SELECT * FROM documents UNION ALL\n" +
         s"  SELECT * FROM (VALUES $craftedValuesSql)\n" +
         "    v(doc_id, text, lang, source, n_chars))"
       if (body.startsWith("WITH RECURSIVE "))
         body.replaceFirst("WITH RECURSIVE ", s"WITH RECURSIVE $cte,\n")
       else if (body.startsWith("WITH "))
+        body.replaceFirst("WITH ", s"WITH $cte,\n")
+      else s"WITH $cte\n" + body
+    }
+
+  // Crafted degenerate EVENTS for the time families: null ts / user /
+  // value / type (every oracle guard runs against its engine twin), an
+  // equal-microsecond same-user pair (tie-break and RANGE-frame seams),
+  // and a negative value. Timestamps sit inside the fixture's Jan-2024
+  // span so trailing windows and day censuses include them.
+  private val T0 = "2024-01-10 12:00:00.123456"
+  private val T1 = "2024-01-15 08:30:00.500000"
+  private val T2 = "2024-01-20 22:45:10.000001"
+  private val craftedEvents
+      : Seq[(Long, String, java.lang.Long, String, java.lang.Double,
+             String)] = Seq(
+    (9000001L, null.asInstanceOf[String], 7L, "click", 5.0, "{}"),
+    (9000002L, T0, null.asInstanceOf[java.lang.Long], "click", 5.0, "{}"),
+    (9000003L, T0, 7L, "click", null.asInstanceOf[java.lang.Double], "{}"),
+    (9000004L, T1, 8L, "purchase", 10.0, "{}"),
+    (9000005L, T1, 8L, "click", 20.0, "{}"),
+    (9000006L, T2, 8L, "view", -3.5, "{}"),
+    (9000007L, T2, 9L, null.asInstanceOf[String], 2.0, "{}"))
+
+  private def craftedEventsSql: String =
+    craftedEvents.map { case (id, ts, uid, typ, v, props) =>
+      val tsS = Option(ts).map(t => s"TIMESTAMP '$t'")
+        .getOrElse("CAST(NULL AS TIMESTAMP)")
+      val uidS = Option(uid).map(_.toString)
+        .getOrElse("CAST(NULL AS BIGINT)")
+      val typS = Option(typ).map(t => s"'$t'")
+        .getOrElse("CAST(NULL AS VARCHAR)")
+      val vS = Option(v).map(_.toString)
+        .getOrElse("CAST(NULL AS DOUBLE)")
+      s"($id, $tsS, $uidS, $typS, $vS, '$props')"
+    }.mkString(", ")
+
+  private def eventsOf(s: SparkSession, dir: String,
+                       perturb: Boolean): DataFrame = {
+    val base = Tables.load(s, dir, "events")
+    if (!perturb) base
+    else {
+      import s.implicits._
+      base.unionByName(
+        craftedEvents.toDF("event_id", "ts", "user_id", "event_type",
+                           "value", "props")
+          .withColumn("ts", col("ts").cast("timestamp")))
+    }
+  }
+
+  /** Retarget an events-reading oracle to the perturbed stream (table
+    * references only — see wrapSql).
+    */
+  private def wrapEventsSql(sql: String, perturb: Boolean): String =
+    if (!perturb) sql
+    else {
+      val body = sql.replace("FROM events", "FROM pevents")
+        .replace("JOIN events", "JOIN pevents")
+      val cte = "pevents AS (SELECT * FROM events UNION ALL\n" +
+        s"  SELECT * FROM (VALUES $craftedEventsSql)\n" +
+        "    v(event_id, ts, user_id, event_type, value, props))"
+      if (body.startsWith("WITH "))
         body.replaceFirst("WITH ", s"WITH $cte,\n")
       else s"WITH $cte\n" + body
     }
@@ -284,13 +348,15 @@ object Fuzz {
   private def genHour(r: Random, i: Int): FuzzCase = {
     val lo = r.nextInt(24)
     val hi = lo + r.nextInt(24 - lo)
-    FuzzCase(f"fz_hour_$i%03d", "hour", s"lo=$lo hi=$hi",
+    val pert = r.nextInt(100) < 35
+    FuzzCase(f"fz_hour_$i%03d", "hour", s"lo=$lo hi=$hi pert=$pert",
       (s, dir) =>
-        Tables.load(s, dir, "events")
+        eventsOf(s, dir, pert)
           .filter(hour(col("ts")).between(lo, hi))
           .agg(count(lit(1)).as("n_rows")),
-      s"""SELECT count(*) AS n_rows FROM events
-         |WHERE date_part('hour', ts) BETWEEN $lo AND $hi""".stripMargin)
+      wrapEventsSql(s"""SELECT count(*) AS n_rows FROM events
+         |WHERE date_part('hour', ts) BETWEEN $lo AND $hi""".stripMargin,
+        pert))
   }
 
   /** k-center greedy coreset: k drawn; the unrolled CTE chain's length
@@ -379,9 +445,10 @@ object Fuzz {
   private def genWinsorize(r: Random, i: Int): FuzzCase = {
     val lo = (1 + r.nextInt(5)) / 20.0  // 0.05..0.25
     val hi = (15 + r.nextInt(5)) / 20.0 // 0.75..0.95
-    FuzzCase(f"fz_winsor_$i%03d", "winsorize", s"lo=$lo hi=$hi",
+    val pert = r.nextInt(100) < 35
+    FuzzCase(f"fz_winsor_$i%03d", "winsorize", s"lo=$lo hi=$hi pert=$pert",
       (s, dir) =>
-        graft.ops.CoreOps.winsorize(Tables.load(s, dir, "events"),
+        graft.ops.CoreOps.winsorize(eventsOf(s, dir, pert),
                                     "value", "event_type", lo, hi)
           .groupBy(col("event_type"))
           .agg(count(col("value")).as("n_values"),
@@ -392,7 +459,7 @@ object Fuzz {
                sum(when(col("value") > col("value_hi"), 1L).otherwise(0L))
                  .as("n_clipped_hi"),
                round(sum(col("value_w")), 4).as("sum_w")),
-      SparkEntry.winsorizeOracleGen(lo, hi))
+      wrapEventsSql(SparkEntry.winsorizeOracleGen(lo, hi), pert))
   }
 
   /** Stratified sample: the per-group budget k drawn. */
@@ -441,10 +508,11 @@ object Fuzz {
     */
   private def genSessionize(r: Random, i: Int): FuzzCase = {
     val gap = 5 + r.nextInt(116)        // 5..120 minutes
-    FuzzCase(f"fz_sess_$i%03d", "sessionize", s"gap=${gap}m",
+    val pert = r.nextInt(100) < 35
+    FuzzCase(f"fz_sess_$i%03d", "sessionize", s"gap=${gap}m pert=$pert",
       (s, dir) =>
-        graft.streaming.Sessionize.batch(Tables.load(s, dir, "events"), gap),
-      SparkEntry.sessionizeOracleGen(gap))
+        graft.streaming.Sessionize.batch(eventsOf(s, dir, pert), gap),
+      wrapEventsSql(SparkEntry.sessionizeOracleGen(gap), pert))
   }
 
   /** Interval self-join: δ drawn — the δ-bin equi-key decomposition
@@ -453,23 +521,25 @@ object Fuzz {
     */
   private def genIntervalJoin(r: Random, i: Int): FuzzCase = {
     val delta = 200L + r.nextInt(4801)  // 200..5000 ms
-    FuzzCase(f"fz_ivj_$i%03d", "interval_join", s"delta=${delta}ms",
+    val pert = r.nextInt(100) < 35
+    FuzzCase(f"fz_ivj_$i%03d", "interval_join", s"delta=${delta}ms pert=$pert",
       (s, dir) =>
         graft.streaming.StreamingOps.intervalJoin(
-          Tables.load(s, dir, "events"), "event_id", "ts", delta),
-      SparkEntry.intervalJoinOracleGen(delta))
+          eventsOf(s, dir, pert), "event_id", "ts", delta),
+      wrapEventsSql(SparkEntry.intervalJoinOracleGen(delta), pert))
   }
 
   /** Range-join pair census: δ drawn. */
   private def genRangeJoin(r: Random, i: Int): FuzzCase = {
     val delta = 5000L + 1000L * r.nextInt(116) // 5..120 s
-    FuzzCase(f"fz_rgj_$i%03d", "range_join", s"delta=${delta}ms",
+    val pert = r.nextInt(100) < 35
+    FuzzCase(f"fz_rgj_$i%03d", "range_join", s"delta=${delta}ms pert=$pert",
       (s, dir) =>
-        graft.ops.RangeJoin.pairsWithin(Tables.load(s, dir, "events"),
+        graft.ops.RangeJoin.pairsWithin(eventsOf(s, dir, pert),
                                         "event_id", "ts", delta)
           .agg(count(lit(1)).as("n_pairs"),
                round(avg(col("gap_ms")), 6).as("avg_gap_ms")),
-      SparkEntry.rangeJoinOracleGen(delta))
+      wrapEventsSql(SparkEntry.rangeJoinOracleGen(delta), pert))
   }
 
   /** Context-window chunking: (size, overlap) drawn — the tail-window
@@ -506,22 +576,23 @@ object Fuzz {
   /** Trailing value-range rolling aggregate: the window width drawn. */
   private def genRolling(r: Random, i: Int): FuzzCase = {
     val hours = 1 + r.nextInt(72)
-    FuzzCase(f"fz_roll_$i%03d", "rolling", s"hours=$hours",
+    val pert = r.nextInt(100) < 35
+    FuzzCase(f"fz_roll_$i%03d", "rolling", s"hours=$hours pert=$pert",
       (s, dir) =>
-        graft.ops.TimeSeries.rollingAgg(Tables.load(s, dir, "events"),
+        graft.ops.TimeSeries.rollingAgg(eventsOf(s, dir, pert),
                                         "event_id", "user_id", "ts",
                                         "value", hours),
-      SparkEntry.rollingAvgOracleGen(hours))
+      wrapEventsSql(SparkEntry.rollingAvgOracleGen(hours), pert))
   }
 
   /** Trailing-distinct active users: the window drawn. */
   private def genActiveUsers(r: Random, i: Int): FuzzCase = {
     val days = 2 + r.nextInt(20) // 2..21
-    FuzzCase(f"fz_actusr_$i%03d", "active_users", s"days=$days",
+    val pert = r.nextInt(100) < 35
+    FuzzCase(f"fz_actusr_$i%03d", "active_users", s"days=$days pert=$pert",
       (s, dir) =>
-        graft.ops.TimeSeries.activeUsers(Tables.load(s, dir, "events"),
-                                         days),
-      SparkEntry.activeUsersOracleGen(days))
+        graft.ops.TimeSeries.activeUsers(eventsOf(s, dir, pert), days),
+      wrapEventsSql(SparkEntry.activeUsersOracleGen(days), pert))
   }
 
   /** Balanced shard assignment census: (nShards, seed) drawn — the

@@ -22,6 +22,20 @@ class SessionizeSpec extends SparkSpec {
     assert(got === Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
 
+  test("null user/ts rows are excluded, not engine-order-dependently " +
+       "sessioned (Spark sorts window nulls FIRST, SQL engines LAST)") {
+    val events = Seq(
+      (Some(1L), Some(ts("2024-01-01 10:00:00"))),
+      (Some(1L), None), // null ts on a keyed user: phantom-session bait
+      (None, Some(ts("2024-01-01 10:00:00"))), // null key
+      (None, None)
+    ).toDF("user_id", "ts")
+    val got = Sessionize.batch(events, 30)
+      .select($"user_id", $"session_seq", $"n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L, 1L)))
+  }
+
   test("streaming flatMapGroupsWithState emits every closed session") {
     val dir = "/root/repo/target/scratch/session_stream"
     val events = Seq(
