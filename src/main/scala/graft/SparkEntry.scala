@@ -415,13 +415,18 @@ object SparkEntry {
     // query's oracle — two physical strategies, one result.
     "q_topk_agg" -> ((s, dir) => {
       import s.implicits._
+      // nullable-score form (topKTriplesOpt): on a column that can hold
+      // nulls the primitive-Double triple NPEs at encode time while the
+      // window strategy serves null rows at the bottom — the nullable
+      // Aggregator keeps the two strategies result-identical on ANY
+      // input (r9); on this null-free fixture the output is unchanged
       val ds = t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_extendedprice"),
                 col("l_orderkey"), col("l_linenumber"))
-        .as[(String, Double, Long, Int)]
+        .as[(String, Option[Double], Long, Int)]
       ds.groupByKey(_._1)
         .mapValues { case (_, price, okey, ln) => (price, okey, ln) }
-        .agg(graft.ops.TopK.topKTriples(3).toColumn.name("top"))
+        .agg(graft.ops.TopK.topKTriplesOpt(3).toColumn.name("top"))
         .flatMap { case (flag, top) =>
           top.zipWithIndex.map { case ((price, okey, ln), i) =>
             (flag, i + 1, okey, ln, price)

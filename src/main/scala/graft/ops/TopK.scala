@@ -132,4 +132,26 @@ object TopK {
     new TopKAggregator[(Double, Long, Int)](k, ord, tripleEnc,
       org.apache.spark.sql.Encoders.kryo[Seq[(Double, Long, Int)]])
   }
+
+  /** `topKTriples` over a NULLABLE score: None ranks below every real
+    * score (desc-nulls-last — exactly where `ORDER BY s DESC` puts null
+    * rows in both Spark and the SQL twin), ties by key1/key2 ascending.
+    * The primitive-Double form NPEs at encode time on a null score
+    * (r9 perturbation-fuzz finding: the window strategy serves
+    * null-score rows at the bottom of a short group, the typed
+    * Aggregator strategy crashed on the same input — "two physical
+    * strategies, one result" requires the nullable form wherever the
+    * score column is nullable).
+    */
+  def topKTriplesOpt(k: Int): TopKAggregator[(Option[Double], Long, Int)] = {
+    implicit val tripleEnc: Encoder[(Option[Double], Long, Int)] =
+      org.apache.spark.sql.Encoders.product[(Option[Double], Long, Int)]
+    val ord =
+      Ordering.by[(Option[Double], Long, Int), (Boolean, Double, Long, Int)] {
+        case (s, k1, k2) =>
+          (s.isDefined, s.getOrElse(Double.NegativeInfinity), -k1, -k2)
+      }
+    new TopKAggregator[(Option[Double], Long, Int)](k, ord, tripleEnc,
+      org.apache.spark.sql.Encoders.kryo[Seq[(Option[Double], Long, Int)]])
+  }
 }

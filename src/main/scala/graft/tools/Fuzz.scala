@@ -169,6 +169,63 @@ object Fuzz {
       else s"WITH $cte\n" + body
     }
 
+  // Crafted degenerate LINEITEM rows for the top-k / agg families:
+  // null quantity, null extendedprice (the top-k ORDER column — Spark
+  // desc and DuckDB both rank nulls last; the typed Aggregator path
+  // needed the nullable-score form), null returnflag (null group key),
+  // negatives, and a near-2^53 magnitude price.
+  private val craftedLineitem
+      : Seq[(Long, Long, Long, Int, java.lang.Double, java.lang.Double,
+             Double, Double, String, String, String)] = Seq(
+    (9000001L, 1L, 1L, 1, null.asInstanceOf[java.lang.Double], 50.5,
+     0.0, 0.0, "A", "F", "2024-01-15 00:00:00"),
+    (9000002L, 2L, 2L, 2, 10.0, null.asInstanceOf[java.lang.Double],
+     0.1, 0.1, "R", "O", "2024-01-16 00:00:00"),
+    (9000003L, 3L, 3L, 3, -5.0, -100.25, 0.0, 0.0,
+     null.asInstanceOf[String], "F", "2024-01-17 00:00:00"),
+    (9000004L, 4L, 4L, 4, 10.0, 9.9e13, 0.05, 0.02, "N", "O",
+     "2024-01-18 00:00:00"))
+
+  private def craftedLineitemSql: String =
+    craftedLineitem.map { case (ok, pk, sk, ln, q, ep, d, t, rf, ls, sd) =>
+      def dbl(v: java.lang.Double) =
+        Option(v).map(_.toString).getOrElse("CAST(NULL AS DOUBLE)")
+      def str(v: String) =
+        Option(v).map(x => s"'$x'").getOrElse("CAST(NULL AS VARCHAR)")
+      s"($ok, $pk, $sk, $ln, ${dbl(q)}, ${dbl(ep)}, $d, $t, " +
+        s"${str(rf)}, ${str(ls)}, TIMESTAMP '$sd')"
+    }.mkString(", ")
+
+  private def lineitemOf(s: SparkSession, dir: String,
+                         perturb: Boolean): DataFrame = {
+    val base = Tables.load(s, dir, "lineitem")
+    if (!perturb) base
+    else {
+      import s.implicits._
+      base.unionByName(
+        craftedLineitem.toDF("l_orderkey", "l_partkey", "l_suppkey",
+                             "l_linenumber", "l_quantity",
+                             "l_extendedprice", "l_discount", "l_tax",
+                             "l_returnflag", "l_linestatus", "l_shipdate")
+          .withColumn("l_shipdate", col("l_shipdate").cast("timestamp")))
+    }
+  }
+
+  private def wrapLineitemSql(sql: String, perturb: Boolean): String =
+    if (!perturb) sql
+    else {
+      val body = sql.replace("FROM lineitem", "FROM plineitem")
+        .replace("JOIN lineitem", "JOIN plineitem")
+      val cte = "plineitem AS (SELECT * FROM lineitem UNION ALL\n" +
+        s"  SELECT * FROM (VALUES $craftedLineitemSql)\n" +
+        "    v(l_orderkey, l_partkey, l_suppkey, l_linenumber, " +
+        "l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, " +
+        "l_linestatus, l_shipdate))"
+      if (body.startsWith("WITH "))
+        body.replaceFirst("WITH ", s"WITH $cte,\n")
+      else s"WITH $cte\n" + body
+    }
+
   // ---- families ------------------------------------------------------
 
   /** n-gram Jaccard self-join: sweeps shingle width, threshold, AND the
@@ -228,18 +285,19 @@ object Fuzz {
     val k = 1 + r.nextInt(8)
     val grp = Seq("l_returnflag", "l_linestatus")(r.nextInt(2))
     val ord = Seq("l_extendedprice", "l_quantity", "l_discount")(r.nextInt(3))
-    FuzzCase(f"fz_topk_$i%03d", "topk", s"k=$k grp=$grp ord=$ord",
+    val pert = r.nextInt(100) < 35
+    FuzzCase(f"fz_topk_$i%03d", "topk", s"k=$k grp=$grp ord=$ord pert=$pert",
       (s, dir) => {
         val w = Window.partitionBy(col(grp))
           .orderBy(col(ord).desc, col("l_orderkey").asc,
                    col("l_linenumber").asc)
-        Tables.load(s, dir, "lineitem")
+        lineitemOf(s, dir, pert)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= k)
           .select(col(grp), col("rn"), col("l_orderkey"),
                   col("l_linenumber"), col(ord))
       },
-      SparkEntry.topkOracleGen(k, grp, ord))
+      wrapLineitemSql(SparkEntry.topkOracleGen(k, grp, ord), pert))
   }
 
   /** Brute-force cosine top-k: probe id and k drawn. */
@@ -394,16 +452,17 @@ object Fuzz {
   private def genTopkAgg(r: Random, i: Int): FuzzCase = {
     val k = 1 + r.nextInt(8)
     val grp = Seq("l_returnflag", "l_linestatus")(r.nextInt(2))
-    FuzzCase(f"fz_topkagg_$i%03d", "topk_agg", s"k=$k grp=$grp",
+    val pert = r.nextInt(100) < 35
+    FuzzCase(f"fz_topkagg_$i%03d", "topk_agg", s"k=$k grp=$grp pert=$pert",
       (s, dir) => {
         import s.implicits._
-        val ds = Tables.load(s, dir, "lineitem")
+        val ds = lineitemOf(s, dir, pert)
           .select(col(grp), col("l_extendedprice"),
                   col("l_orderkey"), col("l_linenumber"))
-          .as[(String, Double, Long, Int)]
+          .as[(String, Option[Double], Long, Int)]
         ds.groupByKey(_._1)
           .mapValues { case (_, price, okey, ln) => (price, okey, ln) }
-          .agg(graft.ops.TopK.topKTriples(k).toColumn.name("top"))
+          .agg(graft.ops.TopK.topKTriplesOpt(k).toColumn.name("top"))
           .flatMap { case (flag, top) =>
             top.zipWithIndex.map { case ((price, okey, ln), j) =>
               (flag, j + 1, okey, ln, price)
@@ -412,7 +471,8 @@ object Fuzz {
           .toDF(grp, "rn", "l_orderkey", "l_linenumber",
                 "l_extendedprice")
       },
-      SparkEntry.topkOracleGen(k, grp, "l_extendedprice"))
+      wrapLineitemSql(SparkEntry.topkOracleGen(k, grp, "l_extendedprice"),
+                      pert))
   }
 
   /** Blocked Jaro-Winkler entity resolution: τ drawn (the native
@@ -641,6 +701,7 @@ object Fuzz {
     */
   private def genAgg(r: Random, i: Int): FuzzCase = {
     val tb = aggTables(r.nextInt(aggTables.size))
+    val pert = tb.name == "lineitem" && r.nextInt(100) < 35
     val nGrp = r.nextInt(math.min(2, tb.grpCols.size) + 1) // 0..2
     val grps = r.shuffle(tb.grpCols).take(nGrp)
 
@@ -694,16 +755,18 @@ object Fuzz {
       if (grps.nonEmpty) s"\nGROUP BY ${grps.mkString(", ")}" else ""
     FuzzCase(f"fz_agg_$i%03d", "agg",
       s"tb=${tb.name} grp=${grps.mkString("+")} aggs=${aggs.size} " +
-        s"filt=${filt.map(_._2).getOrElse("none")}",
+        s"filt=${filt.map(_._2).getOrElse("none")} pert=$pert",
       (s, dir) => {
-        val base0 = Tables.load(s, dir, tb.name)
+        val base0 = if (pert) lineitemOf(s, dir, perturb = true)
+                    else Tables.load(s, dir, tb.name)
         val base = filt.map(f => base0.filter(f._1)).getOrElse(base0)
         val cols = aggs.map(_._1)
         if (grps.nonEmpty)
           base.groupBy(grps.map(col): _*).agg(cols.head, cols.tail: _*)
         else base.agg(cols.head, cols.tail: _*)
       },
-      s"SELECT $sqlSel\nFROM ${tb.name}$sqlWhere$sqlGroup")
+      wrapLineitemSql(s"SELECT $sqlSel\nFROM ${tb.name}$sqlWhere$sqlGroup",
+                      pert))
   }
 
   // ---- driver --------------------------------------------------------

@@ -146,6 +146,32 @@ class TypedAndPropertySpec extends SparkSpec {
     })
   }
 
+  test("topKTriplesOpt: null scores rank below every real score and " +
+       "survive the buffer (the window strategy's desc-nulls-last) — " +
+       "the primitive form NPEs on the same input") {
+    import graft.ops.TopK
+    // group g: two real scores + two null-score rows; k=3 must return
+    // the reals first, then ONE null row by (okey, ln) ascending
+    val rows = Seq(
+      ("g", Some(2.0), 10L, 1), ("g", None, 11L, 2),
+      ("g", Some(5.0), 12L, 1), ("g", None, 9L, 1))
+      .toDF("grp", "s", "okey", "ln")
+      .as[(String, Option[Double], Long, Int)]
+    val got = rows.groupByKey(_._1)
+      .mapValues { case (_, s, okey, ln) => (s, okey, ln) }
+      .agg(TopK.topKTriplesOpt(3).toColumn.name("top"))
+      .collect().head._2
+    assert(got === Seq((Some(5.0), 12L, 1), (Some(2.0), 10L, 1),
+                       (None, 9L, 1)))
+    // the primitive-Double triple cannot represent the null row at all
+    intercept[Throwable] {
+      Seq(("g", Some(2.0), 10L, 1), ("g", None, 11L, 2))
+        .toDF("grp", "s", "okey", "ln")
+        .as[(String, Double, Long, Int)].collect()
+    }
+    spark.catalog.clearCache()
+  }
+
   test("property: shingle hash sets are sorted distinct, bounded by |text|") {
     import graft.functions.ShingleExpressions
     val txt = Gen.chooseNum(1, 40).flatMap(n =>
