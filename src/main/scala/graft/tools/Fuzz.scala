@@ -226,6 +226,57 @@ object Fuzz {
       else s"WITH $cte\n" + body
     }
 
+  // Crafted degenerate PART rows for the fuzzy/edit families: null and
+  // empty names, an embedded single-quote near-dup pair (SQL escaping
+  // through the VALUES twin), a single-char name and its exact
+  // duplicate (the DISTINCT-name domain). ASCII ONLY by design:
+  // DuckDB's levenshtein/jaro_winkler are BYTE-based on multi-byte
+  // text while the engine (and Spark's levenshtein) count code points
+  // — the board corpus is ASCII so the oracles are exact there; the
+  // divergence is an oracle-portability limit, not an engine seam
+  // (documented in PLANS, pinned by the ASCII-only draw here).
+  private val craftedParts
+      : Seq[(Long, String, String, String, Int, Double)] = Seq(
+    (9000001L, null.asInstanceOf[String], "Brand#9", "crafted", 1, 1.0),
+    (9000002L, "", "Brand#9", "crafted", 1, 1.0),
+    (9000003L, "o'brien valve", "Brand#9", "crafted", 1, 1.0),
+    (9000004L, "o'brien valvf", "Brand#9", "crafted", 1, 1.0),
+    (9000005L, "x", "Brand#9", "crafted", 1, 1.0),
+    (9000006L, "x", "Brand#9", "crafted", 1, 1.0))
+
+  private def craftedPartsSql: String =
+    craftedParts.map { case (pk, name, brand, typ, sz, rp) =>
+      val n = Option(name).map(x => "'" + x.replace("'", "''") + "'")
+        .getOrElse("CAST(NULL AS VARCHAR)")
+      s"($pk, $n, '$brand', '$typ', $sz, $rp)"
+    }.mkString(", ")
+
+  private def partOf(s: SparkSession, dir: String,
+                     perturb: Boolean): DataFrame = {
+    val base = Tables.load(s, dir, "part")
+    if (!perturb) base
+    else {
+      import s.implicits._
+      base.unionByName(
+        craftedParts.toDF("p_partkey", "p_name", "p_brand", "p_type",
+                          "p_size", "p_retailprice"))
+    }
+  }
+
+  private def wrapPartSql(sql: String, perturb: Boolean): String =
+    if (!perturb) sql
+    else {
+      val body = sql.replace("FROM part", "FROM ppart")
+        .replace("JOIN part", "JOIN ppart")
+      val cte = "ppart AS (SELECT * FROM part UNION ALL\n" +
+        s"  SELECT * FROM (VALUES $craftedPartsSql)\n" +
+        "    v(p_partkey, p_name, p_brand, p_type, p_size, " +
+        "p_retailprice))"
+      if (body.startsWith("WITH "))
+        body.replaceFirst("WITH ", s"WITH $cte,\n")
+      else s"WITH $cte\n" + body
+    }
+
   // ---- families ------------------------------------------------------
 
   /** n-gram Jaccard self-join: sweeps shingle width, threshold, AND the
@@ -480,11 +531,12 @@ object Fuzz {
     */
   private def genFuzzy(r: Random, i: Int): FuzzCase = {
     val tau = tauGrid(r, 14, 19)        // 0.70..0.95
-    FuzzCase(f"fz_fuzzy_$i%03d", "fuzzy", s"tau=$tau",
+    val pert = r.nextInt(100) < 35
+    FuzzCase(f"fz_fuzzy_$i%03d", "fuzzy", s"tau=$tau pert=$pert",
       (s, dir) =>
-        graft.ops.FuzzyMatch.fuzzyPairs(Tables.load(s, dir, "part"),
+        graft.ops.FuzzyMatch.fuzzyPairs(partOf(s, dir, pert),
                                         "p_name", tau),
-      SparkEntry.fuzzyOracleGen(tau))
+      wrapPartSql(SparkEntry.fuzzyOracleGen(tau), pert))
   }
 
   /** Edit-distance join: d drawn (the 2d+1 length-key generation must
@@ -492,11 +544,12 @@ object Fuzz {
     */
   private def genEdit(r: Random, i: Int): FuzzCase = {
     val d = 1 + r.nextInt(3)            // 1..3
-    FuzzCase(f"fz_edit_$i%03d", "edit", s"d=$d",
+    val pert = r.nextInt(100) < 35
+    FuzzCase(f"fz_edit_$i%03d", "edit", s"d=$d pert=$pert",
       (s, dir) =>
-        graft.ops.FuzzyMatch.editPairs(Tables.load(s, dir, "part"),
+        graft.ops.FuzzyMatch.editPairs(partOf(s, dir, pert),
                                        "p_name", d),
-      SparkEntry.editOracleGen(d))
+      wrapPartSql(SparkEntry.editOracleGen(d), pert))
   }
 
   /** Winsorization census: the (lo, hi) quantile pair drawn on the 0.05
