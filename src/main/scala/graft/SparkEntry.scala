@@ -5450,6 +5450,25 @@ object SparkEntry {
     s"(list_dot_product($a, $b) / " +
       s"(sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b))))"
 
+  /** round(x, 6) with SPARK's rounding rule: Spark (and the engine's r6
+    * grid) round the double's SHORTEST DECIMAL representation HALF_UP
+    * (BigDecimal.valueOf semantics), while DuckDB's round(DOUBLE) rounds
+    * the true binary value — the two disagree exactly when the shortest
+    * repr lands on a .xxxxxx5 midpoint whose binary value sits below it.
+    * VARCHAR cast IS DuckDB's shortest-repr printer, so
+    * round(CAST(CAST(x AS VARCHAR) AS DECIMAL), 6) reproduces Spark
+    * bit-for-bit; the cast back to DOUBLE keeps downstream arithmetic
+    * and the compare's types unchanged. Used where grid-affine
+    * arithmetic (λ·grid − (1−λ)·grid) concentrates values near
+    * midpoints — the r9 fuzz caught MMR there (λ=0.3, x=−0.0638835:
+    * Spark −0.063884, plain DuckDB round −0.063883). Full-entropy
+    * doubles elsewhere hit a midpoint with negligible probability and
+    * keep the plain round.
+    */
+  private def duckR6(e: String): String =
+    s"CAST(round(CAST(CAST(($e) AS VARCHAR) AS DECIMAL(38,19)), 6) " +
+      "AS DOUBLE)"
+
   /** q_kcenter_select twin: the greedy farthest-point loop UNROLLED to
     * k−1 chained CTE steps — k is the query's own constant, and SQL has
     * no bounded loop, so the oracle is GENERATED (the first generated
@@ -5766,7 +5785,7 @@ object SparkEntry {
          |),
          |probe AS (SELECT v FROM dv WHERE id = $probe),
          |pool1 AS MATERIALIZED (
-         |  SELECT d.id, round(${duckCos("d.v", "p.v")}, 6) AS rel, d.v,
+         |  SELECT d.id, ${duckR6(duckCos("d.v", "p.v"))} AS rel, d.v,
          |         0.0 AS maxs
          |  FROM dv d, probe p WHERE d.id <> $probe
          |  ORDER BY rel DESC, id ASC LIMIT $n
@@ -5777,12 +5796,12 @@ object SparkEntry {
       // upstream chain per reference and the k=10 board query cost 31 s;
       // MATERIALIZED everywhere makes it 0.05 s, rows identical
       val pick = s"s$i AS MATERIALIZED (SELECT id, rel, v, " +
-        s"round($lam*rel - ${1.0 - lam}*maxs, 6) AS mmr " +
+        duckR6(s"$lam*rel - ${1.0 - lam}*maxs") + " AS mmr " +
         s"FROM pool$i ORDER BY mmr DESC, id ASC LIMIT 1)"
       if (i < k)
         Seq(pick,
             s"pool${i + 1} AS (SELECT p.id, p.rel, p.v, " +
-              s"greatest(p.maxs, round(${duckCos("p.v", "s.v")}, 6)) " +
+              s"greatest(p.maxs, ${duckR6(duckCos("p.v", "s.v"))}) " +
               s"AS maxs FROM pool$i p, s$i s WHERE p.id <> s.id)")
       else Seq(pick)
     }
