@@ -5154,9 +5154,11 @@ object SparkEntry {
 
     // session_window semantics: closed-interval merge (split strictly
     // after the gap, same boundary as q_sessionize), end = last + gap
+    // null user/ts rows excluded — the Sessionize.batch contract (r9)
     "q_session_window" ->
       """WITH e AS (SELECT user_id, date_trunc('milliseconds', ts) AS tsm
-        |           FROM events),
+        |           FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
         |l AS (SELECT user_id, tsm,
         |        lag(tsm) OVER (PARTITION BY user_id ORDER BY tsm) AS prev
         |      FROM e),

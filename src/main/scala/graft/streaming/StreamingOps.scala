@@ -133,7 +133,14 @@ object StreamingOps {
     */
   def sessionWindowRollup(events: DataFrame, gapMinutes: Int = 30,
                           lateness: String = "1 minute"): DataFrame = {
-    val trunc = events.select(col("user_id"),
+    // null user/ts rows excluded — the Sessionize.batch contract (r9):
+    // the native session_window already drops null-ts rows on its own,
+    // but KEPT a null-user session, silently diverging from the lag
+    // form on dirty input; the explicit guard keeps the two strategies
+    // (and batch vs stream) row-identical on ANY input
+    val trunc = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"),
       date_trunc("millisecond", col("ts")).as("tsm"))
     val wm = if (events.isStreaming) trunc.withWatermark("tsm", lateness)
              else trunc

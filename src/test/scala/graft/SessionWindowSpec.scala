@@ -82,4 +82,24 @@ class SessionWindowSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got === sessions(data: _*))
   }
+
+  test("null user/ts rows excluded — row-identical to Sessionize.batch " +
+       "on dirty input (native session_window dropped null ts on its " +
+       "own but KEPT a null-user session)") {
+    import org.apache.spark.sql.functions.col
+    val dirty = Seq(
+      (Some(1L), Some(ts("2024-01-01 10:00:00"))),
+      (Some(1L), None),
+      (None, Some(ts("2024-01-01 10:00:00"))),
+      (None, None)
+    ).toDF("user_id", "ts")
+    val sw = StreamingOps.sessionWindowRollup(dirty, 30)
+      .select(col("user_id"), col("n_events"))
+      .as[(Long, Long)].collect().toSet
+    val lag = Sessionize.batch(dirty, 30)
+      .select(col("user_id"), col("n_events"))
+      .as[(Long, Long)].collect().toSet
+    assert(sw === Set((1L, 1L)))
+    assert(sw === lag)
+  }
 }
