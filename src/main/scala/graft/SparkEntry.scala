@@ -6038,8 +6038,11 @@ object SparkEntry {
     s"""WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
        |                     generate_subscripts(embedding,1) AS i
        |              FROM embeddings),
+       |lens AS (SELECT vec_id, coalesce(len(embedding), 0) AS l
+       |         FROM embeddings),
        |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM flat GROUP BY 1),
        |probe AS (SELECT i, v FROM flat WHERE vec_id = $probe),
+       |plen AS (SELECT l FROM lens WHERE vec_id = $probe),
        |pnorm AS (SELECT nrm FROM norms WHERE vec_id = $probe),
        |dots AS (SELECT f.vec_id, sum(f.v*p.v) AS dot
        |         FROM flat f JOIN probe p ON f.i = p.i
@@ -6047,6 +6050,8 @@ object SparkEntry {
        |SELECT d.vec_id,
        |       round(d.dot/(n.nrm*(SELECT nrm FROM pnorm)), 6) AS sim
        |FROM dots d JOIN norms n ON n.vec_id = d.vec_id
+       |JOIN lens dl ON dl.vec_id = d.vec_id
+       |WHERE dl.l = (SELECT l FROM plen) AND n.nrm > 0
        |ORDER BY round(d.dot/(n.nrm*(SELECT nrm FROM pnorm)), 6) DESC,
        |         d.vec_id ASC
        |LIMIT $k""".stripMargin
@@ -6203,11 +6208,18 @@ object SparkEntry {
     * definition serves both (the spanCtes/curateKeptCtes no-drift
     * discipline).
     */
-  /** Parameterized q_cosine_pairs twin (board: τ=0.45). */
+  /** Parameterized q_cosine_pairs twin (board: τ=0.45). A pair is only
+    * DEFINED between same-dimension positive-norm vectors — the
+    * engine's cosine is null otherwise (degenerates can never pair);
+    * without the explicit conditions a dim-mismatched pair would score
+    * its index-overlap in SQL and spuriously pass τ.
+    */
   private[graft] def cosinePairsOracleGen(tau: Double): String =
     s"""WITH flat AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
        |                     generate_subscripts(embedding,1) AS i
        |              FROM embeddings),
+       |lens AS (SELECT vec_id, coalesce(len(embedding), 0) AS l
+       |         FROM embeddings),
        |norms AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM flat GROUP BY 1),
        |dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v*b.v) AS dot
        |         FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
@@ -6215,7 +6227,10 @@ object SparkEntry {
        |SELECT id_a, id_b, round(dot/(na.nrm*nb.nrm), 6) AS sim
        |FROM dots JOIN norms na ON na.vec_id = id_a
        |          JOIN norms nb ON nb.vec_id = id_b
-       |WHERE dot/(na.nrm*nb.nrm) >= $tau""".stripMargin
+       |          JOIN lens la ON la.vec_id = id_a
+       |          JOIN lens lb ON lb.vec_id = id_b
+       |WHERE la.l = lb.l AND na.nrm > 0 AND nb.nrm > 0
+       |  AND dot/(na.nrm*nb.nrm) >= $tau""".stripMargin
 
   /** Parameterized q_line_dedup twin (board: minDocs=2, minChars=1). */
   private[graft] def lineDedupOracleGen(minDocs: Int,
@@ -6263,10 +6278,15 @@ object SparkEntry {
         |         FROM flat cf JOIN flat bf ON cf.i = bf.i
         |         WHERE cf.label <> 0 AND bf.label = 0
         |         GROUP BY 1, 2),
+        |lens AS (SELECT vec_id, coalesce(len(embedding), 0) AS l
+        |         FROM embeddings),
         |sims AS (SELECT cid, bid, dot / (cn.nrm * bn.nrm) AS sim
         |         FROM dots
         |         JOIN norms cn ON cn.vec_id = cid
-        |         JOIN norms bn ON bn.vec_id = bid),
+        |         JOIN norms bn ON bn.vec_id = bid
+        |         JOIN lens cl ON cl.vec_id = cid
+        |         JOIN lens bl ON bl.vec_id = bid
+        |         WHERE cl.l = bl.l AND cn.nrm > 0 AND bn.nrm > 0),
         |ranked AS (SELECT cid, bid, sim,
         |                  row_number() OVER (PARTITION BY cid
         |                                     ORDER BY sim DESC, bid ASC)

@@ -53,6 +53,12 @@ object SimilarityOps {
       // "knnJoin with one query ≡ topKNeighbors" contract false on
       // rounded ties)
       .withColumn("sim", round(cosineSim(col(vecCol), col("__probe")), 6))
+      // degenerate corpus vectors (null / dim-mismatched / zero-norm)
+      // have NULL cosine: EXCLUDED, and before the limit so they never
+      // consume a k slot (r9 — desc-nulls-last used to pad a short
+      // top-k with junk rows; int8TopK and kCenterSelect already
+      // exclude, this aligns the family contract)
+      .filter(col("sim").isNotNull)
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("sim"))
@@ -82,6 +88,9 @@ object SimilarityOps {
       .crossJoin(broadcast(q))
       .withColumn("sim", round(cosineSim(col("__qv"), col("__cv")), 6))
     scored
+      // degenerate (null-sim) rows excluded before ranking so they
+      // never consume a k slot — the topKNeighbors contract (r9)
+      .filter(col("sim").isNotNull)
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("sim").desc, col("neighbor_id").asc)))
@@ -792,6 +801,12 @@ object SimilarityOps {
       // the k-boundary (ranking raw could pick a different sub-ulp
       // neighbor than the rounded oracle ordering)
       .withColumn("sim", round(cosineSim(col(vecCol), col("__probe")), 6))
+      // degenerate corpus vectors (null / dim-mismatched / zero-norm)
+      // have NULL cosine: EXCLUDED, and before the limit so they never
+      // consume a k slot (r9 — desc-nulls-last used to pad a short
+      // top-k with junk rows; int8TopK and kCenterSelect already
+      // exclude, this aligns the family contract)
+      .filter(col("sim").isNotNull)
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("sim"))

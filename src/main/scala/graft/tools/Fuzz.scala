@@ -277,6 +277,54 @@ object Fuzz {
       else s"WITH $cte\n" + body
     }
 
+  // Crafted degenerate EMBEDDINGS for the cosine families: null, empty,
+  // zero-norm and dim-mismatched vectors (the engine's cosine is NULL
+  // for all four — excluded from neighbors/pairs/flags; the SQL twins
+  // carry the matching explicit validity conditions, because an
+  // index-overlap dot would otherwise score a dim-mismatched pair),
+  // plus a PARALLEL same-dim pair (cos exactly 1.0 — the tie seam).
+  private def craftedEmbeddings(dim: Int)
+      : Seq[(Long, Array[Float], Int)] = Seq(
+    (9000001L, null.asInstanceOf[Array[Float]], 5),
+    (9000002L, Array.empty[Float], 5),
+    (9000003L, Array.fill(dim)(0.0f), 5),
+    (9000004L, Array(1.0f, 2.0f, 3.0f), 5),
+    (9000005L, Array.tabulate(dim)(j => (j % 7 + 1).toFloat), 5),
+    (9000006L, Array.tabulate(dim)(j => 2.0f * (j % 7 + 1)), 6))
+
+  private def craftedEmbSql(dim: Int): String =
+    craftedEmbeddings(dim).map { case (id, v, label) =>
+      val vs = Option(v).map(a =>
+        if (a.isEmpty) "CAST([] AS FLOAT[])"
+        else a.map(x => f"$x%.1f").mkString("CAST([", ", ", "] AS FLOAT[])"))
+        .getOrElse("CAST(NULL AS FLOAT[])")
+      s"($id, $vs, $label)"
+    }.mkString(", ")
+
+  private def embOf(s: SparkSession, dir: String,
+                    perturb: Boolean): DataFrame = {
+    val base = Tables.load(s, dir, "embeddings")
+    if (!perturb) base
+    else {
+      import s.implicits._
+      base.unionByName(
+        craftedEmbeddings(64).toDF("vec_id", "embedding", "label"))
+    }
+  }
+
+  private def wrapEmbSql(sql: String, perturb: Boolean): String =
+    if (!perturb) sql
+    else {
+      val body = sql.replace("FROM embeddings", "FROM pembeddings")
+        .replace("JOIN embeddings", "JOIN pembeddings")
+      val cte = "pembeddings AS (SELECT * FROM embeddings UNION ALL\n" +
+        s"  SELECT * FROM (VALUES ${craftedEmbSql(64)})\n" +
+        "    v(vec_id, embedding, label))"
+      if (body.startsWith("WITH "))
+        body.replaceFirst("WITH ", s"WITH $cte,\n")
+      else s"WITH $cte\n" + body
+    }
+
   // ---- families ------------------------------------------------------
 
   /** n-gram Jaccard self-join: sweeps shingle width, threshold, AND the
@@ -355,21 +403,23 @@ object Fuzz {
   private def genCosTopk(r: Random, i: Int): FuzzCase = {
     val probe = r.nextInt(500).toLong
     val k = 3 + r.nextInt(23)           // 3..25
-    FuzzCase(f"fz_costopk_$i%03d", "cos_topk", s"probe=$probe k=$k",
+    val pert = r.nextInt(100) < 35
+    FuzzCase(f"fz_costopk_$i%03d", "cos_topk", s"probe=$probe k=$k pert=$pert",
       (s, dir) =>
-        SimilarityOps.topKNeighbors(Tables.load(s, dir, "embeddings"),
+        SimilarityOps.topKNeighbors(embOf(s, dir, pert),
                                     "vec_id", "embedding", probe, k),
-      SparkEntry.cosineTopkOracleGen(probe, k))
+      wrapEmbSql(SparkEntry.cosineTopkOracleGen(probe, k), pert))
   }
 
   /** All-pairs cosine ≥ τ. */
   private def genCosPairs(r: Random, i: Int): FuzzCase = {
     val tau = tauGrid(r, 6, 16)         // 0.30..0.80
-    FuzzCase(f"fz_cospairs_$i%03d", "cos_pairs", s"tau=$tau",
+    val pert = r.nextInt(100) < 35
+    FuzzCase(f"fz_cospairs_$i%03d", "cos_pairs", s"tau=$tau pert=$pert",
       (s, dir) =>
-        SimilarityOps.cosinePairs(Tables.load(s, dir, "embeddings"),
+        SimilarityOps.cosinePairs(embOf(s, dir, pert),
                                   "vec_id", "embedding", tau),
-      SparkEntry.cosinePairsOracleGen(tau))
+      wrapEmbSql(SparkEntry.cosinePairsOracleGen(tau), pert))
   }
 
   /** Doc-level decontamination: gram width, benchmark source, and the
@@ -606,14 +656,15 @@ object Fuzz {
   /** Semantic decontamination: τ drawn. */
   private def genSemDecon(r: Random, i: Int): FuzzCase = {
     val tau = tauGrid(r, 4, 12)         // 0.20..0.60
-    FuzzCase(f"fz_semdecon_$i%03d", "sem_decon", s"tau=$tau",
+    val pert = r.nextInt(100) < 35
+    FuzzCase(f"fz_semdecon_$i%03d", "sem_decon", s"tau=$tau pert=$pert",
       (s, dir) => {
-        val emb = Tables.load(s, dir, "embeddings")
+        val emb = embOf(s, dir, pert)
         SimilarityOps.semanticDecontaminate(
           emb.filter(col("label") =!= 0), emb.filter(col("label") === 0),
           "vec_id", "embedding", tau)
       },
-      SparkEntry.semDeconOracleGen(tau))
+      wrapEmbSql(SparkEntry.semDeconOracleGen(tau), pert))
   }
 
   /** Gap sessionization: the gap drawn (the lag/cumsum boundary must
