@@ -4913,17 +4913,7 @@ object SparkEntry {
         |       TRUE AS est_ok
         |FROM events GROUP BY event_type""".stripMargin,
 
-    "q_hopping_rollup" ->
-      """WITH hops AS (SELECT unnest([0, 1]) AS k),
-        |e AS (SELECT ts, event_type, value FROM events
-        |      WHERE ts IS NOT NULL),
-        |asg AS (SELECT make_timestamp(
-        |                 (epoch_ms(ts) // 1800000 - k) * 1800000000)
-        |               AS ws, event_type, value
-        |        FROM e, hops)
-        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
-        |       count(*) AS n, round(sum(value), 4) AS v
-        |FROM asg GROUP BY 1, 2""".stripMargin,
+    "q_hopping_rollup" -> hoppingOracleGen(60, 30),
 
     "q_rolling_avg" -> rollingAvgOracleGen(24),
 
@@ -5017,25 +5007,7 @@ object SparkEntry {
         |       abs(zscore) >= 3.0 AS is_anomaly
         |FROM z""".stripMargin,
 
-    "q_anomaly_flags" ->
-      """WITH hourly AS (
-        |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
-        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
-        |  GROUP BY 1, 2),
-        |z AS (
-        |  SELECT event_type, CAST(epoch(h) AS BIGINT) * 1000 AS hour_ms,
-        |         n,
-        |         CAST(count(n) OVER w AS BIGINT) AS base_n,
-        |         round((n - avg(n) OVER w) /
-        |               nullif(stddev_samp(n) OVER w, 0), 6) AS zscore
-        |  FROM hourly
-        |  WINDOW w AS (PARTITION BY event_type
-        |               ORDER BY CAST(epoch(h) AS BIGINT)
-        |               RANGE BETWEEN 604800 PRECEDING
-        |               AND 3600 PRECEDING))
-        |SELECT event_type, hour_ms, n, base_n, zscore,
-        |       abs(zscore) >= 3.0 AS is_anomaly
-        |FROM z""".stripMargin,
+    "q_anomaly_flags" -> anomalyOracleGen(7, 3.0),
 
     "q_user_churn" ->
       """WITH pairs AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
@@ -6432,6 +6404,51 @@ object SparkEntry {
        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
        |FROM o
        |GROUP BY 1""".stripMargin
+
+  /** Parameterized q_hopping_rollup twin (board: 60-min windows sliding
+    * 30 — 2 hops per row; dur must be a multiple of slide).
+    */
+  private[graft] def hoppingOracleGen(durMin: Int, slideMin: Int): String = {
+    require(durMin % slideMin == 0, s"dur $durMin % slide $slideMin != 0")
+    val nHops = durMin / slideMin
+    val slideMs = slideMin * 60000L
+    s"""WITH hops AS (SELECT unnest(range(0, $nHops)) AS k),
+       |e AS (SELECT ts, event_type, value FROM events
+       |      WHERE ts IS NOT NULL),
+       |asg AS (SELECT make_timestamp(
+       |                 (epoch_ms(ts) // $slideMs - k) * ${slideMs}000)
+       |               AS ws, event_type, value
+       |        FROM e, hops)
+       |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+       |       count(*) AS n, round(sum(value), 4) AS v
+       |FROM asg GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Parameterized q_anomaly_flags twin (board: 7-day trailing base,
+    * |z| >= 3).
+    */
+  private[graft] def anomalyOracleGen(windowDays: Int,
+                                      zThreshold: Double): String = {
+    val baseSec = windowDays * 86400L
+    s"""WITH hourly AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+       |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+       |  GROUP BY 1, 2),
+       |z AS (
+       |  SELECT event_type, CAST(epoch(h) AS BIGINT) * 1000 AS hour_ms,
+       |         n,
+       |         CAST(count(n) OVER w AS BIGINT) AS base_n,
+       |         round((n - avg(n) OVER w) /
+       |               nullif(stddev_samp(n) OVER w, 0), 6) AS zscore
+       |  FROM hourly
+       |  WINDOW w AS (PARTITION BY event_type
+       |               ORDER BY CAST(epoch(h) AS BIGINT)
+       |               RANGE BETWEEN $baseSec PRECEDING
+       |               AND 3600 PRECEDING))
+       |SELECT event_type, hour_ms, n, base_n, zscore,
+       |       abs(zscore) >= $zThreshold AS is_anomaly
+       |FROM z""".stripMargin
+  }
 
   /** Parameterized q_sessionize twin (board: gap = 30 min). Null
     * user/ts rows excluded — the engine's contract (see

@@ -775,6 +775,35 @@ object Fuzz {
       wrapSql(SparkEntry.shardCensusOracleGen(n, seed), pert))
   }
 
+  /** Hopping-window rollup: (slide, hop-count) drawn — each row lands
+    * in exactly dur/slide windows; the assignment arithmetic must agree
+    * at every geometry.
+    */
+  private def genHopping(r: Random, i: Int): FuzzCase = {
+    val slide = Seq(10, 15, 20, 30, 60)(r.nextInt(5))
+    val mult = 2 + r.nextInt(3) // dur = 2..4 slides
+    val dur = slide * mult
+    val pert = r.nextInt(100) < 35
+    FuzzCase(f"fz_hop_$i%03d", "hopping",
+      s"dur=${dur}m slide=${slide}m pert=$pert",
+      (s, dir) =>
+        graft.streaming.StreamingOps.hoppingRollup(
+          eventsOf(s, dir, pert), s"$dur minutes", s"$slide minutes"),
+      wrapEventsSql(SparkEntry.hoppingOracleGen(dur, slide), pert))
+  }
+
+  /** Trailing-baseline anomaly flags: (windowDays, z) drawn. */
+  private def genAnomaly(r: Random, i: Int): FuzzCase = {
+    val days = 2 + r.nextInt(13)        // 2..14
+    val z = (4 + r.nextInt(9)) / 2.0    // 2.0..6.0 on the 0.5 grid
+    val pert = r.nextInt(100) < 35
+    FuzzCase(f"fz_anom_$i%03d", "anomaly", s"days=$days z=$z pert=$pert",
+      (s, dir) =>
+        graft.ops.TimeSeries.anomalyFlags(eventsOf(s, dir, pert),
+                                          days, z),
+      wrapEventsSql(SparkEntry.anomalyOracleGen(days, z), pert))
+  }
+
   // ---- generic group-by/agg family -----------------------------------
 
   private final case class TableSpec(name: String, grpCols: Seq[String],
@@ -904,7 +933,9 @@ object Fuzz {
     "token_budget" -> genTokenBudget _,
     "rolling" -> genRolling _,
     "active_users" -> genActiveUsers _,
-    "shard" -> genShard _)
+    "shard" -> genShard _,
+    "hopping" -> genHopping _,
+    "anomaly" -> genAnomaly _)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
