@@ -87,12 +87,21 @@ object Bench {
       : Seq[(String, Double, Double)] =
     results.flatMap { case (name, cur) =>
       prev.get(name) match {
+        // ran last round, FAILED this round: the strongest possible
+        // regression — emitted as [prev, -1] so the driver sees it in
+        // the bench record without hand-diffing CORRECTNESS files
+        // (r9 advisor catch: the cur<0 guard silently dropped exactly
+        // this case). Ranked ahead of every slowdown.
+        case Some(p) if p > 0 && cur < 0 =>
+          Some((name, p, -1.0))
         case Some(p) if p > 0 && cur >= 0 &&
             cur > 1.5 * p && cur - p > 0.3 =>
           Some((name, p, cur))
         case _ => None
       }
-    }.sortBy { case (_, p, c) => -(c / p) }
+    }.sortBy { case (_, p, c) =>
+      if (c < 0) Double.NegativeInfinity else -(c / p)
+    }
 
   private def regressionField(results: Seq[(String, Double)],
                               prev: Map[String, Double]): String =
@@ -101,7 +110,10 @@ object Bench {
       val regs = regressions(results, prev)
       val body = regs.map { case (n, p, c) =>
         val pv = BigDecimal(p).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-        val cv = BigDecimal(c).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+        // -1 is the documented failed-this-round marker, kept literal
+        val cv = if (c < 0) "-1"
+          else BigDecimal(c).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+            .toString
         s"${jsonQuote(n)}:[$pv,$cv]"
       }.mkString("{", ",", "}")
       s""""regressions":$body,"""
@@ -192,7 +204,15 @@ object Bench {
           m.map(_.group(1).toInt)
         }
       if (rounds.isEmpty) return Map.empty
-      val n = rounds.max
+      // SPARK_GRAFT_PREV_ROUND pins the comparison round explicitly —
+      // re-running Bench AFTER the driver has already written this
+      // round's record would otherwise compare the run against its own
+      // numbers (max = current), silently muting real regressions
+      // (r9 advisor catch). An override naming a missing file falls
+      // into the catch and disables the tripwire, same as any other
+      // unreadable record.
+      val n = sys.env.get("SPARK_GRAFT_PREV_ROUND").map(_.toInt)
+        .getOrElse(rounds.max)
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val bench = om.readTree(
         Files.readString(Paths.get(dir, f"BENCH_r$n%02d.json")))

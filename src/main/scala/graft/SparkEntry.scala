@@ -45,6 +45,30 @@ object SparkEntry {
   private def scratch(dir: String, q: String): String =
     s"${Sinks.scratchRoot}/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/$q"
 
+  /** Stamp the data files a micro-batch write just produced with an
+    * explicit, strictly-increasing mtime (fixed base + one minute per
+    * epoch). The file source sequences epochs by modification time, so
+    * two back-to-back append writes landing inside one mtime
+    * granularity tick could otherwise flip epoch order versus the
+    * oracle's first-half-first assumption — a nondeterministic verify
+    * flake (r9 advisor catch). `seen` accumulates already-stamped file
+    * names across calls; call once after EACH epoch's write. Shared by
+    * the streaming establish steps and the batch-boundary invariance
+    * spec.
+    */
+  private[graft] def stampEpochOrder(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, epoch: Int,
+      seen: scala.collection.mutable.Set[String]): Unit =
+    fs.listStatus(dir).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isFile && !name.startsWith("_") && !name.startsWith(".") &&
+          !seen.contains(name)) {
+        fs.setTimes(st.getPath, 1700000000000L + epoch * 60000L, -1L)
+        seen += name
+      }
+    }
+
   /** Run independent maintenance actions CONCURRENTLY (Spark supports
     * concurrent jobs from one session; local and cluster schedulers
     * interleave their stages). A real warehouse's cascade maintenance
@@ -889,9 +913,11 @@ object SparkEntry {
         // processing order)
         val tiled = batch
           .withColumn("__t", ntile(4).over(Window.orderBy(col("doc_id"))))
+        val seen = scala.collection.mutable.Set.empty[String]
         (1 to 2).foreach { i =>
           tiled.filter(col("__t") === i).drop("__t")
             .coalesce(1).write.mode("append").parquet(inDir)
+          stampEpochOrder(fs, inPath, i, seen)
         }
       }
       val q = CorpusRefresh.refreshStream(
@@ -934,9 +960,12 @@ object SparkEntry {
         // ingest quarter, written oldest-first (file-source order)
         val tiled = docs.filter(pmod(col("doc_id"), lit(4)) === 2)
           .withColumn("__h", ntile(2).over(Window.orderBy(col("doc_id"))))
+        val inP = new org.apache.hadoop.fs.Path(inDir)
+        val seen = scala.collection.mutable.Set.empty[String]
         (1 to 2).foreach { i =>
           tiled.filter(col("__h") === i).drop("__h")
             .coalesce(1).write.mode("append").parquet(inDir)
+          stampEpochOrder(fs, inP, i, seen)
         }
       }
       val q = MinhashIndex.ingestStream(
@@ -4757,15 +4786,7 @@ object SparkEntry {
         |  ON CAST(((user_id % 25) + 25) % 25 AS INTEGER) = n_nationkey
         |GROUP BY 1, 2""".stripMargin,
 
-    "q_asof_join" ->
-      """WITH ranked AS (
-        |  SELECT e.event_id, o.o_orderkey,
-        |         row_number() OVER (PARTITION BY e.event_id
-        |           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
-        |  FROM events e LEFT JOIN orders o
-        |    ON o.o_custkey = (e.user_id % 150) + 1
-        |   AND o.o_orderdate <= date_trunc('milliseconds', e.ts))
-        |SELECT event_id, o_orderkey FROM ranked WHERE rn = 1""".stripMargin,
+    "q_asof_join" -> asofOracleGen(150),
 
     "q_range_join" -> rangeJoinOracleGen(60000L),
 
@@ -5056,67 +5077,11 @@ object SparkEntry {
         |UNION ALL
         |SELECT channel, CAST(touches AS BIGINT), credit FROM d""".stripMargin,
 
-    "q_scd2" ->
-      """WITH base AS (SELECT user_id,
-        |                     CAST(floor(value / 40) AS INTEGER) AS tier,
-        |                     ts, event_id
-        |              FROM events WHERE ts IS NOT NULL),
-        |marked AS (SELECT *, CASE WHEN row_number() OVER w = 1
-        |                            OR tier IS DISTINCT FROM lag(tier) OVER w
-        |                          THEN 1 ELSE 0 END AS opens
-        |           FROM base
-        |           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |v AS (SELECT user_id, tier, ts, event_id FROM marked WHERE opens = 1)
-        |SELECT user_id, tier,
-        |       CAST(epoch_ms(ts) AS BIGINT) AS valid_from_ms,
-        |       CAST(epoch_ms(lead(ts) OVER w2) AS BIGINT) AS valid_to_ms,
-        |       (lead(ts) OVER w2) IS NULL AS is_current
-        |FROM v
-        |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "q_scd2" -> scd2OracleGen(40),
 
-    "q_attribution" ->
-      """WITH p AS (SELECT event_id, user_id, ts AS pts, value FROM events
-        |           WHERE event_type = 'purchase'
-        |             AND user_id IS NOT NULL AND ts IS NOT NULL),
-        |c AS (SELECT user_id, ts AS cts, event_id AS click_id,
-        |             'ch' || CAST(TRY_CAST(json_extract_string(props, '$.k')
-        |                     AS BIGINT) % 4 AS VARCHAR) AS channel
-        |      FROM events WHERE event_type = 'click'
-        |        AND user_id IS NOT NULL AND ts IS NOT NULL),
-        |last_click AS (
-        |  SELECT p.event_id, p.value, c.channel,
-        |         row_number() OVER (PARTITION BY p.event_id
-        |           ORDER BY c.cts DESC, c.click_id DESC) AS rn
-        |  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.cts <= p.pts)
-        |SELECT coalesce(channel, 'direct') AS channel,
-        |       count(*) AS n_purchases,
-        |       round(sum(coalesce(value, 0)), 4) AS revenue
-        |FROM last_click WHERE rn = 1 GROUP BY 1""".stripMargin,
+    "q_attribution" -> attributionOracleGen(4),
 
-    "q_funnel" ->
-      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
-        |            WHERE event_type = 'view'
-        |              AND user_id IS NOT NULL AND ts IS NOT NULL
-        |            GROUP BY 1),
-        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
-        |       JOIN s1 ON e.user_id = s1.user_id
-        |       WHERE e.event_type = 'click' AND e.ts > s1.t
-        |         AND e.ts <= s1.t + INTERVAL 72 HOURS
-        |       GROUP BY 1),
-        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
-        |       JOIN s2 ON e.user_id = s2.user_id
-        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t
-        |         AND e.ts <= s2.t + INTERVAL 72 HOURS
-        |       GROUP BY 1),
-        |census AS (SELECT 1 AS step, 'view' AS event_type,
-        |                  count(*) AS n FROM s1
-        |           UNION ALL SELECT 2, 'click', count(*) FROM s2
-        |           UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
-        |SELECT c.step, c.event_type, CAST(c.n AS BIGINT) AS n_users,
-        |       round(CAST(c.n AS DOUBLE) /
-        |             nullif(CAST(coalesce(p.n, c.n) AS DOUBLE), 0), 6)
-        |         AS conversion
-        |FROM census c LEFT JOIN census p ON p.step = c.step - 1""".stripMargin,
+    "q_funnel" -> funnelOracleGen(Seq("view", "click", "purchase"), 72),
 
     "q_sessionize" -> sessionizeOracleGen(30),
 
@@ -5602,33 +5567,7 @@ object SparkEntry {
          |GROUP BY xs.doc_id, bias.w""".stripMargin
   }
 
-  private val pagerankOracle: String = {
-    val iters = 3
-    def step(i: Int): String =
-      s"""s$i AS (SELECT e.dst AS node, sum(r.pr / d.deg) AS s
-         |  FROM e JOIN r${i - 1} r ON r.node = e.src
-         |         JOIN deg d ON d.src = e.src
-         |  GROUP BY 1),
-         |r$i AS (SELECT d.src AS node,
-         |    round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
-         |          + CAST(0.85 AS DOUBLE) * coalesce(s.s, CAST(0.0 AS DOUBLE)),
-         |          9) AS pr
-         |  FROM deg d CROSS JOIN nn LEFT JOIN s$i s ON s.node = d.src)""".stripMargin
-    val head =
-      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
-        |            FROM lineitem WHERE l_orderkey % 6 = 0),
-        |e0 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
-        |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
-        |e AS (SELECT src, dst FROM e0
-        |      UNION ALL SELECT dst AS src, src AS dst FROM e0),
-        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
-        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
-        |r0 AS (SELECT src AS node, round(CAST(1.0 AS DOUBLE) / nn.n, 9) AS pr
-        |       FROM deg CROSS JOIN nn)""".stripMargin
-    (Seq(head) ++ (1 to iters).map(step)).mkString(",\n") + "\n" +
-      s"SELECT node AS part_key, pr FROM r$iters" +
-      " ORDER BY pr DESC, node ASC LIMIT 25"
-  }
+  private val pagerankOracle: String = pagerankOracleGen(6, 3)
 
   /** q_ppr twin: the seeded power iteration unrolled (pagerankOracle
     * scaffold + seed spine). The zero-mass WHERE matches the engine's
@@ -6610,4 +6549,125 @@ object SparkEntry {
         |       FROM assigned)
         |SELECT split, count(*) AS n_docs, count(DISTINCT ck) AS n_clusters
         |FROM sp GROUP BY 1""".stripMargin
+
+  // ---- r10 parameterized analytic twins (fuzz families share these
+  // with the board rows — one definition, no drift) ---------------------
+
+  /** Parameterized q_funnel twin (board: view→click→purchase, 72 h).
+    * One CTE per step: first qualifying event strictly after the
+    * previous step's time, within the gap.
+    */
+  private[graft] def funnelOracleGen(steps: Seq[String],
+                                     gapHours: Int): String = {
+    val head =
+      s"""WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+         |            WHERE event_type = '${steps.head}'
+         |              AND user_id IS NOT NULL AND ts IS NOT NULL
+         |            GROUP BY 1)""".stripMargin
+    val rest = steps.zipWithIndex.drop(1).map { case (st, i) =>
+      val k = i + 1
+      s"""s$k AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+         |       JOIN s$i ON e.user_id = s$i.user_id
+         |       WHERE e.event_type = '$st' AND e.ts > s$i.t
+         |         AND e.ts <= s$i.t + INTERVAL $gapHours HOURS
+         |       GROUP BY 1)""".stripMargin
+    }
+    val census = steps.zipWithIndex.map { case (st, i) =>
+      if (i == 0) s"SELECT 1 AS step, '$st' AS event_type, count(*) AS n FROM s1"
+      else s"SELECT ${i + 1}, '$st', count(*) FROM s${i + 1}"
+    }.mkString("census AS (", "\n           UNION ALL ", ")")
+    (Seq(head) ++ rest ++ Seq(census)).mkString(",\n") + """
+      |SELECT c.step, c.event_type, CAST(c.n AS BIGINT) AS n_users,
+      |       round(CAST(c.n AS DOUBLE) /
+      |             nullif(CAST(coalesce(p.n, c.n) AS DOUBLE), 0), 6)
+      |         AS conversion
+      |FROM census c LEFT JOIN census p ON p.step = c.step - 1""".stripMargin
+  }
+
+  /** Parameterized q_scd2 twin (board: tier = floor(value / 40)). */
+  private[graft] def scd2OracleGen(divisor: Int): String =
+    s"""WITH base AS (SELECT user_id,
+       |                     CAST(floor(value / $divisor) AS INTEGER)
+       |                       AS tier,
+       |                     ts, event_id
+       |              FROM events WHERE ts IS NOT NULL),
+       |marked AS (SELECT *, CASE WHEN row_number() OVER w = 1
+       |                            OR tier IS DISTINCT FROM lag(tier) OVER w
+       |                          THEN 1 ELSE 0 END AS opens
+       |           FROM base
+       |           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |v AS (SELECT user_id, tier, ts, event_id FROM marked WHERE opens = 1)
+       |SELECT user_id, tier,
+       |       CAST(epoch_ms(ts) AS BIGINT) AS valid_from_ms,
+       |       CAST(epoch_ms(lead(ts) OVER w2) AS BIGINT) AS valid_to_ms,
+       |       (lead(ts) OVER w2) IS NULL AS is_current
+       |FROM v
+       |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+      .stripMargin
+
+  /** Parameterized q_attribution twin (board: channel = props.k mod 4). */
+  private[graft] def attributionOracleGen(channelMod: Int): String =
+    s"""WITH p AS (SELECT event_id, user_id, ts AS pts, value FROM events
+       |           WHERE event_type = 'purchase'
+       |             AND user_id IS NOT NULL AND ts IS NOT NULL),
+       |c AS (SELECT user_id, ts AS cts, event_id AS click_id,
+       |             'ch' || CAST(TRY_CAST(json_extract_string(props, '$$.k')
+       |                     AS BIGINT) % $channelMod AS VARCHAR) AS channel
+       |      FROM events WHERE event_type = 'click'
+       |        AND user_id IS NOT NULL AND ts IS NOT NULL),
+       |last_click AS (
+       |  SELECT p.event_id, p.value, c.channel,
+       |         row_number() OVER (PARTITION BY p.event_id
+       |           ORDER BY c.cts DESC, c.click_id DESC) AS rn
+       |  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.cts <= p.pts)
+       |SELECT coalesce(channel, 'direct') AS channel,
+       |       count(*) AS n_purchases,
+       |       round(sum(coalesce(value, 0)), 4) AS revenue
+       |FROM last_click WHERE rn = 1 GROUP BY 1""".stripMargin
+
+  /** Parameterized q_asof_join twin (board: custkey = user mod 150 + 1). */
+  private[graft] def asofOracleGen(userMod: Int): String =
+    s"""WITH ranked AS (
+       |  SELECT e.event_id, o.o_orderkey,
+       |         row_number() OVER (PARTITION BY e.event_id
+       |           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+       |  FROM events e LEFT JOIN orders o
+       |    ON o.o_custkey = (e.user_id % $userMod) + 1
+       |   AND o.o_orderdate <= date_trunc('milliseconds', e.ts))
+       |SELECT event_id, o_orderkey FROM ranked WHERE rn = 1""".stripMargin
+
+  /** Parameterized q_pagerank twin (board: modulus 6, 3 iterations,
+    * damping 0.85, top-25): the unrolled power iteration with both
+    * sides rounding every iteration's ranks onto the shared 1e-9 grid;
+    * the damping literal is emitted as text so both engines parse the
+    * identical double.
+    */
+  private[graft] def pagerankOracleGen(modulus: Int, iters: Int,
+                                       damping: Double = 0.85,
+                                       limit: Int = 25): String = {
+    def step(i: Int): String =
+      s"""s$i AS (SELECT e.dst AS node, sum(r.pr / d.deg) AS s
+         |  FROM e JOIN r${i - 1} r ON r.node = e.src
+         |         JOIN deg d ON d.src = e.src
+         |  GROUP BY 1),
+         |r$i AS (SELECT d.src AS node,
+         |    round((CAST(1.0 AS DOUBLE) - CAST($damping AS DOUBLE)) / nn.n
+         |          + CAST($damping AS DOUBLE) * coalesce(s.s, CAST(0.0 AS DOUBLE)),
+         |          9) AS pr
+         |  FROM deg d CROSS JOIN nn LEFT JOIN s$i s ON s.node = d.src)""".stripMargin
+    val head =
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+         |            FROM lineitem WHERE l_orderkey % $modulus = 0),
+         |e0 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+         |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         |e AS (SELECT src, dst FROM e0
+         |      UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+         |r0 AS (SELECT src AS node, round(CAST(1.0 AS DOUBLE) / nn.n, 9) AS pr
+         |       FROM deg CROSS JOIN nn)""".stripMargin
+    (Seq(head) ++ (1 to iters).map(step)).mkString(",\n") + "\n" +
+      s"SELECT node AS part_key, pr FROM r$iters" +
+      s" ORDER BY pr DESC, node ASC LIMIT $limit"
+  }
 }

@@ -1,6 +1,7 @@
 package graft.tools
 
 import java.nio.file.{Files, Paths}
+import java.time.LocalDate
 
 import scala.util.Random
 
@@ -22,8 +23,15 @@ import graft.similarity.SimilarityOps
   * layout (`<out>/<name>` parquet + `<out>/oracle_sql.json`) so
   * `tools/local_check.py` hash-compares every configuration exactly the way
   * the driver's correctness gate does. The paired oracle SQL comes from the
-  * SAME parameterized builders the board uses (`SparkEntry.*OracleGen`) —
-  * one definition, no drift.
+  * SAME parameterized builders the board uses (`SparkEntry.*OracleGen`,
+  * `tpch.TpchGen`) — one definition, no drift.
+  *
+  * r10 growth: the 22 TPC-H board queries ride three families
+  * (tpch_a/b/c) drawing the spec's public substitution parameters, five
+  * analytic families (scd2 / attribution / funnel / asof / pagerank)
+  * ride newly parameterized shared gens, and the orders / customer /
+  * supplier corpora joined lineitem / part / documents / events /
+  * embeddings in the crafted-row perturbation pool — 39 families total.
   *
   * Usage: runMain graft.tools.Fuzz <sfDir> <outDir> <nConfigs> <seed>
   *        [families]   (comma-separated subset, default all)
@@ -86,26 +94,38 @@ object Fuzz {
     }
   }
 
+  /** Retarget every table REFERENCE of `table` (`FROM table` /
+    * `JOIN table`, any case, any whitespace) to `ptable`. Scoped to
+    * the FROM/JOIN positions — a whole-token replace once renamed an
+    * output ALIAS (n_events -> n_pevents in the events twin) and
+    * failed the schema compare — and word-bounded, so a prefixed
+    * identifier (`FROM documents_x`, a CTE) is never mangled and a
+    * lowercase `from` is never silently skipped (r9 advisor catch:
+    * the plain substring replace had both holes).
+    */
+  private def retarget(sql: String, table: String,
+                       ptable: String): String =
+    sql.replaceAll(s"(?i)(\\b(?:FROM|JOIN)\\s+)$table\\b", "$1" + ptable)
+
+  /** Prepend a CTE to a (possibly already-WITH) statement. */
+  private def withCte(body: String, cte: String): String =
+    if (body.startsWith("WITH RECURSIVE "))
+      body.replaceFirst("WITH RECURSIVE ", s"WITH RECURSIVE $cte,\n")
+    else if (body.startsWith("WITH "))
+      body.replaceFirst("WITH ", s"WITH $cte,\n")
+    else s"WITH $cte\n" + body
+
   /** Rewrite a generated oracle to read the perturbed corpus: every
-    * table REFERENCE (`FROM documents` / `JOIN documents`) retargets to
-    * a `pdocs` CTE = base UNION ALL crafted VALUES. Scoped to the
-    * FROM/JOIN positions — a whole-token replace once renamed an output
-    * ALIAS (n_events -> n_pevents in the events twin) and failed the
-    * schema compare.
+    * `documents` table reference retargets to a `pdocs` CTE = base
+    * UNION ALL crafted VALUES.
     */
   private def wrapSql(sql: String, perturb: Boolean): String =
     if (!perturb) sql
     else {
-      val body = sql.replace("FROM documents", "FROM pdocs")
-        .replace("JOIN documents", "JOIN pdocs")
       val cte = "pdocs AS (SELECT * FROM documents UNION ALL\n" +
         s"  SELECT * FROM (VALUES $craftedValuesSql)\n" +
         "    v(doc_id, text, lang, source, n_chars))"
-      if (body.startsWith("WITH RECURSIVE "))
-        body.replaceFirst("WITH RECURSIVE ", s"WITH RECURSIVE $cte,\n")
-      else if (body.startsWith("WITH "))
-        body.replaceFirst("WITH ", s"WITH $cte,\n")
-      else s"WITH $cte\n" + body
+      withCte(retarget(sql, "documents", "pdocs"), cte)
     }
 
   // Crafted degenerate EVENTS for the time families: null ts / user /
@@ -158,16 +178,10 @@ object Fuzz {
     */
   private def wrapEventsSql(sql: String, perturb: Boolean): String =
     if (!perturb) sql
-    else {
-      val body = sql.replace("FROM events", "FROM pevents")
-        .replace("JOIN events", "JOIN pevents")
-      val cte = "pevents AS (SELECT * FROM events UNION ALL\n" +
+    else withCte(retarget(sql, "events", "pevents"),
+      "pevents AS (SELECT * FROM events UNION ALL\n" +
         s"  SELECT * FROM (VALUES $craftedEventsSql)\n" +
-        "    v(event_id, ts, user_id, event_type, value, props))"
-      if (body.startsWith("WITH "))
-        body.replaceFirst("WITH ", s"WITH $cte,\n")
-      else s"WITH $cte\n" + body
-    }
+        "    v(event_id, ts, user_id, event_type, value, props))")
 
   // Crafted degenerate LINEITEM rows for the top-k / agg families:
   // null quantity, null extendedprice (the top-k ORDER column — Spark
@@ -213,18 +227,156 @@ object Fuzz {
 
   private def wrapLineitemSql(sql: String, perturb: Boolean): String =
     if (!perturb) sql
-    else {
-      val body = sql.replace("FROM lineitem", "FROM plineitem")
-        .replace("JOIN lineitem", "JOIN plineitem")
-      val cte = "plineitem AS (SELECT * FROM lineitem UNION ALL\n" +
+    else withCte(retarget(sql, "lineitem", "plineitem"),
+      "plineitem AS (SELECT * FROM lineitem UNION ALL\n" +
         s"  SELECT * FROM (VALUES $craftedLineitemSql)\n" +
         "    v(l_orderkey, l_partkey, l_suppkey, l_linenumber, " +
         "l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, " +
-        "l_linestatus, l_shipdate))"
-      if (body.startsWith("WITH "))
-        body.replaceFirst("WITH ", s"WITH $cte,\n")
-      else s"WITH $cte\n" + body
+        "l_linestatus, l_shipdate))")
+
+  // Crafted degenerate ORDERS for the TPC-H families (r9 verdict gap:
+  // lineitem was the only fact corpus with crafted-row perturbation and
+  // its rows alone caught the top-k NPE): null custkey (outer joins,
+  // EXISTS correlation), null orderdate (date filters, datediff →
+  // bucket CASE fall-through), a NONEXISTENT custkey (an orphan order —
+  // referential integrity is not assumed), null priority (the IN-list
+  // and <>-filter null seams), and a near-2^53-cents totalprice.
+  // Orderkey 9000001 interlocks with craftedLineitem's l_orderkey 1..4?
+  // No — craftedLineitem rides REAL orderkeys 1..4; 9000001 matches
+  // craftedLineitem's own l_orderkey 9000001 row (null quantity), so
+  // the crafted order has a crafted lineitem shipping far in the
+  // future — the Q4/Q21 lateness predicates see it on both engines.
+  private val craftedOrders
+      : Seq[(Long, java.lang.Long, String, java.lang.Double, String,
+             String)] = Seq(
+    (9000001L, null.asInstanceOf[java.lang.Long], "F",
+     null.asInstanceOf[java.lang.Double], "1997-02-15 00:00:00",
+     "1-URGENT"),
+    (9000002L, 1L, "P", 0.0, null.asInstanceOf[String], "5-LOW"),
+    (9000003L, 888888L, "O", -42.5, "1997-06-30 00:00:00",
+     null.asInstanceOf[String]),
+    (9000004L, 2L, "F", 99999999999.99, "1995-01-01 00:00:00", "2-HIGH"))
+
+  private def craftedOrdersSql: String =
+    craftedOrders.map { case (ok, ck, st, tp, od, pr) =>
+      val ckS = Option(ck).map(_.toString)
+        .getOrElse("CAST(NULL AS BIGINT)")
+      val tpS = Option(tp).map(_.toString)
+        .getOrElse("CAST(NULL AS DOUBLE)")
+      val odS = Option(od).map(d => s"TIMESTAMP '$d'")
+        .getOrElse("CAST(NULL AS TIMESTAMP)")
+      val prS = Option(pr).map(p => s"'$p'")
+        .getOrElse("CAST(NULL AS VARCHAR)")
+      s"($ok, $ckS, '$st', $tpS, $odS, $prS)"
+    }.mkString(", ")
+
+  private def ordersOf(s: SparkSession, dir: String,
+                       perturb: Boolean): DataFrame = {
+    val base = Tables.load(s, dir, "orders")
+    if (!perturb) base
+    else {
+      import s.implicits._
+      base.unionByName(
+        craftedOrders.toDF("o_orderkey", "o_custkey", "o_orderstatus",
+                           "o_totalprice", "o_orderdate",
+                           "o_orderpriority")
+          .withColumn("o_orderdate", col("o_orderdate").cast("timestamp")))
     }
+  }
+
+  private def wrapOrdersSql(sql: String, perturb: Boolean): String =
+    if (!perturb) sql
+    else withCte(retarget(sql, "orders", "porders"),
+      "porders AS (SELECT * FROM orders UNION ALL\n" +
+        s"  SELECT * FROM (VALUES $craftedOrdersSql)\n" +
+        "    v(o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+        "o_orderdate, o_orderpriority))")
+
+  // Crafted degenerate CUSTOMER rows: null nationkey (dim-join drop +
+  // IN-list null), null segment/name, a negative balance, and a huge
+  // balance that joins a real nation — the Q22 average-cut mover. The
+  // 9000001 customer has NO orders: Q13's outer-join zero bucket.
+  private val craftedCustomer
+      : Seq[(Long, String, java.lang.Integer, java.lang.Double,
+             String)] = Seq(
+    (9000001L, null.asInstanceOf[String],
+     null.asInstanceOf[java.lang.Integer],
+     null.asInstanceOf[java.lang.Double], "BUILDING"),
+    (9000002L, "o'hara", 3, -999.99, null.asInstanceOf[String]),
+    (9000003L, "cust z", 7, 9999999.99, "MACHINERY"))
+
+  private def craftedCustomerSql: String =
+    craftedCustomer.map { case (ck, nm, nk, ab, seg) =>
+      val nmS = Option(nm).map(x => "'" + x.replace("'", "''") + "'")
+        .getOrElse("CAST(NULL AS VARCHAR)")
+      val nkS = Option(nk).map(_.toString)
+        .getOrElse("CAST(NULL AS INTEGER)")
+      val abS = Option(ab).map(_.toString)
+        .getOrElse("CAST(NULL AS DOUBLE)")
+      val segS = Option(seg).map(x => s"'$x'")
+        .getOrElse("CAST(NULL AS VARCHAR)")
+      s"($ck, $nmS, $nkS, $abS, $segS)"
+    }.mkString(", ")
+
+  private def customerOf(s: SparkSession, dir: String,
+                         perturb: Boolean): DataFrame = {
+    val base = Tables.load(s, dir, "customer")
+    if (!perturb) base
+    else {
+      import s.implicits._
+      base.unionByName(
+        craftedCustomer.toDF("c_custkey", "c_name", "c_nationkey",
+                             "c_acctbal", "c_mktsegment"))
+    }
+  }
+
+  private def wrapCustomerSql(sql: String, perturb: Boolean): String =
+    if (!perturb) sql
+    else withCte(retarget(sql, "customer", "pcustomer"),
+      "pcustomer AS (SELECT * FROM customer UNION ALL\n" +
+        s"  SELECT * FROM (VALUES $craftedCustomerSql)\n" +
+        "    v(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment))")
+
+  // Crafted degenerate SUPPLIER rows: all-null dims, and the Q16
+  // balance-cut boundary pair (-0.01 strictly below zero, 0.00 exactly
+  // at it — `< 0` must exclude the latter on both engines).
+  private val craftedSupplier
+      : Seq[(Long, String, java.lang.Integer, java.lang.Double)] = Seq(
+    (9000001L, null.asInstanceOf[String],
+     null.asInstanceOf[java.lang.Integer],
+     null.asInstanceOf[java.lang.Double]),
+    (9000002L, "supp neg", 4, -0.01),
+    (9000003L, "supp zero", 4, 0.0))
+
+  private def craftedSupplierSql: String =
+    craftedSupplier.map { case (sk, nm, nk, ab) =>
+      val nmS = Option(nm).map(x => s"'$x'")
+        .getOrElse("CAST(NULL AS VARCHAR)")
+      val nkS = Option(nk).map(_.toString)
+        .getOrElse("CAST(NULL AS INTEGER)")
+      val abS = Option(ab).map(_.toString)
+        .getOrElse("CAST(NULL AS DOUBLE)")
+      s"($sk, $nmS, $nkS, $abS)"
+    }.mkString(", ")
+
+  private def supplierOf(s: SparkSession, dir: String,
+                         perturb: Boolean): DataFrame = {
+    val base = Tables.load(s, dir, "supplier")
+    if (!perturb) base
+    else {
+      import s.implicits._
+      base.unionByName(
+        craftedSupplier.toDF("s_suppkey", "s_name", "s_nationkey",
+                             "s_acctbal"))
+    }
+  }
+
+  private def wrapSupplierSql(sql: String, perturb: Boolean): String =
+    if (!perturb) sql
+    else withCte(retarget(sql, "supplier", "psupplier"),
+      "psupplier AS (SELECT * FROM supplier UNION ALL\n" +
+        s"  SELECT * FROM (VALUES $craftedSupplierSql)\n" +
+        "    v(s_suppkey, s_name, s_nationkey, s_acctbal))")
 
   // Crafted degenerate PART rows for the fuzzy/edit families: null and
   // empty names, an embedded single-quote near-dup pair (SQL escaping
@@ -265,17 +417,11 @@ object Fuzz {
 
   private def wrapPartSql(sql: String, perturb: Boolean): String =
     if (!perturb) sql
-    else {
-      val body = sql.replace("FROM part", "FROM ppart")
-        .replace("JOIN part", "JOIN ppart")
-      val cte = "ppart AS (SELECT * FROM part UNION ALL\n" +
+    else withCte(retarget(sql, "part", "ppart"),
+      "ppart AS (SELECT * FROM part UNION ALL\n" +
         s"  SELECT * FROM (VALUES $craftedPartsSql)\n" +
         "    v(p_partkey, p_name, p_brand, p_type, p_size, " +
-        "p_retailprice))"
-      if (body.startsWith("WITH "))
-        body.replaceFirst("WITH ", s"WITH $cte,\n")
-      else s"WITH $cte\n" + body
-    }
+        "p_retailprice))")
 
   // Crafted degenerate EMBEDDINGS for the cosine families: null, empty,
   // zero-norm and dim-mismatched vectors (the engine's cosine is NULL
@@ -314,16 +460,10 @@ object Fuzz {
 
   private def wrapEmbSql(sql: String, perturb: Boolean): String =
     if (!perturb) sql
-    else {
-      val body = sql.replace("FROM embeddings", "FROM pembeddings")
-        .replace("JOIN embeddings", "JOIN pembeddings")
-      val cte = "pembeddings AS (SELECT * FROM embeddings UNION ALL\n" +
+    else withCte(retarget(sql, "embeddings", "pembeddings"),
+      "pembeddings AS (SELECT * FROM embeddings UNION ALL\n" +
         s"  SELECT * FROM (VALUES ${craftedEmbSql(64)})\n" +
-        "    v(vec_id, embedding, label))"
-      if (body.startsWith("WITH "))
-        body.replaceFirst("WITH ", s"WITH $cte,\n")
-      else s"WITH $cte\n" + body
-    }
+        "    v(vec_id, embedding, label))")
 
   // ---- families ------------------------------------------------------
 
@@ -902,6 +1042,310 @@ object Fuzz {
                       pert))
   }
 
+  // ---- analytic-bank families (r9 verdict gap #3) -----------------------
+  // Board analytic queries previously pinned at one parameter point;
+  // the oracle gens live in SparkEntry (the board rows now call them at
+  // the pinned params — one definition, no drift).
+
+  /** SCD2 history build: the tier divisor moves every change boundary. */
+  private def genScd2(r: Random, i: Int): FuzzCase = {
+    val d = Seq(10, 20, 25, 40, 50, 80)(r.nextInt(6))
+    val pert = r.nextInt(100) < 35
+    FuzzCase(f"fz_scd2_$i%03d", "scd2", s"div=$d pert=$pert",
+      (s, dir) => {
+        val ev = eventsOf(s, dir, pert)
+          .withColumn("tier", floor(col("value") / d).cast("int"))
+        graft.ops.Scd2
+          .scd2(ev, Seq("user_id"), Seq("tier"), "ts", "event_id")
+          .select(col("user_id"), col("tier"),
+                  unix_millis(col("valid_from")).as("valid_from_ms"),
+                  unix_millis(col("valid_to")).as("valid_to_ms"),
+                  col("is_current"))
+      },
+      wrapEventsSql(SparkEntry.scd2OracleGen(d), pert))
+  }
+
+  /** Last-touch attribution: the channel modulus redraws the credit
+    * partition (and the null-props → null-channel → 'direct' coalesce
+    * seam rides every draw).
+    */
+  private def genAttribution(r: Random, i: Int): FuzzCase = {
+    val m = 2 + r.nextInt(5) // 2..6
+    val pert = r.nextInt(100) < 35
+    FuzzCase(f"fz_attr_$i%03d", "attribution", s"mod=$m pert=$pert",
+      (s, dir) => {
+        val ev = eventsOf(s, dir, pert)
+        val purchases = ev
+          .filter(col("event_type") === "purchase" &&
+                  col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("event_id"), col("user_id"), col("ts").as("pts"),
+                  col("value"))
+        val clicks = ev
+          .filter(col("event_type") === "click" &&
+                  col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), col("ts").as("cts"),
+                  col("event_id").as("click_id"),
+                  concat(lit("ch"),
+                    pmod(get_json_object(col("props"), "$.k").cast("long"),
+                         lit(m)).cast("string")).as("channel"))
+        graft.ops.AsOfJoin
+          .asofJoin(purchases, clicks, "user_id", "pts", "cts",
+                    "click_id")
+          .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+               round(sum(coalesce(col("value"), lit(0.0))), 4)
+                 .as("revenue"))
+      },
+      wrapEventsSql(SparkEntry.attributionOracleGen(m), pert))
+  }
+
+  /** Ordered funnel: random step sequence over the five event types and
+    * a random conversion window.
+    */
+  private def genFunnel(r: Random, i: Int): FuzzCase = {
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    val steps = r.shuffle(types).take(2 + r.nextInt(3))
+    val gap = 12 + r.nextInt(85) // 12..96 h
+    val pert = r.nextInt(100) < 35
+    FuzzCase(f"fz_funnel_$i%03d", "funnel",
+      s"steps=${steps.mkString(">")} gap=${gap}h pert=$pert",
+      (s, dir) =>
+        graft.ops.Funnel.funnel(eventsOf(s, dir, pert), steps,
+                                maxGapHours = Some(gap)),
+      wrapEventsSql(SparkEntry.funnelOracleGen(steps, gap), pert))
+  }
+
+  /** As-of join (latest order at-or-before each event): the user→cust
+    * key fold modulus redraws the join fan-in.
+    */
+  private def genAsof(r: Random, i: Int): FuzzCase = {
+    val m = Seq(50, 100, 150, 250)(r.nextInt(4))
+    val pertE = r.nextInt(100) < 35
+    val pertO = r.nextInt(100) < 35
+    FuzzCase(f"fz_asof_$i%03d", "asof", s"mod=$m pertE=$pertE pertO=$pertO",
+      (s, dir) => {
+        val ev = eventsOf(s, dir, pertE)
+          .select(col("event_id"),
+                  ((col("user_id") % m) + 1).as("cust"),
+                  date_trunc("millisecond", col("ts")).as("ets"))
+        val ord = ordersOf(s, dir, pertO)
+          .select(col("o_custkey").as("cust"), col("o_orderdate"),
+                  col("o_orderkey"))
+        graft.ops.AsOfJoin.asofJoin(ev, ord, "cust", "ets",
+                                    "o_orderdate", "o_orderkey")
+          .select(col("event_id"), col("o_orderkey"))
+      },
+      wrapOrdersSql(wrapEventsSql(SparkEntry.asofOracleGen(m), pertE),
+                    pertO))
+  }
+
+  /** PageRank: basket modulus (graph density), iteration count and the
+    * damping literal all drawn; both sides round each iteration onto
+    * the shared 1e-9 grid.
+    */
+  private def genPagerank(r: Random, i: Int): FuzzCase = {
+    val m = 4 + r.nextInt(5)            // 4..8
+    val iters = 2 + r.nextInt(3)        // 2..4
+    val damping = Seq(0.8, 0.85, 0.9)(r.nextInt(3))
+    val pert = r.nextInt(100) < 35
+    FuzzCase(f"fz_pr_$i%03d", "pagerank",
+      s"mod=$m iters=$iters d=$damping pert=$pert",
+      (s, dir) =>
+        graft.graph.GraphOps.pageRank(
+            graft.graph.GraphOps.coPurchaseEdges(
+              lineitemOf(s, dir, pert), modulus = m),
+            iters = iters, damping = damping)
+          .orderBy(col("pr").desc, col("node").asc).limit(25)
+          .select(col("node").as("part_key"), col("pr")),
+      wrapLineitemSql(
+        SparkEntry.pagerankOracleGen(m, iters, damping), pert))
+  }
+
+  // ---- TPC-H substitution-parameter families ---------------------------
+  // r9 verdict gap #1: the 22 board TPC-H queries were pinned at ONE
+  // substitution point each and sat outside the fuzz families. These
+  // three families draw the spec's own substitution parameters (dates,
+  // discount ±0.01, quantity cuts, brands/types/sizes, segments,
+  // nation/region picks — TPC-H v3 §2.4, adapted to the synthetic
+  // domain) and run the paired builders in graft.tpch.TpchGen. Each of
+  // the four mutable-side tables is independently perturbed with
+  // crafted degenerate rows at 30% (orphan orders, null dims, boundary
+  // balances — see the crafted blocks above); wraps compose, one CTE
+  // per perturbed table.
+
+  private final case class Pert(li: Boolean, ord: Boolean, cust: Boolean,
+                                supp: Boolean, part: Boolean) {
+    override def toString =
+      Seq("li" -> li, "ord" -> ord, "cust" -> cust, "supp" -> supp,
+          "part" -> part).collect { case (n, true) => n } match {
+        case Nil => "none"
+        case ps  => ps.mkString("+")
+      }
+  }
+
+  private def drawPert(r: Random): Pert =
+    Pert(r.nextInt(100) < 30, r.nextInt(100) < 30, r.nextInt(100) < 30,
+         r.nextInt(100) < 30, r.nextInt(100) < 30)
+
+  private def tpchLoad(p: Pert): graft.tpch.TpchGen.Loader =
+    (s, dir, name) => name match {
+      case "lineitem" => lineitemOf(s, dir, p.li)
+      case "orders"   => ordersOf(s, dir, p.ord)
+      case "customer" => customerOf(s, dir, p.cust)
+      case "supplier" => supplierOf(s, dir, p.supp)
+      case "part"     => partOf(s, dir, p.part)
+      case other      => Tables.load(s, dir, other)
+    }
+
+  private def wrapTpchSql(sql: String, p: Pert): String =
+    wrapPartSql(wrapSupplierSql(wrapCustomerSql(wrapOrdersSql(
+      wrapLineitemSql(sql, p.li), p.ord), p.cust), p.supp), p.part)
+
+  private def drawDate(r: Random, loYear: Int, hiYear: Int): LocalDate =
+    LocalDate.of(loYear + r.nextInt(hiYear - loYear + 1),
+                 1 + r.nextInt(12), 1 + r.nextInt(28))
+
+  private val partTypes =
+    Seq("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")
+  private val segments =
+    Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+  private val priorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+  private val nameWords =
+    Seq("anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod",
+        "widget", "blue", "cold", "hot", "large", "new", "old", "red",
+        "small")
+  private def brand(r: Random): String = s"Brand#${1 + r.nextInt(25)}"
+
+  /** Scan/aggregate/EXISTS bank: Q1, Q4, Q6, Q12, Q13, Q14, Q22. */
+  private def genTpchA(r: Random, i: Int): FuzzCase = {
+    val p = drawPert(r)
+    val L = tpchLoad(p)
+    import graft.tpch.TpchGen
+    val (tag, params, q) = r.nextInt(7) match {
+      case 0 =>
+        val d = 60 + r.nextInt(61)
+        ("q1", s"delta=$d", TpchGen.q1(L, d))
+      case 1 =>
+        val start = drawDate(r, 1995, 2001)
+        val months = Seq(3, 6)(r.nextInt(2))
+        val late = 30 + r.nextInt(61)
+        ("q4", s"start=$start months=$months late=$late",
+         TpchGen.q4(L, start, months, late))
+      case 2 =>
+        val y = 1995 + r.nextInt(6)
+        val c = (2 + r.nextInt(8)) / 100.0
+        val qc = 20 + r.nextInt(11)
+        ("q6", s"y=$y c=$c q<$qc", TpchGen.q6(L, y, c, qc))
+      case 3 =>
+        val c1 = 20 + r.nextInt(21)
+        val c2 = 60 + r.nextInt(61)
+        ("q12", s"cuts=$c1/$c2", TpchGen.q12(L, c1, c2))
+      case 4 =>
+        val pr = priorities(r.nextInt(5))
+        ("q13", s"excl=$pr", TpchGen.q13(L, pr))
+      case 5 =>
+        val start = drawDate(r, 1995, 2001)
+        ("q14", s"start=$start", TpchGen.q14(L, start))
+      case 6 =>
+        val keys = r.shuffle((0 to 24).toList).take(7).sorted
+        val cut = drawDate(r, 1998, 2001)
+        ("q22", s"keys=${keys.mkString("/")} cut=$cut",
+         TpchGen.q22(L, keys, cut))
+    }
+    FuzzCase(f"fz_tpcha_$i%03d", "tpch_a", s"$tag $params pert=$p",
+             q.run, wrapTpchSql(q.sql, p))
+  }
+
+  /** Join-pipeline bank: Q3, Q5, Q7, Q8, Q9, Q10, Q18. */
+  private def genTpchB(r: Random, i: Int): FuzzCase = {
+    val p = drawPert(r)
+    val L = tpchLoad(p)
+    import graft.tpch.TpchGen
+    val (tag, params, q) = r.nextInt(7) match {
+      case 0 =>
+        val seg = segments(r.nextInt(5))
+        val d = drawDate(r, 1996, 2000)
+        ("q3", s"seg=$seg d=$d", TpchGen.q3(L, seg, d))
+      case 1 =>
+        val reg = r.nextInt(5)
+        val y = 1995 + r.nextInt(6)
+        ("q5", s"reg=$reg y=$y", TpchGen.q5(L, reg, y))
+      case 2 =>
+        val a = r.nextInt(5)
+        val b = (a + 1 + r.nextInt(4)) % 5
+        val y = 1995 + r.nextInt(5)
+        ("q7", s"regs=$a/$b y=$y", TpchGen.q7(L, a, b, y))
+      case 3 =>
+        val t = partTypes(r.nextInt(6))
+        val nk = r.nextInt(25)
+        val y = 1995 + r.nextInt(5)
+        ("q8", s"type=$t nation=$nk y=$y", TpchGen.q8(L, t, nk, y))
+      case 4 =>
+        val w = nameWords(r.nextInt(nameWords.size))
+        ("q9", s"word=$w", TpchGen.q9(L, w))
+      case 5 =>
+        val start = drawDate(r, 1995, 2001)
+        ("q10", s"start=$start", TpchGen.q10(L, start))
+      case 6 =>
+        val thr = 250 + r.nextInt(151)
+        ("q18", s"qty>$thr", TpchGen.q18(L, thr))
+    }
+    FuzzCase(f"fz_tpchb_$i%03d", "tpch_b", s"$tag $params pert=$p",
+             q.run, wrapTpchSql(q.sql, p))
+  }
+
+  /** Subquery/threshold bank: Q2, Q11, Q15, Q16, Q17, Q19, Q20, Q21. */
+  private def genTpchC(r: Random, i: Int): FuzzCase = {
+    val p = drawPert(r)
+    val L = tpchLoad(p)
+    import graft.tpch.TpchGen
+    val (tag, params, q) = r.nextInt(8) match {
+      case 0 =>
+        val t = partTypes(r.nextInt(6))
+        val lo = 1 + r.nextInt(40)
+        val hi = lo + 5 + r.nextInt(11)
+        val reg = r.nextInt(5)
+        ("q2", s"type=$t size=$lo..$hi reg=$reg",
+         TpchGen.q2(L, t, lo, hi, reg))
+      case 1 =>
+        val reg = r.nextInt(5)
+        val m = (3 + r.nextInt(4)) / 2.0 // 1.5..3.0
+        ("q11", s"reg=$reg mult=$m", TpchGen.q11(L, reg, m))
+      case 2 =>
+        val start = drawDate(r, 1995, 2001)
+        ("q15", s"start=$start", TpchGen.q15(L, start))
+      case 3 =>
+        val b = brand(r)
+        val t = partTypes(r.nextInt(6))
+        val sizes = r.shuffle((1 to 50).toList).take(8).sorted
+        val cut = Seq(-500.0, -100.0, 0.0, 100.0, 500.0)(r.nextInt(5))
+        ("q16", s"excl=$b/$t sizes=${sizes.mkString("/")} cut=$cut",
+         TpchGen.q16(L, b, t, sizes, cut))
+      case 4 =>
+        val b = brand(r)
+        val t = partTypes(r.nextInt(6))
+        val f = (3 + r.nextInt(4)) / 20.0 // 0.15..0.30
+        ("q17", s"b=$b t=$t frac=$f", TpchGen.q17(L, b, t, f))
+      case 5 =>
+        val bs = r.shuffle((1 to 25).toList).take(3).map(n => s"Brand#$n")
+        val qs = Seq(1 + r.nextInt(10), 10 + r.nextInt(11),
+                     20 + r.nextInt(11))
+        ("q19", s"brands=${bs.mkString("/")} qlo=${qs.mkString("/")}",
+         TpchGen.q19(L, bs, qs))
+      case 6 =>
+        val t = partTypes(r.nextInt(6))
+        val m = (2 + r.nextInt(4)).toDouble
+        ("q20", s"type=$t mult=$m", TpchGen.q20(L, t, m))
+      case 7 =>
+        val late = 60 + r.nextInt(61)
+        val st = Seq("F", "O", "P")(r.nextInt(3))
+        ("q21", s"late=$late status=$st", TpchGen.q21(L, late, st))
+    }
+    FuzzCase(f"fz_tpchc_$i%03d", "tpch_c", s"$tag $params pert=$p",
+             q.run, wrapTpchSql(q.sql, p))
+  }
+
   // ---- driver --------------------------------------------------------
 
   private val families: Seq[(String, (Random, Int) => FuzzCase)] = Seq(
@@ -935,7 +1379,15 @@ object Fuzz {
     "active_users" -> genActiveUsers _,
     "shard" -> genShard _,
     "hopping" -> genHopping _,
-    "anomaly" -> genAnomaly _)
+    "anomaly" -> genAnomaly _,
+    "tpch_a" -> genTpchA _,
+    "tpch_b" -> genTpchB _,
+    "tpch_c" -> genTpchC _,
+    "scd2" -> genScd2 _,
+    "attribution" -> genAttribution _,
+    "funnel" -> genFunnel _,
+    "asof" -> genAsof _,
+    "pagerank" -> genPagerank _)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -101,11 +101,19 @@ class BenchJsonSpec extends AnyFunSuite {
       "q_b" -> 0.25,  // 2.5x but only +0.15s -> noise floor, not flagged
       "q_c" -> 2.9,   // 1.45x -> under ratio, not flagged
       "q_d" -> 2.5,   // 5.0x and +2.0s -> flagged, ranked first
-      "q_e" -> -1.0,  // failed run -> excluded (poisons the total instead)
+      "q_e" -> -1.0,  // ran last round, FAILED now -> [prev,-1], first
       "q_new" -> 9.9) // no previous record -> excluded
     val regs = Bench.regressions(results, prev)
-    assert(regs.map(_._1) === Seq("q_d", "q_a"))
-    assert(regs.head === (("q_d", 0.5, 2.5)))
+    assert(regs.map(_._1) === Seq("q_e", "q_d", "q_a"))
+    assert(regs.head === (("q_e", 1.0, -1.0)))
+    assert(regs(1) === (("q_d", 0.5, 2.5)))
+  }
+
+  test("failed-this-round regression renders as a literal -1 marker") {
+    val det = mapper.readTree(
+      Bench.renderJson(Seq("q_x" -> -1.0), "sf", Map("q_x" -> 2.0)))
+    val arr = det.get("regressions").get("q_x")
+    assert(arr.get(0).asDouble() === 2.0 && arr.get(1).asInt() === -1)
   }
 
   test("regressions ride both lines and parse; absent prev omits the field") {
