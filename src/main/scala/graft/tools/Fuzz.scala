@@ -1161,6 +1161,61 @@ object Fuzz {
         SparkEntry.pagerankOracleGen(m, iters, damping), pert))
   }
 
+  /** Window frames: random ROWS / RANGE bounds (and a lag/lead offset)
+    * over the orders table — frame-boundary semantics are classic seam
+    * territory and the board pins only ROWS UNBOUNDED PRECEDING. The
+    * framed sum rides integer cents so every frame's total is exact on
+    * both engines; RANGE offsets apply to the integer orderkey.
+    */
+  private def genWindowFrames(r: Random, i: Int): FuzzCase = {
+    val mode = Seq("rows", "range", "running")(r.nextInt(3))
+    val a = r.nextInt(6)                    // preceding
+    val b = r.nextInt(6)                    // following
+    val off = 1 + r.nextInt(3)              // lag/lead offset
+    // RANGE offsets are in orderkey units — scale up so frames span
+    // multiple rows at sf0.01's sparse per-customer keys
+    val (ra, rb) = (a * 100, b * 100)
+    val pert = r.nextInt(100) < 35
+    val frameSql = mode match {
+      case "rows"    => s"ROWS BETWEEN $a PRECEDING AND $b FOLLOWING"
+      case "range"   => s"RANGE BETWEEN $ra PRECEDING AND $rb FOLLOWING"
+      case "running" => "ROWS UNBOUNDED PRECEDING"
+    }
+    FuzzCase(f"fz_wframe_$i%03d", "window_frames",
+      s"mode=$mode a=$a b=$b off=$off pert=$pert",
+      (s, dir) => {
+        val base = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderkey").asc)
+        val w = mode match {
+          case "rows"    => base.rowsBetween(-a.toLong, b.toLong)
+          case "range"   => base.rangeBetween(-ra.toLong, rb.toLong)
+          case "running" =>
+            base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        }
+        ordersOf(s, dir, pert)
+          .select(col("o_custkey"), col("o_orderkey"),
+                  col("o_totalprice"))
+          .withColumn("frame_cents",
+            sum(round(col("o_totalprice") * 100, 0).cast("long")).over(w))
+          .withColumn("n_frame", count(lit(1)).over(w))
+          .withColumn("prev_k", lag(col("o_orderkey"), off).over(base))
+          .withColumn("next_k", lead(col("o_orderkey"), off).over(base))
+          .drop("o_totalprice")
+      },
+      wrapOrdersSql(
+        s"""SELECT o_custkey, o_orderkey,
+           |  CAST(sum(CAST(round((o_totalprice) * 100, 0) AS BIGINT))
+           |       OVER w AS BIGINT) AS frame_cents,
+           |  CAST(count(*) OVER w AS BIGINT) AS n_frame,
+           |  lag(o_orderkey, $off) OVER wp AS prev_k,
+           |  lead(o_orderkey, $off) OVER wp AS next_k
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+           |             $frameSql),
+           |       wp AS (PARTITION BY o_custkey ORDER BY o_orderkey)"""
+          .stripMargin, pert))
+  }
+
   // ---- TPC-H substitution-parameter families ---------------------------
   // r9 verdict gap #1: the 22 board TPC-H queries were pinned at ONE
   // substitution point each and sat outside the fuzz families. These
@@ -1387,7 +1442,8 @@ object Fuzz {
     "attribution" -> genAttribution _,
     "funnel" -> genFunnel _,
     "asof" -> genAsof _,
-    "pagerank" -> genPagerank _)
+    "pagerank" -> genPagerank _,
+    "window_frames" -> genWindowFrames _)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
