@@ -3796,49 +3796,7 @@ object SparkEntry {
         |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin,
 
     "q_gopher_rules" ->
-      """WITH f AS (
-        |  SELECT doc_id,
-        |         list_filter(string_split_regex(trim(text), '\s+'),
-        |                     x -> x <> '') AS toks,
-        |         list_filter(string_split(text, chr(10)),
-        |                     l -> trim(l) <> '') AS lines,
-        |         text
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id,
-        |         len(toks) AS nw0,
-        |         nullif(CAST(len(toks) AS DOUBLE), 0) AS nw,
-        |         nullif(CAST(len(lines) AS DOUBLE), 0) AS nl,
-        |         CAST(list_sum(list_transform(toks, t -> length(t)))
-        |              AS DOUBLE) AS sumlen,
-        |         len(regexp_extract_all(text, '#|\.\.\.')) AS symbols,
-        |         len(list_filter(lines,
-        |             l -> regexp_matches(ltrim(l), '^[-*•]'))) AS bullets,
-        |         len(list_filter(lines, l -> l LIKE '%...')) AS ellips,
-        |         len(list_filter(toks,
-        |             t -> regexp_matches(t, '[A-Za-z]'))) AS alphas,
-        |         len(list_intersect(
-        |             list_distinct(list_transform(toks, t -> lower(t))),
-        |             ['the','be','to','of','and','that','have','with']))
-        |           AS stops
-        |  FROM f)
-        |SELECT doc_id,
-        |  coalesce(nw0 BETWEEN 50 AND 100000, false) AS r_word_count,
-        |  coalesce(sumlen / nw BETWEEN 3.0 AND 10.0, false)
-        |    AS r_mean_word_len,
-        |  coalesce(symbols / nw <= 0.1, false) AS r_symbol_ratio,
-        |  coalesce(bullets / nl < 0.9, false) AS r_bullet_lines,
-        |  coalesce(ellips / nl < 0.3, false) AS r_ellipsis_lines,
-        |  coalesce(alphas / nw >= 0.8, false) AS r_alpha_words,
-        |  coalesce(stops >= 2, false) AS r_stopwords,
-        |  coalesce(nw0 BETWEEN 50 AND 100000, false)
-        |    AND coalesce(sumlen / nw BETWEEN 3.0 AND 10.0, false)
-        |    AND coalesce(symbols / nw <= 0.1, false)
-        |    AND coalesce(bullets / nl < 0.9, false)
-        |    AND coalesce(ellips / nl < 0.3, false)
-        |    AND coalesce(alphas / nw >= 0.8, false)
-        |    AND coalesce(stops >= 2, false) AS pass
-        |FROM m""".stripMargin,
+      gopherOracleGen(graft.text.TextOps.GopherThresholds()),
 
     "q_curation_report" ->
       """WITH blt AS (SELECT doc_id, unnest(list_distinct(list_filter(
@@ -4967,23 +4925,7 @@ object SparkEntry {
         |       round(CAST(n AS DOUBLE) * keys / total, 6) AS skew
         |FROM c, t ORDER BY n DESC, kbucket LIMIT 10""".stripMargin,
 
-    "q_cohort_retention" ->
-      """WITH weeks AS (SELECT DISTINCT user_id AS u,
-        |                      CAST(date_trunc('week', ts) AS DATE) AS w
-        |               FROM events
-        |               WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-        |cohort AS (SELECT u, min(w) AS cw FROM weeks GROUP BY 1),
-        |sizes AS (SELECT cw, count(*) AS sz FROM cohort GROUP BY 1),
-        |cells AS (SELECT c.cw, CAST((w.w - c.cw) // 7 AS INTEGER)
-        |                   AS week_offset,
-        |                 count(DISTINCT w.u) AS n_active
-        |          FROM weeks w JOIN cohort c ON c.u = w.u
-        |          GROUP BY 1, 2)
-        |SELECT strftime(cells.cw, '%Y-%m-%d') AS cohort_week,
-        |       week_offset, CAST(n_active AS BIGINT) AS n_active,
-        |       CAST(sz AS BIGINT) AS cohort_size,
-        |       round(CAST(n_active AS DOUBLE) / sz, 6) AS retention
-        |FROM cells JOIN sizes ON sizes.cw = cells.cw""".stripMargin,
+    "q_cohort_retention" -> cohortOracleGen("week"),
 
     "q_transitions" ->
       """WITH seq AS (
@@ -5030,25 +4972,7 @@ object SparkEntry {
 
     "q_anomaly_flags" -> anomalyOracleGen(7, 3.0),
 
-    "q_user_churn" ->
-      """WITH pairs AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
-        |               FROM events
-        |               WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-        |votes AS (SELECT u, d, 1 AS t, 0 AS y FROM pairs
-        |          UNION ALL
-        |          SELECT u, d + 1, 0, 1 FROM pairs),
-        |per AS (SELECT d, u, max(t) AS t, max(y) AS y FROM votes
-        |        GROUP BY 1, 2),
-        |obs AS (SELECT DISTINCT d FROM pairs)
-        |SELECT strftime(per.d, '%Y-%m-%d') AS day,
-        |       CAST(sum(CASE WHEN t = 1 AND y = 0 THEN 1 ELSE 0 END)
-        |            AS BIGINT) AS n_new,
-        |       CAST(sum(CASE WHEN t = 1 AND y = 1 THEN 1 ELSE 0 END)
-        |            AS BIGINT) AS n_retained,
-        |       CAST(sum(CASE WHEN t = 0 AND y = 1 THEN 1 ELSE 0 END)
-        |            AS BIGINT) AS n_churned
-        |FROM per JOIN obs ON obs.d = per.d
-        |GROUP BY 1""".stripMargin,
+    "q_user_churn" -> churnOracleGen(1),
 
     "q_active_users" -> activeUsersOracleGen(7),
 
@@ -6552,6 +6476,102 @@ object SparkEntry {
 
   // ---- r10 parameterized analytic twins (fuzz families share these
   // with the board rows — one definition, no drift) ---------------------
+
+  /** Parameterized q_gopher_rules twin (board: the published Rae et al.
+    * constants, `GopherThresholds()`'s defaults). The rule expressions
+    * are fixed; only the cut literals move with the config.
+    */
+  private[graft] def gopherOracleGen(
+      t: graft.text.TextOps.GopherThresholds): String = {
+    val rules = Seq(
+      s"coalesce(nw0 BETWEEN ${t.minWords} AND ${t.maxWords}, false)" ->
+        "r_word_count",
+      s"coalesce(sumlen / nw BETWEEN ${t.wordLenLo} AND ${t.wordLenHi}," +
+        " false)" -> "r_mean_word_len",
+      s"coalesce(symbols / nw <= ${t.maxSymbolRatio}, false)" ->
+        "r_symbol_ratio",
+      s"coalesce(bullets / nl < ${t.maxBulletFrac}, false)" ->
+        "r_bullet_lines",
+      s"coalesce(ellips / nl < ${t.maxEllipsisFrac}, false)" ->
+        "r_ellipsis_lines",
+      s"coalesce(alphas / nw >= ${t.minAlphaFrac}, false)" ->
+        "r_alpha_words",
+      s"coalesce(stops >= ${t.minStopwords}, false)" -> "r_stopwords")
+    """WITH f AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(trim(text), '\s+'),
+      |                     x -> x <> '') AS toks,
+      |         list_filter(string_split(text, chr(10)),
+      |                     l -> trim(l) <> '') AS lines,
+      |         text
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |         len(toks) AS nw0,
+      |         nullif(CAST(len(toks) AS DOUBLE), 0) AS nw,
+      |         nullif(CAST(len(lines) AS DOUBLE), 0) AS nl,
+      |         CAST(list_sum(list_transform(toks, t -> length(t)))
+      |              AS DOUBLE) AS sumlen,
+      |         len(regexp_extract_all(text, '#|\.\.\.')) AS symbols,
+      |         len(list_filter(lines,
+      |             l -> regexp_matches(ltrim(l), '^[-*•]'))) AS bullets,
+      |         len(list_filter(lines, l -> l LIKE '%...')) AS ellips,
+      |         len(list_filter(toks,
+      |             t -> regexp_matches(t, '[A-Za-z]'))) AS alphas,
+      |         len(list_intersect(
+      |             list_distinct(list_transform(toks, t -> lower(t))),
+      |             ['the','be','to','of','and','that','have','with']))
+      |           AS stops
+      |  FROM f)
+      |SELECT doc_id,
+      |""".stripMargin +
+      rules.map { case (e, n) => s"  $e AS $n," }.mkString("\n") + "\n" +
+      rules.map(_._1).mkString("  ", "\n    AND ", " AS pass") +
+      "\nFROM m"
+  }
+
+  /** Parameterized q_cohort_retention twin (board: week cohorts). */
+  private[graft] def cohortOracleGen(granularity: String): String = {
+    val span = if (granularity == "week") 7 else 1
+    s"""WITH weeks AS (SELECT DISTINCT user_id AS u,
+       |                      CAST(date_trunc('$granularity', ts) AS DATE)
+       |                        AS w
+       |               FROM events
+       |               WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       |cohort AS (SELECT u, min(w) AS cw FROM weeks GROUP BY 1),
+       |sizes AS (SELECT cw, count(*) AS sz FROM cohort GROUP BY 1),
+       |cells AS (SELECT c.cw, CAST((w.w - c.cw) // $span AS INTEGER)
+       |                   AS week_offset,
+       |                 count(DISTINCT w.u) AS n_active
+       |          FROM weeks w JOIN cohort c ON c.u = w.u
+       |          GROUP BY 1, 2)
+       |SELECT strftime(cells.cw, '%Y-%m-%d') AS cohort_week,
+       |       week_offset, CAST(n_active AS BIGINT) AS n_active,
+       |       CAST(sz AS BIGINT) AS cohort_size,
+       |       round(CAST(n_active AS DOUBLE) / sz, 6) AS retention
+       |FROM cells JOIN sizes ON sizes.cw = cells.cw""".stripMargin
+  }
+
+  /** Parameterized q_user_churn twin (board: 1-day horizon). */
+  private[graft] def churnOracleGen(horizonDays: Int): String =
+    s"""WITH pairs AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+       |               FROM events
+       |               WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       |votes AS (SELECT u, d, 1 AS t, 0 AS y FROM pairs
+       |          UNION ALL
+       |          SELECT u, d + $horizonDays, 0, 1 FROM pairs),
+       |per AS (SELECT d, u, max(t) AS t, max(y) AS y FROM votes
+       |        GROUP BY 1, 2),
+       |obs AS (SELECT DISTINCT d FROM pairs)
+       |SELECT strftime(per.d, '%Y-%m-%d') AS day,
+       |       CAST(sum(CASE WHEN t = 1 AND y = 0 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_new,
+       |       CAST(sum(CASE WHEN t = 1 AND y = 1 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_retained,
+       |       CAST(sum(CASE WHEN t = 0 AND y = 1 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_churned
+       |FROM per JOIN obs ON obs.d = per.d
+       |GROUP BY 1""".stripMargin
 
   /** Parameterized q_funnel twin (board: view→click→purchase, 72 h).
     * One CTE per step: first qualifying event strictly after the

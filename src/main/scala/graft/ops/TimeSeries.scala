@@ -54,8 +54,16 @@ object TimeSeries {
     * is proportional to users·activity-days, never events. Only days
     * observed in the data are reported.
     */
+  /** `horizonDays` (default 1 — the board pin) is the look-back window:
+    * "retained" means active today AND active `horizonDays` ago; a
+    * user whose last activity was `horizonDays` ago churns on the day
+    * the window slides past them. Production churn definitions tune
+    * this (1/7/28-day), so it is configuration.
+    */
   def userChurn(events: DataFrame, userCol: String = "user_id",
-                tsCol: String = "ts"): DataFrame = {
+                tsCol: String = "ts",
+                horizonDays: Int = 1): DataFrame = {
+    require(horizonDays >= 1, s"horizonDays must be >= 1 (got $horizonDays)")
     val pairs = events
       .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
       .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__d"))
@@ -65,7 +73,7 @@ object TimeSeries {
     val votes = pairs
       .select(col("__u"), col("__d"), lit(1).as("__t"), lit(0).as("__y"))
       .unionByName(pairs.select(col("__u"),
-                                date_add(col("__d"), 1).as("__d"),
+                                date_add(col("__d"), horizonDays).as("__d"),
                                 lit(0).as("__t"), lit(1).as("__y")))
     val per = votes.groupBy(col("__d"), col("__u"))
       .agg(max(col("__t")).as("t"), max(col("__y")).as("y"))
@@ -126,12 +134,23 @@ object TimeSeries {
     * frame is one min-aggregate keyed by user; the matrix is one
     * narrow join + count-distinct.
     */
+  /** `granularity` ∈ {"day", "week"} (default week — the board pin):
+    * the cohort bucket and the offset unit move together, and the
+    * offset stays exact integer day arithmetic on both engines (month
+    * buckets are deliberately excluded — month-difference semantics
+    * are engine-defined). Output column names are granularity-stable
+    * so the oracle pairing never moves.
+    */
   def cohortRetention(events: DataFrame, userCol: String = "user_id",
-                      tsCol: String = "ts"): DataFrame = {
+                      tsCol: String = "ts",
+                      granularity: String = "week"): DataFrame = {
+    require(granularity == "week" || granularity == "day",
+            s"granularity must be day|week (got $granularity)")
+    val span = if (granularity == "week") 7 else 1
     val weeks = events
       .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
       .select(col(userCol).as("__u"),
-              date_trunc("week", col(tsCol)).cast("date").as("__w"))
+              date_trunc(granularity, col(tsCol)).cast("date").as("__w"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.CacheScope.register)
@@ -140,7 +159,7 @@ object TimeSeries {
       .agg(count(lit(1)).as("__size"))
     weeks.join(cohort, "__u")
       .withColumn("week_offset",
-        expr("datediff(__w, __cw) div 7").cast("int"))
+        expr(s"datediff(__w, __cw) div $span").cast("int"))
       .groupBy(col("__cw"), col("week_offset"))
       .agg(countDistinct(col("__u")).as("n_active"))
       .join(sizes, "__cw")

@@ -1019,8 +1019,24 @@ object TextOps {
     * coalesces every rule to false (no tokens → fails the word-count
     * rule anyway; the oracle mirrors the same nullif/coalesce).
     */
+  /** Gopher rule thresholds. Defaults are the published constants (Rae
+    * et al. 2021 §A1.1.2); production pipelines tune them per corpus,
+    * so they are configuration, not code — and the fuzz harness sweeps
+    * them. Ratio cuts sit on coarse decimal grids whose literals parse
+    * to identical doubles on both engines; the compared ratios are
+    * exact rationals computed identically on both sides, so every
+    * boundary decision is portable.
+    */
+  final case class GopherThresholds(
+      minWords: Int = 50, maxWords: Int = 100000,
+      wordLenLo: Double = 3.0, wordLenHi: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+      minStopwords: Int = 2)
+
   def gopherRules(df: DataFrame, idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame = {
+                  textCol: String = "text",
+                  t: GopherThresholds = GopherThresholds()): DataFrame = {
     val c = col(textCol)
     val toks = tokens(c)
     val nw = nullif(size(toks).cast("double"), lit(0.0))
@@ -1040,13 +1056,13 @@ object TextOps {
       typedlit(GopherStopwords)))
     def rule(cond: Column): Column = coalesce(cond, lit(false))
     val rs = Seq(
-      "r_word_count" -> rule(size(toks).between(50, 100000)),
-      "r_mean_word_len" -> rule(meanLen.between(3.0, 10.0)),
-      "r_symbol_ratio" -> rule(symbolRatio <= 0.1),
-      "r_bullet_lines" -> rule(bulletFrac < 0.9),
-      "r_ellipsis_lines" -> rule(ellipsisFrac < 0.3),
-      "r_alpha_words" -> rule(alphaFrac >= 0.8),
-      "r_stopwords" -> rule(stopHits >= 2))
+      "r_word_count" -> rule(size(toks).between(t.minWords, t.maxWords)),
+      "r_mean_word_len" -> rule(meanLen.between(t.wordLenLo, t.wordLenHi)),
+      "r_symbol_ratio" -> rule(symbolRatio <= t.maxSymbolRatio),
+      "r_bullet_lines" -> rule(bulletFrac < t.maxBulletFrac),
+      "r_ellipsis_lines" -> rule(ellipsisFrac < t.maxEllipsisFrac),
+      "r_alpha_words" -> rule(alphaFrac >= t.minAlphaFrac),
+      "r_stopwords" -> rule(stopHits >= t.minStopwords))
     df.select(col(idCol) +: rs.map { case (n, e) => e.as(n) } :+
       rs.map(_._2).reduce(_ && _).as("pass"): _*)
   }

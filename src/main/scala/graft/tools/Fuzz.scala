@@ -1161,6 +1161,51 @@ object Fuzz {
         SparkEntry.pagerankOracleGen(m, iters, damping), pert))
   }
 
+  /** Cohort retention at drawn granularity (day vs week cohorts). */
+  private def genCohort(r: Random, i: Int): FuzzCase = {
+    val gran = Seq("day", "week")(r.nextInt(2))
+    val pert = r.nextInt(100) < 35
+    FuzzCase(f"fz_cohort_$i%03d", "cohort", s"gran=$gran pert=$pert",
+      (s, dir) =>
+        graft.ops.TimeSeries.cohortRetention(eventsOf(s, dir, pert),
+                                             granularity = gran),
+      wrapEventsSql(SparkEntry.cohortOracleGen(gran), pert))
+  }
+
+  /** Daily churn census at a drawn look-back horizon (1/7/28-day). */
+  private def genChurn(r: Random, i: Int): FuzzCase = {
+    val h = Seq(1, 2, 3, 7, 14, 28)(r.nextInt(6))
+    val pert = r.nextInt(100) < 35
+    FuzzCase(f"fz_churn_$i%03d", "churn", s"horizon=$h pert=$pert",
+      (s, dir) =>
+        graft.ops.TimeSeries.userChurn(eventsOf(s, dir, pert),
+                                       horizonDays = h),
+      wrapEventsSql(SparkEntry.churnOracleGen(h), pert))
+  }
+
+  /** Gopher quality rules: every cut threshold drawn from its coarse
+    * decimal grid (the published constants are just the default
+    * config); the compared ratios are exact rationals both engines
+    * compute identically, so each boundary decision is portable.
+    */
+  private def genGopher(r: Random, i: Int): FuzzCase = {
+    val t = graft.text.TextOps.GopherThresholds(
+      minWords = Seq(10, 20, 50, 80)(r.nextInt(4)),
+      maxWords = Seq(500, 1000, 100000)(r.nextInt(3)),
+      wordLenLo = Seq(2.0, 3.0, 4.0)(r.nextInt(3)),
+      wordLenHi = Seq(8.0, 10.0, 12.0)(r.nextInt(3)),
+      maxSymbolRatio = Seq(0.02, 0.05, 0.1, 0.2)(r.nextInt(4)),
+      maxBulletFrac = Seq(0.3, 0.5, 0.9)(r.nextInt(3)),
+      maxEllipsisFrac = Seq(0.05, 0.1, 0.3)(r.nextInt(3)),
+      minAlphaFrac = Seq(0.6, 0.8, 0.9)(r.nextInt(3)),
+      minStopwords = 1 + r.nextInt(3))
+    val pert = r.nextInt(100) < 35
+    FuzzCase(f"fz_gopher_$i%03d", "gopher", s"t=$t pert=$pert",
+      (s, dir) =>
+        graft.text.TextOps.gopherRules(docsOf(s, dir, pert), t = t),
+      wrapSql(SparkEntry.gopherOracleGen(t), pert))
+  }
+
   /** Window frames: random ROWS / RANGE bounds (and a lag/lead offset)
     * over the orders table — frame-boundary semantics are classic seam
     * territory and the board pins only ROWS UNBOUNDED PRECEDING. The
@@ -1443,7 +1488,10 @@ object Fuzz {
     "funnel" -> genFunnel _,
     "asof" -> genAsof _,
     "pagerank" -> genPagerank _,
-    "window_frames" -> genWindowFrames _)
+    "window_frames" -> genWindowFrames _,
+    "gopher" -> genGopher _,
+    "cohort" -> genCohort _,
+    "churn" -> genChurn _)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

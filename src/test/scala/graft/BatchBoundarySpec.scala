@@ -236,6 +236,44 @@ class BatchBoundarySpec extends SparkSpec {
     }
   }
 
+  // ---- Bm25Index ----------------------------------------------------------
+
+  test("bm25: served rankings are split-invariant — any order-preserving " +
+       "epoch split scores identically to the one-shot build (postings " +
+       "union + exact cumulative stats)") {
+    import graft.text.Bm25Index
+    val allDocs: Seq[(Long, String)] =
+      Seq((100L, sentB + " corpus copy one"),
+          (102L, "an entirely different corpus document about query planning"),
+          (104L, "another corpus document describing shuffle partitioning")
+      ) ++ refreshSeq
+    val queries = Seq(Seq("corpus", "document"),
+                      Seq("quick", "brown", "fox"),
+                      Seq("novel", "refresh"))
+    def rankings(tag: String,
+                 batches: Seq[Seq[(Long, String)]]): Seq[Seq[(Long, Double)]] = {
+      val root = s"${Sinks.scratchRoot}/spec_bbq_$tag"
+      Sinks.dropTable(spark, root)
+      Bm25Index.build(batchDf(batches.head), root)
+      batches.tail.foreach(b => Bm25Index.append(batchDf(b), root))
+      queries.map { q =>
+        Bm25Index.probe(spark, root, q, k = allDocs.size)
+          .as[(Long, Double)].collect().toSeq
+      }
+    }
+    val r = new Random(20260818L)
+    val oneShot = rankings("one", Seq(allDocs))
+    assert(oneShot.forall(_.nonEmpty), "fixture rot: probes found nothing")
+    (1 to 2).foreach { i =>
+      val cuts = r.shuffle((1 until allDocs.size).toList)
+        .take(1 + r.nextInt(3)).sorted
+      val batches = (Seq(0) ++ cuts ++ Seq(allDocs.size)).sliding(2)
+        .map { case Seq(a, b) => allDocs.slice(a, b) }.toSeq
+      assert(rankings(s"rand$i", batches) === oneShot,
+             s"bm25 split rand$i (cuts=$cuts)")
+    }
+  }
+
   test("refresh: the transitive-closure seam is boundary-sensitive BY " +
        "CONTRACT — one-shot collapses the bridge component, a boundary " +
        "before the bridge preserves the committed non-dup pair") {
