@@ -274,6 +274,44 @@ class BatchBoundarySpec extends SparkSpec {
     }
   }
 
+  // ---- HLL sketch table ----------------------------------------------------
+
+  test("hll sketch table: appends are split-invariant — any ordered " +
+       "split of the event stream lands bit-identical day sketches " +
+       "(register max is commutative and exact)") {
+    import graft.ops.SketchOps
+    val rows: Seq[(Long, java.sql.Timestamp)] = for {
+      d <- 1 to 12
+      u <- 1 to (d % 5 + 2)
+    } yield (((u * 37 + d) % 23).toLong,
+             java.sql.Timestamp.valueOf(f"2024-02-$d%02d 10:00:00"))
+    def sketchTable(tag: String,
+                    batches: Seq[Seq[(Long, java.sql.Timestamp)]])
+        : Seq[(String, Seq[Byte])] = {
+      val path = s"${Sinks.scratchRoot}/spec_bbh_$tag"
+      Sinks.dropTable(spark, path)
+      batches.foreach { b =>
+        SketchOps.appendDailySketches(spark, path,
+                                      b.toDF("user_id", "ts"))
+      }
+      spark.read.parquet(path)
+        .select(date_format(col("day"), "yyyy-MM-dd"), col("sketch"))
+        .as[(String, Array[Byte])].collect().toSeq
+        .map { case (d, s) => (d, s.toSeq) }.sortBy(_._1)
+    }
+    val r = new Random(20260819L)
+    val oneShot = sketchTable("one", Seq(rows))
+    assert(oneShot.size === 12, "fixture rot: expected 12 day sketches")
+    (1 to 2).foreach { i =>
+      val cuts = r.shuffle((1 until rows.size).toList)
+        .take(1 + r.nextInt(4)).sorted
+      val batches = (Seq(0) ++ cuts ++ Seq(rows.size)).sliding(2)
+        .map { case Seq(a, b) => rows.slice(a, b) }.toSeq
+      assert(sketchTable(s"rand$i", batches) === oneShot,
+             s"hll split rand$i (cuts=$cuts)")
+    }
+  }
+
   test("refresh: the transitive-closure seam is boundary-sensitive BY " +
        "CONTRACT — one-shot collapses the bridge component, a boundary " +
        "before the bridge preserves the committed non-dup pair") {
