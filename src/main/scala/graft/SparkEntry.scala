@@ -4927,48 +4927,9 @@ object SparkEntry {
 
     "q_cohort_retention" -> cohortOracleGen("week"),
 
-    "q_transitions" ->
-      """WITH seq AS (
-        |  SELECT event_type AS from_type,
-        |         lead(event_type) OVER (PARTITION BY user_id
-        |           ORDER BY ts, event_id) AS to_type
-        |  FROM events
-        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        |    AND event_type IS NOT NULL),
-        |pairs AS (SELECT from_type, to_type, count(*) AS n
-        |          FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
-        |tot AS (SELECT from_type, sum(n) AS t FROM pairs GROUP BY 1)
-        |SELECT p.from_type, p.to_type, CAST(p.n AS BIGINT) AS n,
-        |       round(CAST(p.n AS DOUBLE) / t, 6) AS p
-        |FROM pairs p JOIN tot USING (from_type)""".stripMargin,
+    "q_transitions" -> transitionsOracleGen(1),
 
-    "q_outage_flags" ->
-      """WITH counted AS (
-        |  SELECT event_type,
-        |         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hs,
-        |         count(*) AS n
-        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
-        |  GROUP BY 1, 2),
-        |span AS (SELECT min(hs) AS lo, max(hs) AS hi FROM counted),
-        |spine AS (SELECT t.event_type, g.hs
-        |          FROM (SELECT DISTINCT event_type FROM counted) t,
-        |               span, unnest(generate_series(lo, hi, 3600))
-        |                 AS g(hs)),
-        |hourly AS (SELECT s.event_type, s.hs, coalesce(c.n, 0) AS n
-        |           FROM spine s LEFT JOIN counted c
-        |             ON c.event_type = s.event_type AND c.hs = s.hs),
-        |z AS (SELECT event_type, hs * 1000 AS hour_ms, n,
-        |             CAST(count(n) OVER w AS BIGINT) AS base_n,
-        |             round((n - avg(n) OVER w) /
-        |                   nullif(stddev_samp(n) OVER w, 0), 6) AS zscore
-        |      FROM hourly
-        |      WINDOW w AS (PARTITION BY event_type ORDER BY hs
-        |                   RANGE BETWEEN 604800 PRECEDING
-        |                   AND 3600 PRECEDING))
-        |SELECT event_type, CAST(hour_ms AS BIGINT) AS hour_ms,
-        |       CAST(n AS BIGINT) AS n, base_n, zscore,
-        |       abs(zscore) >= 3.0 AS is_anomaly
-        |FROM z""".stripMargin,
+    "q_outage_flags" -> outageOracleGen(7, 3.0),
 
     "q_anomaly_flags" -> anomalyOracleGen(7, 3.0),
 
@@ -6529,6 +6490,53 @@ object SparkEntry {
       rules.map(_._1).mkString("  ", "\n    AND ", " AS pass") +
       "\nFROM m"
   }
+
+  /** Parameterized q_transitions twin (board: step 1). */
+  private[graft] def transitionsOracleGen(step: Int): String =
+    s"""WITH seq AS (
+       |  SELECT event_type AS from_type,
+       |         lead(event_type, $step) OVER (PARTITION BY user_id
+       |           ORDER BY ts, event_id) AS to_type
+       |  FROM events
+       |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       |    AND event_type IS NOT NULL),
+       |pairs AS (SELECT from_type, to_type, count(*) AS n
+       |          FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |tot AS (SELECT from_type, sum(n) AS t FROM pairs GROUP BY 1)
+       |SELECT p.from_type, p.to_type, CAST(p.n AS BIGINT) AS n,
+       |       round(CAST(p.n AS DOUBLE) / t, 6) AS p
+       |FROM pairs p JOIN tot USING (from_type)""".stripMargin
+
+  /** Parameterized q_outage_flags twin (board: 7-day baseline, z 3.0) —
+    * the gap-filled spine form of the anomaly census.
+    */
+  private[graft] def outageOracleGen(windowDays: Int, z: Double): String =
+    s"""WITH counted AS (
+       |  SELECT event_type,
+       |         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hs,
+       |         count(*) AS n
+       |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+       |  GROUP BY 1, 2),
+       |span AS (SELECT min(hs) AS lo, max(hs) AS hi FROM counted),
+       |spine AS (SELECT t.event_type, g.hs
+       |          FROM (SELECT DISTINCT event_type FROM counted) t,
+       |               span, unnest(generate_series(lo, hi, 3600))
+       |                 AS g(hs)),
+       |hourly AS (SELECT s.event_type, s.hs, coalesce(c.n, 0) AS n
+       |           FROM spine s LEFT JOIN counted c
+       |             ON c.event_type = s.event_type AND c.hs = s.hs),
+       |z AS (SELECT event_type, hs * 1000 AS hour_ms, n,
+       |             CAST(count(n) OVER w AS BIGINT) AS base_n,
+       |             round((n - avg(n) OVER w) /
+       |                   nullif(stddev_samp(n) OVER w, 0), 6) AS zscore
+       |      FROM hourly
+       |      WINDOW w AS (PARTITION BY event_type ORDER BY hs
+       |                   RANGE BETWEEN ${windowDays * 86400} PRECEDING
+       |                   AND 3600 PRECEDING))
+       |SELECT event_type, CAST(hour_ms AS BIGINT) AS hour_ms,
+       |       CAST(n AS BIGINT) AS n, base_n, zscore,
+       |       abs(zscore) >= $z AS is_anomaly
+       |FROM z""".stripMargin
 
   /** Parameterized q_cohort_retention twin (board: week cohorts). */
   private[graft] def cohortOracleGen(granularity: String): String = {

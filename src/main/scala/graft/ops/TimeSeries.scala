@@ -178,9 +178,15 @@ object TimeSeries {
     * Output: (from_type, to_type, n, p round 6), p summing to 1 per
     * from_type.
     */
+  /** `step` (default 1 — the board pin) is the journey depth:
+    * P(type at position i+step | type at i) — step 2 asks "what do
+    * users do TWO events after a view", the path-analysis dial.
+    */
   def transitions(events: DataFrame, userCol: String = "user_id",
                   tsCol: String = "ts", typeCol: String = "event_type",
-                  tiebreakCol: String = "event_id"): DataFrame = {
+                  tiebreakCol: String = "event_id",
+                  step: Int = 1): DataFrame = {
+    require(step >= 1, s"step must be >= 1 (got $step)")
     val w = Window.partitionBy(col(userCol))
       .orderBy(col(tsCol), col(tiebreakCol))
     val pairs = events
@@ -188,7 +194,7 @@ object TimeSeries {
               col(typeCol).isNotNull)
       .select(col(userCol), col(typeCol).as("from_type"),
               col(tsCol), col(tiebreakCol))
-      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .withColumn("to_type", lead(col("from_type"), step).over(w))
       .filter(col("to_type").isNotNull)
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))

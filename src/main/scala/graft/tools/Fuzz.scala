@@ -1161,6 +1161,33 @@ object Fuzz {
         SparkEntry.pagerankOracleGen(m, iters, damping), pert))
   }
 
+  /** Event transition matrix at a drawn journey depth. */
+  private def genTransitions(r: Random, i: Int): FuzzCase = {
+    val step = 1 + r.nextInt(4)
+    val pert = r.nextInt(100) < 35
+    FuzzCase(f"fz_trans_$i%03d", "transitions", s"step=$step pert=$pert",
+      (s, dir) =>
+        graft.ops.TimeSeries.transitions(eventsOf(s, dir, pert),
+                                         step = step),
+      wrapEventsSql(SparkEntry.transitionsOracleGen(step), pert))
+  }
+
+  /** Gap-filled outage flags: baseline window and z cut drawn (the
+    * spine form of the anomaly census — a total outage is a zero row,
+    * not a missing one).
+    */
+  private def genOutage(r: Random, i: Int): FuzzCase = {
+    val days = 2 + r.nextInt(13)        // 2..14
+    val z = (4 + r.nextInt(9)) / 2.0    // 2.0..6.0 on the 0.5 grid
+    val pert = r.nextInt(100) < 35
+    FuzzCase(f"fz_outage_$i%03d", "outage", s"days=$days z=$z pert=$pert",
+      (s, dir) =>
+        graft.ops.TimeSeries.anomalyFlags(eventsOf(s, dir, pert),
+                                          windowDays = days,
+                                          zThreshold = z, gapFill = true),
+      wrapEventsSql(SparkEntry.outageOracleGen(days, z), pert))
+  }
+
   /** Cohort retention at drawn granularity (day vs week cohorts). */
   private def genCohort(r: Random, i: Int): FuzzCase = {
     val gran = Seq("day", "week")(r.nextInt(2))
@@ -1491,7 +1518,9 @@ object Fuzz {
     "window_frames" -> genWindowFrames _,
     "gopher" -> genGopher _,
     "cohort" -> genCohort _,
-    "churn" -> genChurn _)
+    "churn" -> genChurn _,
+    "transitions" -> genTransitions _,
+    "outage" -> genOutage _)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
