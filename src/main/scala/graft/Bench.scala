@@ -196,6 +196,19 @@ object Bench {
     * (returns empty) rather than poisoning the bench.
     */
   private[graft] def loadPrevRound(dir: String): Map[String, Double] = {
+    // Validate the explicit override OUTSIDE the blanket catch (r10
+    // advisor catch): the env var exists specifically to make the
+    // comparison round explicit, so a typo'd non-integer value or a
+    // round with no recorded BENCH file must fail fast, not silently
+    // disable the tripwire and report regressions:{}.
+    val pinned = sys.env.get("SPARK_GRAFT_PREV_ROUND").map { s =>
+      val n = s.toIntOption.getOrElse(sys.error(
+        s"SPARK_GRAFT_PREV_ROUND='$s' is not an integer"))
+      val f = Paths.get(dir, f"BENCH_r$n%02d.json")
+      if (!Files.exists(f))
+        sys.error(s"SPARK_GRAFT_PREV_ROUND=$n names a missing record: $f")
+      n
+    }
     try {
       val d = new java.io.File(dir)
       val rounds = Option(d.list()).getOrElse(Array.empty[String])
@@ -208,11 +221,9 @@ object Bench {
       // re-running Bench AFTER the driver has already written this
       // round's record would otherwise compare the run against its own
       // numbers (max = current), silently muting real regressions
-      // (r9 advisor catch). An override naming a missing file falls
-      // into the catch and disables the tripwire, same as any other
-      // unreadable record.
-      val n = sys.env.get("SPARK_GRAFT_PREV_ROUND").map(_.toInt)
-        .getOrElse(rounds.max)
+      // (r9 advisor catch). Malformed overrides already failed fast
+      // above, before this catch-all.
+      val n = pinned.getOrElse(rounds.max)
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val bench = om.readTree(
         Files.readString(Paths.get(dir, f"BENCH_r$n%02d.json")))

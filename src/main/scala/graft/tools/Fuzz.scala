@@ -104,8 +104,22 @@ object Fuzz {
     * the plain substring replace had both holes).
     */
   private def retarget(sql: String, table: String,
-                       ptable: String): String =
-    sql.replaceAll(s"(?i)(\\b(?:FROM|JOIN)\\s+)$table\\b", "$1" + ptable)
+                       ptable: String): String = {
+    val out =
+      sql.replaceAll(s"(?i)(\\b(?:FROM|JOIN)\\s+)$table\\b", "$1" + ptable)
+    // Self-check (r10 advisor catch): a comma FROM-list
+    // (`FROM a, b, c`) puts table references where no FROM/JOIN token
+    // precedes them, so the anchored rewrite above silently misses
+    // them and a "perturbed" config keeps reading the BASE table —
+    // the oracle twin then tests nothing. Any surviving whole-word
+    // occurrence of the base name is a generator bug; fail loudly
+    // rather than record a vacuous pass. (Runs before the CTE is
+    // prepended, so the CTE's own legitimate base read is exempt.)
+    require(s"(?i)\\b$table\\b".r.findFirstIn(out).isEmpty,
+      s"retarget: '$table' still referenced after rewrite " +
+        s"(comma FROM-list or alias?) in:\n$out")
+    out
+  }
 
   /** Prepend a CTE to a (possibly already-WITH) statement. */
   private def withCte(body: String, cte: String): String =
@@ -241,9 +255,9 @@ object Fuzz {
   // bucket CASE fall-through), a NONEXISTENT custkey (an orphan order —
   // referential integrity is not assumed), null priority (the IN-list
   // and <>-filter null seams), and a near-2^53-cents totalprice.
-  // Orderkey 9000001 interlocks with craftedLineitem's l_orderkey 1..4?
-  // No — craftedLineitem rides REAL orderkeys 1..4; 9000001 matches
-  // craftedLineitem's own l_orderkey 9000001 row (null quantity), so
+  // Interlock: craftedLineitem rides REAL part/supp keys 1..4 but its
+  // own l_orderkeys are 9000001..9000004, so crafted order 9000001
+  // matches craftedLineitem's l_orderkey 9000001 row (null quantity) —
   // the crafted order has a crafted lineitem shipping far in the
   // future — the Q4/Q21 lateness predicates see it on both engines.
   private val craftedOrders

@@ -230,12 +230,21 @@ object TpchGen {
           .groupBy(col("n_name"))
           .agg(sum(revC).as("revenue_cents"))
       },
+      // Explicit JOIN ... ON (not a comma FROM-list): Fuzz.retarget
+      // only rewrites references preceded by FROM/JOIN, so a comma
+      // list would leave orders/lineitem/supplier reading the BASE
+      // tables under perturbation while the engine reads perturbed
+      // ones (r10 advisor catch — pert=ord/li/supp configs for q5
+      // silently tested nothing).
       s"""SELECT n_name, ${sumCSql(revSql)} AS revenue_cents
-         |FROM customer, orders, lineitem, supplier, nation, region
-         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
-         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-         |  AND r_name = '$rName'
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |  AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = '$rName'
          |  AND o_orderdate >= ${tsSql(start)}
          |  AND o_orderdate < ${tsSql(end)}
          |GROUP BY 1""".stripMargin)
