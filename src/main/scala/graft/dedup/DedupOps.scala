@@ -126,6 +126,76 @@ object DedupOps {
     * the broadcast threshold, AQE turns the payload joins into broadcasts
     * with no array sort at all).
     */
+  /** Ceiling for explicitly broadcasting the semi-join-reduced set
+    * payloads in the verify joins: min(2 GiB, maxHeap/8), overridable
+    * via `spark.graft.verify.broadcastCap` (bytes). See
+    * `joinPayloads` for why this dial exists.
+    */
+  private def verifyBroadcastCap(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("spark.graft.verify.broadcastCap")
+      .map(_.toLong)
+      .getOrElse(math.min(2L << 30, Runtime.getRuntime.maxMemory() / 8))
+
+  /** Attach both set payloads (set_a/sz_a, set_b/sz_b) to a PINNED
+    * narrow candidate-pair frame — the shared shape of both verifies.
+    *
+    * Join-strategy choice is made from RUNTIME stats (one cheap agg
+    * over the cached sets), not a static hint, because the two regimes
+    * want opposite plans (the r11 ScaleCurve finding — x64 was 95 s vs
+    * 13 s for the same join on the wrong side of this choice):
+    *
+    *  - reduced payloads fit memory → explicit broadcast BOTH joins.
+    *    The second join's probe side is candidates WITH set_a already
+    *    attached (~KBs/row); any shuffle-based strategy re-shuffles
+    *    that wide stream (measured 32 GB at ScaleCurve x64, 65% of the
+    *    query), while a broadcast ships the reduced sets once and the
+    *    wide stream never moves. AQE only makes this conversion under
+    *    `autoBroadcastJoinThreshold` (10 MB default) — far below where
+    *    the wide-shuffle cliff actually starts paying for a broadcast.
+    *  - beyond the cap (a verify whose candidate id set is itself a
+    *    large corpus fraction at 100 TB) → shuffle-hash, not
+    *    sort-merge: the payload shuffle is then genuinely required,
+    *    but SMJ would additionally SORT the wide stream; hashing
+    *    builds on the reduced sets side and streams candidates.
+    *    On a real cluster the cap scales with executor memory.
+    */
+  private def joinPayloads(cand: DataFrame, sets: DataFrame): DataFrame = {
+    val candIds = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
+      .transform(pinned)
+    val needed = sets.join(candIds, Seq("id"), "left_semi")
+    // runtime sizes: gram longs dominate; 48 B/row covers struct+array
+    // overhead. Two narrow jobs over cached frames — O(needed) +
+    // O(cand) — trivial next to either verify shape they choose
+    // between. candN also warms the cand cache before its five
+    // consuming branches race (the pinned scaladoc's lazy-fill caveat).
+    val st = needed.agg(count(lit(1)).as("n"), sum(col("sz")).as("g")).head()
+    val neededBytes = (if (st.isNullAt(1)) 0L else st.getLong(1)) * 8L +
+      st.getLong(0) * 48L
+    val candN = cand.count()
+    val avgSz = if (st.getLong(0) == 0) 0L
+                else (if (st.isNullAt(1)) 0L else st.getLong(1)) / st.getLong(0)
+    // shape A (shuffle_hash) re-shuffles the candidate stream WITH the
+    // first payload attached; shape B (broadcast) ships the reduced
+    // sets to every task twice. Compare the two traffic estimates and
+    // take the cheaper — with few candidates over a large needed side
+    // (containment at ScaleCurve x64) A wins; with candidate volume
+    // dominating (jaccard at x64: 18 GB wide vs 2.7 GB broadcast,
+    // measured 95 s vs 14 s) B wins.
+    val wideBytes = candN * (avgSz * 8L + 64L)
+    val pick = (d: DataFrame) =>
+      if (neededBytes <= verifyBroadcastCap(cand) &&
+          wideBytes >= 2L * neededBytes) broadcast(d)
+      else d.hint("shuffle_hash")
+    cand
+      .join(pick(needed)
+              .select(col("id").as("id_a"), col("hs").as("set_a"),
+                      col("sz").as("sz_a")), "id_a")
+      .join(pick(needed)
+              .select(col("id").as("id_b"), col("hs").as("set_b"),
+                      col("sz").as("sz_b")), "id_b")
+  }
+
   private[dedup] def verifyPairs(cand0: DataFrame, sets: DataFrame,
                                  tau: Double): DataFrame = {
     // PIN the candidate frame: it feeds five plan branches below (the
@@ -137,22 +207,7 @@ object DedupOps {
     // the query's task time). Candidates are narrow id pairs, so the
     // cache is small by the same bound that makes the operator scale.
     val cand = pinned(cand0)
-    val candIds = cand.select(col("id_a").as("id"))
-      .union(cand.select(col("id_b").as("id"))).distinct()
-      .transform(pinned)
-    val needed = sets.join(candIds, Seq("id"), "left_semi")
-    // shuffle-hash, not sort-merge: SMJ would SORT the candidate stream
-    // with both 8 KB-ish set payloads attached; hashing builds on the
-    // (semi-join-reduced) sets side and streams candidates through —
-    // measurably faster here and the right asymmetry at corpus scale
-    // (candidates ≫ reduced sets).
-    cand
-      .join(needed.hint("shuffle_hash")
-              .select(col("id").as("id_a"), col("hs").as("set_a"),
-                      col("sz").as("sz_a")), "id_a")
-      .join(needed.hint("shuffle_hash")
-              .select(col("id").as("id_b"), col("hs").as("set_b"),
-                      col("sz").as("sz_b")), "id_b")
+    joinPayloads(cand, sets)
       .withColumn("common", ShingleExpressions.sortedLongIntersectCount(
         col("set_a"), col("set_b")))
       .withColumn("jaccard", col("common").cast("double") /
@@ -347,17 +402,7 @@ object DedupOps {
     // pin cand + candIds: same 5-branch re-execution as verifyPairs
     // (the long comment there applies verbatim)
     val cand = pinned(cand0)
-    val candIds = cand.select(col("id_a").as("id"))
-      .union(cand.select(col("id_b").as("id"))).distinct()
-      .transform(pinned)
-    val needed = sets.join(candIds, Seq("id"), "left_semi")
-    cand
-      .join(needed.hint("shuffle_hash")
-              .select(col("id").as("id_a"), col("hs").as("set_a"),
-                      col("sz").as("sz_a")), "id_a")
-      .join(needed.hint("shuffle_hash")
-              .select(col("id").as("id_b"), col("hs").as("set_b"),
-                      col("sz").as("sz_b")), "id_b")
+    joinPayloads(cand, sets)
       .withColumn("common", ShingleExpressions.sortedLongIntersectCount(
         col("set_a"), col("set_b")))
       .withColumn("containment",
