@@ -1536,30 +1536,34 @@ object Fuzz {
     "transitions" -> genTransitions _,
     "outage" -> genOutage _)
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = args(0)
-    val outDir = args(1)
-    val n = if (args.length > 2) args(2).toInt else 60
-    val seed = if (args.length > 3) args(3).toLong else 9L
-    val fams =
-      if (args.length > 4) {
-        val want = args(4).split(",").toSet
-        families.filter { case (f, _) => want(f) }
-      } else families
-    require(fams.nonEmpty, s"no matching families in ${args.lift(4)}")
+  /** Resolve a families CSV (or "all") against the registered list.
+    * `firstN:K` selects the first K registration-order families — the
+    * replay manifest's notation for historical "all families at the
+    * time" sweeps (the list is append-only, so era = prefix).
+    */
+  private[tools] def resolveFamilies(spec: String)
+      : Seq[(String, (Random, Int) => FuzzCase)] = spec match {
+    case "all" => families
+    case s if s.startsWith("firstN:") => families.take(s.drop(7).toInt)
+    case csv =>
+      val want = csv.split(",").toSet
+      val got = families.filter { case (f, _) => want(f) }
+      require(got.size == want.size,
+        s"unknown families in '$csv' (matched ${got.map(_._1)})")
+      got
+  }
 
-    val cpus = Bench.defaultCpus
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config(Tables.NanosConf, "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    GraftExtensions.registerAll(spark)
+  /** One sweep: draw `n` cases round-robin over `fams` from `seed`, run
+    * the Spark side into `outDir` (one parquet dir per case +
+    * oracle_sql.json + fuzz_manifest.json for tools/local_check.py).
+    * Returns (ok, err). Extracted from main so `Replay` can chain many
+    * sweeps through one session.
+    */
+  private[tools] def runSweep(spark: SparkSession, sfDir: String,
+                              outDir: String, n: Int, seed: Long,
+                              fams: Seq[(String, (Random, Int) => FuzzCase)])
+      : (Int, Int) = {
     new java.io.File(outDir).mkdirs()
-
     val rng = new Random(seed)
     // round-robin over families so every family gets ~n/|fams| draws
     val cases = (0 until n).map(i => fams(i % fams.size)._2(rng, i))
@@ -1599,6 +1603,32 @@ object Fuzz {
       manifest.mkString("[", ",\n", "]"))
     println(s"[fuzz] done: $nOk ok, $nErr spark-side errors, " +
       s"seed=$seed n=$n families=${fams.map(_._1).mkString(",")}")
+    (nOk, nErr)
+  }
+
+  private[tools] def buildSession(): SparkSession = {
+    val cpus = Bench.defaultCpus
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(Tables.NanosConf, "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.registerAll(spark)
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val n = if (args.length > 2) args(2).toInt else 60
+    val seed = if (args.length > 3) args(3).toLong else 9L
+    val fams = resolveFamilies(args.lift(4).getOrElse("all"))
+    require(fams.nonEmpty, s"no matching families in ${args.lift(4)}")
+    val spark = buildSession()
+    val (_, nErr) = runSweep(spark, sfDir, outDir, n, seed, fams)
     spark.stop()
     if (nErr > 0) sys.exit(2)
   }
