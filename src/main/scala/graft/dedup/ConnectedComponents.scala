@@ -214,7 +214,14 @@ object ConnectedComponents {
       }
       x
     }
-    val it = e.select(col("u"), col("v")).toLocalIterator()
+    // coalesce(1) first: toLocalIterator schedules ONE JOB PER
+    // PARTITION, so a gate-sized edge list arriving in 32+ partitions
+    // (any distributed pair join) paid 32+ driver round-trips of pure
+    // fixed cost (r11: measured +32 jobs on q_semdedup). One narrow
+    // task drains every partition instead; the result block it streams
+    // is bounded by the localSolve gate itself (≤ 2¹⁹ edges ≈ 8 MB of
+    // longs), far under the ~100 MB HashMap bound documented above.
+    val it = e.select(col("u"), col("v")).coalesce(1).toLocalIterator()
     while (it.hasNext) {
       val r = it.next()
       val u = r.getLong(0); val v = r.getLong(1)

@@ -12,6 +12,31 @@ import org.apache.spark.sql.functions._
   */
 object CoreOps {
 
+  /** Parallelism floor for a SMALL scan feeding heavy per-row or
+    * per-group compute — the optimization guide's "one huge unsplittable
+    * file: repartition immediately after the read" case. The bench
+    * tables are single-row-group parquet files, so every scan plans as
+    * ONE partition no matter the core count, and whatever rides the scan
+    * stage (PQ encode, ADC serve, per-column expand-aggregate) runs on
+    * one core while the other 31 idle — measured r11: q_ivfpq_topk's
+    * serve was a single 2.43 s task inside a 4.2 s wall at local[32].
+    *
+    * GATED on the planned partition count, so it is scale-adaptive and
+    * can never shuffle a large corpus: a frame already at or above the
+    * session's default parallelism (any real multi-split table — a
+    * 100 TB scan has ~10⁶ splits) returns UNCHANGED with no exchange in
+    * the plan. When it fires, the one exchange moves only this small
+    * frame's bytes — hash-routed on `keys` when given (no local sort;
+    * the hashedSets precedent), round-robin otherwise.
+    */
+  private[graft] def spreadSmallScan(df: DataFrame,
+                                     keys: Column*): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df
+    else if (keys.nonEmpty) df.repartition(p, keys: _*)
+    else df.repartition(p)
+  }
+
   /** P1 — drop a row if ANY column is null.
     * Ref: spark-apps/clean_nyc_taxi_pipeline.py:10 (`df.dropna()`).
     * Compiles to `Filter(AND(IsNotNull(c)))` which Catalyst pushes into the
@@ -132,6 +157,13 @@ object CoreOps {
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty && cols.forall(df.columns.contains),
       s"profile: columns must exist, got ${cols.mkString(",")}")
+    // NOT spreadSmallScan'd (r11 measurement): the multi-countDistinct
+    // Expand+partial-aggregate runs 1.7 s single-task on the bench's
+    // single-row-group scan, but splitting it multiplied TOTAL CPU ~4×
+    // at 8 partitions / ~12× at 32 (each shard re-deduplicates the same
+    // hot values the one-task partial collapsed once), regressing the
+    // low-core wall (2.4 → 2.8 s at local[8]) for a 0.6 s local[32]
+    // win. The one-task partial aggregate IS the cheap plan here.
     val aggs = cols.flatMap { c =>
       Seq(coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
             .as(s"__nn_$c"),

@@ -62,16 +62,22 @@ object Quality {
     require(constraints.nonEmpty, "referentialOrphans: no constraints")
     val per = constraints.map { fk =>
       val childKeys = fk.child.select(col(fk.childKey).as("__k"))
+      // parents carry a presence marker through a broadcast LEFT join
+      // (parents are distinct, so no row multiplication) and ONE
+      // aggregate reads off rows / null keys / orphans together —
+      // r11: the anti-join + separate base aggregate + crossJoin shape
+      // scanned the child table TWICE per constraint and cost two extra
+      // jobs each; one pass is strictly better at any scale, same rows.
       val parents = fk.parent.select(col(fk.parentKey).as("__k")).distinct()
-      val orphans = childKeys.filter(col("__k").isNotNull)
-        .join(broadcast(parents), Seq("__k"), "left_anti")
-        .agg(count(lit(1)).as("orphan_rows"))
-      val base = childKeys.agg(
-        count(lit(1)).as("child_rows"),
-        // coalesce: sum over zero rows is NULL (the nullCensus rule)
-        coalesce(sum(when(col("__k").isNull, 1L).otherwise(0L)), lit(0L))
-          .as("null_keys"))
-      base.crossJoin(orphans)
+        .withColumn("__hit", lit(1))
+      childKeys.join(broadcast(parents), Seq("__k"), "left")
+        .agg(count(lit(1)).as("child_rows"),
+             // coalesce: sum over zero rows is NULL (the nullCensus rule)
+             coalesce(sum(when(col("__k").isNull, 1L).otherwise(0L)),
+                      lit(0L)).as("null_keys"),
+             coalesce(sum(when(col("__k").isNotNull && col("__hit").isNull,
+                               1L).otherwise(0L)), lit(0L))
+               .as("orphan_rows"))
         .select(lit(fk.name).as("fk"), col("child_rows"), col("null_keys"),
                 col("orphan_rows"), (col("orphan_rows") === 0L).as("ok"))
     }

@@ -486,7 +486,11 @@ object SimilarityOps {
     // three consumers (both pair-join sides + the member join): persist
     // so the scan + per-row cosine-to-every-centroid argmax runs once
     // (the hashedSets multi-consumer discipline; CacheScope owns the
-    // release)
+    // release). NOT spreadSmallScan'd (r11 measurement): the downstream
+    // within-list pair join is array-allocation-heavy, and 32 concurrent
+    // tasks in the shared local-mode heap inflated its task time ~10×
+    // (wall 1.4 → 3.5 s) — the 1-partition cache fill is the cheap plan
+    // here, unlike the primitive-loop PQ encode paths.
     val assigned = emb.crossJoin(broadcast(cb))
       .select(col(idCol), col(vecCol),
               best.getField("l").as("list_id"),
@@ -1149,9 +1153,13 @@ object SimilarityOps {
         .select(transform(col(vecCol), x => x.cast("double")).as("__pv")))
     val foldedTable = adcFoldedTable(cb, probe, dsub)
     // inline encode against ONE folded broadcast (pqEncode would re-fold
-    // and re-probe the codebook shape — two extra driver jobs)
-    emb.filter(col(idCol) =!= probeId &&
-                 size(col(vecCol)) === nsub * dsub)
+    // and re-probe the codebook shape — two extra driver jobs).
+    // spreadSmallScan: the corpus-side encode+ADC is the query's compute;
+    // don't let it ride a single-row-group scan on one core (gated no-op
+    // on any real multi-split corpus)
+    graft.ops.CoreOps.spreadSmallScan(
+        emb.filter(col(idCol) =!= probeId &&
+                     size(col(vecCol)) === nsub * dsub), col(idCol))
       .crossJoin(broadcast(foldPqCodebook(cb)))
       .select(col(idCol),
               pqCodesExpr(transform(col(vecCol), x => x.cast("double")),
@@ -1447,7 +1455,12 @@ object SimilarityOps {
       else zip_with(dvec,
                     element_at(col("__cb"), listId + 1).getField("c"),
                     (a, b) => a - b)
-    emb.filter(size(col(vecCol)) === nsub * dsub)
+    // per-row encode is the expensive part (nlist cosines + nsub·codes
+    // argmins per vector); floor the scan parallelism first so it never
+    // rides a single-row-group file on one core (r11: 2.43 s single-task
+    // serve stage; the gate keeps a real multi-split corpus untouched)
+    graft.ops.CoreOps.spreadSmallScan(
+        emb.filter(size(col(vecCol)) === nsub * dsub), col(idCol))
       .crossJoin(broadcast(foldIvfCodebook(cents)))
       .crossJoin(broadcast(foldPqCodebook(pqCb)))
       .withColumn("list_id", nearestListExpr(col(vecCol), col("__cb")))

@@ -48,6 +48,9 @@ object QualityClassifier {
       : DataFrame = {
     require(dim >= 2, s"dim must be >= 2 (got $dim)")
     val w = Window.partitionBy(col(idCol))
+    // NOT spreadSmallScan'd: same allocation-bound-explode finding as
+    // TextOps.bigramPairs (r11) — splitting the scan inflated task time
+    // with no wall win in the shared local-mode heap
     df.select(col(idCol),
               explode(TextOps.tokens(lower(col(textCol)))).as("__term"))
       .select(col(idCol),

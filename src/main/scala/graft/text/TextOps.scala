@@ -512,6 +512,13 @@ object TextOps {
     */
   private def bigramPairs(df: DataFrame, textCol: String,
                           keep: Seq[Column]): DataFrame = {
+    // NOT spreadSmallScan'd (r11 measurement): tokenize+explode is
+    // allocation-bound, and in one local-mode JVM 32 concurrent tasks
+    // share the heap — the stage's wall stayed 0.6 s while per-task
+    // time inflated ~27× (16.7 s of measured task time for the same
+    // work). A multi-executor cluster has separate heaps and a real
+    // multi-split scan parallelizes this naturally; locally the fused
+    // scan→explode→partial-agg single task IS the cheap plan.
     val toks = tokens(lower(col(textCol)))
     val n1 = greatest(size(toks) - 1, lit(0))
     val pairs = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
@@ -643,6 +650,9 @@ object TextOps {
     val n1 = greatest(size(toks) - 1, lit(0))
     val bigrams = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
                            (a, b) => concat_ws(" ", a, b))
+    // NOT spreadSmallScan'd: same allocation-bound-explode finding as
+    // bigramPairs (r11) — splitting the scan inflated task time ~9×
+    // with no wall win in the shared local-mode heap
     df.select(col(idCol), explode(concat(toks, bigrams)).as("__g"))
       .select(col(idCol),
               Hashing.bucket(col("__g"), dim, mode).as("bucket"))

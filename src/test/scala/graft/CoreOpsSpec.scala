@@ -12,6 +12,27 @@ class CoreOpsSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("spreadSmallScan floors parallelism of a narrow frame, identically") {
+    val p = spark.sparkContext.defaultParallelism
+    val df = Seq.tabulate(64)(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .coalesce(1) // the single-row-group-scan shape
+    val spread = CoreOps.spreadSmallScan(df, col("id"))
+    assert(spread.rdd.getNumPartitions === p,
+      "a 1-partition frame must be spread to the session parallelism")
+    // same rows, exactly — the spread is routing only
+    assert(spread.except(df).isEmpty && df.except(spread).isEmpty)
+  }
+
+  test("spreadSmallScan is a no-op (no added exchange) at/above parallelism") {
+    val p = spark.sparkContext.defaultParallelism
+    val df = Seq.tabulate(64)(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(p + 2, col("id"))
+    val spread = CoreOps.spreadSmallScan(df, col("id"))
+    // the SAME plan object comes back: the gate adds nothing at scale
+    assert(spread eq df,
+      "an already-parallel frame must pass through unchanged")
+  }
+
   test("dropNulls drops rows with any null (P1)") {
     val df = Seq(
       (Some(1), Some("a")), (None, Some("b")), (Some(3), None)
