@@ -256,6 +256,24 @@ object Bench {
     sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
 
+  /** Codegen-cache capacity (spark.sql.codegen.cache.maxEntries, a
+    * STATIC conf — session-builder only). Spark's default is 100
+    * compiled-class entries, sized for a handful of concurrent queries;
+    * this suite's heavy lifecycle queries alone generate >200 codegen
+    * units per run (r12 DriverProf: q_incremental_refresh recompiled
+    * 204 units EVERY timed run — the warm-up pass's compiles were all
+    * evicted, defeating the bench's own "warm-JIT + codegen cache"
+    * contract), and janino recompiles are pure driver fixed cost
+    * (~10-30 ms each). 8192 entries hold the whole 224-query suite's
+    * units; NOT scale- or core-count-dependent — any production driver
+    * running a many-query workload sizes this cache to the workload
+    * (measured r12: q_incremental_refresh 9.52→7.88 s,
+    * q_forget_cascade 4.96→3.79 s min-of-5, recompiles 204→4).
+    * Env-overridable for A/B (SPARK_GRAFT_CODEGEN_CACHE).
+    */
+  private[graft] def codegenCacheEntries: String =
+    sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = defaultCpus
@@ -280,6 +298,8 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config(Tables.NanosConf, "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries",
+              graft.Bench.codegenCacheEntries)
       // Commit-algorithm v2: task output lands in place at task commit
       // instead of v1's job-commit-time serial driver-side rename pass.
       // At this fixture's file counts the measured full-suite effect is

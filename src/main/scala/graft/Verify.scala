@@ -30,6 +30,8 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.NanosConf, "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries",
+              graft.Bench.codegenCacheEntries)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // exercise the SQL-function registration path on the live session

@@ -21,18 +21,55 @@ object CoreOps {
     * one core while the other 31 idle — measured r11: q_ivfpq_topk's
     * serve was a single 2.43 s task inside a 4.2 s wall at local[32].
     *
-    * GATED on the planned partition count, so it is scale-adaptive and
-    * can never shuffle a large corpus: a frame already at or above the
-    * session's default parallelism (any real multi-split table — a
-    * 100 TB scan has ~10⁶ splits) returns UNCHANGED with no exchange in
-    * the plan. When it fires, the one exchange moves only this small
-    * frame's bytes — hash-routed on `keys` when given (no local sort;
-    * the hashedSets precedent), round-robin otherwise.
+    * THREE gates, all conservative (worst case: decline to spread), so
+    * it is scale-adaptive and never shuffles a large corpus:
+    *
+    *  1. NARROW-PLAN gate: only scan-rooted frames (project/filter/
+    *     repartition over a file scan or local relation) are eligible.
+    *     Anything with a join/aggregate/window declines — both because
+    *     the helper's purpose is floor-the-SCAN, and because probing
+    *     `.rdd` under AQE on a plan with exchanges would eagerly execute
+    *     those upstream stages in a separate QueryExecution just to read
+    *     a partition count (r11 advisor catch; latent then, closed now).
+    *  2. BYTE ceiling: the scan leaves' estimated bytes must fit
+    *     p·maxPartitionBytes — partition count alone is a size proxy
+    *     that a few-split-but-wide frame defeats (31 multi-GB gzip
+    *     splits at p=32 would have taken the full repartition; now it
+    *     declines — r11 advisor catch).
+    *  3. Planned partition count below the session's default
+    *     parallelism (any real multi-split table — a 100 TB scan has
+    *     ~10⁶ splits — returns UNCHANGED with no exchange in the plan).
+    *     The `.rdd` probe is safe here: gate 1 guarantees the plan has
+    *     no exchanges, so nothing executes.
+    *
+    * When it fires, the one exchange moves only this small frame's
+    * bytes — hash-routed on `keys` when given (no local sort; the
+    * hashedSets precedent), round-robin otherwise.
     */
   private[graft] def spreadSmallScan(df: DataFrame,
                                      keys: Column*): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p) df
+    val plan = df.queryExecution.analyzed
+    val complex = plan.exists {
+      case _: Project | _: Filter | _: SubqueryAlias | _: Repartition |
+           _: RepartitionByExpression | _: LocalRelation |
+           _: LogicalRelation => false
+      case _ => true
+    }
+    if (complex) return df // gate 1: not scan-rooted — decline
+    // gate 2: estimated scan bytes (file relations report their file
+    // sizes; a LocalRelation is driver-held and small by construction;
+    // any other leaf is unknown → treat as unbounded and decline)
+    val maxSplit = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+    val bytes = plan.collectLeaves().map {
+      case l: LogicalRelation => l.relation.sizeInBytes
+      case _: LocalRelation => 0L
+      case _ => Long.MaxValue
+    }.foldLeft(0L)((a, b) => if (a + b < a) Long.MaxValue else a + b)
+    if (bytes > p.toLong * maxSplit) df
+    else if (df.rdd.getNumPartitions >= p) df // gate 3
     else if (keys.nonEmpty) df.repartition(p, keys: _*)
     else df.repartition(p)
   }

@@ -50,13 +50,16 @@ object Quality {
     * semantics — a NULL child key asserts nothing (counted separately
     * as `null_keys`, never as an orphan).
     *
-    * Scale: each constraint costs one left-anti join of the child's key
-    * column (narrow projection — key only, no payload) against the
-    * DISTINCT parent keyset. Parent keysets here are dimension-sized
-    * and explicitly broadcast; for a fact-sized parent drop the
-    * broadcast hint and the same plan degrades gracefully to a shuffled
-    * anti-join on the key. Output is one scalar row per constraint —
-    * nothing wide ever leaves the executors.
+    * Scale: each constraint costs ONE pass over the child's key column
+    * (narrow projection — key only, no payload): the DISTINCT parent
+    * keyset carries a presence marker through a broadcast LEFT join (no
+    * row multiplication — parents are distinct) and a single aggregate
+    * reads child_rows / null_keys / orphan_rows together. Parent keysets
+    * here are dimension-sized and explicitly broadcast; for a fact-sized
+    * parent drop the broadcast hint and the same presence-marker LEFT
+    * join degrades gracefully to a shuffled join on the key (still one
+    * child pass). Output is one scalar row per constraint — nothing wide
+    * ever leaves the executors.
     */
   def referentialOrphans(constraints: Seq[FkConstraint]): DataFrame = {
     require(constraints.nonEmpty, "referentialOrphans: no constraints")

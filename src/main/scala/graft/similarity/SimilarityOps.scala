@@ -1427,9 +1427,13 @@ object SimilarityOps {
     * quantizer prunes, product codes rank): one scan pass computes both
     * each vector's inverted list (argmax cosine against the IVF
     * codebook) and its nsub PQ codes (per-subspace argmin against the
-    * PQ codebook) — the two codebooks fold into one broadcast row each,
-    * and the corpus is NEVER shuffled (saveIndexPq's write-side
-    * repartition is the only exchange). This is the production ANN
+    * PQ codebook) — the two codebooks fold into one broadcast row each.
+    * The corpus itself is never shuffled at scale: on any multi-split
+    * corpus the only exchange is saveIndexPq's write-side repartition;
+    * the gated `spreadSmallScan` below adds one corpus-side hash
+    * exchange ONLY when the scan plans below the session parallelism
+    * (single-row-group bench files — a plan no-op on a real corpus).
+    * This is the production ANN
     * serving layout at 100 TB: lists prune the scan to nprobe
     * directories at planning time, and what's scanned is nsub bytes
     * per vector, not 4·d floats.

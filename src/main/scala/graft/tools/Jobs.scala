@@ -22,6 +22,8 @@ object Jobs {
       .config("spark.sql.adaptive.enabled", "true")
       .config(Tables.NanosConf, "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries",
+              graft.Bench.codegenCacheEntries)
       // bench-parity commit algorithm (Bench.scala scaladoc)
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
               "2")
@@ -42,7 +44,14 @@ object Jobs {
         taskTimeMs += e.stageInfo.taskMetrics.executorRunTime
         nStages += 1
         val m = e.stageInfo.taskMetrics
+        // stage wall (submission→completion, ms clock): with uniform
+        // 32-way tasks, wall ≈ taskTime/32; a stage whose wall is far
+        // above that is serialized/skewed — the r12 task-2 signal
+        val sWall = (for {
+          s <- e.stageInfo.submissionTime; c <- e.stageInfo.completionTime
+        } yield (c - s) / 1000.0).getOrElse(-1.0)
         lines += f"  stage ${e.stageInfo.stageId}%3d tasks=${e.stageInfo.numTasks}%3d " +
+          f"wall=$sWall%7.2f s " +
           f"taskTime=${m.executorRunTime / 1000.0}%8.2f s " +
           f"sRead=${m.shuffleReadMetrics.recordsRead}%10d " +
           f"sWrite=${m.shuffleWriteMetrics.recordsWritten}%10d " +

@@ -21,6 +21,8 @@ object TimeQ {
       .config("spark.sql.adaptive.enabled", "true")
       .config(Tables.NanosConf, "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries",
+              graft.Bench.codegenCacheEntries)
       // bench-parity commit algorithm (Bench.scala scaladoc)
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
               "2")
