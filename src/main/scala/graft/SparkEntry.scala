@@ -1561,10 +1561,13 @@ object SparkEntry {
     // equality are spec-pinned (AnnOpsSpec).
     "q_pq_eval" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val fine = SimilarityOps.pqTrain(emb, "vec_id", "embedding",
-                                       nsub = 8, codes = 16, iters = 1)
-      val coarse = SimilarityOps.pqTrain(emb, "vec_id", "embedding",
-                                         nsub = 8, codes = 2, iters = 1)
+      // grid-train in ONE bookkeeping pass (r12 task 5): the dims probe
+      // and the gated driver collect are config-independent, so the
+      // two-config grid schedules 2 train jobs instead of 4 — codebooks
+      // byte-identical to per-config pqTrain (PqSpec pins it)
+      val Seq(fine, coarse) = SimilarityOps.pqTrainGrid(
+        emb, "vec_id", "embedding", nsub = 8, codesGrid = Seq(16, 2),
+        iters = 1)
       SimilarityOps.pqEval(emb, "vec_id", "embedding",
                            Seq("8x16" -> fine, "8x2" -> coarse),
                            probeIds = Seq(0L, 23L, 91L), k = 10)

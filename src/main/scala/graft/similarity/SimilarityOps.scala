@@ -893,18 +893,35 @@ object SimilarityOps {
     */
   private def pqTrainDriver(emb: DataFrame, idCol: String, vecCol: String,
                             nsub: Int, codes: Int, iters: Int,
-                            d: Int, dsub: Int): DataFrame = {
-    val spark = emb.sparkSession
+                            d: Int, dsub: Int): DataFrame =
+    pqLloydDriver(emb.sparkSession, collectTrainVecs(emb, idCol, vecCol, d),
+                  nsub, codes, iters, dsub)
+
+  /** The driver regime's one cluster round-trip: id-sorted training
+    * vectors as local arrays (the collect is gated by PqDriverTrainGate
+    * elements = 32 MB of doubles). Split out of `pqTrainDriver` so a
+    * grid of codebook configs over the SAME corpus (`pqTrainGrid`)
+    * collects once instead of once per config.
+    */
+  private def collectTrainVecs(emb: DataFrame, idCol: String,
+                               vecCol: String, d: Int): Array[Array[Double]] =
     // orderBy delegates the seed's id ordering to Spark (exact ordering
-    // semantics for any id type); the collect is gated by
-    // PqDriverTrainGate elements = 32 MB of doubles
-    val vecs: Array[Array[Double]] = emb
-      .filter(size(col(vecCol)) === d)
+    // semantics for any id type)
+    emb.filter(size(col(vecCol)) === d)
       .select(col(idCol),
               transform(col(vecCol), x => x.cast("double")).as("__v"))
       .orderBy(col(idCol).asc)
       .collect()
       .map(_.getSeq[Double](1).toArray)
+
+  /** Driver-side Lloyd over pre-collected vectors — the algorithm body
+    * of `pqTrainDriver`, byte-identical contracts (first-`codes`-by-id
+    * seeds, argmin assignment, empty codes keep their centroid).
+    */
+  private def pqLloydDriver(spark: org.apache.spark.sql.SparkSession,
+                            vecs: Array[Array[Double]],
+                            nsub: Int, codes: Int, iters: Int,
+                            dsub: Int): DataFrame = {
     val nCodes = math.min(codes, vecs.length)
     var cb: Array[Array[Array[Double]]] =
       Array.tabulate(nsub, nCodes) { (s, c) =>
@@ -993,9 +1010,28 @@ object SimilarityOps {
     */
   def pqTrain(emb: DataFrame, idCol: String, vecCol: String,
               nsub: Int, codes: Int, iters: Int,
-              gate: Long = PqDriverTrainGate): DataFrame = {
-    require(nsub >= 1 && codes >= 1 && iters >= 0,
-            s"nsub/codes/iters must be positive (got $nsub/$codes/$iters)")
+              gate: Long = PqDriverTrainGate): DataFrame =
+    pqTrainGrid(emb, idCol, vecCol, nsub, Seq(codes), iters, gate).head
+
+  /** Train a GRID of PQ codebook sizes over one corpus in one pass of
+    * the train-time bookkeeping: the modal-dimension probe runs once and
+    * (driver regime) the id-sorted training vectors collect once, then
+    * each `codes` value runs its own driver Lloyd on the shared local
+    * arrays. Byte-identical to calling `pqTrain` per config (the probe,
+    * the collect, the seeds and the iteration are all config-independent
+    * or per-config-identical) — spec-pinned by PqSpec — but a grid of G
+    * configs schedules 2 jobs instead of 2·G (r12 task 5: q_pq_eval's
+    * two-config grid paid the dims probe + corpus collect twice).
+    * Above-gate corpora fall back to one distributed train per config
+    * (the subvector frames genuinely differ per run there — no shared
+    * collect exists to reuse).
+    */
+  def pqTrainGrid(emb: DataFrame, idCol: String, vecCol: String,
+                  nsub: Int, codesGrid: Seq[Int], iters: Int,
+                  gate: Long = PqDriverTrainGate): Seq[DataFrame] = {
+    require(codesGrid.nonEmpty && nsub >= 1 && iters >= 0 &&
+            codesGrid.forall(_ >= 1),
+            s"nsub/codes/iters must be positive (got $nsub/$codesGrid/$iters)")
     // d = the MODAL vector length (ties: smaller), one tiny aggregate:
     // max(size) let a single stray higher-dimensional row redefine d,
     // train the codebook on that one vector and silently exclude the
@@ -1010,10 +1046,13 @@ object SimilarityOps {
     val d = dims(0).getInt(0)
     require(d % nsub == 0, s"dimension $d not divisible by nsub=$nsub")
     val dsub = d / nsub
-    if (dims(0).getLong(1) * d <= gate)
-      pqTrainDriver(emb, idCol, vecCol, nsub, codes, iters, d, dsub)
-    else
-      pqTrainDistributed(emb, idCol, vecCol, nsub, codes, iters, d, dsub)
+    if (dims(0).getLong(1) * d <= gate) {
+      val vecs = collectTrainVecs(emb, idCol, vecCol, d)
+      codesGrid.map(c =>
+        pqLloydDriver(emb.sparkSession, vecs, nsub, c, iters, dsub))
+    } else
+      codesGrid.map(c =>
+        pqTrainDistributed(emb, idCol, vecCol, nsub, c, iters, d, dsub))
   }
 
   /** The above-gate regime of `pqTrain` — the distributed Lloyd as

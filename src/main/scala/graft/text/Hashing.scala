@@ -83,7 +83,10 @@ object Hashing {
   def hashByte(text: Column, mode: Mode = OraclePortable): Column =
     mode match {
       case OraclePortable =>
-        conv(substring(md5(text), 1, 2), 16, 10).cast("int")
+        // ≡ conv(substring(md5(text),1,2),16,10).cast("int") — the first
+        // digest byte — without the hex-string/substring/conv allocations
+        // (Md5ExpressionsSpec pins bit-equality; null → null either way)
+        shiftright(graft.functions.Md5Ops.md5Prefix16(text), 8).cast("int")
       case Production =>
         nullGuard(text, pmod(xxhash64(text), lit(256L)).cast("int"))
     }
@@ -94,9 +97,12 @@ object Hashing {
   def splitArm(text: Column, mode: Mode = OraclePortable): Column =
     mode match {
       case OraclePortable =>
-        val h = substring(md5(text), 1, 1)
-        when(h < "e", "train").when(h === "e", "val")
-          .when(h.isNotNull, "test")
+        // first hex digit of md5 = first digest nibble: '0'..'9','a'..'f'
+        // order IS nibble order, so h < 'e' ⇔ nibble < 14, h = 'e' ⇔ 14
+        // (Md5ExpressionsSpec pins arm equality; null → null either way)
+        val nib = shiftright(graft.functions.Md5Ops.md5Prefix16(text), 12)
+        when(nib < 14, "train").when(nib === 14, "val")
+          .when(nib.isNotNull, "test")
       case Production =>
         val a = pmod(xxhash64(text), lit(16L))
         nullGuard(text,
@@ -115,8 +121,12 @@ object Hashing {
   /** Feature-hash bucket in [0, dim) (DSIR's hashed n-grams). */
   def bucket(c: Column, dim: Int, mode: Mode): Column = mode match {
     case OraclePortable =>
-      pmod(conv(substring(md5(c), 1, 4), 16, 10).cast("long"),
-           lit(dim.toLong))
+      // ≡ pmod(conv(substring(md5(c),1,4),16,10), dim): the conv value
+      // IS the first two digest bytes (∈ [0,65535], so pmod = %); this
+      // runs per GRAM on the DSIR/classifier paths — the one md5 coin
+      // that is hot enough for the hex-string allocations to matter
+      // (Md5ExpressionsSpec pins bit-equality)
+      pmod(graft.functions.Md5Ops.md5Prefix16(c), lit(dim.toLong))
     case Production => nullGuard(c, pmod(xxhash64(c), lit(dim.toLong)))
   }
 }

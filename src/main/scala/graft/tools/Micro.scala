@@ -21,6 +21,8 @@ object Micro {
               sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config(Tables.NanosConf, "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries",
+              graft.Bench.codegenCacheEntries)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time[T](label: String)(f: => T): Unit = {

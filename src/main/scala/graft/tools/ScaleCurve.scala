@@ -126,6 +126,8 @@ object ScaleCurve {
       .config("spark.sql.adaptive.enabled", "true")
       .config(Tables.NanosConf, "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries",
+              graft.Bench.codegenCacheEntries)
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
               "2")
       .getOrCreate()

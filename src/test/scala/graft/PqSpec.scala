@@ -134,6 +134,30 @@ class PqSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("pqTrainGrid ≡ per-config pqTrain, byte-identical codebooks") {
+    import spark.implicits._
+    // the r12 q_pq_eval shape: one corpus, a codes grid — the grid's
+    // shared dims probe + shared collect must not change a single bit
+    // of any config's codebook
+    val rows = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(j =>
+        (math.cos(i * 7 + j) * (1 + (i % 3))).toFloat))
+    }.toDF("vec_id", "embedding")
+    val grid = SimilarityOps.pqTrainGrid(rows, "vec_id", "embedding",
+                                         nsub = 4, codesGrid = Seq(8, 2),
+                                         iters = 2)
+    val solo = Seq(8, 2).map(c =>
+      SimilarityOps.pqTrain(rows, "vec_id", "embedding",
+                            nsub = 4, codes = c, iters = 2))
+    def slurp(df: org.apache.spark.sql.DataFrame) = df
+      .select($"sub_id".cast("int"), $"code".cast("int"), $"cvec")
+      .as[(Int, Int, Seq[Double])].collect()
+      .sortBy(t => (t._1, t._2))
+    grid.zip(solo).foreach { case (g, s) =>
+      assert(slurp(g).toSeq === slurp(s).toSeq) }
+    spark.catalog.clearCache()
+  }
+
   test("pqTrain dimension is the corpus MODE: a stray higher-dim row " +
        "cannot hijack d and exclude the real corpus") {
     import spark.implicits._
