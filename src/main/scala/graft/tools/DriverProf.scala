@@ -73,7 +73,7 @@ object DriverProf {
       .config(Tables.NanosConf, "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries",
-              sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "100"))
+              graft.Bench.codegenCacheEntries)
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
               "2")
       .getOrCreate()
